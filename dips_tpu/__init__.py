@@ -1,0 +1,20 @@
+"""dips_tpu — a TPU-native rebuild of DiPs (video frame-difference pixels).
+
+See README.md for the design and SURVEY.md for the reference analysis.
+"""
+
+from .errors import (DecodeError, DeviceError, DiPsError, EncodeError,
+                     FrameCallbackError, OutputPathError, StreamError,
+                     VideoPathError)
+from .properties import (ChromaFilter, DiPsFilter, DiPsMethod, DiPsProperties,
+                         Encoding, OutputMode)
+from .models import DiPsEngine
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "ChromaFilter", "DiPsEngine", "DiPsError", "DiPsFilter", "DiPsMethod",
+    "DiPsProperties", "DecodeError", "DeviceError", "Encoding", "EncodeError",
+    "FrameCallbackError", "OutputMode", "OutputPathError", "StreamError",
+    "VideoPathError", "__version__",
+]

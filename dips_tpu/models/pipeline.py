@@ -1,0 +1,190 @@
+"""DiPsEngine — the flagship streaming pipeline model.
+
+Replaces the reference's three per-frame engines (``ComputeState``
+dips/src/gpu/mod.rs:39-398, ``DiPsCompute`` dips_alt/src/dips_compute/
+mod.rs:243-647, and the dips_opencv clone) with one batched, stateful JAX
+engine.  Differences that matter on TPU:
+
+* **Batched dispatch, no per-frame sync.**  The reference uploads, dispatches
+  and synchronously reads back every frame (dips/src/gpu/mod.rs:346-391).
+  The engine dispatches B frames per device step and only materialises
+  results when the caller consumes them — JAX's async dispatch overlaps host
+  decode with device compute.
+* **Ring state via a raw-frame tail.**  Instead of a device-resident texture
+  ring with a circular-index uniform (dips/src/gpu/bind_groups.rs:407-427),
+  the host keeps the last T raw frames and prepends them to each batch; the
+  device recomputes their (cheap) filtered planes, keeping every step a pure
+  function of its inputs — resumable and shardable by construction.
+* **Geometry bucketing.**  Frames are padded to (×8, ×128) tiles once on the
+  host; a validity mask keeps padding out of outputs and statistics
+  (the reference's analogue is 256-byte row padding, dips/src/gpu/mod.rs:33-37).
+"""
+
+from __future__ import annotations
+
+import collections
+from typing import Deque, List, Optional, Sequence, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..errors import DeviceError
+from ..properties import DiPsMethod, DiPsProperties, OutputMode
+from ..ops import reference
+from ..ops.oracle import NUM_STATS
+from ..ops.reference import pad_geometry
+
+_RAW_MODES = (OutputMode.ABSDIFF, OutputMode.THRESHOLD)
+
+
+class DiPsEngine:
+    """Stateful streaming engine: feed uint8 RGB frames, get diff maps + stats.
+
+    Args:
+      props: pipeline configuration (static; changing it means a new engine,
+        mirroring the reference's pipeline-rebuild-on-change semantics,
+        dips_alt/src/lib.rs:267-293).
+      height, width: true frame geometry.
+      batch: frames per device dispatch (B).
+      backend: "xla" (portable jnp path) or "pallas" (fused TPU kernel).
+      device: optional jax.Device to place state on.
+    """
+
+    def __init__(self, props: DiPsProperties, height: int, width: int,
+                 batch: int = 8, backend: str = "xla",
+                 device: Optional[jax.Device] = None):
+        if height <= 0 or width <= 0:
+            raise ValueError(f"bad geometry {height}x{width}")
+        if batch < 1:
+            raise ValueError("batch must be >= 1")
+        self.props = props
+        self.height, self.width = int(height), int(width)
+        self.hp, self.wp = pad_geometry(self.height, self.width)
+        self.batch = int(batch)
+        self.backend = backend
+        self.device = device
+        self._raw_mode = props.output in _RAW_MODES
+        self._step = self._resolve_step(backend)
+        self.reset()
+
+    def _resolve_step(self, backend: str):
+        if self._raw_mode:
+            return reference.absdiff_step
+        if backend == "xla":
+            return reference.batch_step
+        if backend == "pallas":
+            from ..ops import pallas_fused
+            return pallas_fused.batch_step
+        raise DeviceError(f"unknown backend {backend!r}")
+
+    # -- state ------------------------------------------------------------
+    def reset(self) -> None:
+        """Clear all streaming state (frame cursor, ring tail, baseline)."""
+        t = self.props.temporal_size
+        self.frame_index = 0
+        self._tail: Deque[np.ndarray] = collections.deque(maxlen=t)
+        if self._raw_mode:
+            self._baseline = jnp.zeros((3, self.hp, self.wp), jnp.uint8)
+        else:
+            self._baseline = jnp.zeros((self.hp, self.wp), jnp.float32)
+        if self.device is not None:
+            self._baseline = jax.device_put(self._baseline, self.device)
+
+    # -- helpers ------------------------------------------------------------
+    def _planarize(self, frame: np.ndarray) -> np.ndarray:
+        """(H, W, 3) uint8 -> padded planar (3, Hp, Wp) uint8."""
+        if frame.shape != (self.height, self.width, 3):
+            raise ValueError(
+                f"frame shape {frame.shape} != {(self.height, self.width, 3)}")
+        out = np.zeros((3, self.hp, self.wp), np.uint8)
+        out[:, :self.height, :self.width] = np.moveaxis(frame, -1, 0)
+        return out
+
+    def _is_capture(self, idx: int) -> bool:
+        return idx == 0 or idx in self.props.refresh_markers
+
+    def snapshot(self) -> None:
+        """Force a baseline re-capture on the next frame (the GUI SnapShot
+        button, ref dips_alt/src/lib.rs:296-298)."""
+        self._force_snapshot = True
+
+    _force_snapshot = False
+
+    # -- core ---------------------------------------------------------------
+    def process_batch(self, frames: Sequence[np.ndarray]
+                      ) -> Tuple[np.ndarray, np.ndarray]:
+        """Process up to ``batch`` frames.
+
+        Args: frames: list of uint8 (H, W, 3) RGB frames.
+        Returns: (outputs uint8 (n, H, W, C), stats f32 (n, NUM_STATS)).
+        """
+        n = len(frames)
+        if n == 0:
+            return (np.zeros((0, self.height, self.width,
+                              self.props.out_channels), np.uint8),
+                    np.zeros((0, NUM_STATS), np.float32))
+        if n > self.batch:
+            raise ValueError(f"got {n} frames > batch {self.batch}")
+        t = self.props.temporal_size
+        b = self.batch
+
+        planar = [self._planarize(f) for f in frames]
+        if not self._tail:  # first batch: prefill ring with frame 0
+            self._tail.extend([planar[0]] * t)
+
+        buf = np.empty((t + b, 3, self.hp, self.wp), np.uint8)
+        buf[:t] = np.stack(list(self._tail))
+        for i in range(b):
+            buf[t + i] = planar[min(i, n - 1)]  # replicate last for padding
+
+        flags = np.zeros((b,), np.bool_)
+        for i in range(n):
+            flags[i] = self._is_capture(self.frame_index + i)
+        if self._force_snapshot:
+            flags[0] = True
+            self._force_snapshot = False
+
+        out, stats, self._baseline = self._step(
+            self.props, self.height, self.width,
+            jnp.asarray(buf), self._baseline, jnp.asarray(flags))
+
+        # host-side stream state update (real frames only)
+        self._tail.extend(planar)
+        self.frame_index += n
+
+        out = np.asarray(out[:n, :, :self.height, :self.width])
+        out = np.moveaxis(out, 1, -1)  # (n, H, W, C)
+        return out, np.asarray(stats[:n])
+
+    def process_frames(self, frames: Sequence[np.ndarray]
+                       ) -> Tuple[np.ndarray, np.ndarray]:
+        """Process an arbitrary number of frames, batching internally."""
+        outs: List[np.ndarray] = []
+        stats: List[np.ndarray] = []
+        for i in range(0, len(frames), self.batch):
+            o, s = self.process_batch(frames[i:i + self.batch])
+            outs.append(o)
+            stats.append(s)
+        return np.concatenate(outs), np.concatenate(stats)
+
+    # -- checkpoint / resume (SURVEY.md §5) ----------------------------------
+    def state_dict(self) -> dict:
+        """Serializable streaming state: baseline + ring tail + cursor.
+
+        The reference's only persistent state is exactly this trio
+        (SURVEY.md §5 'Checkpoint / resume'); saving it lets a long streaming
+        job resume mid-video.
+        """
+        return {
+            "frame_index": self.frame_index,
+            "baseline": np.asarray(self._baseline),
+            "tail": np.stack(list(self._tail)) if self._tail else None,
+        }
+
+    def load_state_dict(self, state: dict) -> None:
+        self.frame_index = int(state["frame_index"])
+        self._baseline = jnp.asarray(state["baseline"])
+        self._tail.clear()
+        if state["tail"] is not None:
+            self._tail.extend(list(state["tail"]))

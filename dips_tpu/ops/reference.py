@@ -1,0 +1,265 @@
+"""Batched jnp/XLA implementation of the DiPs pipeline.
+
+This is the portable device path: pure ``jax.numpy`` + ``lax`` with static
+shapes, jit-compiled once per (properties, geometry) — the XLA analogue of the
+reference's specialised WGSL pipelines (dips/src/gpu/mod.rs:101-109).  The
+fused Pallas kernel in ``ops/pallas_fused.py`` implements the same contract
+single-pass; both are tested against ``ops/oracle.py``.
+
+Batch protocol (shared by both device paths)
+--------------------------------------------
+The reference processes one frame per dispatch with a blocking readback
+(dips/src/gpu/mod.rs:346-391).  Here the host feeds **B new frames plus a
+T-frame raw tail** per step (T = temporal ring length), so each step is one
+device dispatch with no intra-batch host sync:
+
+* input ``raw``: uint8 planar ``(T + B, 3, Hp, Wp)`` — frames ``[0:T]`` are
+  the previous batch's last T raw frames (first batch: T copies of frame 0,
+  which reproduces the oracle's ring-prefill warm-up), frames ``[T:]`` are new;
+* spatial+temporal filtering yields ``B + 1`` ring medians ``cur[0..B]``,
+  where ``cur[0]`` is the previous frame's value (needed by PER_FRAME mode)
+  and ``cur[1..B]`` correspond to the new frames;
+* ``snap_flags (B,)`` marks overall-mode baseline captures (frame 0 and
+  refresh markers — ref dips_alt/src/lib.rs:668-670), resolved sequentially
+  inside the step with a ``lax.scan``;
+* geometry is padded to TPU tiles (Hp multiple of 8, Wp multiple of 128) with
+  a validity mask so padded pixels contribute zero diff and no statistics.
+
+Outputs: uint8 planar maps ``(B, C, Hp, Wp)``, per-frame stats ``(B, 4)``
+(``oracle.STAT_NAMES``), and the carried baseline.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ..properties import (ChromaFilter, DiPsFilter, DiPsMethod,
+                          DiPsProperties, OutputMode)
+from . import networks
+from .oracle import INV_SIGMOID_EPS, NUM_STATS
+
+
+def pad_geometry(h: int, w: int) -> Tuple[int, int]:
+    """Bucket (H, W) up to TPU-friendly tiles: H→×8, W→×128 (SURVEY.md §7
+    'Dynamic shape avoidance'; analogous to the reference's 256-byte row
+    padding, dips/src/gpu/mod.rs:33-37)."""
+    hp = -(-h // 8) * 8
+    wp = -(-w // 128) * 128
+    return hp, wp
+
+
+# ---------------------------------------------------------------------------
+# Stage functions (jnp mirrors of ops/oracle.py)
+# ---------------------------------------------------------------------------
+
+def intensity_planar(rgb_u8: jnp.ndarray, chroma: ChromaFilter) -> jnp.ndarray:
+    """uint8 planar (..., 3, H, W) -> f32 (..., H, W) in [0, 1]."""
+    f = rgb_u8.astype(jnp.float32) * jnp.float32(1.0 / 255.0)
+    if chroma == ChromaFilter.RED:
+        return f[..., 0, :, :]
+    if chroma == ChromaFilter.GREEN:
+        return f[..., 1, :, :]
+    if chroma == ChromaFilter.BLUE:
+        return f[..., 2, :, :]
+    r, g, b = f[..., 0, :, :], f[..., 1, :, :], f[..., 2, :, :]
+    cmax = jnp.maximum(jnp.maximum(r, g), b)
+    cmin = jnp.minimum(jnp.minimum(r, g), b)
+    return (cmax + cmin) * jnp.float32(0.5)
+
+
+def spatial_median(planes: jnp.ndarray, window: int) -> jnp.ndarray:
+    """(..., H, W) centered odd-window median, zero-padded borders.
+
+    Taps are static slices of a zero-padded plane fed through the exact
+    min/max selection network from ops/networks.py — no data-dependent sort.
+    """
+    if window <= 1:
+        return planes
+    p = window // 2
+    h, w = planes.shape[-2], planes.shape[-1]
+    pad = [(0, 0)] * (planes.ndim - 2) + [(p, p), (p, p)]
+    padded = jnp.pad(planes, pad)
+    taps = [padded[..., dy:dy + h, dx:dx + w]
+            for dy in range(window) for dx in range(window)]
+    return networks.median_of(taps, jnp.minimum, jnp.maximum)
+
+
+def temporal_median_windows(filtered: jnp.ndarray, t: int) -> jnp.ndarray:
+    """(N, H, W) -> (N - t + 1, H, W): median over each length-t window."""
+    n = filtered.shape[0]
+    m = n - t + 1
+    taps = [filtered[k:k + m] for k in range(t)]
+    return networks.median_of(taps, jnp.minimum, jnp.maximum)
+
+
+def emphasize(diff: jnp.ndarray, filt: DiPsFilter, sigmoid_scalar: float,
+              sensitivity: float) -> jnp.ndarray:
+    """Map ×0.5 → sigmoid / inverse-sigmoid / identity → ×sensitivity
+    (ref dips_shader.wgsl:97-118,217-229)."""
+    d = diff * jnp.float32(0.5)
+    k = jnp.float32(sigmoid_scalar)
+    if filt == DiPsFilter.SIGMOID:
+        d = jnp.float32(1.0) / (jnp.float32(1.0) + jnp.exp(-k * d)) - jnp.float32(0.5)
+    elif filt == DiPsFilter.INVERSE_SIGMOID:
+        dc = jnp.clip(d, -0.5 + INV_SIGMOID_EPS, 0.5 - INV_SIGMOID_EPS)
+        d = -jnp.log(jnp.float32(1.0) / (dc + jnp.float32(0.5)) - jnp.float32(1.0)) / k
+    return d * jnp.float32(sensitivity)
+
+
+def diff_to_color_planes(d: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Signed diff -> (r, g, b) f32 planes: red negative, green positive
+    (closed form of the reference's HSL call at l=0.5, dips_shader.wgsl:30-36)."""
+    s = jnp.abs(d)
+    hi = jnp.float32(0.5) + s * jnp.float32(0.5)
+    lo = jnp.float32(0.5) - s * jnp.float32(0.5)
+    neg = d < 0
+    r = jnp.where(neg, hi, lo)
+    g = jnp.where(neg, lo, hi)
+    return r, g, lo
+
+
+def quantize_u8(x: jnp.ndarray) -> jnp.ndarray:
+    """f32 [0,1] -> uint8 round-half-even (rgba8unorm store semantics)."""
+    return jnp.rint(jnp.clip(x, 0.0, 1.0) * jnp.float32(255.0)).astype(jnp.uint8)
+
+
+def masked_stats(raw_diff: jnp.ndarray, n_valid: int,
+                 change_threshold: int) -> jnp.ndarray:
+    """(B, H, W) masked raw diff -> (B, NUM_STATS) f32 reductions."""
+    a = jnp.abs(raw_diff)
+    thr = jnp.float32(change_threshold) / jnp.float32(255.0)
+    inv_n = jnp.float32(1.0 / n_valid)
+    return jnp.stack([
+        jnp.sum(raw_diff, axis=(-2, -1)) * inv_n,
+        jnp.sum(a, axis=(-2, -1)) * inv_n,
+        jnp.max(a, axis=(-2, -1)),
+        jnp.sum((a >= thr).astype(jnp.float32), axis=(-2, -1)),
+    ], axis=-1)
+
+
+def valid_mask(hp: int, wp: int, h: int, w: int) -> jnp.ndarray:
+    """(Hp, Wp) f32 mask: 1 on true pixels, 0 on tile padding."""
+    rows = lax.broadcasted_iota(jnp.int32, (hp, wp), 0) < h
+    cols = lax.broadcasted_iota(jnp.int32, (hp, wp), 1) < w
+    return (rows & cols).astype(jnp.float32)
+
+
+# ---------------------------------------------------------------------------
+# Full batched step (median/emphasis modes)
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnums=(0, 1, 2))
+def batch_step(props: DiPsProperties, h: int, w: int,
+               raw: jnp.ndarray, baseline: jnp.ndarray,
+               snap_flags: jnp.ndarray
+               ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """One device step over B new frames (see module docstring).
+
+    Args:
+      props: static pipeline configuration (specialises the compile).
+      h, w: true (unpadded) image geometry, static.
+      raw: uint8 (T + B, 3, Hp, Wp) planar frames, tail-first.
+      baseline: f32 (Hp, Wp) carried overall-mode baseline.
+      snap_flags: bool (B,) overall-mode capture flags for the new frames.
+
+    Returns: (out_u8 (B, C, Hp, Wp), stats (B, NUM_STATS), new_baseline).
+    """
+    t = props.temporal_size
+    b = raw.shape[0] - t
+    hp, wp = raw.shape[-2], raw.shape[-1]
+    mask = valid_mask(hp, wp, h, w)
+
+    planes = intensity_planar(raw, props.chroma)          # (T+B, Hp, Wp)
+    filtered = spatial_median(planes, props.window_size)
+    cur_all = temporal_median_windows(filtered, t)        # (B+1, Hp, Wp)
+    prev, cur = cur_all[:-1], cur_all[1:]                 # each (B, Hp, Wp)
+
+    if props.method == DiPsMethod.OVERALL:
+        def capture(bl, xs):
+            c, flag = xs
+            bl = jnp.where(flag, c, bl)
+            return bl, bl
+        new_baseline, baselines = lax.scan(capture, baseline, (cur, snap_flags))
+        raw_diff = baselines - cur
+    else:  # PER_FRAME: diff vs previous ring median; flags are inert
+        new_baseline = baseline
+        raw_diff = prev - cur
+
+    raw_diff = raw_diff * mask
+    stats = masked_stats(raw_diff, h * w, props.change_threshold)
+
+    d = emphasize(raw_diff, props.filter, props.sigmoid_horizontal_scalar,
+                  props.sensitivity)
+    if props.output == OutputMode.COLORIZE:
+        r, g, bch = diff_to_color_planes(d)
+        out = jnp.stack([r, g, bch], axis=1)              # (B, 3, Hp, Wp)
+    else:  # GRAYSCALE: 0.5 - diff (ref dips_shader.wgsl:236)
+        out = (jnp.float32(0.5) - d)[:, None]             # (B, 1, Hp, Wp)
+
+    if props.method == DiPsMethod.OVERALL:
+        # Capture frames render the freshly pinned baseline as gray
+        # (ref snapshot branch, dips_alt/.../pre_compute_shader.wgsl:231-235).
+        # (Stats need no special-casing: the scan pins the baseline *before*
+        # diffing, so capture frames already have an exactly-zero diff map.)
+        flag_b = snap_flags[:, None, None, None]
+        out = jnp.where(flag_b, cur[:, None], out)
+
+    return quantize_u8(out), stats, new_baseline
+
+
+# ---------------------------------------------------------------------------
+# Raw uint8 fast path: ABSDIFF / THRESHOLD (cv2.absdiff parity surface)
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnums=(0, 1, 2))
+def absdiff_step(props: DiPsProperties, h: int, w: int,
+                 raw: jnp.ndarray, baseline_raw: jnp.ndarray,
+                 snap_flags: jnp.ndarray
+                 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Bit-exact uint8 absdiff/threshold step (BASELINE.json parity metric).
+
+    Same protocol as :func:`batch_step`, but the diff is integer
+    ``|cur - baseline|`` on the raw planar frames — byte-equal to
+    ``cv2.absdiff``.  Stats keep the f32 intensity-diff convention so the two
+    paths report comparable reductions.
+
+    Args/returns as :func:`batch_step`, with ``baseline_raw`` uint8
+    ``(3, Hp, Wp)`` and C = 3 (ABSDIFF) or 1 (THRESHOLD).
+    """
+    t = props.temporal_size
+    new = raw[t:]                                          # (B, 3, Hp, Wp)
+    prev_raw = raw[t - 1:-1]
+    hp, wp = raw.shape[-2], raw.shape[-1]
+    mask = valid_mask(hp, wp, h, w)
+
+    if props.method == DiPsMethod.OVERALL:
+        def capture(bl, xs):
+            f, flag = xs
+            bl = jnp.where(flag, f, bl)
+            return bl, bl
+        new_baseline, baselines = lax.scan(
+            capture, baseline_raw, (new, snap_flags))
+    else:
+        new_baseline = baseline_raw
+        baselines = prev_raw
+
+    d16 = jnp.abs(new.astype(jnp.int16) - baselines.astype(jnp.int16))
+    d16 = d16 * mask.astype(jnp.int16)
+    d_u8 = d16.astype(jnp.uint8)                           # (B, 3, Hp, Wp)
+
+    raw_diff = (intensity_planar(baselines, props.chroma)
+                - intensity_planar(new, props.chroma)) * mask
+    stats = masked_stats(raw_diff, h * w, props.change_threshold)
+
+    if props.output == OutputMode.THRESHOLD:
+        dmax = jnp.max(d_u8, axis=1, keepdims=True)
+        out = jnp.where(dmax >= jnp.uint8(props.change_threshold),
+                        jnp.uint8(255), jnp.uint8(0))
+    else:
+        out = d_u8
+    return out, stats, new_baseline

@@ -1,0 +1,221 @@
+"""Configuration surface for dips_tpu.
+
+Mirrors the reference's three config mechanisms (SURVEY.md §5 "Config / flag
+system") with one TPU-native one:
+
+* the builder struct ``DiPsProperties`` (ref: ``dips/src/lib.rs:63-170`` and
+  ``dips_alt/src/dips_compute/mod.rs:151-234``) including its validation
+  clamps (sigmoid scalar clamped to 1..=10 at mod.rs:220, window clamped to
+  odd 1..=7 at mod.rs:225-228);
+* enums ``DiPsFilter`` (dips/src/lib.rs:26-30), ``ChromaFilter``
+  (dips/src/lib.rs:43-49) and ``Encoding`` (dips_alt/src/lib.rs:38-55);
+* shader-specialisation semantics: in the reference, properties become WGSL
+  ``override`` constants and changing one rebuilds the pipeline
+  (dips/src/gpu/mod.rs:101-109).  Here the frozen :class:`DiPsProperties` is
+  hashable and is passed as a *static* argument to ``jax.jit``, so changing a
+  property triggers exactly one recompile and is cached afterwards — the same
+  specialise/cache/rebuild contract, expressed the XLA way.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import enum
+from typing import Optional, Sequence, Tuple
+
+
+class DiPsFilter(enum.Enum):
+    """Nonlinear emphasis applied to the mapped diff (ref: dips/src/lib.rs:26-30;
+    FILTER_TYPE switch in dips/src/gpu/shaders/dips_shader.wgsl:219-227)."""
+
+    SIGMOID = 0
+    INVERSE_SIGMOID = 1
+    #: No emphasis.  In the reference ``Unfiltered`` maps to 255 and falls into
+    #: the shader's ``default:`` no-op branch (dips/src/lib.rs:36) — here it is
+    #: a first-class identity.
+    UNFILTERED = 255
+
+
+class ChromaFilter(enum.Enum):
+    """Which channel feeds the intensity plane (ref: dips/src/lib.rs:43-49;
+    get_intensity in dips_shader.wgsl:64-82).  ALL is HSL lightness
+    ``(max(r,g,b)+min(r,g,b))/2``."""
+
+    ALL = 0
+    RED = 1
+    GREEN = 2
+    BLUE = 3
+
+
+class DiPsMethod(enum.Enum):
+    """The two advertised diff methods (ref README.md:7-11).
+
+    ``OVERALL`` (diff vs. a pinned snapshot baseline) is the one the reference
+    implements; ``PER_FRAME`` (diff vs. the previous frame) is advertised there
+    but unimplemented — here both are first-class.
+    """
+
+    OVERALL = 0
+    PER_FRAME = 1
+
+
+class OutputMode(enum.Enum):
+    """What the pipeline emits per frame."""
+
+    #: HSL-colorized diff map: red = negative, green = positive
+    #: (ref diff_to_color, dips_shader.wgsl:30-36).
+    COLORIZE = 0
+    #: Grayscale ``0.5 - diff`` (ref dips_shader.wgsl:236).
+    GRAYSCALE = 1
+    #: Bit-exact uint8 ``|cur - baseline|`` per channel — the cv2.absdiff
+    #: parity mode (BASELINE.json metric).
+    ABSDIFF = 2
+    #: Binary mask ``255 * (|cur - baseline| >= threshold)`` on uint8.
+    THRESHOLD = 3
+
+
+class Encoding(enum.Enum):
+    """Output video fourcc (ref: dips_alt/src/lib.rs:38-55).  H264 encode is
+    unavailable in this image's OpenCV build; MJPG added as a pragmatic
+    default."""
+
+    RGBA = "RGBA"
+    HFYU = "HFYU"
+    H264 = "H264"
+    MJPG = "MJPG"
+    MP4V = "mp4v"
+
+    @property
+    def fourcc(self) -> str:
+        return self.value
+
+
+SIGMOID_SCALAR_MIN = 1.0   # ref clamp: dips_alt/src/dips_compute/mod.rs:220
+SIGMOID_SCALAR_MAX = 10.0
+WINDOW_MIN = 1             # ref clamp: dips_alt/src/dips_compute/mod.rs:225-228
+WINDOW_MAX = 7
+TEMPORAL_MIN = 1
+TEMPORAL_MAX = 16          # ref MAX_TEMPORAL_ARRAY_SIZE:
+                           # dips_alt/.../pre_compute_shader.wgsl:12
+DEFAULT_TEMPORAL = 4       # ref TEMPORAL_BUFFER_SIZE: dips/src/gpu/bind_groups.rs:18
+DEFAULT_SENSITIVITY = 5.0  # ref SENSITIVITY const: dips_shader.wgsl:25
+DEFAULT_SIGMOID_SCALAR = 5.0  # ref default override: dips_shader.wgsl:17
+DEFAULT_CHANGE_THRESHOLD = 10  # uint8 threshold for "changed pixel" stats
+
+
+def clamp_window(w: int) -> int:
+    """Clamp to odd 1..=7 the way the reference setter does
+    (dips_alt/src/dips_compute/mod.rs:225-228: even values round down)."""
+    w = int(w)
+    w = max(WINDOW_MIN, min(WINDOW_MAX, w))
+    if w % 2 == 0:
+        w -= 1
+    return w
+
+
+def clamp_sigmoid_scalar(s: float) -> float:
+    """Clamp to 1..=10 (ref: dips_alt/src/dips_compute/mod.rs:220)."""
+    return float(max(SIGMOID_SCALAR_MIN, min(SIGMOID_SCALAR_MAX, float(s))))
+
+
+def clamp_temporal(t: int) -> int:
+    return int(max(TEMPORAL_MIN, min(TEMPORAL_MAX, int(t))))
+
+
+@dataclasses.dataclass(frozen=True)
+class DiPsProperties:
+    """Frozen, hashable pipeline configuration.
+
+    Field-for-field parity with the reference builder
+    (``dips/src/lib.rs:63-170``): video_path ↔ input, frame callback ↔ the
+    streaming runner's per-frame hook, output_path, colorize, spatial window,
+    sensitivity, filter type, chroma filter — plus dips_alt extras
+    (refresh markers, encoding: dips_alt/src/lib.rs:554-690) and the rebuild's
+    new first-class knobs (method, temporal window, stats threshold).
+
+    Being frozen/hashable lets the engine pass it as a static jit argument —
+    the TPU analogue of WGSL override-constant pipeline specialisation.
+    """
+
+    method: DiPsMethod = DiPsMethod.OVERALL
+    output: OutputMode = OutputMode.COLORIZE
+    filter: DiPsFilter = DiPsFilter.SIGMOID
+    chroma: ChromaFilter = ChromaFilter.ALL
+    window_size: int = 3
+    temporal_size: int = DEFAULT_TEMPORAL
+    sensitivity: float = DEFAULT_SENSITIVITY
+    sigmoid_horizontal_scalar: float = DEFAULT_SIGMOID_SCALAR
+    #: Frame indices at which the overall-mode baseline is re-captured
+    #: (ref refresh markers: dips_alt/src/lib.rs:668-670; SnapShot button
+    #: dips_alt/src/lib.rs:296-298).  Frame 0 is always a capture.
+    refresh_markers: Tuple[int, ...] = ()
+    #: uint8 |diff| threshold for the changed-pixel count statistic and the
+    #: THRESHOLD output mode.
+    change_threshold: int = DEFAULT_CHANGE_THRESHOLD
+
+    def __post_init__(self):
+        object.__setattr__(self, "window_size", clamp_window(self.window_size))
+        object.__setattr__(
+            self, "temporal_size", clamp_temporal(self.temporal_size))
+        object.__setattr__(
+            self, "sigmoid_horizontal_scalar",
+            clamp_sigmoid_scalar(self.sigmoid_horizontal_scalar))
+        object.__setattr__(self, "sensitivity", float(self.sensitivity))
+        object.__setattr__(
+            self, "refresh_markers",
+            tuple(sorted(set(int(m) for m in self.refresh_markers))))
+        # >= 1 so the "changed pixel" predicate |d| >= thr/255 is never
+        # vacuously true (keeps padded-tile pixels out of the count).
+        object.__setattr__(
+            self, "change_threshold",
+            int(max(1, min(255, self.change_threshold))))
+
+    # -- builder-style API (parity with DiPsProperties::new()...build(),
+    #    dips/src/lib.rs:75-169) ------------------------------------------
+    def with_method(self, m: DiPsMethod | str) -> "DiPsProperties":
+        m = DiPsMethod[m.upper()] if isinstance(m, str) else m
+        return dataclasses.replace(self, method=m)
+
+    def with_output(self, o: OutputMode | str) -> "DiPsProperties":
+        o = OutputMode[o.upper()] if isinstance(o, str) else o
+        return dataclasses.replace(self, output=o)
+
+    def with_filter(self, f: DiPsFilter | str) -> "DiPsProperties":
+        f = DiPsFilter[f.upper()] if isinstance(f, str) else f
+        return dataclasses.replace(self, filter=f)
+
+    def with_chroma(self, c: ChromaFilter | str) -> "DiPsProperties":
+        c = ChromaFilter[c.upper()] if isinstance(c, str) else c
+        return dataclasses.replace(self, chroma=c)
+
+    def with_window_size(self, w: int) -> "DiPsProperties":
+        return dataclasses.replace(self, window_size=w)
+
+    def with_temporal_size(self, t: int) -> "DiPsProperties":
+        return dataclasses.replace(self, temporal_size=t)
+
+    def with_sensitivity(self, s: float) -> "DiPsProperties":
+        return dataclasses.replace(self, sensitivity=s)
+
+    def with_sigmoid_horizontal_scalar(self, s: float) -> "DiPsProperties":
+        return dataclasses.replace(self, sigmoid_horizontal_scalar=s)
+
+    def with_refresh_markers(self, markers: Sequence[int]) -> "DiPsProperties":
+        return dataclasses.replace(self, refresh_markers=tuple(markers))
+
+    def with_change_threshold(self, t: int) -> "DiPsProperties":
+        return dataclasses.replace(self, change_threshold=t)
+
+    @property
+    def colorize(self) -> bool:
+        return self.output == OutputMode.COLORIZE
+
+    @property
+    def out_channels(self) -> int:
+        # ABSDIFF is per-channel on the raw frames (3 for RGB input, matching
+        # cv2.absdiff); THRESHOLD and GRAYSCALE are single-plane.
+        if self.output == OutputMode.COLORIZE:
+            return 3
+        if self.output == OutputMode.ABSDIFF:
+            return 3
+        return 1

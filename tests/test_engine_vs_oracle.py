@@ -1,0 +1,123 @@
+"""End-to-end parity: DiPsEngine (XLA batched path) vs the streaming oracle.
+
+Quantized uint8 outputs must agree exactly for pure min/max/absdiff math and
+within 1 LSB for transcendental filters (XLA exp/log differ from numpy by
+ulps); stats agree to float tolerance.
+"""
+
+import numpy as np
+import pytest
+
+from dips_tpu.models import DiPsEngine
+from dips_tpu.ops.oracle import DiPsOracle
+from dips_tpu.properties import (ChromaFilter, DiPsFilter, DiPsMethod,
+                                 DiPsProperties, OutputMode)
+from tests.conftest import make_clip
+
+
+def run_both(props, frames, batch=5):
+    o = DiPsOracle(props)
+    exp_out, exp_stats = o.run(frames)
+    eng = DiPsEngine(props, frames.shape[1], frames.shape[2], batch=batch)
+    got_out, got_stats = eng.process_frames(list(frames))
+    if exp_out.ndim == 3:  # oracle single-plane modes -> add channel axis
+        exp_out = exp_out[..., None]
+    return exp_out, exp_stats, got_out, got_stats
+
+
+def assert_close(exp_out, exp_stats, got_out, got_stats, exact, npix):
+    """Parity contract: integer (absdiff/threshold) paths are bit-exact;
+    f32 emphasis paths are within 1 LSB post-quantization (XLA legitimately
+    fuses FMAs / distributes constant multiplies, so equal inputs can drift
+    by 1 ulp and flip a x.5 rounding tie — SURVEY.md §7 'uint8 fidelity')."""
+    assert got_out.shape == exp_out.shape
+    diff = np.abs(got_out.astype(np.int16) - exp_out.astype(np.int16))
+    assert diff.max() <= 1, f"u8 mismatch > 1 LSB (max {diff.max()})"
+    if exact:  # min/max-only math: no ties unless values collide exactly
+        frac = (diff != 0).mean()
+        assert frac <= 0.5, f"excessive tie flips ({frac:.2%})"
+    np.testing.assert_allclose(got_stats[:, :3], exp_stats[:, :3],
+                               atol=1e-5, rtol=1e-4)
+    # changed-pixel counts may flip on knife-edge pixels only
+    assert np.abs(got_stats[:, 3] - exp_stats[:, 3]).max() <= 0.01 * npix
+
+
+CASES = [
+    # (method, output, filter, window, temporal, chroma, exact)
+    (DiPsMethod.OVERALL, OutputMode.COLORIZE, DiPsFilter.UNFILTERED, 3, 4,
+     ChromaFilter.ALL, True),
+    (DiPsMethod.OVERALL, OutputMode.COLORIZE, DiPsFilter.SIGMOID, 3, 4,
+     ChromaFilter.ALL, False),
+    (DiPsMethod.OVERALL, OutputMode.GRAYSCALE, DiPsFilter.INVERSE_SIGMOID, 1,
+     2, ChromaFilter.RED, False),
+    (DiPsMethod.PER_FRAME, OutputMode.COLORIZE, DiPsFilter.SIGMOID, 5, 3,
+     ChromaFilter.ALL, False),
+    (DiPsMethod.PER_FRAME, OutputMode.GRAYSCALE, DiPsFilter.UNFILTERED, 1, 1,
+     ChromaFilter.GREEN, True),
+    (DiPsMethod.OVERALL, OutputMode.COLORIZE, DiPsFilter.UNFILTERED, 7, 4,
+     ChromaFilter.BLUE, True),
+]
+
+
+@pytest.mark.parametrize(
+    "method,output,filt,window,temporal,chroma,exact", CASES)
+def test_engine_matches_oracle(method, output, filt, window, temporal,
+                               chroma, exact, clip):
+    props = DiPsProperties(method=method, output=output, filter=filt,
+                           window_size=window, temporal_size=temporal,
+                           chroma=chroma)
+    exp_out, exp_stats, got_out, got_stats = run_both(props, clip)
+    assert_close(exp_out, exp_stats, got_out, got_stats, exact,
+                 clip.shape[1] * clip.shape[2])
+
+
+@pytest.mark.parametrize("method", [DiPsMethod.OVERALL, DiPsMethod.PER_FRAME])
+@pytest.mark.parametrize("output",
+                         [OutputMode.ABSDIFF, OutputMode.THRESHOLD])
+def test_raw_modes_bit_exact(method, output, clip):
+    props = DiPsProperties(method=method, output=output, change_threshold=25)
+    exp_out, exp_stats, got_out, got_stats = run_both(props, clip)
+    np.testing.assert_array_equal(got_out, exp_out)
+    np.testing.assert_allclose(got_stats, exp_stats, atol=1e-5, rtol=1e-4)
+
+
+def test_refresh_markers_and_partial_batches(clip):
+    props = DiPsProperties(refresh_markers=(4, 7), window_size=3,
+                           filter=DiPsFilter.UNFILTERED)
+    exp_out, exp_stats, got_out, got_stats = run_both(props, clip, batch=3)
+    assert_close(exp_out, exp_stats, got_out, got_stats, True,
+                 clip.shape[1] * clip.shape[2])
+
+
+def test_odd_geometry_padding():
+    """Non-tile-aligned W exercises the validity mask."""
+    frames = make_clip(n=7, h=13, w=37, seed=3)
+    props = DiPsProperties(window_size=3, filter=DiPsFilter.UNFILTERED)
+    exp_out, exp_stats, got_out, got_stats = run_both(props, frames, batch=4)
+    assert_close(exp_out, exp_stats, got_out, got_stats, True, 13 * 37)
+
+
+def test_checkpoint_resume(clip):
+    props = DiPsProperties(window_size=3, filter=DiPsFilter.UNFILTERED)
+    eng = DiPsEngine(props, clip.shape[1], clip.shape[2], batch=4)
+    out_a, stats_a = eng.process_frames(list(clip[:6]))
+    state = eng.state_dict()
+
+    eng2 = DiPsEngine(props, clip.shape[1], clip.shape[2], batch=4)
+    eng2.load_state_dict(state)
+    out_b, stats_b = eng2.process_frames(list(clip[6:]))
+
+    eng3 = DiPsEngine(props, clip.shape[1], clip.shape[2], batch=4)
+    out_full, stats_full = eng3.process_frames(list(clip))
+    np.testing.assert_array_equal(np.concatenate([out_a, out_b]), out_full)
+    np.testing.assert_allclose(np.concatenate([stats_a, stats_b]), stats_full,
+                               atol=1e-6)
+
+
+def test_forced_snapshot(clip):
+    props = DiPsProperties(window_size=1, filter=DiPsFilter.UNFILTERED)
+    eng = DiPsEngine(props, clip.shape[1], clip.shape[2], batch=4)
+    eng.process_frames(list(clip[:4]))
+    eng.snapshot()  # the GUI SnapShot button semantics
+    out, stats = eng.process_batch(list(clip[4:6]))
+    assert stats[0, 1] == 0  # frame 4 became a capture -> zero diff
