@@ -1,0 +1,287 @@
+"""Fused Pallas TPU kernel: the whole DiPs per-frame pipeline in one pass.
+
+Replaces the reference's two-dispatch-per-frame WGSL pipeline with blocking
+readback (dips/src/gpu/mod.rs:218-397) by a single `pallas_call` per batch
+that performs, per frame and per row-block, entirely in VMEM:
+
+  uint8 planar RGB -> intensity -> spatial median (min/max selection
+  network) -> temporal-ring median -> snapshot capture / diff -> sigmoid
+  emphasis -> colorize/grayscale -> uint8 quantize + per-frame statistics.
+
+Design notes (see /opt/skills/guides/pallas_guide.md):
+
+* **Grid** ``(row_blocks, T+B)`` — the frame axis is innermost and TPU grids
+  run sequentially, so VMEM scratch legitimately carries the temporal ring,
+  the pinned baseline, and the previous-frame plane across frame steps: the
+  GPU ring-buffer-texture state machine (dips/src/gpu/bind_groups.rs:407-427)
+  becomes scratch reuse inside one kernel.
+* **Stencil halo** — each row-block reads its 8-row neighbours through thin
+  extra BlockSpecs (block-index granularity 8 rows); x-taps use
+  ``pltpu.roll`` whose wrap lands in the >= 4 dead zero lanes guaranteed by
+  ``pad_geometry``, reproducing the reference's zero out-of-bounds taps
+  (dips_shader.wgsl:135-137) with no masking.
+* **Medians** — fixed min/max selection networks from ``ops/networks.py``;
+  no data-dependent control flow (VPU-friendly; exact).
+* **Outputs** — uint8 maps, plus per-(frame, row-block) scalar statistic
+  partials in SMEM that XLA reduces outside.
+
+The kernel matches ``ops/reference.batch_step``'s contract exactly and is
+tested against the same oracle.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..properties import (ChromaFilter, DiPsFilter, DiPsMethod,
+                          DiPsProperties, OutputMode)
+from . import networks
+from .oracle import INV_SIGMOID_EPS, NUM_STATS
+from .reference import emphasize, diff_to_color_planes
+
+# Per-(frame, row-block) raw-diff partials: sum, sum_abs, max_abs, count.
+_PART = 4
+# VMEM budget for the live spatial-median tap planes (bytes).
+_TAP_BUDGET = 4 * 1024 * 1024
+
+
+def _pick_block_rows(hp: int, wp: int, window: int) -> int:
+    """Largest row-block (multiple of 8, divides Hp) whose w*w f32 tap planes
+    fit the VMEM budget."""
+    taps = max(window * window, 4)
+    max_rows = max(_TAP_BUDGET // (taps * wp * 4), 8)
+    best = 8
+    for d in range(1, hp // 8 + 1):
+        bh = 8 * d
+        if hp % bh == 0 and bh <= max_rows:
+            best = bh
+    return min(best, hp)
+
+
+def _intensity(rgb_u8: jnp.ndarray, chroma: ChromaFilter) -> jnp.ndarray:
+    """(3, H, W) uint8 -> (H, W) f32 intensity, Mosaic-safe (uint8 -> f32
+    must hop through int32; same values, same rounding as the oracle)."""
+    f = rgb_u8.astype(jnp.int32).astype(jnp.float32) * jnp.float32(1.0 / 255.0)
+    if chroma == ChromaFilter.RED:
+        return f[0]
+    if chroma == ChromaFilter.GREEN:
+        return f[1]
+    if chroma == ChromaFilter.BLUE:
+        return f[2]
+    cmax = jnp.maximum(jnp.maximum(f[0], f[1]), f[2])
+    cmin = jnp.minimum(jnp.minimum(f[0], f[1]), f[2])
+    return (cmax + cmin) * jnp.float32(0.5)
+
+
+def _shift_x(x: jnp.ndarray, dx: int) -> jnp.ndarray:
+    """Shift columns by dx with wraparound; the wrap lands in dead zero
+    lanes (pad_geometry guarantees >= 4), so semantics are zero-padded."""
+    if dx == 0:
+        return x
+    wp = x.shape[1]
+    return pltpu.roll(x, (-dx) % wp, 1)
+
+
+def _make_kernel(props: DiPsProperties, h: int, w: int, t: int, b: int,
+                 bh: int, wp: int, n_hb: int):
+    window = props.window_size
+    p = window // 2
+    taps_n = window * window
+    med_ops_s = networks.median_network(taps_n)
+    med_ops_t = networks.median_network(t)
+    overall = props.method == DiPsMethod.OVERALL
+    colorize = props.output == OutputMode.COLORIZE
+
+    def kernel(flags_ref,                       # SMEM (B,) int32
+               cur_ref, up_ref, dn_ref,         # u8 (1,3,BH,Wp), (1,3,8,Wp) x2
+               base_in_ref,                     # f32 (BH, Wp)
+               out_ref,                         # u8 (1, C, BH, Wp)
+               stats_ref,                       # f32 SMEM (1, 1, _PART)
+               base_out_ref,                    # f32 (BH, Wp)
+               ring_ref,                        # f32 scratch (T, BH, Wp)
+               base_ref,                        # f32 scratch (BH, Wp)
+               prev_ref,                        # f32 scratch (BH, Wp)
+               strip_ref):                      # f32 scratch (BH+16, Wp)
+        hb = pl.program_id(0)
+        f = pl.program_id(1)
+
+        # ---- intensity strip with 8-row halos --------------------------
+        strip_ref[8:8 + bh] = _intensity(cur_ref[0], props.chroma)
+        if p > 0:
+            up = _intensity(up_ref[0], props.chroma)
+            dn = _intensity(dn_ref[0], props.chroma)
+            zero8 = jnp.zeros((8, wp), jnp.float32)
+            strip_ref[0:8] = jnp.where(hb > 0, up, zero8)
+            strip_ref[8 + bh:16 + bh] = jnp.where(hb < n_hb - 1, dn, zero8)
+
+        # ---- spatial median (selection network over shifted planes) ----
+        if window > 1:
+            taps = [
+                _shift_x(strip_ref[8 + dy - p:8 + dy - p + bh], dx - p)
+                for dy in range(window) for dx in range(window)
+            ]
+            phi = networks.median_of(taps, jnp.minimum, jnp.maximum)
+        else:
+            phi = strip_ref[8:8 + bh]
+
+        # ---- temporal ring (carried across the sequential f axis) ------
+        slot = lax.rem(f, t)
+        ring_ref[slot] = phi
+
+        @pl.when(f == 0)
+        def _seed():
+            base_ref[:] = base_in_ref[:]
+
+        @pl.when(f >= t - 1)
+        def _window_ready():
+            cur = networks.median_of([ring_ref[i] for i in range(t)],
+                                     jnp.minimum, jnp.maximum)
+
+            @pl.when(f == t - 1)  # window 0: previous frame's value
+            def _():
+                prev_ref[:] = cur
+
+            @pl.when(f >= t)
+            def _emit():
+                m = f - t  # output frame index in [0, B)
+                if overall:
+                    flag = flags_ref[m] != 0
+
+                    @pl.when(flag)
+                    def _():
+                        base_ref[:] = cur
+                    raw_diff = base_ref[:] - cur
+                else:
+                    raw_diff = prev_ref[:] - cur
+                prev_ref[:] = cur
+
+                # masked statistic partials
+                rows = lax.broadcasted_iota(jnp.int32, (bh, wp), 0) + hb * bh
+                cols = lax.broadcasted_iota(jnp.int32, (bh, wp), 1)
+                mask = ((rows < h) & (cols < w)).astype(jnp.float32)
+                dm = raw_diff * mask
+                am = jnp.abs(dm)
+                thr = jnp.float32(props.change_threshold) * jnp.float32(1 / 255.)
+                stats_ref[0, 0, 0] = jnp.sum(dm)
+                stats_ref[0, 0, 1] = jnp.sum(am)
+                stats_ref[0, 0, 2] = jnp.max(am)
+                stats_ref[0, 0, 3] = jnp.sum((am >= thr).astype(jnp.float32))
+
+                d = emphasize(raw_diff, props.filter,
+                              props.sigmoid_horizontal_scalar,
+                              props.sensitivity)
+
+                def q8(x):
+                    # f32 -> u8 must hop through i32 for Mosaic; value is
+                    # already rounded and clipped to [0, 255].
+                    v = jnp.rint(jnp.clip(x, 0.0, 1.0) * jnp.float32(255.0))
+                    return v.astype(jnp.int32).astype(jnp.uint8)
+
+                if colorize:
+                    r, g, bl = diff_to_color_planes(d)
+                    if overall:
+                        r = jnp.where(flag, cur, r)
+                        g = jnp.where(flag, cur, g)
+                        bl = jnp.where(flag, cur, bl)
+                    out_ref[0, 0] = q8(r)
+                    out_ref[0, 1] = q8(g)
+                    out_ref[0, 2] = q8(bl)
+                else:
+                    gray = jnp.float32(0.5) - d
+                    if overall:
+                        gray = jnp.where(flag, cur, gray)
+                    out_ref[0, 0] = q8(gray)
+
+        @pl.when(f == t + b - 1)
+        def _finish():
+            base_out_ref[:] = base_ref[:]
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1, 2))
+def batch_step(props: DiPsProperties, h: int, w: int,
+               raw: jnp.ndarray, baseline: jnp.ndarray,
+               snap_flags: jnp.ndarray
+               ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Drop-in fused-kernel equivalent of ``reference.batch_step``.
+
+    Same protocol: raw uint8 (T+B, 3, Hp, Wp), f32 baseline (Hp, Wp),
+    bool (B,) capture flags -> (uint8 (B, C, Hp, Wp), f32 (B, NUM_STATS),
+    new baseline).
+    """
+    t = props.temporal_size
+    b = raw.shape[0] - t
+    hp, wp = raw.shape[-2], raw.shape[-1]
+    c = props.out_channels
+    bh = _pick_block_rows(hp, wp, props.window_size)
+    n_hb = hp // bh
+    n8 = hp // 8
+    bh8 = bh // 8
+
+    flags_i32 = snap_flags.astype(jnp.int32)
+    kernel = _make_kernel(props, h, w, t, b, bh, wp, n_hb)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_hb, t + b),
+        in_specs=[
+            pl.BlockSpec((1, 3, bh, wp), lambda hb, f, *_: (f, 0, hb, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (1, 3, 8, wp),
+                lambda hb, f, *_: (f, 0, jnp.maximum(hb * bh8 - 1, 0), 0),
+                memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (1, 3, 8, wp),
+                lambda hb, f, *_: (f, 0, jnp.minimum((hb + 1) * bh8, n8 - 1), 0),
+                memory_space=pltpu.VMEM),
+            pl.BlockSpec((bh, wp), lambda hb, f, *_: (hb, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec(
+                (1, c, bh, wp),
+                lambda hb, f, *_: (jnp.clip(f - t, 0, b - 1), 0, hb, 0),
+                memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (1, 1, _PART),
+                lambda hb, f, *_: (jnp.clip(f - t, 0, b - 1), hb, 0),
+                memory_space=pltpu.SMEM),
+            pl.BlockSpec((bh, wp), lambda hb, f, *_: (hb, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((t, bh, wp), jnp.float32),
+            pltpu.VMEM((bh, wp), jnp.float32),
+            pltpu.VMEM((bh, wp), jnp.float32),
+            pltpu.VMEM((bh + 16, wp), jnp.float32),
+        ],
+    )
+
+    out, parts, new_baseline = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((b, c, hp, wp), jnp.uint8),
+            jax.ShapeDtypeStruct((b, n_hb, _PART), jnp.float32),
+            jax.ShapeDtypeStruct((hp, wp), jnp.float32),
+        ],
+        interpret=jax.default_backend() == "cpu",
+    )(flags_i32, raw, raw, raw, baseline)
+
+    inv_n = jnp.float32(1.0 / (h * w))
+    stats = jnp.stack([
+        parts[:, :, 0].sum(axis=1) * inv_n,
+        parts[:, :, 1].sum(axis=1) * inv_n,
+        parts[:, :, 2].max(axis=1),
+        parts[:, :, 3].sum(axis=1),
+    ], axis=-1)
+    return out, stats, new_baseline

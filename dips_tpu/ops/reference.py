@@ -47,9 +47,16 @@ from .oracle import INV_SIGMOID_EPS, NUM_STATS
 def pad_geometry(h: int, w: int) -> Tuple[int, int]:
     """Bucket (H, W) up to TPU-friendly tiles: H→×8, W→×128 (SURVEY.md §7
     'Dynamic shape avoidance'; analogous to the reference's 256-byte row
-    padding, dips/src/gpu/mod.rs:33-37)."""
+    padding, dips/src/gpu/mod.rs:33-37).
+
+    W additionally keeps >= 4 columns of zero padding so the Pallas kernel's
+    circularly-rolled x-taps wrap through dead (zero) lanes — giving exact
+    zero-out-of-bounds stencil semantics with no per-tap masking.
+    """
     hp = -(-h // 8) * 8
     wp = -(-w // 128) * 128
+    if wp - w < 4:
+        wp += 128
     return hp, wp
 
 
