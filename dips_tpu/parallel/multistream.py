@@ -1,0 +1,172 @@
+"""Multi-stream sharding: batch many videos across a TPU mesh.
+
+The reference is strictly one process / one GPU / one stream (SURVEY.md §2
+parallelism inventory).  The meaningful TPU parallelism for this workload is
+**data parallelism over streams**: stack S independent video streams, shard
+the stream axis over a 1-D device mesh with ``jax.shard_map``, run the fused
+per-stream pipeline on each shard, and reduce global statistics over ICI with
+``psum`` — XLA inserts the collectives (no NCCL/MPI analogue needed;
+SURVEY.md §2 "Communication backend" row).
+
+Tensor/pipeline/sequence/expert parallelism are N/A for this workload (no
+matmuls, no sequence attention — SURVEY.md §2): a frame's pixel math is
+local, so the only cross-device axes are streams (here) and, for a single
+giant stream, row-sharding (possible but unnecessary: one v5e chip already
+sustains >1080p line rate).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+from ..errors import StreamError
+from ..properties import DiPsProperties, OutputMode
+from ..ops import reference
+from ..ops.oracle import NUM_STATS
+
+_RAW_MODES = (OutputMode.ABSDIFF, OutputMode.THRESHOLD)
+
+
+def stream_mesh(n_devices: Optional[int] = None,
+                devices: Optional[Sequence[jax.Device]] = None) -> Mesh:
+    """A 1-D mesh over the stream axis (ICI-adjacent device order)."""
+    if devices is None:
+        devices = jax.devices()
+        if n_devices is not None:
+            devices = devices[:n_devices]
+    return Mesh(np.asarray(devices), ("stream",))
+
+
+def make_sharded_step(props: DiPsProperties, h: int, w: int, mesh: Mesh,
+                      backend: str = "xla"):
+    """Build a jitted multi-stream step sharded over ``mesh``.
+
+    The returned function maps
+      raw (S, T+B, 3, Hp, Wp) u8, baseline (S, [3,] Hp, Wp), flags (S, B)
+    -> (out (S, B, C, Hp, Wp) u8, stats (S, B, NUM_STATS) f32, new baseline,
+        global_mean_abs_diff scalar)
+    with S sharded over the stream axis; the scalar is a cross-chip ``psum``
+    mean (rides ICI).
+    """
+    raw_mode = props.output in _RAW_MODES
+    if raw_mode:
+        step = reference.absdiff_step.__wrapped__
+    elif backend == "pallas":
+        from ..ops import pallas_fused
+        step = pallas_fused.batch_step.__wrapped__
+    else:
+        step = reference.batch_step.__wrapped__
+    n_dev = mesh.devices.size
+
+    def per_shard(raw, baseline, flags):
+        out, stats, new_b = jax.vmap(
+            lambda r, b, f: step(props, h, w, r, b, f))(raw, baseline, flags)
+        local = jnp.sum(stats[..., 1])
+        total = jax.lax.psum(local, axis_name="stream")
+        s_total = stats.shape[0] * stats.shape[1] * n_dev
+        return out, stats, new_b, total / s_total
+
+    sharded = jax.shard_map(
+        per_shard, mesh=mesh,
+        in_specs=(P("stream"), P("stream"), P("stream")),
+        out_specs=(P("stream"), P("stream"), P("stream"), P()))
+    return jax.jit(sharded)
+
+
+class MultiStreamEngine:
+    """Batch runner over S parallel streams with per-stream failure isolation.
+
+    Mirrors ``DiPsEngine`` but the leading axis is streams; feed one frame
+    list per stream.  A stream that errors on the host side (short video,
+    bad frame) is masked out and reported — it does not abort the batch
+    (SURVEY.md §5 'Failure detection': the reference panics instead).
+    """
+
+    def __init__(self, props: DiPsProperties, height: int, width: int,
+                 n_streams: int, batch: int = 8,
+                 mesh: Optional[Mesh] = None, backend: str = "xla"):
+        if props.output in _RAW_MODES:
+            raise NotImplementedError(
+                "MultiStreamEngine currently supports median-pipeline modes")
+        self.props = props
+        self.height, self.width = int(height), int(width)
+        self.hp, self.wp = reference.pad_geometry(height, width)
+        self.batch = int(batch)
+        self.mesh = mesh if mesh is not None else stream_mesh()
+        n_dev = self.mesh.devices.size
+        if n_streams % n_dev:
+            raise ValueError(
+                f"n_streams={n_streams} must be a multiple of mesh size {n_dev}")
+        self.n_streams = int(n_streams)
+        self._step = make_sharded_step(props, height, width, self.mesh,
+                                       backend)
+        self.reset()
+
+    def reset(self) -> None:
+        t = self.props.temporal_size
+        self.frame_index = 0
+        self._tails = [None] * self.n_streams
+        self._baseline = jnp.zeros((self.n_streams, self.hp, self.wp),
+                                   jnp.float32)
+        self.failed: dict[int, StreamError] = {}
+
+    def _planarize(self, frame: np.ndarray) -> np.ndarray:
+        out = np.zeros((3, self.hp, self.wp), np.uint8)
+        out[:, :self.height, :self.width] = np.moveaxis(frame, -1, 0)
+        return out
+
+    def process_batch(self, frames_per_stream: Sequence[Sequence[np.ndarray]]
+                      ) -> Tuple[np.ndarray, np.ndarray, float]:
+        """Process up to ``batch`` frames for each of the S streams.
+
+        All live streams must supply the same number of frames n (dead or
+        exhausted streams pass an empty list and are replayed with zeros).
+        Returns (out (S, n, H, W, C), stats (S, n, NUM_STATS), global mean).
+        """
+        s = self.n_streams
+        if len(frames_per_stream) != s:
+            raise ValueError(f"expected {s} streams")
+        n = max((len(f) for f in frames_per_stream), default=0)
+        if n == 0:
+            return (np.zeros((s, 0, self.height, self.width,
+                              self.props.out_channels), np.uint8),
+                    np.zeros((s, 0, NUM_STATS), np.float32), 0.0)
+        if n > self.batch:
+            raise ValueError(f"{n} frames > batch {self.batch}")
+        t, b = self.props.temporal_size, self.batch
+
+        buf = np.zeros((s, t + b, 3, self.hp, self.wp), np.uint8)
+        flags = np.zeros((s, b), np.bool_)
+        for si, frames in enumerate(frames_per_stream):
+            try:
+                planar = [self._planarize(f) for f in frames]
+            except Exception as e:  # bad frame: isolate the stream
+                self.failed[si] = StreamError(si, e)
+                planar = []
+            if si in self.failed:
+                continue
+            if planar:
+                if self._tails[si] is None:
+                    self._tails[si] = [planar[0]] * t
+                buf[si, :t] = np.stack(self._tails[si])
+                for i in range(b):
+                    buf[si, t + i] = planar[min(i, len(planar) - 1)]
+                for i in range(len(planar)):
+                    flags[si, i] = (self.frame_index + i == 0 or
+                                    (self.frame_index + i)
+                                    in self.props.refresh_markers)
+                self._tails[si] = (self._tails[si] + planar)[-t:]
+
+        out, stats, self._baseline, gmean = self._step(
+            jnp.asarray(buf), self._baseline, jnp.asarray(flags))
+        self.frame_index += n
+
+        out = np.asarray(out[:, :n, :, :self.height, :self.width])
+        out = np.moveaxis(out, 2, -1)
+        return out, np.asarray(stats[:, :n]), float(gmean)

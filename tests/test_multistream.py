@@ -1,0 +1,68 @@
+"""Multi-stream sharding over the virtual 8-device CPU mesh."""
+
+import numpy as np
+import jax
+import pytest
+
+from dips_tpu.parallel import MultiStreamEngine, make_sharded_step, stream_mesh
+from dips_tpu.models import DiPsEngine
+from dips_tpu.ops.oracle import DiPsOracle
+from dips_tpu.properties import DiPsFilter, DiPsProperties
+from tests.conftest import make_clip
+
+
+def test_mesh_uses_all_devices():
+    mesh = stream_mesh()
+    assert mesh.devices.size == 8  # conftest forces 8 virtual CPU devices
+
+
+def test_sharded_matches_single_stream():
+    """8 streams sharded over 8 devices == 8 independent single-stream runs."""
+    props = DiPsProperties(window_size=3, temporal_size=2,
+                           filter=DiPsFilter.UNFILTERED)
+    h, w = 12, 40
+    clips = [make_clip(n=6, h=h, w=w, seed=s) for s in range(8)]
+
+    ms = MultiStreamEngine(props, h, w, n_streams=8, batch=3)
+    outs, stats, gmean = [], [], []
+    for i in range(0, 6, 3):
+        o, st, g = ms.process_batch([list(c[i:i + 3]) for c in clips])
+        outs.append(o)
+        stats.append(st)
+        gmean.append(g)
+    out = np.concatenate(outs, axis=1)
+    stat = np.concatenate(stats, axis=1)
+
+    for s, c in enumerate(clips):
+        eng = DiPsEngine(props, h, w, batch=3)
+        exp_out, exp_stats = eng.process_frames(list(c))
+        np.testing.assert_array_equal(out[s], exp_out)
+        np.testing.assert_allclose(stat[s], exp_stats, atol=1e-5)
+
+    # the psum'd global mean matches the host-side mean of per-frame means
+    np.testing.assert_allclose(gmean[-1], stat[:, 3:, 1].mean(), rtol=1e-5)
+
+
+def test_stream_failure_isolation():
+    props = DiPsProperties(window_size=1, temporal_size=1,
+                           filter=DiPsFilter.UNFILTERED)
+    h, w = 8, 16
+    clips = [make_clip(n=3, h=h, w=w, seed=s) for s in range(8)]
+    bad = list(clips[3])
+    bad[1] = np.zeros((4, 4, 3), np.uint8)  # wrong geometry mid-stream
+
+    ms = MultiStreamEngine(props, h, w, n_streams=8, batch=3)
+    feeds = [list(c) for c in clips]
+    feeds[3] = bad
+    out, stats, _ = ms.process_batch(feeds)
+    assert 3 in ms.failed  # isolated, not raised
+    assert out.shape[0] == 8  # siblings unaffected
+    eng = DiPsEngine(props, h, w, batch=3)
+    exp_out, _ = eng.process_frames(list(clips[0]))
+    np.testing.assert_array_equal(out[0], exp_out)
+
+
+def test_stream_count_validation():
+    props = DiPsProperties()
+    with pytest.raises(ValueError):
+        MultiStreamEngine(props, 8, 16, n_streams=5, batch=2)
