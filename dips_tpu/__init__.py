@@ -9,12 +9,16 @@ from .errors import (DecodeError, DeviceError, DiPsError, EncodeError,
 from .properties import (ChromaFilter, DiPsFilter, DiPsMethod, DiPsProperties,
                          Encoding, OutputMode)
 from .models import DiPsEngine
+from .app import (DiPsJob, custom_dips_on_files, extract_thumbnail,
+                  perform_dips, run_dips_on_file, stream_dips)
 
 __version__ = "0.1.0"
 
 __all__ = [
-    "ChromaFilter", "DiPsEngine", "DiPsError", "DiPsFilter", "DiPsMethod",
-    "DiPsProperties", "DecodeError", "DeviceError", "Encoding", "EncodeError",
-    "FrameCallbackError", "OutputMode", "OutputPathError", "StreamError",
-    "VideoPathError", "__version__",
+    "ChromaFilter", "DiPsEngine", "DiPsError", "DiPsFilter", "DiPsJob",
+    "DiPsMethod", "DiPsProperties", "DecodeError", "DeviceError", "Encoding",
+    "EncodeError", "FrameCallbackError", "OutputMode", "OutputPathError",
+    "StreamError", "VideoPathError", "custom_dips_on_files",
+    "extract_thumbnail", "perform_dips", "run_dips_on_file", "stream_dips",
+    "__version__",
 ]

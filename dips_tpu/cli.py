@@ -1,0 +1,178 @@
+"""Command-line interface, mirroring the reference CLI surface.
+
+Option parity with ``dips_alt/src/help.txt:1-59`` and its hand-rolled
+``--key=value`` parser (dips_alt/src/main.rs:14-81): --input, --output,
+--encoding (RGBA/HFYU/H264 + MJPG/mp4v), --filter (sigmoid/inv_sig/none),
+--sig_scalar (clamped 1..10), --chroma (r/g/b/""), --win_size (odd 1..7),
+--colorize, --live, bare integers as refresh markers — plus the rebuild's
+first-class extras: --method overall|per_frame (README.md:7-11 promises both),
+--output-mode, --temporal, --batch, --backend, --stats-json, and utility
+modes --thumbnail / --subsample / --dat-dir.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+from typing import List, Optional
+
+from .properties import (ChromaFilter, DiPsFilter, DiPsMethod, DiPsProperties,
+                         Encoding, OutputMode)
+
+_FILTERS = {"sigmoid": DiPsFilter.SIGMOID, "inv_sig": DiPsFilter.INVERSE_SIGMOID,
+            "none": DiPsFilter.UNFILTERED, "": DiPsFilter.UNFILTERED}
+_CHROMA = {"r": ChromaFilter.RED, "g": ChromaFilter.GREEN,
+           "b": ChromaFilter.BLUE, "": ChromaFilter.ALL,
+           "all": ChromaFilter.ALL}
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="dips",
+        description="TPU-native video frame-difference pixels (DiPs)")
+    p.add_argument("markers", nargs="*", type=int, metavar="N",
+                   help="bare integers: refresh-marker frame indices "
+                        "(re-capture the baseline)")
+    p.add_argument("--input", help="input video file")
+    p.add_argument("--output", help="output video file")
+    p.add_argument("--encoding", default="MJPG",
+                   help="RGBA | HFYU | H264 | MJPG | mp4v")
+    p.add_argument("--filter", default="sigmoid",
+                   help="sigmoid | inv_sig | none")
+    p.add_argument("--sig_scalar", type=float, default=5.0,
+                   help="sigmoid horizontal scalar, clamped 1..10")
+    p.add_argument("--chroma", default="",
+                   help="r | g | b | '' (luminance)")
+    p.add_argument("--win_size", type=int, default=3,
+                   help="spatial median window, odd, clamped 1..7")
+    p.add_argument("--colorize", default="true",
+                   help="true | false (false = grayscale diff)")
+    p.add_argument("--method", default="overall",
+                   choices=["overall", "per_frame"],
+                   help="diff vs pinned snapshot or vs previous frame")
+    p.add_argument("--output-mode", default=None,
+                   choices=["colorize", "grayscale", "absdiff", "threshold"],
+                   help="overrides --colorize with absdiff/threshold modes")
+    p.add_argument("--sensitivity", type=float, default=5.0)
+    p.add_argument("--temporal", type=int, default=4,
+                   help="temporal median ring length, 1..16")
+    p.add_argument("--threshold", type=int, default=10,
+                   help="uint8 change threshold for stats / threshold mode")
+    p.add_argument("--batch", type=int, default=8,
+                   help="frames per device dispatch")
+    p.add_argument("--backend", default="xla", choices=["xla", "pallas"])
+    p.add_argument("--stats-json", metavar="PATH",
+                   help="write per-frame statistics to a JSON file")
+    p.add_argument("--live", action="store_true",
+                   help="live preview window (requires a display; the "
+                        "reference's winit/egui GUI equivalent)")
+    # utility modes
+    p.add_argument("--thumbnail", metavar="OUT.png",
+                   help="extract a 240px-high thumbnail of --input and exit")
+    p.add_argument("--subsample", type=int, metavar="N",
+                   help="keep every Nth frame of --input into --output and exit")
+    p.add_argument("--dat-dir", metavar="DIR",
+                   help="process a directory of raw Dat_N.d dumps instead of "
+                        "a video file")
+    p.add_argument("--dat-geometry", default="273x640",
+                   help="WIDTHxHEIGHT of raw dumps (default 273x640)")
+    return p
+
+
+def props_from_args(args: argparse.Namespace) -> DiPsProperties:
+    if args.output_mode:
+        output = OutputMode[args.output_mode.upper()]
+    else:
+        output = (OutputMode.COLORIZE if args.colorize.lower() != "false"
+                  else OutputMode.GRAYSCALE)
+    try:
+        filt = _FILTERS[args.filter.lower()]
+    except KeyError:
+        raise SystemExit(f"unknown --filter {args.filter!r} "
+                         f"(sigmoid | inv_sig | none)")
+    try:
+        chroma = _CHROMA[args.chroma.lower()]
+    except KeyError:
+        raise SystemExit(f"unknown --chroma {args.chroma!r} (r | g | b | '')")
+    return DiPsProperties(
+        method=DiPsMethod[args.method.upper()],
+        output=output,
+        filter=filt,
+        chroma=chroma,
+        window_size=args.win_size,
+        temporal_size=args.temporal,
+        sensitivity=args.sensitivity,
+        sigmoid_horizontal_scalar=args.sig_scalar,
+        refresh_markers=tuple(args.markers),
+        change_threshold=args.threshold,
+    )
+
+
+def main(argv: Optional[List[str]] = None) -> int:
+    args = build_parser().parse_args(argv)
+
+    if args.thumbnail:
+        if not args.input:
+            print("--thumbnail requires --input", file=sys.stderr)
+            return 2
+        from .io.thumbnail import extract_thumbnail
+        extract_thumbnail(args.input, args.thumbnail)
+        print(f"thumbnail written: {args.thumbnail}")
+        return 0
+
+    if args.subsample:
+        if not (args.input and args.output):
+            print("--subsample requires --input and --output", file=sys.stderr)
+            return 2
+        from .io.subsample import subsample_video
+        n = subsample_video(args.input, args.output, args.subsample)
+        print(f"wrote {n} frames to {args.output}")
+        return 0
+
+    props = props_from_args(args)
+
+    if args.live:
+        from .live import run_live
+        return run_live(props, batch=args.batch, backend=args.backend)
+
+    if args.dat_dir:
+        if not args.output:
+            print("--dat-dir requires --output", file=sys.stderr)
+            return 2
+        from .app import custom_dips_on_files
+        w, h = (int(v) for v in args.dat_geometry.lower().split("x"))
+        stats = custom_dips_on_files(
+            args.dat_dir, args.output, width=w, height=h, properties=props,
+            batch=args.batch, backend=args.backend)
+    else:
+        if not (args.input and args.output):
+            print("need --input and --output (see --help)", file=sys.stderr)
+            return 2
+        from .app import run_dips_on_file
+        name = args.encoding.upper()
+        if name in Encoding.__members__:
+            enc = Encoding[name]
+        else:
+            try:
+                enc = Encoding(args.encoding)
+            except ValueError:
+                print(f"unknown --encoding {args.encoding!r} "
+                      f"(RGBA | HFYU | H264 | MJPG | mp4v)", file=sys.stderr)
+                return 2
+        stats = run_dips_on_file(
+            args.input, args.output, enc, props,
+            batch=args.batch, backend=args.backend)
+
+    print(f"processed {stats.shape[0]} frames -> {args.output}")
+    if args.stats_json:
+        from .ops.oracle import STAT_NAMES
+        rows = [dict(zip(STAT_NAMES, map(float, row))) for row in stats]
+        with open(args.stats_json, "w") as f:
+            json.dump(rows, f)
+        print(f"stats written: {args.stats_json}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

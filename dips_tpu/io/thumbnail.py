@@ -1,0 +1,32 @@
+"""Thumbnail extraction: first frame -> fixed-height preview image.
+
+Parity with the reference's GStreamer thumbnail pipeline
+(dips/src/thumbnail_extractor.rs:63-168): grab the first decodable frame,
+downscale to height 240 preserving aspect, save.
+"""
+
+from __future__ import annotations
+
+import cv2
+import numpy as np
+
+from ..errors import DecodeError, EncodeError
+from .video import VideoReader
+
+THUMBNAIL_HEIGHT = 240  # ref: dips/src/thumbnail_extractor.rs:130-151
+
+
+def extract_thumbnail(input_path: str, output_path: str,
+                      height: int = THUMBNAIL_HEIGHT) -> np.ndarray:
+    """Save a thumbnail of ``input_path``'s first frame; returns it (RGB)."""
+    with VideoReader(input_path) as r:
+        frame = r.read()
+    if frame is None:
+        raise DecodeError(f"no decodable frame in {input_path}")
+    h, w = frame.shape[:2]
+    scale = height / h
+    thumb = cv2.resize(frame, (max(1, int(round(w * scale))), height),
+                       interpolation=cv2.INTER_AREA)
+    if not cv2.imwrite(output_path, cv2.cvtColor(thumb, cv2.COLOR_RGB2BGR)):
+        raise EncodeError(f"could not write thumbnail: {output_path}")
+    return thumb

@@ -103,7 +103,7 @@ def _make_kernel(props: DiPsProperties, h: int, w: int, t: int, b: int,
                cur_ref, up_ref, dn_ref,         # u8 (1,3,BH,Wp), (1,3,8,Wp) x2
                base_in_ref,                     # f32 (BH, Wp)
                out_ref,                         # u8 (1, C, BH, Wp)
-               stats_ref,                       # f32 SMEM (1, 1, _PART)
+               stats_ref,                       # f32 (1, 1, 8, 128) partials
                base_out_ref,                    # f32 (BH, Wp)
                ring_ref,                        # f32 scratch (T, BH, Wp)
                base_ref,                        # f32 scratch (BH, Wp)
@@ -169,10 +169,17 @@ def _make_kernel(props: DiPsProperties, h: int, w: int, t: int, b: int,
                 dm = raw_diff * mask
                 am = jnp.abs(dm)
                 thr = jnp.float32(props.change_threshold) * jnp.float32(1 / 255.)
-                stats_ref[0, 0, 0] = jnp.sum(dm)
-                stats_ref[0, 0, 1] = jnp.sum(am)
-                stats_ref[0, 0, 2] = jnp.max(am)
-                stats_ref[0, 0, 3] = jnp.sum((am >= thr).astype(jnp.float32))
+                # Partials go out as one (8,128) f32 tile with the 4 scalars
+                # in row 0, lanes 0..3 (scalar SMEM outputs would violate
+                # Mosaic's (8,128) block divisibility when n_hb > 1).
+                lane = lax.broadcasted_iota(jnp.int32, (8, 128), 1)
+                row0 = lax.broadcasted_iota(jnp.int32, (8, 128), 0) == 0
+                vals = [jnp.sum(dm), jnp.sum(am), jnp.max(am),
+                        jnp.sum((am >= thr).astype(jnp.float32))]
+                tile = jnp.zeros((8, 128), jnp.float32)
+                for k, v in enumerate(vals):
+                    tile = jnp.where(row0 & (lane == k), v, tile)
+                stats_ref[0, 0] = tile
 
                 d = emphasize(raw_diff, props.filter,
                               props.sigmoid_horizontal_scalar,
@@ -252,9 +259,9 @@ def batch_step(props: DiPsProperties, h: int, w: int,
                 lambda hb, f, *_: (jnp.clip(f - t, 0, b - 1), 0, hb, 0),
                 memory_space=pltpu.VMEM),
             pl.BlockSpec(
-                (1, 1, _PART),
-                lambda hb, f, *_: (jnp.clip(f - t, 0, b - 1), hb, 0),
-                memory_space=pltpu.SMEM),
+                (1, 1, 8, 128),
+                lambda hb, f, *_: (jnp.clip(f - t, 0, b - 1), hb, 0, 0),
+                memory_space=pltpu.VMEM),
             pl.BlockSpec((bh, wp), lambda hb, f, *_: (hb, 0),
                          memory_space=pltpu.VMEM),
         ],
@@ -271,13 +278,14 @@ def batch_step(props: DiPsProperties, h: int, w: int,
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((b, c, hp, wp), jnp.uint8),
-            jax.ShapeDtypeStruct((b, n_hb, _PART), jnp.float32),
+            jax.ShapeDtypeStruct((b, n_hb, 8, 128), jnp.float32),
             jax.ShapeDtypeStruct((hp, wp), jnp.float32),
         ],
         interpret=jax.default_backend() == "cpu",
     )(flags_i32, raw, raw, raw, baseline)
 
     inv_n = jnp.float32(1.0 / (h * w))
+    parts = parts[:, :, 0, :_PART]                       # (B, n_hb, 4)
     stats = jnp.stack([
         parts[:, :, 0].sum(axis=1) * inv_n,
         parts[:, :, 1].sum(axis=1) * inv_n,

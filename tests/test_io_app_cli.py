@@ -1,0 +1,168 @@
+"""I/O, application API and CLI surface tests (real video files throughout)."""
+
+import json
+import os
+
+import cv2
+import numpy as np
+import pytest
+
+from dips_tpu import (DiPsJob, DiPsProperties, Encoding, VideoPathError,
+                      perform_dips, run_dips_on_file)
+from dips_tpu.app import custom_dips_on_files, stream_dips
+from dips_tpu.cli import main as cli_main
+from dips_tpu.io import (VideoReader, VideoWriter, extract_thumbnail,
+                         moving_square_clip, subsample_video, write_clip)
+from dips_tpu.io.datfiles import HEADER_BYTES, list_dat_files, read_dat_frame
+from dips_tpu.properties import DiPsFilter
+
+
+@pytest.fixture(scope="module")
+def video(tmp_path_factory):
+    d = tmp_path_factory.mktemp("vids")
+    frames = moving_square_clip(n=14, height=48, width=64, seed=1)
+    path = str(d / "in.avi")
+    write_clip(frames, path, fps=20)
+    return path, frames
+
+
+def test_reader_roundtrip(video):
+    path, frames = video
+    with VideoReader(path) as r:
+        assert (r.width, r.height) == (64, 48)
+        assert abs(r.fps - 20) < 0.5
+        decoded = list(r)
+    assert len(decoded) == len(frames)
+    # MJPG is lossy (and noise compresses badly); check gross similarity
+    assert np.mean(np.abs(decoded[0].astype(int) - frames[0].astype(int))) < 40
+
+
+def test_reader_missing_file():
+    with pytest.raises(VideoPathError):
+        VideoReader("/nonexistent/nope.avi")
+
+
+def test_writer_fallback(tmp_path):
+    # H264 encode is unavailable in this image -> falls back
+    w = VideoWriter(str(tmp_path / "o.avi"), 10, 64, 48, Encoding.H264)
+    assert w.fallback_used == "MJPG"
+    w.write(np.zeros((48, 64, 3), np.uint8))
+    w.close()
+    assert os.path.getsize(tmp_path / "o.avi") > 0
+
+
+def test_perform_dips_end_to_end(video, tmp_path):
+    path, frames = video
+    out = str(tmp_path / "out.avi")
+    job = (DiPsJob(properties=DiPsProperties(window_size=3, temporal_size=2))
+           .with_video_path(path).with_output_path(out)
+           .with_encoding("MJPG"))
+    stats = perform_dips(job)
+    assert stats.shape == (len(frames), 4)
+    with VideoReader(out) as r:
+        assert len(list(r)) == len(frames)
+
+
+def test_frame_callback_hook(video, tmp_path):
+    path, frames = video
+    seen = []
+
+    def cb(idx, inp, out, stats):
+        seen.append(idx)
+        if idx == 0:
+            return np.full_like(out, 7)  # override frame 0
+        return None
+
+    job = (DiPsJob().with_video_path(path)
+           .with_output_path(str(tmp_path / "o.avi"))
+           .with_frame_callback(cb))
+    outs = [o for _, _, o, _ in stream_dips(job)]
+    assert seen == list(range(len(frames)))
+    assert np.all(outs[0] == 7)
+
+
+def test_run_dips_on_file_with_markers(video, tmp_path):
+    path, frames = video
+    out = str(tmp_path / "o.avi")
+    stats = run_dips_on_file(path, out, "MJPG",
+                             DiPsProperties(temporal_size=1, window_size=1,
+                                            filter=DiPsFilter.UNFILTERED),
+                             refresh_markers=(5,))
+    assert stats[5, 1] == 0  # marker frame re-captures -> zero diff
+
+
+def test_thumbnail(video, tmp_path):
+    path, _ = video
+    out = str(tmp_path / "t.png")
+    thumb = extract_thumbnail(path, out, height=24)
+    assert thumb.shape == (24, 32, 3)
+    assert os.path.exists(out)
+
+
+def test_subsample(video, tmp_path):
+    path, frames = video
+    out = str(tmp_path / "s.avi")
+    n = subsample_video(path, out, keep_every=3, target_seconds=2.0)
+    assert n == len(frames) // 3 + (1 if len(frames) % 3 else 0)
+
+
+def test_dat_files(tmp_path):
+    w, h = 6, 4
+    names = ["Dat_2.d", "Dat_10.d", "Dat_1.d", "skip.txt"]
+    rng = np.random.default_rng(0)
+    payloads = {}
+    for n in names:
+        if n.startswith("D"):
+            rgba = rng.integers(0, 256, (h, w, 4), np.uint8)
+            payloads[n] = rgba
+            raw = np.concatenate(
+                [np.zeros(HEADER_BYTES, np.uint8), rgba.ravel()])
+            raw.tofile(tmp_path / n)
+        else:
+            (tmp_path / n).write_text("not a dat")
+    ordered = [os.path.basename(p) for p in list_dat_files(str(tmp_path))]
+    assert ordered == ["Dat_1.d", "Dat_2.d", "Dat_10.d"]  # numeric sort
+    f = read_dat_frame(str(tmp_path / "Dat_1.d"), w, h)
+    np.testing.assert_array_equal(f, payloads["Dat_1.d"][..., :3])
+
+
+def test_custom_dips_on_files(tmp_path):
+    w, h = 16, 8
+    rng = np.random.default_rng(0)
+    for i in range(5):
+        rgba = rng.integers(0, 256, (h, w, 4), np.uint8)
+        np.concatenate([np.zeros(4, np.uint8), rgba.ravel()]).tofile(
+            tmp_path / f"Dat_{i}.d")
+    out = str(tmp_path / "out.avi")
+    stats = custom_dips_on_files(str(tmp_path), out, width=w, height=h,
+                                 properties=DiPsProperties(temporal_size=1))
+    assert stats.shape == (5, 4)
+    assert os.path.getsize(out) > 0
+
+
+def test_cli_run(video, tmp_path, capsys):
+    path, frames = video
+    out = str(tmp_path / "cli_out.avi")
+    stats_json = str(tmp_path / "stats.json")
+    rc = cli_main([
+        "5", "--input", path, "--output", out, "--encoding=MJPG",
+        "--filter=inv_sig", "--sig_scalar=3", "--chroma=g", "--win_size=5",
+        "--colorize=false", "--temporal=2", "--batch=4",
+        "--stats-json", stats_json,
+    ])
+    assert rc == 0
+    assert f"processed {len(frames)} frames" in capsys.readouterr().out
+    rows = json.load(open(stats_json))
+    assert len(rows) == len(frames)
+    assert set(rows[0]) == {"mean_diff", "mean_abs_diff", "max_abs_diff",
+                            "changed_count"}
+
+
+def test_cli_thumbnail_and_errors(video, tmp_path, capsys):
+    path, _ = video
+    rc = cli_main(["--thumbnail", str(tmp_path / "t.jpg"), "--input", path])
+    assert rc == 0
+    rc = cli_main(["--input", path])  # missing --output
+    assert rc == 2
+    rc = cli_main(["--input", path, "--output", "o.avi", "--encoding=BOGUS"])
+    assert rc == 2
