@@ -53,29 +53,31 @@ def bench_device_pipeline(props, h, w, batch, iters=(10, 60)):
     rng = np.random.default_rng(0)
     raw = jnp.asarray(rng.integers(0, 256, (t + batch, 3, hp, wp), np.uint8))
     baseline = jnp.zeros((hp, wp), jnp.float32)
+    heatmap = jnp.zeros((hp, wp), jnp.float32)
     flags = jnp.zeros((batch,), bool).at[0].set(True)
+    valid = jnp.ones((batch,), bool)
     if jax.default_backend() == "cpu":
         step = reference.batch_step.__wrapped__  # interpreter would be unfair
     else:
         step = pallas_fused.batch_step.__wrapped__
 
     @jax.jit
-    def loop(n, raw, baseline, flags):
+    def loop(n, raw, baseline, flags, heatmap):
         def body(_, carry):
-            bl, acc = carry
-            out, stats, bl = step(props, h, w, raw, bl, flags)
+            bl, hm, acc = carry
+            out, stats, bl, hm = step(props, h, w, raw, bl, flags, hm, valid)
             # consume outputs so nothing is dead-code-eliminated
-            return bl, acc + stats.sum() + out[0, 0, 0, 0].astype(jnp.float32)
-        return lax.fori_loop(0, n, body, (baseline, jnp.float32(0)))
+            return bl, hm, acc + stats.sum() + out[0, 0, 0, 0].astype(jnp.float32)
+        return lax.fori_loop(0, n, body, (baseline, heatmap, jnp.float32(0)))
 
     t0 = time.time()
-    float(loop(2, raw, baseline, flags)[1])
+    float(loop(2, raw, baseline, flags, heatmap)[2])
     log(f"compile+warmup: {time.time() - t0:.1f}s")
 
     times = []
     for n in iters:
         t0 = time.time()
-        float(loop(n, raw, baseline, flags)[1])
+        float(loop(n, raw, baseline, flags, heatmap)[2])
         times.append(time.time() - t0)
         log(f"  {n} steps x {batch} frames: {times[-1]:.3f}s")
     # two-point fit removes fixed dispatch overhead

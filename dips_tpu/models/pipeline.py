@@ -88,8 +88,10 @@ class DiPsEngine:
             self._baseline = jnp.zeros((3, self.hp, self.wp), jnp.uint8)
         else:
             self._baseline = jnp.zeros((self.hp, self.wp), jnp.float32)
+        self._heatmap = jnp.zeros((self.hp, self.wp), jnp.float32)
         if self.device is not None:
             self._baseline = jax.device_put(self._baseline, self.device)
+            self._heatmap = jax.device_put(self._heatmap, self.device)
 
     # -- helpers ------------------------------------------------------------
     def _planarize(self, frame: np.ndarray) -> np.ndarray:
@@ -139,15 +141,18 @@ class DiPsEngine:
             buf[t + i] = planar[min(i, n - 1)]  # replicate last for padding
 
         flags = np.zeros((b,), np.bool_)
+        valid = np.zeros((b,), np.bool_)
+        valid[:n] = True
         for i in range(n):
             flags[i] = self._is_capture(self.frame_index + i)
         if self._force_snapshot:
             flags[0] = True
             self._force_snapshot = False
 
-        out, stats, self._baseline = self._step(
+        out, stats, self._baseline, self._heatmap = self._step(
             self.props, self.height, self.width,
-            jnp.asarray(buf), self._baseline, jnp.asarray(flags))
+            jnp.asarray(buf), self._baseline, jnp.asarray(flags),
+            self._heatmap, jnp.asarray(valid))
 
         # host-side stream state update (real frames only)
         self._tail.extend(planar)
@@ -180,6 +185,7 @@ class DiPsEngine:
             "frame_index": self.frame_index,
             "baseline": np.asarray(self._baseline),
             "tail": np.stack(list(self._tail)) if self._tail else None,
+            "heatmap": np.asarray(self._heatmap),
         }
 
     def load_state_dict(self, state: dict) -> None:
@@ -188,3 +194,10 @@ class DiPsEngine:
         self._tail.clear()
         if state["tail"] is not None:
             self._tail.extend(list(state["tail"]))
+        if "heatmap" in state and state["heatmap"] is not None:
+            self._heatmap = jnp.asarray(state["heatmap"])
+
+    def heatmap(self) -> np.ndarray:
+        """Accumulated per-pixel sum of |diff| so far, cropped to true
+        geometry (the intensity-change heatmap, BASELINE configs[2])."""
+        return np.asarray(self._heatmap[:self.height, :self.width])

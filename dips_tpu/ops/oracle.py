@@ -219,6 +219,13 @@ class DiPsOracle:
         self._baseline: Optional[np.ndarray] = None   # (H, W) f32
         self._raw_baseline: Optional[np.ndarray] = None  # uint8 frame
         self._prev_raw: Optional[np.ndarray] = None
+        #: accumulated per-pixel sum of |raw_diff| (the intensity-change
+        #: heatmap, BASELINE configs[2])
+        self.heatmap: Optional[np.ndarray] = None
+
+    def _accumulate(self, raw_diff: np.ndarray) -> None:
+        a = np.abs(raw_diff.astype(np.float32))
+        self.heatmap = a if self.heatmap is None else self.heatmap + a
 
     # -- helpers ----------------------------------------------------------
     def _is_capture(self, idx: int) -> bool:
@@ -249,6 +256,8 @@ class DiPsOracle:
         if p.method == DiPsMethod.OVERALL:
             if self._is_capture(idx) or self._baseline is None:
                 self._baseline = cur
+                self._prev_filtered = cur
+                self._accumulate(np.zeros_like(cur))
                 out = quantize_u8(np.broadcast_to(
                     cur[..., None], cur.shape + (p.out_channels,)))
                 if p.out_channels == 1:
@@ -260,6 +269,7 @@ class DiPsOracle:
         self._prev_filtered = cur
 
         raw_diff = baseline - cur
+        self._accumulate(raw_diff)
         stats = frame_stats(raw_diff, p.change_threshold)
         d = emphasize(raw_diff, p.filter, p.sigmoid_horizontal_scalar,
                       p.sensitivity)
@@ -284,6 +294,7 @@ class DiPsOracle:
         # stats on the intensity-domain diff for consistency with f32 modes
         raw_diff = (intensity(baseline, p.chroma)
                     - intensity(frame_u8, p.chroma))
+        self._accumulate(raw_diff)
         stats = frame_stats(raw_diff, p.change_threshold)
         if p.output == OutputMode.ABSDIFF:
             return d_u8, stats

@@ -100,14 +100,18 @@ def _make_kernel(props: DiPsProperties, h: int, w: int, t: int, b: int,
     colorize = props.output == OutputMode.COLORIZE
 
     def kernel(flags_ref,                       # SMEM (B,) int32
+               valid_ref,                       # SMEM (B,) int32
                cur_ref, up_ref, dn_ref,         # u8 (1,3,BH,Wp), (1,3,8,Wp) x2
                base_in_ref,                     # f32 (BH, Wp)
+               heat_in_ref,                     # f32 (BH, Wp)
                out_ref,                         # u8 (1, C, BH, Wp)
                stats_ref,                       # f32 (1, 1, 8, 128) partials
                base_out_ref,                    # f32 (BH, Wp)
+               heat_out_ref,                    # f32 (BH, Wp)
                ring_ref,                        # f32 scratch (T, BH, Wp)
                base_ref,                        # f32 scratch (BH, Wp)
                prev_ref,                        # f32 scratch (BH, Wp)
+               heat_ref,                        # f32 scratch (BH, Wp)
                strip_ref):                      # f32 scratch (BH+16, Wp)
         hb = pl.program_id(0)
         f = pl.program_id(1)
@@ -138,6 +142,7 @@ def _make_kernel(props: DiPsProperties, h: int, w: int, t: int, b: int,
         @pl.when(f == 0)
         def _seed():
             base_ref[:] = base_in_ref[:]
+            heat_ref[:] = heat_in_ref[:]
 
         @pl.when(f >= t - 1)
         def _window_ready():
@@ -180,6 +185,8 @@ def _make_kernel(props: DiPsProperties, h: int, w: int, t: int, b: int,
                 for k, v in enumerate(vals):
                     tile = jnp.where(row0 & (lane == k), v, tile)
                 stats_ref[0, 0] = tile
+                heat_ref[:] = (heat_ref[:]
+                               + am * valid_ref[m].astype(jnp.float32))
 
                 d = emphasize(raw_diff, props.filter,
                               props.sigmoid_horizontal_scalar,
@@ -209,6 +216,7 @@ def _make_kernel(props: DiPsProperties, h: int, w: int, t: int, b: int,
         @pl.when(f == t + b - 1)
         def _finish():
             base_out_ref[:] = base_ref[:]
+            heat_out_ref[:] = heat_ref[:]
 
     return kernel
 
@@ -216,8 +224,9 @@ def _make_kernel(props: DiPsProperties, h: int, w: int, t: int, b: int,
 @functools.partial(jax.jit, static_argnums=(0, 1, 2))
 def batch_step(props: DiPsProperties, h: int, w: int,
                raw: jnp.ndarray, baseline: jnp.ndarray,
-               snap_flags: jnp.ndarray
-               ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+               snap_flags: jnp.ndarray, heatmap: jnp.ndarray,
+               valid: jnp.ndarray
+               ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Drop-in fused-kernel equivalent of ``reference.batch_step``.
 
     Same protocol: raw uint8 (T+B, 3, Hp, Wp), f32 baseline (Hp, Wp),
@@ -234,10 +243,11 @@ def batch_step(props: DiPsProperties, h: int, w: int,
     bh8 = bh // 8
 
     flags_i32 = snap_flags.astype(jnp.int32)
+    valid_i32 = valid.astype(jnp.int32)
     kernel = _make_kernel(props, h, w, t, b, bh, wp, n_hb)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=2,
         grid=(n_hb, t + b),
         in_specs=[
             pl.BlockSpec((1, 3, bh, wp), lambda hb, f, *_: (f, 0, hb, 0),
@@ -252,6 +262,8 @@ def batch_step(props: DiPsProperties, h: int, w: int,
                 memory_space=pltpu.VMEM),
             pl.BlockSpec((bh, wp), lambda hb, f, *_: (hb, 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((bh, wp), lambda hb, f, *_: (hb, 0),
+                         memory_space=pltpu.VMEM),
         ],
         out_specs=[
             pl.BlockSpec(
@@ -264,25 +276,29 @@ def batch_step(props: DiPsProperties, h: int, w: int,
                 memory_space=pltpu.VMEM),
             pl.BlockSpec((bh, wp), lambda hb, f, *_: (hb, 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((bh, wp), lambda hb, f, *_: (hb, 0),
+                         memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[
             pltpu.VMEM((t, bh, wp), jnp.float32),
+            pltpu.VMEM((bh, wp), jnp.float32),
             pltpu.VMEM((bh, wp), jnp.float32),
             pltpu.VMEM((bh, wp), jnp.float32),
             pltpu.VMEM((bh + 16, wp), jnp.float32),
         ],
     )
 
-    out, parts, new_baseline = pl.pallas_call(
+    out, parts, new_baseline, new_heatmap = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((b, c, hp, wp), jnp.uint8),
             jax.ShapeDtypeStruct((b, n_hb, 8, 128), jnp.float32),
             jax.ShapeDtypeStruct((hp, wp), jnp.float32),
+            jax.ShapeDtypeStruct((hp, wp), jnp.float32),
         ],
         interpret=jax.default_backend() == "cpu",
-    )(flags_i32, raw, raw, raw, baseline)
+    )(flags_i32, valid_i32, raw, raw, raw, baseline, heatmap)
 
     inv_n = jnp.float32(1.0 / (h * w))
     parts = parts[:, :, 0, :_PART]                       # (B, n_hb, 4)
@@ -292,4 +308,4 @@ def batch_step(props: DiPsProperties, h: int, w: int,
         parts[:, :, 2].max(axis=1),
         parts[:, :, 3].sum(axis=1),
     ], axis=-1)
-    return out, stats, new_baseline
+    return out, stats, new_baseline, new_heatmap

@@ -163,8 +163,9 @@ def valid_mask(hp: int, wp: int, h: int, w: int) -> jnp.ndarray:
 @functools.partial(jax.jit, static_argnums=(0, 1, 2))
 def batch_step(props: DiPsProperties, h: int, w: int,
                raw: jnp.ndarray, baseline: jnp.ndarray,
-               snap_flags: jnp.ndarray
-               ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+               snap_flags: jnp.ndarray, heatmap: jnp.ndarray,
+               valid: jnp.ndarray
+               ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """One device step over B new frames (see module docstring).
 
     Args:
@@ -173,8 +174,12 @@ def batch_step(props: DiPsProperties, h: int, w: int,
       raw: uint8 (T + B, 3, Hp, Wp) planar frames, tail-first.
       baseline: f32 (Hp, Wp) carried overall-mode baseline.
       snap_flags: bool (B,) overall-mode capture flags for the new frames.
+      heatmap: f32 (Hp, Wp) accumulated |diff| carry (BASELINE configs[2]).
+      valid: bool (B,) — False for the replicated padding frames of a
+        partial batch (their diffs must not reach carried accumulators).
 
-    Returns: (out_u8 (B, C, Hp, Wp), stats (B, NUM_STATS), new_baseline).
+    Returns: (out_u8 (B, C, Hp, Wp), stats (B, NUM_STATS), new_baseline,
+    new_heatmap).
     """
     t = props.temporal_size
     b = raw.shape[0] - t
@@ -199,6 +204,8 @@ def batch_step(props: DiPsProperties, h: int, w: int,
 
     raw_diff = raw_diff * mask
     stats = masked_stats(raw_diff, h * w, props.change_threshold)
+    vw = valid.astype(jnp.float32)[:, None, None]
+    heatmap = heatmap + jnp.sum(jnp.abs(raw_diff) * vw, axis=0)
 
     d = emphasize(raw_diff, props.filter, props.sigmoid_horizontal_scalar,
                   props.sensitivity)
@@ -216,7 +223,7 @@ def batch_step(props: DiPsProperties, h: int, w: int,
         flag_b = snap_flags[:, None, None, None]
         out = jnp.where(flag_b, cur[:, None], out)
 
-    return quantize_u8(out), stats, new_baseline
+    return quantize_u8(out), stats, new_baseline, heatmap
 
 
 # ---------------------------------------------------------------------------
@@ -226,8 +233,9 @@ def batch_step(props: DiPsProperties, h: int, w: int,
 @functools.partial(jax.jit, static_argnums=(0, 1, 2))
 def absdiff_step(props: DiPsProperties, h: int, w: int,
                  raw: jnp.ndarray, baseline_raw: jnp.ndarray,
-                 snap_flags: jnp.ndarray
-                 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+                 snap_flags: jnp.ndarray, heatmap: jnp.ndarray,
+                 valid: jnp.ndarray
+                 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Bit-exact uint8 absdiff/threshold step (BASELINE.json parity metric).
 
     Same protocol as :func:`batch_step`, but the diff is integer
@@ -262,6 +270,8 @@ def absdiff_step(props: DiPsProperties, h: int, w: int,
     raw_diff = (intensity_planar(baselines, props.chroma)
                 - intensity_planar(new, props.chroma)) * mask
     stats = masked_stats(raw_diff, h * w, props.change_threshold)
+    vw = valid.astype(jnp.float32)[:, None, None]
+    heatmap = heatmap + jnp.sum(jnp.abs(raw_diff) * vw, axis=0)
 
     if props.output == OutputMode.THRESHOLD:
         dmax = jnp.max(d_u8, axis=1, keepdims=True)
@@ -269,4 +279,4 @@ def absdiff_step(props: DiPsProperties, h: int, w: int,
                         jnp.uint8(255), jnp.uint8(0))
     else:
         out = d_u8
-    return out, stats, new_baseline
+    return out, stats, new_baseline, heatmap

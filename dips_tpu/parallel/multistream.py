@@ -64,18 +64,20 @@ def make_sharded_step(props: DiPsProperties, h: int, w: int, mesh: Mesh,
         step = reference.batch_step.__wrapped__
     n_dev = mesh.devices.size
 
-    def per_shard(raw, baseline, flags):
-        out, stats, new_b = jax.vmap(
-            lambda r, b, f: step(props, h, w, r, b, f))(raw, baseline, flags)
+    def per_shard(raw, baseline, flags, heatmap, valid):
+        out, stats, new_b, new_h = jax.vmap(
+            lambda r, b, f, hm, v: step(props, h, w, r, b, f, hm, v))(
+                raw, baseline, flags, heatmap, valid)
         local = jnp.sum(stats[..., 1])
         total = jax.lax.psum(local, axis_name="stream")
         s_total = stats.shape[0] * stats.shape[1] * n_dev
-        return out, stats, new_b, total / s_total
+        return out, stats, new_b, new_h, total / s_total
 
     sharded = jax.shard_map(
         per_shard, mesh=mesh,
-        in_specs=(P("stream"), P("stream"), P("stream")),
-        out_specs=(P("stream"), P("stream"), P("stream"), P()))
+        in_specs=(P("stream"), P("stream"), P("stream"), P("stream"),
+                  P("stream")),
+        out_specs=(P("stream"), P("stream"), P("stream"), P("stream"), P()))
     return jax.jit(sharded)
 
 
@@ -114,7 +116,13 @@ class MultiStreamEngine:
         self._tails = [None] * self.n_streams
         self._baseline = jnp.zeros((self.n_streams, self.hp, self.wp),
                                    jnp.float32)
+        self._heatmap = jnp.zeros((self.n_streams, self.hp, self.wp),
+                                  jnp.float32)
         self.failed: dict[int, StreamError] = {}
+
+    def heatmaps(self) -> np.ndarray:
+        """(S, H, W) accumulated |diff| heatmaps, cropped."""
+        return np.asarray(self._heatmap[:, :self.height, :self.width])
 
     def _planarize(self, frame: np.ndarray) -> np.ndarray:
         out = np.zeros((3, self.hp, self.wp), np.uint8)
@@ -143,6 +151,7 @@ class MultiStreamEngine:
 
         buf = np.zeros((s, t + b, 3, self.hp, self.wp), np.uint8)
         flags = np.zeros((s, b), np.bool_)
+        valid = np.zeros((s, b), np.bool_)
         for si, frames in enumerate(frames_per_stream):
             try:
                 planar = [self._planarize(f) for f in frames]
@@ -157,14 +166,16 @@ class MultiStreamEngine:
                 buf[si, :t] = np.stack(self._tails[si])
                 for i in range(b):
                     buf[si, t + i] = planar[min(i, len(planar) - 1)]
+                valid[si, :len(planar)] = True
                 for i in range(len(planar)):
                     flags[si, i] = (self.frame_index + i == 0 or
                                     (self.frame_index + i)
                                     in self.props.refresh_markers)
                 self._tails[si] = (self._tails[si] + planar)[-t:]
 
-        out, stats, self._baseline, gmean = self._step(
-            jnp.asarray(buf), self._baseline, jnp.asarray(flags))
+        out, stats, self._baseline, self._heatmap, gmean = self._step(
+            jnp.asarray(buf), self._baseline, jnp.asarray(flags),
+            self._heatmap, jnp.asarray(valid))
         self.frame_index += n
 
         out = np.asarray(out[:, :n, :, :self.height, :self.width])
