@@ -31,6 +31,7 @@ from .models import DiPsEngine
 from .ops.oracle import NUM_STATS
 from .properties import DiPsProperties, Encoding
 from .io.video import VideoReader, VideoWriter
+from . import native
 from .io.thumbnail import extract_thumbnail  # noqa: F401  (re-export, L4 parity)
 from .io.datfiles import read_dat_dir
 
@@ -83,63 +84,81 @@ class DiPsJob:
         return dataclasses.replace(self, properties=props)
 
 
-def _decode_worker(reader: VideoReader, batch: int,
-                   q: "queue.Queue", stop: threading.Event) -> None:
-    """Decode thread: push lists of <=batch frames; None = EOS, exception
-    objects propagate decode failures."""
+def _decode_worker(reader: VideoReader, hp: int, wp: int,
+                   ring: "native.FrameRing", stop: threading.Event,
+                   errbox: list) -> None:
+    """Decode thread: fused BGR->planar conversion (native, single pass)
+    staged into the bounded frame ring — the rebuild's analogue of the
+    GStreamer streaming thread feeding appsink."""
     try:
-        buf: List[np.ndarray] = []
-        for frame in reader:
+        for bgr in reader.iter_bgr():
             if stop.is_set():
                 return
-            buf.append(frame)
-            if len(buf) == batch:
-                q.put(buf)
-                buf = []
-        if buf:
-            q.put(buf)
-        q.put(None)
+            planar = native.planarize(bgr, hp, wp, swap_rb=True)
+            if not ring.push(planar):
+                return
     except Exception as e:  # pragma: no cover - decoder internals
-        q.put(e)
+        errbox.append(e)
+    finally:
+        ring.close()
 
 
 def stream_dips(job: DiPsJob) -> Iterator[Tuple[int, np.ndarray, np.ndarray,
                                                 np.ndarray]]:
     """Core streaming loop: yields (frame_index, input, output, stats) while
-    a decode thread keeps the device fed (bounded queue = backpressure)."""
+    a decode thread keeps the device fed (bounded ring = backpressure)."""
     if not job.video_path:
         raise VideoPathError("no video path set (DiPsJob.with_video_path)")
     reader = VideoReader(job.video_path)
     engine = DiPsEngine(job.properties, reader.height, reader.width,
                         batch=job.batch, backend=job.backend)
-    q: "queue.Queue" = queue.Queue(maxsize=job.queue_depth)
+    hp, wp = engine.hp, engine.wp
+    ring = native.FrameRing(slots=max(2, job.queue_depth) * job.batch,
+                            slot_bytes=3 * hp * wp)
     stop = threading.Event()
+    errbox: list = []
     worker = threading.Thread(
-        target=_decode_worker, args=(reader, job.batch, q, stop), daemon=True)
+        target=_decode_worker, args=(reader, hp, wp, ring, stop, errbox),
+        daemon=True)
     worker.start()
     idx = 0
+    h, w = engine.height, engine.width
     try:
-        while True:
-            item = q.get()
-            if item is None:
+        eos = False
+        while not eos:
+            batch: List[np.ndarray] = []
+            while len(batch) < job.batch:
+                slot = np.empty((3, hp, wp), np.uint8)
+                rc = ring.pop(slot, timeout_ms=30000)
+                if rc == -1:
+                    eos = True
+                    break
+                if rc == -2:
+                    if batch:
+                        break  # flush what we have
+                    raise DecodeError("decode stalled (ring timeout)")
+                batch.append(slot)
+            if errbox:
+                raise DecodeError(str(errbox[0])) from errbox[0]
+            if not batch:
                 break
-            if isinstance(item, Exception):
-                raise DecodeError(str(item)) from item
-            outs, stats = engine.process_batch(item)
-            for i in range(len(item)):
+            outs, stats = engine.process_planar(batch)
+            for i in range(len(batch)):
                 out = outs[i]
+                inp = native.interleave(batch[i], h, w)  # RGB view for hooks
                 if job.frame_callback is not None:
                     try:
                         replacement = job.frame_callback(
-                            idx, item[i], out, stats[i])
+                            idx, inp, out, stats[i])
                     except Exception as e:
                         raise FrameCallbackError(str(e)) from e
                     if replacement is not None:
                         out = replacement
-                yield idx, item[i], out, stats[i]
+                yield idx, inp, out, stats[i]
                 idx += 1
     finally:
         stop.set()
+        ring.close()
         reader.close()
 
 

@@ -54,6 +54,15 @@ class VideoReader:
             return None
         return cv2.cvtColor(frame, cv2.COLOR_BGR2RGB)
 
+    def iter_bgr(self) -> Iterator[np.ndarray]:
+        """Raw decoder-layout (BGR) frames — the zero-conversion path for
+        the native planarizer, which fuses the BGR->RGB swap."""
+        while True:
+            ok, frame = self._cap.read()
+            if not ok:
+                return
+            yield frame
+
     def close(self) -> None:
         self._cap.release()
 

@@ -34,6 +34,7 @@ from ..properties import DiPsMethod, DiPsProperties, OutputMode
 from ..ops import reference
 from ..ops.oracle import NUM_STATS
 from ..ops.reference import pad_geometry
+from .. import native
 
 _RAW_MODES = (OutputMode.ABSDIFF, OutputMode.THRESHOLD)
 
@@ -95,13 +96,12 @@ class DiPsEngine:
 
     # -- helpers ------------------------------------------------------------
     def _planarize(self, frame: np.ndarray) -> np.ndarray:
-        """(H, W, 3) uint8 -> padded planar (3, Hp, Wp) uint8."""
+        """(H, W, 3) uint8 -> padded planar (3, Hp, Wp) uint8 (single native
+        pass when libframepump is available)."""
         if frame.shape != (self.height, self.width, 3):
             raise ValueError(
                 f"frame shape {frame.shape} != {(self.height, self.width, 3)}")
-        out = np.zeros((3, self.hp, self.wp), np.uint8)
-        out[:, :self.height, :self.width] = np.moveaxis(frame, -1, 0)
-        return out
+        return native.planarize(frame, self.hp, self.wp)
 
     def _is_capture(self, idx: int) -> bool:
         return idx == 0 or idx in self.props.refresh_markers
@@ -121,7 +121,13 @@ class DiPsEngine:
         Args: frames: list of uint8 (H, W, 3) RGB frames.
         Returns: (outputs uint8 (n, H, W, C), stats f32 (n, NUM_STATS)).
         """
-        n = len(frames)
+        return self.process_planar([self._planarize(f) for f in frames])
+
+    def process_planar(self, planar: Sequence[np.ndarray]
+                       ) -> Tuple[np.ndarray, np.ndarray]:
+        """Process frames already in padded planar (3, Hp, Wp) uint8 layout
+        (the zero-copy entry used by the native decode path)."""
+        n = len(planar)
         if n == 0:
             return (np.zeros((0, self.height, self.width,
                               self.props.out_channels), np.uint8),
@@ -131,7 +137,6 @@ class DiPsEngine:
         t = self.props.temporal_size
         b = self.batch
 
-        planar = [self._planarize(f) for f in frames]
         if not self._tail:  # first batch: prefill ring with frame 0
             self._tail.extend([planar[0]] * t)
 
@@ -158,9 +163,17 @@ class DiPsEngine:
         self._tail.extend(planar)
         self.frame_index += n
 
-        out = np.asarray(out[:n, :, :self.height, :self.width])
-        out = np.moveaxis(out, 1, -1)  # (n, H, W, C)
-        return out, np.asarray(stats[:n])
+        out_np = np.asarray(out[:n])
+        if self.props.out_channels == 3:
+            hwc = np.empty((n, self.height, self.width, 3), np.uint8)
+            for i in range(n):
+                native.interleave(out_np[i], self.height, self.width,
+                                  out=hwc[i])
+            out_np = hwc
+        else:
+            out_np = np.moveaxis(
+                out_np[:, :, :self.height, :self.width], 1, -1)
+        return out_np, np.asarray(stats[:n])
 
     def process_frames(self, frames: Sequence[np.ndarray]
                        ) -> Tuple[np.ndarray, np.ndarray]:

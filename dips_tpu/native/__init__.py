@@ -1,0 +1,188 @@
+"""ctypes bindings for the framepump native host runtime.
+
+Loads ``libframepump.so`` (built lazily with the in-tree Makefile on first
+use if g++ is available) and exposes:
+
+* :func:`planarize` / :func:`interleave` — fused single-pass layout
+  transforms for the decode/encode hot path;
+* :class:`FrameRing` — bounded SPSC frame ring with preallocated slots.
+
+Every entry point has a pure-numpy fallback, so the package works without a
+toolchain (``NATIVE_AVAILABLE`` tells you which path is live; set
+``DIPS_TPU_NO_NATIVE=1`` to force the fallback).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import logging
+import os
+import subprocess
+from typing import Optional
+
+import numpy as np
+
+log = logging.getLogger("dips_tpu.native")
+
+_DIR = os.path.dirname(os.path.abspath(__file__))
+_SO = os.path.join(_DIR, "libframepump.so")
+
+_lib: Optional[ctypes.CDLL] = None
+
+
+def _build() -> bool:
+    try:
+        subprocess.run(["make", "-C", _DIR, "-s"], check=True,
+                       capture_output=True, timeout=120)
+        return os.path.exists(_SO)
+    except Exception as e:
+        log.debug("framepump build failed: %s", e)
+        return False
+
+
+def _load() -> Optional[ctypes.CDLL]:
+    if os.environ.get("DIPS_TPU_NO_NATIVE"):
+        return None
+    if not os.path.exists(_SO) and not _build():
+        return None
+    try:
+        lib = ctypes.CDLL(_SO)
+    except OSError as e:
+        log.warning("framepump load failed: %s", e)
+        return None
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    i64 = ctypes.c_int64
+    lib.fp_planarize.argtypes = [u8p, i64, i64, i64, i64, u8p, i64, i64,
+                                 ctypes.c_int]
+    lib.fp_interleave.argtypes = [u8p, i64, i64, i64, i64, i64, u8p,
+                                  ctypes.c_int]
+    lib.fp_ring_create.restype = ctypes.c_void_p
+    lib.fp_ring_create.argtypes = [i64, i64]
+    lib.fp_ring_destroy.argtypes = [ctypes.c_void_p]
+    lib.fp_ring_push.argtypes = [ctypes.c_void_p, u8p, i64]
+    lib.fp_ring_push.restype = ctypes.c_int
+    lib.fp_ring_pop.argtypes = [ctypes.c_void_p, u8p, i64, i64]
+    lib.fp_ring_pop.restype = ctypes.c_int
+    lib.fp_ring_close.argtypes = [ctypes.c_void_p]
+    lib.fp_ring_size.argtypes = [ctypes.c_void_p]
+    lib.fp_ring_size.restype = i64
+    return lib
+
+
+_lib = _load()
+NATIVE_AVAILABLE = _lib is not None
+
+
+def _u8p(a: np.ndarray):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+
+
+def planarize(frame: np.ndarray, hp: int, wp: int,
+              swap_rb: bool = False,
+              out: Optional[np.ndarray] = None) -> np.ndarray:
+    """HWC uint8 (h, w, 3|4) -> zero-padded planar (3, hp, wp) uint8.
+
+    ``swap_rb=True`` converts BGR(A) input to RGB planes in the same pass.
+    """
+    h, w, c = frame.shape
+    if out is None:
+        out = np.empty((3, hp, wp), np.uint8)
+    if _lib is not None and frame.dtype == np.uint8:
+        src = np.ascontiguousarray(frame)
+        _lib.fp_planarize(_u8p(src), h, w, c, w * c, _u8p(out), hp, wp,
+                          1 if swap_rb else 0)
+        return out
+    # numpy fallback
+    rgb = frame[..., :3]
+    if swap_rb:
+        rgb = rgb[..., ::-1]
+    out[:] = 0
+    out[:, :h, :w] = np.moveaxis(rgb, -1, 0)
+    return out
+
+
+def interleave(planes: np.ndarray, h: int, w: int,
+               swap_rb: bool = False,
+               out: Optional[np.ndarray] = None) -> np.ndarray:
+    """Planar uint8 (c, hp, wp) -> HWC (h, w, 3) uint8, cropping padding;
+    c == 1 broadcasts gray.  ``swap_rb=True`` emits BGR for cv2 encoders."""
+    c, hp, wp = planes.shape
+    if out is None:
+        out = np.empty((h, w, 3), np.uint8)
+    if _lib is not None and planes.dtype == np.uint8:
+        src = np.ascontiguousarray(planes)
+        _lib.fp_interleave(_u8p(src), c, hp, wp, h, w, _u8p(out),
+                           1 if swap_rb else 0)
+        return out
+    crop = planes[:, :h, :w]
+    if c == 1:
+        crop = np.broadcast_to(crop, (3, h, w))
+    hwc = np.moveaxis(crop, 0, -1)
+    if swap_rb:
+        hwc = hwc[..., ::-1]
+    out[:] = hwc
+    return out
+
+
+class FrameRing:
+    """Bounded SPSC ring of fixed-size byte slots (native when available).
+
+    The staging buffer between the decode thread and the device feeder: the
+    native analogue of the reference's frame VecDeque + streaming-thread
+    handoff.  ``push`` blocks when full (backpressure); ``pop`` blocks with a
+    timeout; ``close`` lets consumers drain then signals EOS.
+    """
+
+    def __init__(self, slots: int, slot_bytes: int):
+        self.slots = int(slots)
+        self.slot_bytes = int(slot_bytes)
+        self._native = _lib is not None
+        if self._native:
+            self._h = _lib.fp_ring_create(self.slots, self.slot_bytes)
+            if not self._h:
+                raise MemoryError("fp_ring_create failed")
+        else:
+            import queue
+            self._q: "queue.Queue" = queue.Queue(maxsize=self.slots)
+            self._closed = False
+
+    def push(self, data: np.ndarray) -> bool:
+        """Blocking push of a uint8 buffer; False if the ring is closed."""
+        flat = data.reshape(-1)
+        if self._native:
+            return _lib.fp_ring_push(self._h, _u8p(flat), flat.size) == 0
+        if self._closed:
+            return False
+        self._q.put(flat.copy())
+        return True
+
+    def pop(self, out: np.ndarray, timeout_ms: int = 10000) -> int:
+        """Blocking pop into ``out``; 0 = ok, -1 = closed+drained,
+        -2 = timeout."""
+        flat = out.reshape(-1)
+        if self._native:
+            return _lib.fp_ring_pop(self._h, _u8p(flat), flat.size,
+                                    timeout_ms)
+        import queue as _q
+        try:
+            item = self._q.get(timeout=timeout_ms / 1000.0)
+        except _q.Empty:
+            return -1 if self._closed else -2
+        flat[:item.size] = item
+        return 0
+
+    def close(self) -> None:
+        if self._native:
+            _lib.fp_ring_close(self._h)
+        else:
+            self._closed = True
+
+    def __len__(self) -> int:
+        if self._native:
+            return int(_lib.fp_ring_size(self._h))
+        return self._q.qsize()
+
+    def __del__(self):
+        if getattr(self, "_native", False) and getattr(self, "_h", None):
+            _lib.fp_ring_destroy(self._h)
+            self._h = None

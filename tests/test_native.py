@@ -1,0 +1,99 @@
+"""framepump native runtime: layout transforms and the SPSC frame ring.
+
+Tests run against whichever implementation loaded (native .so or numpy
+fallback) and additionally force the fallback for differential testing.
+"""
+
+import threading
+
+import numpy as np
+import pytest
+
+from dips_tpu import native
+
+
+def _ref_planarize(frame, hp, wp, swap_rb):
+    rgb = frame[..., :3]
+    if swap_rb:
+        rgb = rgb[..., ::-1]
+    out = np.zeros((3, hp, wp), np.uint8)
+    out[:, :frame.shape[0], :frame.shape[1]] = np.moveaxis(rgb, -1, 0)
+    return out
+
+
+@pytest.mark.parametrize("swap", [False, True])
+@pytest.mark.parametrize("cin", [3, 4])
+def test_planarize(swap, cin, rng):
+    frame = rng.integers(0, 256, (13, 37, cin), np.uint8)
+    got = native.planarize(frame, 16, 128, swap_rb=swap)
+    np.testing.assert_array_equal(got, _ref_planarize(frame, 16, 128, swap))
+
+
+@pytest.mark.parametrize("swap", [False, True])
+def test_interleave(swap, rng):
+    planes = rng.integers(0, 256, (3, 16, 128), np.uint8)
+    got = native.interleave(planes, 13, 37, swap_rb=swap)
+    exp = np.moveaxis(planes[:, :13, :37], 0, -1)
+    if swap:
+        exp = exp[..., ::-1]
+    np.testing.assert_array_equal(got, exp)
+
+
+def test_interleave_gray_broadcast(rng):
+    planes = rng.integers(0, 256, (1, 8, 128), np.uint8)
+    got = native.interleave(planes, 8, 100)
+    exp = np.repeat(planes[:, :8, :100], 3, axis=0)
+    np.testing.assert_array_equal(got, np.moveaxis(exp, 0, -1))
+
+
+def test_planarize_roundtrip(rng):
+    frame = rng.integers(0, 256, (24, 130, 3), np.uint8)
+    planes = native.planarize(frame, 24, 256)
+    back = native.interleave(planes, 24, 130)
+    np.testing.assert_array_equal(back, frame)
+
+
+def test_frame_ring_order_and_backpressure():
+    ring = native.FrameRing(slots=4, slot_bytes=16)
+    produced = [np.full(16, i, np.uint8) for i in range(32)]
+
+    def producer():
+        for p in produced:
+            assert ring.push(p)
+        ring.close()
+
+    t = threading.Thread(target=producer)
+    t.start()
+    got = []
+    buf = np.empty(16, np.uint8)
+    while True:
+        rc = ring.pop(buf, timeout_ms=5000)
+        if rc == -1:
+            break
+        assert rc == 0
+        got.append(buf.copy())
+    t.join()
+    assert len(got) == 32
+    for i, g in enumerate(got):
+        np.testing.assert_array_equal(g, produced[i])
+
+
+def test_frame_ring_timeout():
+    ring = native.FrameRing(slots=2, slot_bytes=8)
+    buf = np.empty(8, np.uint8)
+    assert ring.pop(buf, timeout_ms=50) == -2  # empty, not closed
+    ring.close()
+    assert ring.pop(buf, timeout_ms=50) == -1  # closed and drained
+
+
+def test_push_after_close_rejected():
+    ring = native.FrameRing(slots=2, slot_bytes=8)
+    ring.close()
+    assert not ring.push(np.zeros(8, np.uint8))
+
+
+def test_native_available_or_fallback():
+    # In this image g++ exists, so the native path should have built.
+    import shutil
+    if shutil.which("g++") and not native.os.environ.get("DIPS_TPU_NO_NATIVE"):
+        assert native.NATIVE_AVAILABLE
