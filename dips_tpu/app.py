@@ -34,6 +34,7 @@ from .io.video import VideoReader, VideoWriter
 from . import native
 from .io.thumbnail import extract_thumbnail  # noqa: F401  (re-export, L4 parity)
 from .io.datfiles import read_dat_dir
+from .utils.profiling import StageTimers
 
 log = logging.getLogger("dips_tpu")
 
@@ -65,6 +66,10 @@ class DiPsJob:
     batch: int = 8
     backend: str = "xla"
     queue_depth: int = 4  # decode-ahead batches
+    #: collect per-stage timings (SURVEY.md §5 tracing; see utils.profiling);
+    #: populated on the job as ``job.timers`` after a run.
+    profile: bool = False
+    timers: Optional["StageTimers"] = None
 
     # builder parity ------------------------------------------------------
     def with_video_path(self, p: str) -> "DiPsJob":
@@ -123,6 +128,8 @@ def stream_dips(job: DiPsJob) -> Iterator[Tuple[int, np.ndarray, np.ndarray,
     worker.start()
     idx = 0
     h, w = engine.height, engine.width
+    timers = StageTimers() if job.profile else None
+    job.timers = timers
     try:
         eos = False
         while not eos:
@@ -142,7 +149,12 @@ def stream_dips(job: DiPsJob) -> Iterator[Tuple[int, np.ndarray, np.ndarray,
                 raise DecodeError(str(errbox[0])) from errbox[0]
             if not batch:
                 break
-            outs, stats = engine.process_planar(batch)
+            if timers:
+                with timers.stage("device"):
+                    outs, stats = engine.process_planar(batch)
+                timers.add_frames(len(batch))
+            else:
+                outs, stats = engine.process_planar(batch)
             for i in range(len(batch)):
                 out = outs[i]
                 inp = native.interleave(batch[i], h, w)  # RGB view for hooks
@@ -177,10 +189,16 @@ def perform_dips(job: DiPsJob) -> np.ndarray:
     stats_rows: List[np.ndarray] = []
     with writer:
         for idx, _inp, out, stats in stream_dips(job):
-            writer.write(out)
+            if job.timers:
+                with job.timers.stage("encode"):
+                    writer.write(out)
+            else:
+                writer.write(out)
             stats_rows.append(stats)
             if idx % 100 == 0:
                 log.info("frame %d", idx)
+    if job.timers:
+        log.info("%s", job.timers)
     return (np.stack(stats_rows) if stats_rows
             else np.zeros((0, NUM_STATS), np.float32))
 

@@ -64,6 +64,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--backend", default="xla", choices=["xla", "pallas"])
     p.add_argument("--stats-json", metavar="PATH",
                    help="write per-frame statistics to a JSON file")
+    p.add_argument("--profile", action="store_true",
+                   help="print per-stage timings after the run")
+    p.add_argument("--trace-dir", metavar="DIR",
+                   help="capture a jax.profiler device trace into DIR")
     p.add_argument("--live", action="store_true",
                    help="live preview window (requires a display; the "
                         "reference's winit/egui GUI equivalent)")
@@ -149,7 +153,7 @@ def main(argv: Optional[List[str]] = None) -> int:
         if not (args.input and args.output):
             print("need --input and --output (see --help)", file=sys.stderr)
             return 2
-        from .app import run_dips_on_file
+        from .app import DiPsJob, perform_dips
         name = args.encoding.upper()
         if name in Encoding.__members__:
             enc = Encoding[name]
@@ -160,9 +164,15 @@ def main(argv: Optional[List[str]] = None) -> int:
                 print(f"unknown --encoding {args.encoding!r} "
                       f"(RGBA | HFYU | H264 | MJPG | mp4v)", file=sys.stderr)
                 return 2
-        stats = run_dips_on_file(
-            args.input, args.output, enc, props,
-            batch=args.batch, backend=args.backend)
+        job = DiPsJob(properties=props, video_path=args.input,
+                      output_path=args.output, encoding=enc,
+                      batch=args.batch, backend=args.backend,
+                      profile=args.profile)
+        from .utils.profiling import trace
+        with trace(args.trace_dir):
+            stats = perform_dips(job)
+        if args.profile and job.timers:
+            print(job.timers)
 
     print(f"processed {stats.shape[0]} frames -> {args.output}")
     if args.stats_json:

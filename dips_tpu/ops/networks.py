@@ -65,16 +65,15 @@ def sorting_network(n: int) -> Tuple[Comparator, ...]:
     return tuple((i, j) for (i, j) in _batcher_pow2(p2) if i < n and j < n)
 
 
-@functools.lru_cache(maxsize=None)
-def selection_network(n: int, outputs: Tuple[int, ...]) -> Tuple[PrunedOp, ...]:
-    """Prune :func:`sorting_network` to comparators feeding ``outputs``.
+def prune_ops(net: Sequence[Comparator],
+              outputs: Tuple[int, ...]) -> Tuple[PrunedOp, ...]:
+    """Prune a comparator list to those feeding ``outputs``.
 
     Walks the network backwards keeping a live-set of wire positions; a
     comparator is kept iff it writes a live wire, and we record whether its
     min and/or max result is actually consumed so the applier can emit a
     single ``minimum``/``maximum`` when only one side is needed.
     """
-    net = sorting_network(n)
     live = set(outputs)
     kept: List[PrunedOp] = []
     for (i, j) in reversed(net):
@@ -87,6 +86,12 @@ def selection_network(n: int, outputs: Tuple[int, ...]) -> Tuple[PrunedOp, ...]:
         live.add(j)
     kept.reverse()
     return tuple(kept)
+
+
+@functools.lru_cache(maxsize=None)
+def selection_network(n: int, outputs: Tuple[int, ...]) -> Tuple[PrunedOp, ...]:
+    """Prune :func:`sorting_network` to comparators feeding ``outputs``."""
+    return prune_ops(sorting_network(n), outputs)
 
 
 @functools.lru_cache(maxsize=None)
@@ -121,3 +126,129 @@ def median_of(values: Sequence, minimum, maximum):
         return values[0]
     out = apply_network(values, median_network(n), minimum, maximum)
     return out[n // 2]
+
+
+# ---------------------------------------------------------------------------
+# Column-factored window medians: shared column sorts + pruned merge tree.
+#
+# A w*w window median over shifted planes can reuse the *vertical* sorts:
+# sorting the w row-shifted planes once gives, at every pixel, the sorted
+# column of each horizontal offset simultaneously (shifts commute with
+# elementwise sorting).  The per-window work is then only a merge network of
+# w sorted columns, pruned to the median output — the construction behind
+# the classic 19-comparator median-of-9, generalised to any odd w.
+# ---------------------------------------------------------------------------
+
+def _merge_runs(a: List[int], b: List[int],
+                ops: List[Comparator]) -> List[int]:
+    """Batcher odd-even merge of two sorted runs of wire indices (arbitrary
+    lengths).  Appends comparators to ``ops``; returns the wire order of the
+    merged run (ascending)."""
+    if not a:
+        return list(b)
+    if not b:
+        return list(a)
+    if len(a) == 1 and len(b) == 1:
+        ops.append((a[0], b[0]))
+        return [a[0], b[0]]
+    c = _merge_runs(a[0::2], b[0::2], ops)   # merge the evens
+    d = _merge_runs(a[1::2], b[1::2], ops)   # merge the odds
+    # Interleave: result starts with c[0]; then each d[j] is compare-
+    # exchanged with c[j+1]; leftovers keep their order (Knuth 5.3.4).
+    r = [c[0]]
+    j = 0
+    for i in range(1, len(c)):
+        if j < len(d):
+            ops.append((d[j], c[i]))
+            r.append(d[j])
+            r.append(c[i])
+            j += 1
+        else:
+            r.append(c[i])
+    r.extend(d[j:])
+    return r
+
+
+def _validate_merge(ops: Sequence[Comparator], a: List[int], b: List[int],
+                    order: List[int]) -> None:
+    """Exhaustive 0-1 check (complete by the 0-1 principle for merges)."""
+    wires = sorted(set(a) | set(b))
+    for za in range(len(a) + 1):
+        for zb in range(len(b) + 1):
+            vals = {w: 0 for w in wires}
+            for k, wi in enumerate(a):
+                vals[wi] = 0 if k < za else 1
+            for k, wi in enumerate(b):
+                vals[wi] = 0 if k < zb else 1
+            for (i, j) in ops:
+                lo, hi = min(vals[i], vals[j]), max(vals[i], vals[j])
+                vals[i], vals[j] = lo, hi
+            got = [vals[w] for w in order]
+            if got != sorted(got):
+                raise AssertionError(
+                    f"merge network failed for runs {len(a)},{len(b)}")
+
+
+@functools.lru_cache(maxsize=None)
+def column_median_plan(w: int) -> Tuple[Tuple[Comparator, ...],
+                                        Tuple[PrunedOp, ...], int]:
+    """Plan for an exact w*w window median with shared column sorts.
+
+    Returns (column_sort, merge_ops, target_wire):
+      * ``column_sort``: full sort of the w vertical taps — applied ONCE per
+        plane, its outputs shared by every horizontal shift;
+      * ``merge_ops``: pruned comparators over w*w wires (wire dx*w + j =
+        j-th smallest of the column at horizontal offset dx) computing the
+        median into ``target_wire``.
+
+    Every constituent merge is validated exhaustively on 0-1 inputs at
+    construction time.
+    """
+    runs = [[dx * w + j for j in range(w)] for dx in range(w)]
+    ops: List[Comparator] = []
+    n = w * w
+    target = n // 2
+    merged = runs[0]
+    dropped_below = 0
+    for k, nxt in enumerate(runs[1:], start=1):
+        start = len(ops)
+        prev = merged  # sorted by induction
+        merged = _merge_runs(prev, nxt, ops)
+        _validate_merge(ops[start:], prev, nxt, merged)
+        # Rank-bounded truncation: position r in the merged run has exactly
+        # r + dropped_below elements provably below it and q yet-unmerged
+        # wires of unknown order; it can be the global median (rank n//2)
+        # only if  r + dropped_below <= target <= r + dropped_below + q.
+        # Everything outside that band is discarded (below-band drops are
+        # provably below the median and counted in dropped_below; above-band
+        # drops are provably above and can simply be forgotten).
+        q = (w - 1 - k) * w  # wires in runs not merged yet
+        lo = max(0, target - dropped_below - q)
+        hi = min(len(merged) - 1, target - dropped_below)
+        merged = merged[lo:hi + 1]
+        dropped_below += lo
+    assert len(merged) == 1 and dropped_below == target
+    out_wire = merged[0]
+    pruned = prune_ops(ops, (out_wire,))
+    return tuple((i, j) for i, j in sorting_network(w)), pruned, out_wire
+
+
+def window_median(vertical_taps: Sequence, shift, minimum, maximum):
+    """Exact w*w window median from w vertical-shift planes.
+
+    Args:
+      vertical_taps: w planes, plane j = input shifted down by (j - w//2).
+      shift: callable (plane, dx) -> plane shifted left by dx (dx in
+        [-w//2, w//2]); boundary semantics are the caller's.
+    """
+    w = len(vertical_taps)
+    if w == 1:
+        return vertical_taps[0]
+    col_sort, merge_ops, target = column_median_plan(w)
+    sv = apply_network(list(vertical_taps),
+                       [(i, j, True, True) for i, j in col_sort],
+                       minimum, maximum)
+    p = w // 2
+    wires = [shift(sv[j], dx - p) for dx in range(w) for j in range(w)]
+    out = apply_network(wires, merge_ops, minimum, maximum)
+    return out[target]

@@ -48,15 +48,29 @@ from .reference import emphasize, diff_to_color_planes
 
 # Per-(frame, row-block) raw-diff partials: sum, sum_abs, max_abs, count.
 _PART = 4
-# VMEM budget for the live spatial-median tap planes (bytes).
-_TAP_BUDGET = 4 * 1024 * 1024
+# Total per-step VMEM budget (hardware limit 16M; leave compiler headroom).
+_VMEM_BUDGET = 10 * 1024 * 1024
 
 
-def _pick_block_rows(hp: int, wp: int, window: int) -> int:
-    """Largest row-block (multiple of 8, divides Hp) whose w*w f32 tap planes
-    fit the VMEM budget."""
-    taps = max(window * window, 4)
-    max_rows = max(_TAP_BUDGET // (taps * wp * 4), 8)
+
+def _pick_block_rows(hp: int, wp: int, window: int, t: int, c: int) -> int:
+    """Largest row-block (multiple of 8, divides Hp) that fits VMEM.
+
+    Accounts for everything resident per grid step: the w*w live f32 tap
+    planes of the selection network, the (T + base + prev + heat) f32
+    scratch, the halo strip, and the double-buffered u8/f32 input/output
+    blocks Pallas pipelines (2x each).
+    """
+    taps = max(window * window, 1)
+    bytes_per_row = wp * (4 * taps      # live network planes
+                          + 4 * t       # ring scratch
+                          + 4 * 3       # base/prev/heat scratch
+                          + 4           # strip scratch
+                          + 1 * 3 * 2   # u8 input block, double-buffered
+                          + 1 * c * 2   # u8 output block, double-buffered
+                          + 4 * 2 * 2   # base/heat inputs, double-buffered
+                          + 4 * 2 * 2)  # base/heat outputs, double-buffered
+    max_rows = max(_VMEM_BUDGET // bytes_per_row, 8)
     best = 8
     for d in range(1, hp // 8 + 1):
         bh = 8 * d
@@ -125,13 +139,12 @@ def _make_kernel(props: DiPsProperties, h: int, w: int, t: int, b: int,
             strip_ref[0:8] = jnp.where(hb > 0, up, zero8)
             strip_ref[8 + bh:16 + bh] = jnp.where(hb < n_hb - 1, dn, zero8)
 
-        # ---- spatial median (selection network over shifted planes) ----
+        # ---- spatial median: shared column sorts + rank-pruned merge ----
         if window > 1:
-            taps = [
-                _shift_x(strip_ref[8 + dy - p:8 + dy - p + bh], dx - p)
-                for dy in range(window) for dx in range(window)
-            ]
-            phi = networks.median_of(taps, jnp.minimum, jnp.maximum)
+            vtaps = [strip_ref[8 + dy - p:8 + dy - p + bh]
+                     for dy in range(window)]
+            phi = networks.window_median(vtaps, _shift_x,
+                                         jnp.minimum, jnp.maximum)
         else:
             phi = strip_ref[8:8 + bh]
 
@@ -237,7 +250,7 @@ def batch_step(props: DiPsProperties, h: int, w: int,
     b = raw.shape[0] - t
     hp, wp = raw.shape[-2], raw.shape[-1]
     c = props.out_channels
-    bh = _pick_block_rows(hp, wp, props.window_size)
+    bh = _pick_block_rows(hp, wp, props.window_size, t, c)
     n_hb = hp // bh
     n8 = hp // 8
     bh8 = bh // 8

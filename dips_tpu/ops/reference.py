@@ -82,8 +82,9 @@ def intensity_planar(rgb_u8: jnp.ndarray, chroma: ChromaFilter) -> jnp.ndarray:
 def spatial_median(planes: jnp.ndarray, window: int) -> jnp.ndarray:
     """(..., H, W) centered odd-window median, zero-padded borders.
 
-    Taps are static slices of a zero-padded plane fed through the exact
-    min/max selection network from ops/networks.py — no data-dependent sort.
+    Uses the column-factored exact plan from ops/networks.py: the w vertical
+    shifts are sorted once per plane (shared by every horizontal offset) and
+    a rank-pruned merge network selects the median — no data-dependent sort.
     """
     if window <= 1:
         return planes
@@ -91,9 +92,12 @@ def spatial_median(planes: jnp.ndarray, window: int) -> jnp.ndarray:
     h, w = planes.shape[-2], planes.shape[-1]
     pad = [(0, 0)] * (planes.ndim - 2) + [(p, p), (p, p)]
     padded = jnp.pad(planes, pad)
-    taps = [padded[..., dy:dy + h, dx:dx + w]
-            for dy in range(window) for dx in range(window)]
-    return networks.median_of(taps, jnp.minimum, jnp.maximum)
+    vtaps = [padded[..., dy:dy + h, :] for dy in range(window)]
+
+    def shift(x, dx):
+        return x[..., p + dx:p + dx + w]
+
+    return networks.window_median(vtaps, shift, jnp.minimum, jnp.maximum)
 
 
 def temporal_median_windows(filtered: jnp.ndarray, t: int) -> jnp.ndarray:

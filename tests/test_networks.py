@@ -34,3 +34,40 @@ def test_pruning_shrinks_network():
     assert len(pruned) < len(full)
     # and single-sided ops exist (min-only or max-only)
     assert any(not (m and M) for (_, _, m, M) in pruned)
+
+
+@pytest.mark.parametrize("w", [3, 5, 7])
+def test_column_median_plan_exact(w):
+    """Column-factored rank-pruned plan == brute-force window median."""
+    r = np.random.default_rng(w)
+    h, wd, p = 10, 18, w // 2
+    plane = r.integers(0, 5, (h + 2 * p, wd)).astype(np.float32)
+    vtaps = [plane[dy:dy + h] for dy in range(w)]
+
+    def shift(x, dx):
+        out = np.zeros_like(x)
+        if dx == 0:
+            return x.copy()
+        if dx > 0:
+            out[:, :-dx] = x[:, dx:]
+        else:
+            out[:, -dx:] = x[:, :dx]
+        return out
+
+    got = networks.window_median(vtaps, shift, np.minimum, np.maximum)
+    padded = np.zeros((h + 2 * p, wd + 2 * p), np.float32)
+    padded[:, p:p + wd] = plane
+    exp = np.empty((h, wd), np.float32)
+    for y in range(h):
+        for x in range(wd):
+            exp[y, x] = np.sort(padded[y:y + w, x:x + w].ravel())[(w * w) // 2]
+    np.testing.assert_array_equal(got, exp)
+
+
+@pytest.mark.parametrize("w", [3, 5, 7])
+def test_column_plan_cheaper_than_flat(w):
+    _, mo, _ = networks.column_median_plan(w)
+    new_ops = sum((1 if m else 0) + (1 if M else 0) for _, _, m, M in mo)
+    old_ops = sum((1 if m else 0) + (1 if M else 0)
+                  for _, _, m, M in networks.median_network(w * w))
+    assert new_ops < old_ops

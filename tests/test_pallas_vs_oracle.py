@@ -69,11 +69,11 @@ def test_pallas_multi_rowblock():
     o = DiPsOracle(props)
     exp_out, exp_stats = o.run(frames)
     import dips_tpu.ops.pallas_fused as pf
-    old = pf._TAP_BUDGET
+    old = pf._VMEM_BUDGET
     try:
-        pf._TAP_BUDGET = 25 * 130 * 4 * 8 * 2  # force tiny row blocks
+        pf._VMEM_BUDGET = 25 * 256 * 4 * 8 * 4  # force tiny row blocks
         eng = DiPsEngine(props, 24, 130, batch=3, backend="pallas")
         got_out, got_stats = eng.process_frames(list(frames))
     finally:
-        pf._TAP_BUDGET = old
+        pf._VMEM_BUDGET = old
     assert_close(exp_out, exp_stats, got_out, got_stats, True, 24 * 130)
