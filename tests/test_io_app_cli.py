@@ -166,3 +166,22 @@ def test_cli_thumbnail_and_errors(video, tmp_path, capsys):
     assert rc == 2
     rc = cli_main(["--input", path, "--output", "o.avi", "--encoding=BOGUS"])
     assert rc == 2
+
+
+def test_gstreamer_backend_gated(video):
+    """GStreamer is absent in this image: the backend must report so and
+    fail with a typed error, while open_video falls back to OpenCV."""
+    from dips_tpu.io import gstreamer
+    from dips_tpu.errors import DecodeError
+    path, _ = video
+    if gstreamer.available():  # pragma: no cover - not in this image
+        with gstreamer.GstVideoReader(path) as r:
+            assert r.read() is not None
+    else:
+        with pytest.raises(DecodeError):
+            gstreamer.GstVideoReader(path)
+    r = gstreamer.open_video(path, backend="auto")
+    assert r.read() is not None
+    r.close()
+    with pytest.raises(ValueError):
+        gstreamer.open_video(path, backend="bogus")
