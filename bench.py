@@ -88,8 +88,21 @@ def bench_device_pipeline(props, h, w, batch, iters=(10, 60)):
     return fps
 
 
+# The five BASELINE.json benchmark configs + the headline default.
+PRESETS = {
+    "headline-1080p": dict(h=1080, w=1920, method="overall"),
+    "overall-480p": dict(h=480, w=854, method="overall"),
+    "perframe-720p": dict(h=720, w=1280, method="per_frame"),
+    "heatmap-1080p": dict(h=1080, w=1920, method="overall"),  # heatmap is
+    # always accumulated by the fused kernel; same measurement surface
+    "streaming-4k": dict(h=2160, w=3840, method="overall"),
+}
+
+
 def main():
     ap = argparse.ArgumentParser()
+    ap.add_argument("--preset", choices=sorted(PRESETS), default=None,
+                    help="BASELINE.json benchmark config")
     ap.add_argument("--height", type=int, default=1080)
     ap.add_argument("--width", type=int, default=1920)
     ap.add_argument("--batch", type=int, default=16)
@@ -97,11 +110,17 @@ def main():
     ap.add_argument("--temporal", type=int, default=4)
     args = ap.parse_args()
 
-    from dips_tpu.properties import DiPsProperties
-    props = DiPsProperties(window_size=args.window,
-                           temporal_size=args.temporal)
-
+    from dips_tpu.properties import DiPsMethod, DiPsProperties
+    method = DiPsMethod.OVERALL
     h, w = args.height, args.width
+    name = "fused_pipeline"
+    if args.preset:
+        cfg = PRESETS[args.preset]
+        h, w = cfg["h"], cfg["w"]
+        method = DiPsMethod[cfg["method"].upper()]
+        name = args.preset
+    props = DiPsProperties(window_size=args.window,
+                           temporal_size=args.temporal, method=method)
     rng = np.random.default_rng(0)
     frames = [rng.integers(0, 256, (h, w, 3), np.uint8) for _ in range(8)]
     cpu_fps = bench_cpu_absdiff(frames, frames[0])
@@ -113,7 +132,7 @@ def main():
     log(f"fused pipeline device rate: {fps:.0f} fps/chip @ {w}x{h}")
 
     print(json.dumps({
-        "metric": f"{h}p_fused_pipeline_fps_per_chip",
+        "metric": f"{h}p_{name}_fps_per_chip",
         "value": round(fps, 1),
         "unit": "frames/s/chip",
         "vs_baseline": round(fps / cpu_fps, 2),

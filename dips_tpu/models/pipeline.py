@@ -202,6 +202,10 @@ class DiPsEngine:
         }
 
     def load_state_dict(self, state: dict) -> None:
+        got = tuple(np.asarray(state["baseline"]).shape[-2:])
+        if got != (self.hp, self.wp):
+            raise ValueError(
+                f"checkpoint geometry {got} != engine {(self.hp, self.wp)}")
         self.frame_index = int(state["frame_index"])
         self._baseline = jnp.asarray(state["baseline"])
         self._tail.clear()
@@ -214,3 +218,23 @@ class DiPsEngine:
         """Accumulated per-pixel sum of |diff| so far, cropped to true
         geometry (the intensity-change heatmap, BASELINE configs[2])."""
         return np.asarray(self._heatmap[:self.height, :self.width])
+
+    def save(self, path: str) -> None:
+        """Persist streaming state so a long job can resume after a crash
+        or preemption (SURVEY.md §5 'Checkpoint / resume')."""
+        state = self.state_dict()
+        np.savez_compressed(
+            path, frame_index=state["frame_index"],
+            baseline=state["baseline"], heatmap=state["heatmap"],
+            tail=state["tail"] if state["tail"] is not None
+            else np.zeros((0,), np.uint8))
+
+    def load(self, path: str) -> None:
+        z = np.load(path)
+        tail = z["tail"]
+        self.load_state_dict({
+            "frame_index": int(z["frame_index"]),
+            "baseline": z["baseline"],
+            "heatmap": z["heatmap"],
+            "tail": tail if tail.size else None,
+        })

@@ -121,3 +121,24 @@ def test_forced_snapshot(clip):
     eng.snapshot()  # the GUI SnapShot button semantics
     out, stats = eng.process_batch(list(clip[4:6]))
     assert stats[0, 1] == 0  # frame 4 became a capture -> zero diff
+
+
+def test_checkpoint_to_disk(clip, tmp_path):
+    """Crash/preemption recovery: save to a file mid-stream, resume in a
+    fresh engine, outputs must equal an uninterrupted run."""
+    props = DiPsProperties(window_size=3, temporal_size=2,
+                           filter=DiPsFilter.UNFILTERED)
+    h, w = clip.shape[1], clip.shape[2]
+    eng = DiPsEngine(props, h, w, batch=4)
+    out_a, _ = eng.process_frames(list(clip[:7]))
+    ckpt = str(tmp_path / "state.npz")
+    eng.save(ckpt)
+
+    eng2 = DiPsEngine(props, h, w, batch=4)
+    eng2.load(ckpt)
+    out_b, _ = eng2.process_frames(list(clip[7:]))
+
+    eng3 = DiPsEngine(props, h, w, batch=4)
+    out_full, _ = eng3.process_frames(list(clip))
+    np.testing.assert_array_equal(np.concatenate([out_a, out_b]), out_full)
+    np.testing.assert_allclose(eng2.heatmap(), eng3.heatmap(), atol=1e-6)
