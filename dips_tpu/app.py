@@ -70,6 +70,9 @@ class DiPsJob:
     #: populated on the job as ``job.timers`` after a run.
     profile: bool = False
     timers: Optional["StageTimers"] = None
+    #: FFT low-pass post-analysis of the diff maps before they are yielded
+    #: (BASELINE configs[4]; ops/analysis.fft_denoise radius).
+    denoise_radius: Optional[int] = None
 
     # builder parity ------------------------------------------------------
     def with_video_path(self, p: str) -> "DiPsJob":
@@ -155,6 +158,10 @@ def stream_dips(job: DiPsJob) -> Iterator[Tuple[int, np.ndarray, np.ndarray,
                 timers.add_frames(len(batch))
             else:
                 outs, stats = engine.process_planar(batch)
+            if job.denoise_radius:
+                from .ops.analysis import denoise_frames
+                outs = np.asarray(
+                    denoise_frames(outs, int(job.denoise_radius)))
             for i in range(len(batch)):
                 out = outs[i]
                 inp = native.interleave(batch[i], h, w)  # RGB view for hooks

@@ -68,6 +68,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="print per-stage timings after the run")
     p.add_argument("--trace-dir", metavar="DIR",
                    help="capture a jax.profiler device trace into DIR")
+    p.add_argument("--denoise", type=int, metavar="R",
+                   help="FFT low-pass denoise radius applied to diff maps "
+                        "(post-analysis, see ops/analysis.fft_denoise)")
+    p.add_argument("--dft-json", metavar="PATH",
+                   help="write the temporal DFT of the per-frame "
+                        "mean-|diff| series to a JSON file")
     p.add_argument("--live", action="store_true",
                    help="live preview window (requires a display; the "
                         "reference's winit/egui GUI equivalent)")
@@ -167,7 +173,7 @@ def main(argv: Optional[List[str]] = None) -> int:
         job = DiPsJob(properties=props, video_path=args.input,
                       output_path=args.output, encoding=enc,
                       batch=args.batch, backend=args.backend,
-                      profile=args.profile)
+                      profile=args.profile, denoise_radius=args.denoise)
         from .utils.profiling import trace
         with trace(args.trace_dir):
             stats = perform_dips(job)
@@ -181,6 +187,14 @@ def main(argv: Optional[List[str]] = None) -> int:
         with open(args.stats_json, "w") as f:
             json.dump(rows, f)
         print(f"stats written: {args.stats_json}")
+    if args.dft_json:
+        import numpy as np
+        from .ops.analysis import temporal_dft
+        mag, phase = temporal_dft(stats[:, 1])  # mean |diff| series
+        with open(args.dft_json, "w") as f:
+            json.dump({"magnitude": np.asarray(mag).tolist(),
+                       "phase": np.asarray(phase).tolist()}, f)
+        print(f"temporal DFT written: {args.dft_json}")
     return 0
 
 

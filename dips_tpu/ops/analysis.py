@@ -68,3 +68,17 @@ def fft_magnitude_spectrum(image: jnp.ndarray) -> jnp.ndarray:
 def accumulate_heatmap(heatmap: jnp.ndarray, diffs: jnp.ndarray) -> jnp.ndarray:
     """heatmap (H, W) += sum over the batch of |diff| (B, H, W)."""
     return heatmap + jnp.sum(jnp.abs(diffs), axis=0)
+
+
+@functools.partial(jax.jit, static_argnums=(1,))
+def denoise_frames(frames_u8: jnp.ndarray, radius: int) -> jnp.ndarray:
+    """Batched FFT low-pass denoise of uint8 frames (N, H, W, C) -> uint8.
+
+    The streaming-pipeline integration of :func:`fft_denoise` (BASELINE
+    configs[4]: "4K streaming pipeline with ... denoise post-analysis").
+    """
+    f = frames_u8.astype(jnp.float32)
+    planes = jnp.moveaxis(f, -1, 1)                        # (N, C, H, W)
+    den = jax.vmap(jax.vmap(lambda p: fft_denoise(p, radius)))(planes)
+    den = jnp.moveaxis(den, 1, -1)
+    return jnp.clip(jnp.rint(den), 0, 255).astype(jnp.uint8)

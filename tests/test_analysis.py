@@ -72,3 +72,26 @@ def test_pallas_heatmap_matches_oracle(clip):
                      backend="pallas")
     eng.process_frames(list(clip))
     np.testing.assert_allclose(eng.heatmap(), o.heatmap, atol=1e-5)
+
+
+def test_denoise_frames_batched(rng):
+    frames = rng.integers(0, 256, (3, 24, 32, 3), np.uint8)
+    out = np.asarray(analysis.denoise_frames(frames, 6))
+    assert out.shape == frames.shape and out.dtype == np.uint8
+    # low-pass: variance must drop
+    assert out.std() < frames.std()
+
+
+def test_cli_denoise_and_dft(tmp_path, capsys):
+    import json
+    from dips_tpu.cli import main as cli_main
+    from dips_tpu.io import moving_square_clip, write_clip
+    path = str(tmp_path / "in.avi")
+    write_clip(moving_square_clip(n=8, height=32, width=48), path)
+    dft = str(tmp_path / "dft.json")
+    rc = cli_main(["--input", path, "--output", str(tmp_path / "o.avi"),
+                   "--temporal=2", "--batch=4", "--denoise", "8",
+                   "--dft-json", dft])
+    assert rc == 0
+    d = json.load(open(dft))
+    assert len(d["magnitude"]) == 8 // 2 + 1

@@ -66,3 +66,20 @@ def test_stream_count_validation():
     props = DiPsProperties()
     with pytest.raises(ValueError):
         MultiStreamEngine(props, 8, 16, n_streams=5, batch=2)
+
+
+def test_pallas_backend_under_shard_map():
+    """The fused kernel composes with vmap + shard_map (interpret on CPU)
+    and matches the XLA backend bit-for-bit."""
+    props = DiPsProperties(window_size=3, temporal_size=2,
+                           filter=DiPsFilter.UNFILTERED)
+    feeds = [[make_clip(n=2, h=12, w=40, seed=s)[i] for i in range(2)]
+             for s in range(8)]
+    ms_p = MultiStreamEngine(props, 12, 40, n_streams=8, batch=2,
+                             backend="pallas")
+    out_p, stats_p, g_p = ms_p.process_batch(feeds)
+    ms_x = MultiStreamEngine(props, 12, 40, n_streams=8, batch=2,
+                             backend="xla")
+    out_x, stats_x, g_x = ms_x.process_batch(feeds)
+    np.testing.assert_array_equal(out_p, out_x)
+    np.testing.assert_allclose(stats_p, stats_x, atol=1e-6)

@@ -97,3 +97,36 @@ def test_native_available_or_fallback():
     import shutil
     if shutil.which("g++") and not native.os.environ.get("DIPS_TPU_NO_NATIVE"):
         assert native.NATIVE_AVAILABLE
+
+
+def test_frame_ring_concurrent_stress():
+    """Race-stress the SPSC ring (SURVEY.md §5: the rebuild's concurrency
+    surface is exactly this producer/consumer pair)."""
+    import numpy as np
+    ring = native.FrameRing(slots=3, slot_bytes=256)
+    n = 500
+    errors = []
+
+    def producer():
+        try:
+            for i in range(n):
+                buf = np.full(256, i % 251, np.uint8)
+                assert ring.push(buf)
+        except Exception as e:  # pragma: no cover
+            errors.append(e)
+        finally:
+            ring.close()
+
+    t = threading.Thread(target=producer)
+    t.start()
+    got = 0
+    buf = np.empty(256, np.uint8)
+    while True:
+        rc = ring.pop(buf, timeout_ms=10000)
+        if rc == -1:
+            break
+        assert rc == 0
+        assert (buf == got % 251).all()  # strict FIFO, no tearing
+        got += 1
+    t.join()
+    assert not errors and got == n
