@@ -234,7 +234,8 @@ def _make_kernel(props: DiPsProperties, h: int, w: int, t: int, b: int,
     return kernel
 
 
-@functools.partial(jax.jit, static_argnums=(0, 1, 2))
+@functools.partial(jax.jit, static_argnums=(0, 1, 2),
+                   donate_argnums=(4, 6))  # baseline/heatmap update in place
 def batch_step(props: DiPsProperties, h: int, w: int,
                raw: jnp.ndarray, baseline: jnp.ndarray,
                snap_flags: jnp.ndarray, heatmap: jnp.ndarray,

@@ -164,7 +164,8 @@ def valid_mask(hp: int, wp: int, h: int, w: int) -> jnp.ndarray:
 # Full batched step (median/emphasis modes)
 # ---------------------------------------------------------------------------
 
-@functools.partial(jax.jit, static_argnums=(0, 1, 2))
+@functools.partial(jax.jit, static_argnums=(0, 1, 2),
+                   donate_argnums=(4, 6))  # baseline/heatmap update in place
 def batch_step(props: DiPsProperties, h: int, w: int,
                raw: jnp.ndarray, baseline: jnp.ndarray,
                snap_flags: jnp.ndarray, heatmap: jnp.ndarray,
@@ -234,7 +235,8 @@ def batch_step(props: DiPsProperties, h: int, w: int,
 # Raw uint8 fast path: ABSDIFF / THRESHOLD (cv2.absdiff parity surface)
 # ---------------------------------------------------------------------------
 
-@functools.partial(jax.jit, static_argnums=(0, 1, 2))
+@functools.partial(jax.jit, static_argnums=(0, 1, 2),
+                   donate_argnums=(4, 6))  # baseline/heatmap update in place
 def absdiff_step(props: DiPsProperties, h: int, w: int,
                  raw: jnp.ndarray, baseline_raw: jnp.ndarray,
                  snap_flags: jnp.ndarray, heatmap: jnp.ndarray,

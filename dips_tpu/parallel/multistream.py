@@ -81,7 +81,8 @@ def make_sharded_step(props: DiPsProperties, h: int, w: int, mesh: Mesh,
                   P("stream")),
         out_specs=(P("stream"), P("stream"), P("stream"), P("stream"), P()),
         check_vma=False)
-    return jax.jit(sharded)
+    # baseline/heatmap carries update in place across steps
+    return jax.jit(sharded, donate_argnums=(1, 3))
 
 
 class MultiStreamEngine:
