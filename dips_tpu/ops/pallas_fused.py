@@ -6,32 +6,36 @@ that performs, per frame and per row-block, entirely in VMEM:
 
   uint8 planar RGB -> intensity -> spatial median (min/max selection
   network) -> temporal-ring median -> snapshot capture / diff -> sigmoid
-  emphasis -> colorize/grayscale -> uint8 quantize + per-frame statistics.
+  emphasis -> colorize/grayscale -> uint8 quantize + per-frame statistics
+  + accumulated |diff| heatmap.
 
 Design notes (see /opt/skills/guides/pallas_guide.md):
 
-* **Grid** ``(row_blocks, T+B)`` — the frame axis is innermost and TPU grids
-  run sequentially, so VMEM scratch legitimately carries the temporal ring,
-  the pinned baseline, and the previous-frame plane across frame steps: the
-  GPU ring-buffer-texture state machine (dips/src/gpu/bind_groups.rs:407-427)
-  becomes scratch reuse inside one kernel.
+* **Grid** ``(row_blocks, (T+B)/F)`` — the frame axis is innermost and TPU
+  grids run sequentially, so VMEM scratch legitimately carries the temporal
+  ring, the pinned baseline, the previous-frame plane, and the heatmap
+  across frame steps: the GPU ring-buffer-texture state machine
+  (dips/src/gpu/bind_groups.rs:407-427) becomes scratch reuse inside one
+  kernel.  Each grid step processes F = gcd(T, B) frames (unrolled) to
+  amortise per-step scheduling overhead; F | T keeps warm-up steps whole.
 * **Stencil halo** — each row-block reads its 8-row neighbours through thin
   extra BlockSpecs (block-index granularity 8 rows); x-taps use
   ``pltpu.roll`` whose wrap lands in the >= 4 dead zero lanes guaranteed by
   ``pad_geometry``, reproducing the reference's zero out-of-bounds taps
   (dips_shader.wgsl:135-137) with no masking.
-* **Medians** — fixed min/max selection networks from ``ops/networks.py``;
-  no data-dependent control flow (VPU-friendly; exact).
-* **Outputs** — uint8 maps, plus per-(frame, row-block) scalar statistic
-  partials in SMEM that XLA reduces outside.
+* **Medians** — exact, data-independent: shared column sorts + rank-pruned
+  odd-even merge plans from ``ops/networks.py``.
+* **Outputs** — uint8 maps, plus per-(frame, row-block) statistic partials
+  packed into (8,128) f32 tiles that XLA reduces outside.
 
 The kernel matches ``ops/reference.batch_step``'s contract exactly and is
-tested against the same oracle.
+tested against the same oracle (bit-exact for min/max paths).
 """
 
 from __future__ import annotations
 
 import functools
+import math
 from typing import Tuple
 
 import jax
@@ -52,24 +56,33 @@ _PART = 4
 _VMEM_BUDGET = 10 * 1024 * 1024
 
 
+def _frames_per_step(t: int, b: int) -> int:
+    """F frames per grid step: the largest common divisor of T and B <= 8
+    (F | T keeps warm-up grid steps entirely warm-up)."""
+    f = math.gcd(t, b)
+    while f > 8:
+        f //= 2
+    return max(f, 1)
 
-def _pick_block_rows(hp: int, wp: int, window: int, t: int, c: int) -> int:
+
+def _pick_block_rows(hp: int, wp: int, window: int, t: int, c: int,
+                     fpb: int) -> int:
     """Largest row-block (multiple of 8, divides Hp) that fits VMEM.
 
     Accounts for everything resident per grid step: the w*w live f32 tap
     planes of the selection network, the (T + base + prev + heat) f32
     scratch, the halo strip, and the double-buffered u8/f32 input/output
-    blocks Pallas pipelines (2x each).
+    blocks Pallas pipelines (2x each, F frames per block).
     """
     taps = max(window * window, 1)
-    bytes_per_row = wp * (4 * taps      # live network planes
-                          + 4 * t       # ring scratch
-                          + 4 * 3       # base/prev/heat scratch
-                          + 4           # strip scratch
-                          + 1 * 3 * 2   # u8 input block, double-buffered
-                          + 1 * c * 2   # u8 output block, double-buffered
-                          + 4 * 2 * 2   # base/heat inputs, double-buffered
-                          + 4 * 2 * 2)  # base/heat outputs, double-buffered
+    bytes_per_row = wp * (4 * taps           # live network planes
+                          + 4 * t            # ring scratch
+                          + 4 * 3            # base/prev/heat scratch
+                          + 4                # strip scratch
+                          + 1 * 3 * fpb * 2  # u8 input block, dbl-buffered
+                          + 1 * c * fpb * 2  # u8 output block, dbl-buffered
+                          + 4 * 2 * 2        # base/heat inputs, dbl-buffered
+                          + 4 * 2 * 2)       # base/heat outputs, dbl-buffered
     max_rows = max(_VMEM_BUDGET // bytes_per_row, 8)
     best = 8
     for d in range(1, hp // 8 + 1):
@@ -104,22 +117,21 @@ def _shift_x(x: jnp.ndarray, dx: int) -> jnp.ndarray:
 
 
 def _make_kernel(props: DiPsProperties, h: int, w: int, t: int, b: int,
-                 bh: int, wp: int, n_hb: int):
+                 bh: int, wp: int, n_hb: int, fpb: int):
     window = props.window_size
     p = window // 2
-    taps_n = window * window
-    med_ops_s = networks.median_network(taps_n)
-    med_ops_t = networks.median_network(t)
     overall = props.method == DiPsMethod.OVERALL
     colorize = props.output == OutputMode.COLORIZE
+    warm = t // fpb            # number of pure warm-up grid steps
+    n_steps = (t + b) // fpb
 
     def kernel(flags_ref,                       # SMEM (B,) int32
                valid_ref,                       # SMEM (B,) int32
-               cur_ref, up_ref, dn_ref,         # u8 (1,3,BH,Wp), (1,3,8,Wp) x2
+               cur_ref, up_ref, dn_ref,         # u8 (F,3,BH,Wp), (F,3,8,Wp) x2
                base_in_ref,                     # f32 (BH, Wp)
                heat_in_ref,                     # f32 (BH, Wp)
-               out_ref,                         # u8 (1, C, BH, Wp)
-               stats_ref,                       # f32 (1, 1, 8, 128) partials
+               out_ref,                         # u8 (F, C, BH, Wp)
+               stats_ref,                       # f32 (F, 1, 8, 128) partials
                base_out_ref,                    # f32 (BH, Wp)
                heat_out_ref,                    # f32 (BH, Wp)
                ring_ref,                        # f32 scratch (T, BH, Wp)
@@ -128,47 +140,52 @@ def _make_kernel(props: DiPsProperties, h: int, w: int, t: int, b: int,
                heat_ref,                        # f32 scratch (BH, Wp)
                strip_ref):                      # f32 scratch (BH+16, Wp)
         hb = pl.program_id(0)
-        f = pl.program_id(1)
+        fs = pl.program_id(1)
 
-        # ---- intensity strip with 8-row halos --------------------------
-        strip_ref[8:8 + bh] = _intensity(cur_ref[0], props.chroma)
-        if p > 0:
-            up = _intensity(up_ref[0], props.chroma)
-            dn = _intensity(dn_ref[0], props.chroma)
-            zero8 = jnp.zeros((8, wp), jnp.float32)
-            strip_ref[0:8] = jnp.where(hb > 0, up, zero8)
-            strip_ref[8 + bh:16 + bh] = jnp.where(hb < n_hb - 1, dn, zero8)
-
-        # ---- spatial median: shared column sorts + rank-pruned merge ----
-        if window > 1:
-            vtaps = [strip_ref[8 + dy - p:8 + dy - p + bh]
-                     for dy in range(window)]
-            phi = networks.window_median(vtaps, _shift_x,
-                                         jnp.minimum, jnp.maximum)
-        else:
-            phi = strip_ref[8:8 + bh]
-
-        # ---- temporal ring (carried across the sequential f axis) ------
-        slot = lax.rem(f, t)
-        ring_ref[slot] = phi
-
-        @pl.when(f == 0)
+        @pl.when(fs == 0)
         def _seed():
             base_ref[:] = base_in_ref[:]
             heat_ref[:] = heat_in_ref[:]
 
-        @pl.when(f >= t - 1)
-        def _window_ready():
-            cur = networks.median_of([ring_ref[i] for i in range(t)],
-                                     jnp.minimum, jnp.maximum)
+        for i in range(fpb):
+            gf = fs * fpb + i  # global frame index in [0, T+B)
 
-            @pl.when(f == t - 1)  # window 0: previous frame's value
-            def _():
-                prev_ref[:] = cur
+            # ---- intensity strip with 8-row halos ----------------------
+            strip_ref[8:8 + bh] = _intensity(cur_ref[i], props.chroma)
+            if p > 0:
+                up = _intensity(up_ref[i], props.chroma)
+                dn = _intensity(dn_ref[i], props.chroma)
+                zero8 = jnp.zeros((8, wp), jnp.float32)
+                strip_ref[0:8] = jnp.where(hb > 0, up, zero8)
+                strip_ref[8 + bh:16 + bh] = jnp.where(
+                    hb < n_hb - 1, dn, zero8)
 
-            @pl.when(f >= t)
+            # ---- spatial median: shared column sorts + pruned merge ----
+            if window > 1:
+                vtaps = [strip_ref[8 + dy - p:8 + dy - p + bh]
+                         for dy in range(window)]
+                phi = networks.window_median(vtaps, _shift_x,
+                                             jnp.minimum, jnp.maximum)
+            else:
+                phi = strip_ref[8:8 + bh]
+
+            # ---- temporal ring (carried across sequential steps) -------
+            ring_ref[lax.rem(gf, t)] = phi
+
+            if i == fpb - 1:
+                # the last warm-up sub-frame completes window 0 (= the
+                # previous frame's ring median, needed by PER_FRAME mode)
+                @pl.when(fs == warm - 1)
+                def _():
+                    prev_ref[:] = networks.median_of(
+                        [ring_ref[k] for k in range(t)],
+                        jnp.minimum, jnp.maximum)
+
+            @pl.when(fs >= warm)
             def _emit():
-                m = f - t  # output frame index in [0, B)
+                m = gf - t  # output frame index in [0, B)
+                cur = networks.median_of([ring_ref[k] for k in range(t)],
+                                         jnp.minimum, jnp.maximum)
                 if overall:
                     flag = flags_ref[m] != 0
 
@@ -181,15 +198,17 @@ def _make_kernel(props: DiPsProperties, h: int, w: int, t: int, b: int,
                 prev_ref[:] = cur
 
                 # masked statistic partials
-                rows = lax.broadcasted_iota(jnp.int32, (bh, wp), 0) + hb * bh
+                rows = (lax.broadcasted_iota(jnp.int32, (bh, wp), 0)
+                        + hb * bh)
                 cols = lax.broadcasted_iota(jnp.int32, (bh, wp), 1)
                 mask = ((rows < h) & (cols < w)).astype(jnp.float32)
                 dm = raw_diff * mask
                 am = jnp.abs(dm)
-                thr = jnp.float32(props.change_threshold) * jnp.float32(1 / 255.)
-                # Partials go out as one (8,128) f32 tile with the 4 scalars
-                # in row 0, lanes 0..3 (scalar SMEM outputs would violate
-                # Mosaic's (8,128) block divisibility when n_hb > 1).
+                thr = (jnp.float32(props.change_threshold)
+                       * jnp.float32(1 / 255.))
+                # Partials go out as one (8,128) f32 tile with the 4
+                # scalars in row 0, lanes 0..3 (scalar SMEM outputs would
+                # violate Mosaic's (8,128) block rule when n_hb > 1).
                 lane = lax.broadcasted_iota(jnp.int32, (8, 128), 1)
                 row0 = lax.broadcasted_iota(jnp.int32, (8, 128), 0) == 0
                 vals = [jnp.sum(dm), jnp.sum(am), jnp.max(am),
@@ -197,7 +216,7 @@ def _make_kernel(props: DiPsProperties, h: int, w: int, t: int, b: int,
                 tile = jnp.zeros((8, 128), jnp.float32)
                 for k, v in enumerate(vals):
                     tile = jnp.where(row0 & (lane == k), v, tile)
-                stats_ref[0, 0] = tile
+                stats_ref[i, 0] = tile
                 heat_ref[:] = (heat_ref[:]
                                + am * valid_ref[m].astype(jnp.float32))
 
@@ -217,16 +236,16 @@ def _make_kernel(props: DiPsProperties, h: int, w: int, t: int, b: int,
                         r = jnp.where(flag, cur, r)
                         g = jnp.where(flag, cur, g)
                         bl = jnp.where(flag, cur, bl)
-                    out_ref[0, 0] = q8(r)
-                    out_ref[0, 1] = q8(g)
-                    out_ref[0, 2] = q8(bl)
+                    out_ref[i, 0] = q8(r)
+                    out_ref[i, 1] = q8(g)
+                    out_ref[i, 2] = q8(bl)
                 else:
                     gray = jnp.float32(0.5) - d
                     if overall:
                         gray = jnp.where(flag, cur, gray)
-                    out_ref[0, 0] = q8(gray)
+                    out_ref[i, 0] = q8(gray)
 
-        @pl.when(f == t + b - 1)
+        @pl.when(fs == n_steps - 1)
         def _finish():
             base_out_ref[:] = base_ref[:]
             heat_out_ref[:] = heat_ref[:]
@@ -243,36 +262,39 @@ def batch_step(props: DiPsProperties, h: int, w: int,
                ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Drop-in fused-kernel equivalent of ``reference.batch_step``.
 
-    Same protocol: raw uint8 (T+B, 3, Hp, Wp), f32 baseline (Hp, Wp),
-    bool (B,) capture flags -> (uint8 (B, C, Hp, Wp), f32 (B, NUM_STATS),
-    new baseline).
+    Same protocol: raw uint8 (T+B, 3, Hp, Wp), f32 baseline/heatmap
+    (Hp, Wp), bool (B,) capture/valid flags -> (uint8 (B, C, Hp, Wp),
+    f32 (B, NUM_STATS), new baseline, new heatmap).
     """
     t = props.temporal_size
     b = raw.shape[0] - t
     hp, wp = raw.shape[-2], raw.shape[-1]
     c = props.out_channels
-    bh = _pick_block_rows(hp, wp, props.window_size, t, c)
+    fpb = _frames_per_step(t, b)
+    bh = _pick_block_rows(hp, wp, props.window_size, t, c, fpb)
     n_hb = hp // bh
     n8 = hp // 8
     bh8 = bh // 8
+    warm = t // fpb
 
     flags_i32 = snap_flags.astype(jnp.int32)
     valid_i32 = valid.astype(jnp.int32)
-    kernel = _make_kernel(props, h, w, t, b, bh, wp, n_hb)
+    kernel = _make_kernel(props, h, w, t, b, bh, wp, n_hb, fpb)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
-        grid=(n_hb, t + b),
+        grid=(n_hb, (t + b) // fpb),
         in_specs=[
-            pl.BlockSpec((1, 3, bh, wp), lambda hb, f, *_: (f, 0, hb, 0),
+            pl.BlockSpec((fpb, 3, bh, wp), lambda hb, f, *_: (f, 0, hb, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(
-                (1, 3, 8, wp),
+                (fpb, 3, 8, wp),
                 lambda hb, f, *_: (f, 0, jnp.maximum(hb * bh8 - 1, 0), 0),
                 memory_space=pltpu.VMEM),
             pl.BlockSpec(
-                (1, 3, 8, wp),
-                lambda hb, f, *_: (f, 0, jnp.minimum((hb + 1) * bh8, n8 - 1), 0),
+                (fpb, 3, 8, wp),
+                lambda hb, f, *_: (f, 0, jnp.minimum((hb + 1) * bh8, n8 - 1),
+                                   0),
                 memory_space=pltpu.VMEM),
             pl.BlockSpec((bh, wp), lambda hb, f, *_: (hb, 0),
                          memory_space=pltpu.VMEM),
@@ -281,12 +303,14 @@ def batch_step(props: DiPsProperties, h: int, w: int,
         ],
         out_specs=[
             pl.BlockSpec(
-                (1, c, bh, wp),
-                lambda hb, f, *_: (jnp.clip(f - t, 0, b - 1), 0, hb, 0),
+                (fpb, c, bh, wp),
+                lambda hb, f, *_: (jnp.clip(f - warm, 0, b // fpb - 1), 0,
+                                   hb, 0),
                 memory_space=pltpu.VMEM),
             pl.BlockSpec(
-                (1, 1, 8, 128),
-                lambda hb, f, *_: (jnp.clip(f - t, 0, b - 1), hb, 0, 0),
+                (fpb, 1, 8, 128),
+                lambda hb, f, *_: (jnp.clip(f - warm, 0, b // fpb - 1), hb,
+                                   0, 0),
                 memory_space=pltpu.VMEM),
             pl.BlockSpec((bh, wp), lambda hb, f, *_: (hb, 0),
                          memory_space=pltpu.VMEM),

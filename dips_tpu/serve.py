@@ -1,0 +1,225 @@
+"""Frame-serving daemon: a TCP service around :class:`DiPsEngine`.
+
+The reference is a desktop tool; the rebuild is meant for production
+deployment, so the engine gets a serving surface: a long-lived process that
+owns the device pipeline and accepts raw frames over a socket.
+
+Protocol (little-endian, length-prefixed JSON header + raw payload):
+
+  request:  u32 header_len | header JSON | payload bytes
+  response: u32 header_len | header JSON | payload bytes
+
+Header commands:
+  {"cmd": "hello"}                      -> {"ok", "config", "frame_index"}
+  {"cmd": "process", "shape": [H,W,3]}  + uint8 RGB payload
+        -> {"ok", "stats": [...], "shape": [H,W,C]} + uint8 map payload
+  {"cmd": "snapshot"}                   -> {"ok"}   (re-pin the baseline)
+  {"cmd": "heatmap"}                    -> {"ok", "shape"} + f32 payload
+  {"cmd": "reset"} / {"cmd": "close"}
+
+One client at a time (frames are ordered state); start with
+``python -m dips_tpu.serve --port 7807 --height H --width W [options]``.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import logging
+import socket
+import struct
+import threading
+from typing import Optional, Tuple
+
+import numpy as np
+
+from .models import DiPsEngine
+from .properties import DiPsProperties
+
+log = logging.getLogger("dips_tpu.serve")
+_LEN = struct.Struct("<I")
+
+
+def _send(sock: socket.socket, header: dict, payload: bytes = b"") -> None:
+    hdr = json.dumps(header).encode()
+    sock.sendall(_LEN.pack(len(hdr)) + hdr + payload)
+
+
+def _recv_exact(sock: socket.socket, n: int) -> Optional[bytes]:
+    buf = bytearray()
+    while len(buf) < n:
+        chunk = sock.recv(n - len(buf))
+        if not chunk:
+            return None
+        buf.extend(chunk)
+    return bytes(buf)
+
+
+def _recv(sock: socket.socket) -> Optional[Tuple[dict, bytes]]:
+    raw_len = _recv_exact(sock, _LEN.size)
+    if raw_len is None:
+        return None
+    hdr = _recv_exact(sock, _LEN.unpack(raw_len)[0])
+    if hdr is None:
+        return None
+    header = json.loads(hdr)
+    n = int(header.get("payload_len", 0))
+    payload = _recv_exact(sock, n) if n else b""
+    if n and payload is None:
+        return None
+    return header, payload
+
+
+class DiPsServer:
+    """Owns one engine; serves one client at a time on a TCP port."""
+
+    def __init__(self, props: DiPsProperties, height: int, width: int,
+                 port: int = 0, host: str = "127.0.0.1", batch: int = 1,
+                 backend: str = "xla"):
+        self.engine = DiPsEngine(props, height, width, batch=batch,
+                                 backend=backend)
+        self._sock = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+        self._sock.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+        self._sock.bind((host, port))
+        self._sock.listen(1)
+        self.port = self._sock.getsockname()[1]
+        self._stop = threading.Event()
+
+    def serve_forever(self) -> None:
+        log.info("serving on port %d", self.port)
+        while not self._stop.is_set():
+            try:
+                self._sock.settimeout(0.5)
+                client, addr = self._sock.accept()
+            except socket.timeout:
+                continue
+            except OSError:
+                return
+            with client:
+                log.info("client %s", addr)
+                self._serve_client(client)
+
+    def _serve_client(self, client: socket.socket) -> None:
+        eng = self.engine
+        while not self._stop.is_set():
+            msg = _recv(client)
+            if msg is None:
+                return
+            header, payload = msg
+            cmd = header.get("cmd")
+            try:
+                if cmd == "hello":
+                    _send(client, {
+                        "ok": True,
+                        "frame_index": eng.frame_index,
+                        "config": {
+                            "height": eng.height, "width": eng.width,
+                            "batch": eng.batch, "backend": eng.backend,
+                            "method": eng.props.method.name,
+                            "output": eng.props.output.name,
+                        }})
+                elif cmd == "process":
+                    shape = tuple(header["shape"])
+                    frame = np.frombuffer(payload, np.uint8).reshape(shape)
+                    outs, stats = eng.process_batch([frame])
+                    body = outs[0].tobytes()
+                    _send(client, {"ok": True,
+                                   "stats": [float(v) for v in stats[0]],
+                                   "shape": list(outs[0].shape),
+                                   "payload_len": len(body)}, body)
+                elif cmd == "snapshot":
+                    eng.snapshot()
+                    _send(client, {"ok": True})
+                elif cmd == "heatmap":
+                    hm = eng.heatmap().astype(np.float32)
+                    body = hm.tobytes()
+                    _send(client, {"ok": True, "shape": list(hm.shape),
+                                   "payload_len": len(body)}, body)
+                elif cmd == "reset":
+                    eng.reset()
+                    _send(client, {"ok": True})
+                elif cmd == "close":
+                    _send(client, {"ok": True})
+                    return
+                else:
+                    _send(client, {"ok": False,
+                                   "error": f"unknown cmd {cmd!r}"})
+            except Exception as e:  # per-request isolation
+                log.exception("request failed")
+                _send(client, {"ok": False, "error": str(e)})
+
+    def shutdown(self) -> None:
+        self._stop.set()
+        try:
+            self._sock.close()
+        except OSError:
+            pass
+
+
+class DiPsClient:
+    """Minimal client for :class:`DiPsServer`."""
+
+    def __init__(self, port: int, host: str = "127.0.0.1"):
+        self._sock = socket.create_connection((host, port))
+
+    def _rpc(self, header: dict, payload: bytes = b"") -> Tuple[dict, bytes]:
+        if payload:
+            header = dict(header, payload_len=len(payload))
+        _send(self._sock, header, payload)
+        resp = _recv(self._sock)
+        if resp is None:
+            raise ConnectionError("server closed")
+        return resp
+
+    def hello(self) -> dict:
+        h, _ = self._rpc({"cmd": "hello"})
+        return h
+
+    def process(self, frame: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+        h, body = self._rpc({"cmd": "process", "shape": list(frame.shape)},
+                            np.ascontiguousarray(frame).tobytes())
+        if not h.get("ok"):
+            raise RuntimeError(h.get("error"))
+        out = np.frombuffer(body, np.uint8).reshape(h["shape"])
+        return out, np.asarray(h["stats"], np.float32)
+
+    def snapshot(self) -> None:
+        self._rpc({"cmd": "snapshot"})
+
+    def heatmap(self) -> np.ndarray:
+        h, body = self._rpc({"cmd": "heatmap"})
+        return np.frombuffer(body, np.float32).reshape(h["shape"])
+
+    def close(self) -> None:
+        try:
+            self._rpc({"cmd": "close"})
+        except ConnectionError:
+            pass
+        self._sock.close()
+
+
+def main(argv=None) -> int:
+    from .cli import build_parser, props_from_args
+    ap = argparse.ArgumentParser(parents=[build_parser()], add_help=False,
+                                 conflict_handler="resolve")
+    ap.add_argument("--port", type=int, default=7807)
+    ap.add_argument("--host", default="127.0.0.1")
+    ap.add_argument("--height", type=int, required=True)
+    ap.add_argument("--width", type=int, required=True)
+    args = ap.parse_args(argv)
+    props = props_from_args(args)
+    server = DiPsServer(props, args.height, args.width, port=args.port,
+                        host=args.host, batch=args.batch,
+                        backend=args.backend)
+    print(f"dips server on {args.host}:{server.port}", flush=True)
+    try:
+        server.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    finally:
+        server.shutdown()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -185,3 +185,12 @@ def test_gstreamer_backend_gated(video):
     r.close()
     with pytest.raises(ValueError):
         gstreamer.open_video(path, backend="bogus")
+
+
+def test_cli_live_headless_is_clean(capsys):
+    """--live without camera/display fails with rc 1 and a message, not a
+    traceback (TPU hosts are headless)."""
+    rc = cli_main(["--live"])
+    assert rc == 1
+    err = capsys.readouterr().err
+    assert "camera" in err or "display" in err

@@ -77,3 +77,17 @@ def test_pallas_multi_rowblock():
     finally:
         pf._VMEM_BUDGET = old
     assert_close(exp_out, exp_stats, got_out, got_stats, True, 24 * 130)
+
+
+def test_pallas_subframe_batching_t4_b8(clip):
+    """T=4, B=8 -> 4 frames per grid step; parity must hold across the
+    warm-up/emit step boundary."""
+    props = DiPsProperties(window_size=3, temporal_size=4,
+                           filter=DiPsFilter.UNFILTERED)
+    o = DiPsOracle(props)
+    exp_out, exp_stats = o.run(clip)
+    eng = DiPsEngine(props, clip.shape[1], clip.shape[2], batch=8,
+                     backend="pallas")
+    got_out, got_stats = eng.process_frames(list(clip))
+    assert_close(exp_out, exp_stats, got_out, got_stats, True,
+                 clip.shape[1] * clip.shape[2])

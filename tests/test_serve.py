@@ -1,0 +1,67 @@
+"""Serving daemon: real socket round-trips against an in-process server."""
+
+import threading
+
+import numpy as np
+import pytest
+
+from dips_tpu.properties import DiPsFilter, DiPsProperties
+from dips_tpu.serve import DiPsClient, DiPsServer
+from dips_tpu.models import DiPsEngine
+from tests.conftest import make_clip
+
+
+@pytest.fixture()
+def server():
+    props = DiPsProperties(window_size=3, temporal_size=2,
+                           filter=DiPsFilter.UNFILTERED)
+    srv = DiPsServer(props, 24, 40, port=0, batch=1)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    yield srv
+    srv.shutdown()
+
+
+def test_serve_round_trip(server):
+    clip = make_clip(n=6, h=24, w=40, seed=2)
+    cli = DiPsClient(server.port)
+    info = cli.hello()
+    assert info["ok"] and info["config"]["height"] == 24
+
+    outs, stats = [], []
+    for f in clip:
+        o, s = cli.process(f)
+        outs.append(o)
+        stats.append(s)
+    cli.close()
+
+    # must equal a local engine run frame-by-frame
+    eng = DiPsEngine(DiPsProperties(window_size=3, temporal_size=2,
+                                    filter=DiPsFilter.UNFILTERED),
+                     24, 40, batch=1)
+    exp_out, exp_stats = eng.process_frames(list(clip))
+    np.testing.assert_array_equal(np.stack(outs), exp_out)
+    np.testing.assert_allclose(np.stack(stats), exp_stats, atol=1e-6)
+
+
+def test_serve_snapshot_and_heatmap(server):
+    clip = make_clip(n=4, h=24, w=40, seed=3)
+    cli = DiPsClient(server.port)
+    for f in clip[:3]:
+        cli.process(f)
+    cli.snapshot()
+    _, s = cli.process(clip[3])
+    assert s[1] == 0  # forced re-capture -> zero diff
+    hm = cli.heatmap()
+    assert hm.shape == (24, 40) and hm.max() > 0
+    cli.close()
+
+
+def test_serve_error_isolation(server):
+    cli = DiPsClient(server.port)
+    with pytest.raises(RuntimeError):
+        cli.process(np.zeros((3, 3, 3), np.uint8))  # wrong geometry
+    # the connection and engine survive the failed request
+    o, _ = cli.process(make_clip(n=1, h=24, w=40)[0])
+    assert o.shape == (24, 40, 3)
+    cli.close()
