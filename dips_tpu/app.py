@@ -227,6 +227,77 @@ def run_dips_on_file(input_path: str, output_path: str,
     return perform_dips(job)
 
 
+def run_dips_on_files(input_paths: Sequence[str], output_dir: str,
+                      encoding: Encoding | str = Encoding.MJPG,
+                      properties: Optional[DiPsProperties] = None,
+                      batch: int = 8, backend: str = "xla",
+                      mesh=None) -> "np.ndarray":
+    """Batched multi-stream differencing over many videos (BASELINE
+    configs[3]): decode S files in lockstep, run the sharded multi-stream
+    step over the device mesh, write one diff video per input.
+
+    All inputs must share geometry/fps (the multi-stream batch is one
+    stacked tensor).  Streams shorter than the longest are padded on device
+    and their outputs truncated.  Returns per-stream frame counts.
+    """
+    import os
+    from .parallel import MultiStreamEngine, stream_mesh
+    props = properties or DiPsProperties()
+    enc = Encoding[encoding.upper()] if isinstance(encoding, str) else encoding
+
+    readers = [VideoReader(p) for p in input_paths]
+    h, w, fps = readers[0].height, readers[0].width, readers[0].fps
+    for r in readers[1:]:
+        if (r.height, r.width) != (h, w):
+            raise VideoPathError(
+                f"{r.path}: geometry {r.width}x{r.height} != {w}x{h} "
+                f"(multi-stream batches require uniform geometry)")
+
+    mesh = mesh if mesh is not None else stream_mesh()
+    n_dev = mesh.devices.size
+    s = len(readers)
+    pad_streams = (-s) % n_dev  # mesh wants a multiple of n_dev
+    eng = MultiStreamEngine(props, h, w, n_streams=s + pad_streams,
+                            batch=batch, mesh=mesh, backend=backend)
+
+    os.makedirs(output_dir, exist_ok=True)
+    writers = [VideoWriter(
+        os.path.join(output_dir,
+                     os.path.splitext(os.path.basename(p))[0] + ".dips.avi"),
+        fps, w, h, enc) for p in input_paths]
+    counts = np.zeros(s, np.int64)
+    done = [False] * s
+    try:
+        while not all(done):
+            feeds = []
+            for si in range(s + pad_streams):
+                if si >= s or done[si]:
+                    feeds.append([])
+                    continue
+                frames = []
+                for _ in range(batch):
+                    f = readers[si].read()
+                    if f is None:
+                        done[si] = True
+                        break
+                    frames.append(f)
+                feeds.append(frames)
+            if not any(feeds):
+                break
+            out, stats, _ = eng.process_batch(feeds)
+            for si in range(s):
+                n = len(feeds[si])
+                for k in range(n):
+                    writers[si].write(out[si, k])
+                counts[si] += n
+    finally:
+        for r in readers:
+            r.close()
+        for wr in writers:
+            wr.close()
+    return counts
+
+
 def custom_dips_on_files(data_dir: str, output_path: str,
                          width: int = 273, height: int = 640,
                          fps: float = 5.0,

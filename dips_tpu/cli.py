@@ -36,6 +36,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "(re-capture the baseline)")
     p.add_argument("--input", help="input video file")
     p.add_argument("--output", help="output video file")
+    p.add_argument("--inputs", nargs="+", metavar="FILE",
+                   help="multiple input videos: batched multi-stream mode, "
+                        "sharded over the device mesh (requires --output-dir)")
+    p.add_argument("--output-dir", help="output directory for --inputs mode")
     p.add_argument("--encoding", default="MJPG",
                    help="RGBA | HFYU | H264 | MJPG | mp4v")
     p.add_argument("--filter", default="sigmoid",
@@ -141,6 +145,18 @@ def main(argv: Optional[List[str]] = None) -> int:
         return 0
 
     props = props_from_args(args)
+
+    if args.inputs:
+        if not args.output_dir:
+            print("--inputs requires --output-dir", file=sys.stderr)
+            return 2
+        from .app import run_dips_on_files
+        counts = run_dips_on_files(args.inputs, args.output_dir,
+                                   args.encoding, props, batch=args.batch,
+                                   backend=args.backend)
+        print(f"processed {len(counts)} streams "
+              f"({int(counts.sum())} frames) -> {args.output_dir}")
+        return 0
 
     if args.live:
         from .live import run_live

@@ -70,13 +70,13 @@ class DiPsEngine:
         self.reset()
 
     def _resolve_step(self, backend: str):
-        if self._raw_mode:
-            return reference.absdiff_step
         if backend == "xla":
-            return reference.batch_step
+            return (reference.absdiff_step if self._raw_mode
+                    else reference.batch_step)
         if backend == "pallas":
             from ..ops import pallas_fused
-            return pallas_fused.batch_step
+            return (pallas_fused.absdiff_step if self._raw_mode
+                    else pallas_fused.batch_step)
         raise DeviceError(f"unknown backend {backend!r}")
 
     # -- state ------------------------------------------------------------

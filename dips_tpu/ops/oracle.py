@@ -291,11 +291,28 @@ class DiPsOracle:
         self._prev_raw = frame_u8.copy()
 
         d_u8 = absdiff_u8(frame_u8, baseline)
-        # stats on the intensity-domain diff for consistency with f32 modes
-        raw_diff = (intensity(baseline, p.chroma)
-                    - intensity(frame_u8, p.chroma))
-        self._accumulate(raw_diff)
-        stats = frame_stats(raw_diff, p.change_threshold)
+        # Raw modes stay entirely in the integer domain (the parity/fast
+        # path): statistics are channel-mean reductions of the uint8 diff,
+        # normalised to the same [0,1] scale as the f32 modes.
+        #   mean_diff     = sum(baseline - frame) / (3*H*W*255)
+        #   mean_abs_diff = sum(d_u8)            / (3*H*W*255)
+        #   max_abs_diff  = max(d_u8) / 255
+        #   changed_count = #pixels with max-channel d_u8 >= threshold
+        h, w = frame_u8.shape[:2]
+        sum_signed = (int(baseline.astype(np.int64).sum())
+                      - int(frame_u8.astype(np.int64).sum()))
+        sum_abs = int(d_u8.astype(np.int64).sum())
+        dmax = d_u8.max(axis=-1)
+        inv = np.float32(1.0) / np.float32(3 * h * w * 255)
+        stats = np.array([
+            np.float32(sum_signed) * inv,
+            np.float32(sum_abs) * inv,
+            np.float32(int(d_u8.max())) * np.float32(1 / 255.0),
+            np.count_nonzero(dmax >= np.uint8(p.change_threshold)),
+        ], np.float32)
+        # heatmap in the same channel-mean units
+        self._accumulate(d_u8.astype(np.float32).sum(axis=-1)
+                         * np.float32(1.0 / (3 * 255.0)))
         if p.output == OutputMode.ABSDIFF:
             return d_u8, stats
         return (threshold_mask_u8(frame_u8, baseline, p.change_threshold),

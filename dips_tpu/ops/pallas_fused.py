@@ -138,6 +138,7 @@ def _make_kernel(props: DiPsProperties, h: int, w: int, t: int, b: int,
                base_ref,                        # f32 scratch (BH, Wp)
                prev_ref,                        # f32 scratch (BH, Wp)
                heat_ref,                        # f32 scratch (BH, Wp)
+               mask_ref,                        # f32 scratch (BH, Wp)
                strip_ref):                      # f32 scratch (BH+16, Wp)
         hb = pl.program_id(0)
         fs = pl.program_id(1)
@@ -146,6 +147,10 @@ def _make_kernel(props: DiPsProperties, h: int, w: int, t: int, b: int,
         def _seed():
             base_ref[:] = base_in_ref[:]
             heat_ref[:] = heat_in_ref[:]
+            # validity mask is loop-invariant per row block: build it once
+            rows = lax.broadcasted_iota(jnp.int32, (bh, wp), 0) + hb * bh
+            cols = lax.broadcasted_iota(jnp.int32, (bh, wp), 1)
+            mask_ref[:] = ((rows < h) & (cols < w)).astype(jnp.float32)
 
         for i in range(fpb):
             gf = fs * fpb + i  # global frame index in [0, T+B)
@@ -198,11 +203,7 @@ def _make_kernel(props: DiPsProperties, h: int, w: int, t: int, b: int,
                 prev_ref[:] = cur
 
                 # masked statistic partials
-                rows = (lax.broadcasted_iota(jnp.int32, (bh, wp), 0)
-                        + hb * bh)
-                cols = lax.broadcasted_iota(jnp.int32, (bh, wp), 1)
-                mask = ((rows < h) & (cols < w)).astype(jnp.float32)
-                dm = raw_diff * mask
+                dm = raw_diff * mask_ref[:]
                 am = jnp.abs(dm)
                 thr = (jnp.float32(props.change_threshold)
                        * jnp.float32(1 / 255.))
@@ -230,20 +231,35 @@ def _make_kernel(props: DiPsProperties, h: int, w: int, t: int, b: int,
                     v = jnp.rint(jnp.clip(x, 0.0, 1.0) * jnp.float32(255.0))
                     return v.astype(jnp.int32).astype(jnp.uint8)
 
-                if colorize:
-                    r, g, bl = diff_to_color_planes(d)
-                    if overall:
-                        r = jnp.where(flag, cur, r)
-                        g = jnp.where(flag, cur, g)
-                        bl = jnp.where(flag, cur, bl)
-                    out_ref[i, 0] = q8(r)
-                    out_ref[i, 1] = q8(g)
-                    out_ref[i, 2] = q8(bl)
+                def write_normal():
+                    if colorize:
+                        # quantize the two distinct channel values once and
+                        # select in uint8 (== quantize-after-select exactly;
+                        # saves one full quantize chain per frame)
+                        s = jnp.abs(d)
+                        hi8 = q8(jnp.float32(0.5) + s * jnp.float32(0.5))
+                        lo8 = q8(jnp.float32(0.5) - s * jnp.float32(0.5))
+                        neg = d < 0
+                        out_ref[i, 0] = jnp.where(neg, hi8, lo8)
+                        out_ref[i, 1] = jnp.where(neg, lo8, hi8)
+                        out_ref[i, 2] = lo8
+                    else:
+                        out_ref[i, 0] = q8(jnp.float32(0.5) - d)
+
+                if overall:
+                    # capture frames render the fresh baseline as gray
+                    # (rare: a real branch beats per-pixel selects)
+                    @pl.when(flag)
+                    def _():
+                        cur8 = q8(cur)
+                        for ch in range(3 if colorize else 1):
+                            out_ref[i, ch] = cur8
+
+                    @pl.when(jnp.logical_not(flag))
+                    def _():
+                        write_normal()
                 else:
-                    gray = jnp.float32(0.5) - d
-                    if overall:
-                        gray = jnp.where(flag, cur, gray)
-                    out_ref[i, 0] = q8(gray)
+                    write_normal()
 
         @pl.when(fs == n_steps - 1)
         def _finish():
@@ -322,6 +338,7 @@ def batch_step(props: DiPsProperties, h: int, w: int,
             pltpu.VMEM((bh, wp), jnp.float32),
             pltpu.VMEM((bh, wp), jnp.float32),
             pltpu.VMEM((bh, wp), jnp.float32),
+            pltpu.VMEM((bh, wp), jnp.float32),
             pltpu.VMEM((bh + 16, wp), jnp.float32),
         ],
     )
@@ -344,6 +361,191 @@ def batch_step(props: DiPsProperties, h: int, w: int,
         parts[:, :, 0].sum(axis=1) * inv_n,
         parts[:, :, 1].sum(axis=1) * inv_n,
         parts[:, :, 2].max(axis=1),
+        parts[:, :, 3].sum(axis=1),
+    ], axis=-1)
+    return out, stats, new_baseline, new_heatmap
+
+
+# ---------------------------------------------------------------------------
+# Raw uint8 fast path: fused ABSDIFF / THRESHOLD kernel (the cv2.absdiff
+# parity surface, BASELINE.json metric) — pure integer math, one HBM pass.
+# ---------------------------------------------------------------------------
+
+def _make_raw_kernel(props: DiPsProperties, h: int, w: int, t: int, b: int,
+                     bh: int, wp: int, fpb: int):
+    overall = props.method == DiPsMethod.OVERALL
+    threshold_mode = props.output == OutputMode.THRESHOLD
+    thr = props.change_threshold
+    warm = t // fpb
+    n_steps = (t + b) // fpb
+
+    def kernel(flags_ref, valid_ref,            # SMEM (B,) int32 each
+               cur_ref,                         # u8 (F, 3, BH, Wp)
+               base_in_ref,                     # u8 (3, BH, Wp)
+               heat_in_ref,                     # f32 (BH, Wp)
+               out_ref,                         # u8 (F, C, BH, Wp)
+               stats_ref,                       # f32 (F, 1, 8, 128)
+               base_out_ref,                    # u8 (3, BH, Wp)
+               heat_out_ref,                    # f32 (BH, Wp)
+               base_ref,                        # u8 scratch (3, BH, Wp)
+               prev_ref,                        # u8 scratch (3, BH, Wp)
+               heat_ref):                       # f32 scratch (BH, Wp)
+        fs = pl.program_id(1)
+
+        @pl.when(fs == 0)
+        def _seed():
+            base_ref[:] = base_in_ref[:]
+            heat_ref[:] = heat_in_ref[:]
+
+        for i in range(fpb):
+            gf = fs * fpb + i
+
+            if i == fpb - 1:
+                @pl.when(fs == warm - 1)
+                def _():
+                    prev_ref[:] = cur_ref[i]
+
+            @pl.when(fs >= warm)
+            def _emit():
+                m = gf - t
+                if overall:
+                    flag = flags_ref[m] != 0
+
+                    @pl.when(flag)
+                    def _():
+                        base_ref[:] = cur_ref[i]
+                    ref = base_ref
+                else:
+                    ref = prev_ref
+
+                cs = [cur_ref[i, ch].astype(jnp.int32) for ch in range(3)]
+                bs = [ref[ch].astype(jnp.int32) for ch in range(3)]
+                sg = [bs[ch] - cs[ch] for ch in range(3)]
+                ad = [jnp.abs(x) for x in sg]
+                dmax = jnp.maximum(jnp.maximum(ad[0], ad[1]), ad[2])
+
+                if not overall:
+                    prev_ref[:] = cur_ref[i]
+
+                # channel-mean statistic partials (oracle._process_raw)
+                s_signed = (jnp.sum(sg[0]) + jnp.sum(sg[1])
+                            + jnp.sum(sg[2])).astype(jnp.float32)
+                s_abs = (jnp.sum(ad[0]) + jnp.sum(ad[1])
+                         + jnp.sum(ad[2])).astype(jnp.float32)
+                s_max = jnp.max(dmax).astype(jnp.float32)
+                changed = (dmax >= thr).astype(jnp.float32)
+                s_cnt = jnp.sum(changed)
+                lane = lax.broadcasted_iota(jnp.int32, (8, 128), 1)
+                row0 = lax.broadcasted_iota(jnp.int32, (8, 128), 0) == 0
+                tile = jnp.zeros((8, 128), jnp.float32)
+                for k, v in enumerate([s_signed, s_abs, s_max, s_cnt]):
+                    tile = jnp.where(row0 & (lane == k), v, tile)
+                stats_ref[i, 0] = tile
+
+                heat_ref[:] = heat_ref[:] + (
+                    (ad[0] + ad[1] + ad[2]).astype(jnp.float32)
+                    * jnp.float32(1.0 / (3 * 255.0))
+                    * valid_ref[m].astype(jnp.float32))
+
+                if threshold_mode:
+                    out_ref[i, 0] = jnp.where(
+                        dmax >= thr, jnp.int32(255),
+                        jnp.int32(0)).astype(jnp.uint8)
+                else:
+                    for ch in range(3):
+                        out_ref[i, ch] = ad[ch].astype(jnp.uint8)
+
+        @pl.when(fs == n_steps - 1)
+        def _finish():
+            base_out_ref[:] = base_ref[:]
+            heat_out_ref[:] = heat_ref[:]
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1, 2),
+                   donate_argnums=(4, 6))  # baseline/heatmap update in place
+def absdiff_step(props: DiPsProperties, h: int, w: int,
+                 raw: jnp.ndarray, baseline_raw: jnp.ndarray,
+                 snap_flags: jnp.ndarray, heatmap: jnp.ndarray,
+                 valid: jnp.ndarray
+                 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray,
+                            jnp.ndarray]:
+    """Fused-kernel equivalent of ``reference.absdiff_step`` (bit-exact
+    uint8 |cur - baseline| per channel == cv2.absdiff; THRESHOLD mask)."""
+    t = props.temporal_size
+    b = raw.shape[0] - t
+    hp, wp = raw.shape[-2], raw.shape[-1]
+    c = 1 if props.output == OutputMode.THRESHOLD else 3
+    fpb = _frames_per_step(t, b)
+    # per-row VMEM: cur in + out (u8, F-deep, dbl-buffered), 2 u8 base
+    # scratch + base in/out, heat f32 scratch + in/out, i32 temps ~6 planes
+    bytes_per_row = wp * (3 * fpb * 2 + c * fpb * 2 + 3 * 4 + 4 * 5 + 4 * 6)
+    max_rows = max(_VMEM_BUDGET // bytes_per_row, 8)
+    bh = 8
+    for d in range(1, hp // 8 + 1):
+        cand = 8 * d
+        if hp % cand == 0 and cand <= max_rows:
+            bh = cand
+    n_hb = hp // bh
+    warm = t // fpb
+
+    flags_i32 = snap_flags.astype(jnp.int32)
+    valid_i32 = valid.astype(jnp.int32)
+    kernel = _make_raw_kernel(props, h, w, t, b, bh, wp, fpb)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(n_hb, (t + b) // fpb),
+        in_specs=[
+            pl.BlockSpec((fpb, 3, bh, wp), lambda hb, f, *_: (f, 0, hb, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, bh, wp), lambda hb, f, *_: (0, hb, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bh, wp), lambda hb, f, *_: (hb, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec(
+                (fpb, c, bh, wp),
+                lambda hb, f, *_: (jnp.clip(f - warm, 0, b // fpb - 1), 0,
+                                   hb, 0),
+                memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (fpb, 1, 8, 128),
+                lambda hb, f, *_: (jnp.clip(f - warm, 0, b // fpb - 1), hb,
+                                   0, 0),
+                memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, bh, wp), lambda hb, f, *_: (0, hb, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bh, wp), lambda hb, f, *_: (hb, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((3, bh, wp), jnp.uint8),
+            pltpu.VMEM((3, bh, wp), jnp.uint8),
+            pltpu.VMEM((bh, wp), jnp.float32),
+        ],
+    )
+
+    out, parts, new_baseline, new_heatmap = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((b, c, hp, wp), jnp.uint8),
+            jax.ShapeDtypeStruct((b, n_hb, 8, 128), jnp.float32),
+            jax.ShapeDtypeStruct((3, hp, wp), jnp.uint8),
+            jax.ShapeDtypeStruct((hp, wp), jnp.float32),
+        ],
+        interpret=jax.default_backend() == "cpu",
+    )(flags_i32, valid_i32, raw, baseline_raw, heatmap)
+
+    inv = jnp.float32(1.0 / (3 * h * w * 255))
+    parts = parts[:, :, 0, :_PART]
+    stats = jnp.stack([
+        parts[:, :, 0].sum(axis=1) * inv,
+        parts[:, :, 1].sum(axis=1) * inv,
+        parts[:, :, 2].max(axis=1) * jnp.float32(1 / 255.0),
         parts[:, :, 3].sum(axis=1),
     ], axis=-1)
     return out, stats, new_baseline, new_heatmap

@@ -255,8 +255,6 @@ def absdiff_step(props: DiPsProperties, h: int, w: int,
     t = props.temporal_size
     new = raw[t:]                                          # (B, 3, Hp, Wp)
     prev_raw = raw[t - 1:-1]
-    hp, wp = raw.shape[-2], raw.shape[-1]
-    mask = valid_mask(hp, wp, h, w)
 
     if props.method == DiPsMethod.OVERALL:
         def capture(bl, xs):
@@ -269,18 +267,29 @@ def absdiff_step(props: DiPsProperties, h: int, w: int,
         new_baseline = baseline_raw
         baselines = prev_raw
 
-    d16 = jnp.abs(new.astype(jnp.int16) - baselines.astype(jnp.int16))
-    d16 = d16 * mask.astype(jnp.int16)
+    # Integer domain throughout (tile padding is zero in both operands, so
+    # the dead zone contributes nothing to any reduction).
+    signed = baselines.astype(jnp.int16) - new.astype(jnp.int16)
+    d16 = jnp.abs(signed)
     d_u8 = d16.astype(jnp.uint8)                           # (B, 3, Hp, Wp)
+    dmax = jnp.max(d_u8, axis=1, keepdims=True)
 
-    raw_diff = (intensity_planar(baselines, props.chroma)
-                - intensity_planar(new, props.chroma)) * mask
-    stats = masked_stats(raw_diff, h * w, props.change_threshold)
+    # Channel-mean statistics on the uint8 diff (oracle._process_raw).
+    inv = jnp.float32(1.0 / (3 * h * w * 255))
+    sf = signed.astype(jnp.float32)
+    af = d16.astype(jnp.float32)
+    changed = (dmax[:, 0] >= jnp.uint8(props.change_threshold))
+    stats = jnp.stack([
+        jnp.sum(sf, axis=(1, 2, 3)) * inv,
+        jnp.sum(af, axis=(1, 2, 3)) * inv,
+        jnp.max(af, axis=(1, 2, 3)) * jnp.float32(1 / 255.0),
+        jnp.sum(changed.astype(jnp.float32), axis=(1, 2)),
+    ], axis=-1)
     vw = valid.astype(jnp.float32)[:, None, None]
-    heatmap = heatmap + jnp.sum(jnp.abs(raw_diff) * vw, axis=0)
+    heatmap = heatmap + jnp.sum(
+        jnp.sum(af, axis=1) * jnp.float32(1.0 / (3 * 255.0)) * vw, axis=0)
 
     if props.output == OutputMode.THRESHOLD:
-        dmax = jnp.max(d_u8, axis=1, keepdims=True)
         out = jnp.where(dmax >= jnp.uint8(props.change_threshold),
                         jnp.uint8(255), jnp.uint8(0))
     else:

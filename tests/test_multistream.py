@@ -83,3 +83,27 @@ def test_pallas_backend_under_shard_map():
     out_x, stats_x, g_x = ms_x.process_batch(feeds)
     np.testing.assert_array_equal(out_p, out_x)
     np.testing.assert_allclose(stats_p, stats_x, atol=1e-6)
+
+
+def test_run_dips_on_files_cli(tmp_path, capsys):
+    """Multi-video CLI: 3 videos of different lengths, outputs truncated per
+    stream, single-stream parity for stream 0."""
+    from dips_tpu.cli import main as cli_main
+    from dips_tpu.io import VideoReader, moving_square_clip, write_clip
+    lens = [10, 7, 5]
+    paths = []
+    clips = []
+    for i, n in enumerate(lens):
+        c = moving_square_clip(n=n, height=32, width=48, seed=i)
+        p = str(tmp_path / f"v{i}.avi")
+        write_clip(c, p, fps=10)
+        paths.append(p)
+        clips.append(c)
+    outdir = str(tmp_path / "out")
+    rc = cli_main(["--inputs", *paths, "--output-dir", outdir,
+                   "--temporal=2", "--batch=3", "--filter=none"])
+    assert rc == 0
+    assert "3 streams" in capsys.readouterr().out
+    for i, n in enumerate(lens):
+        with VideoReader(str(tmp_path / "out" / f"v{i}.dips.avi")) as r:
+            assert len(list(r)) == n

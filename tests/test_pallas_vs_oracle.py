@@ -91,3 +91,22 @@ def test_pallas_subframe_batching_t4_b8(clip):
     got_out, got_stats = eng.process_frames(list(clip))
     assert_close(exp_out, exp_stats, got_out, got_stats, True,
                  clip.shape[1] * clip.shape[2])
+
+
+@pytest.mark.parametrize("method", [DiPsMethod.OVERALL, DiPsMethod.PER_FRAME])
+@pytest.mark.parametrize("output", [OutputMode.ABSDIFF, OutputMode.THRESHOLD])
+def test_pallas_raw_modes_bit_exact(method, output, clip):
+    """The fused integer absdiff kernel is byte-equal to the oracle (and
+    thus to cv2.absdiff)."""
+    props = DiPsProperties(method=method, output=output, change_threshold=25,
+                           temporal_size=2)
+    o = DiPsOracle(props)
+    exp_out, exp_stats = o.run(clip)
+    if exp_out.ndim == 3:
+        exp_out = exp_out[..., None]
+    eng = DiPsEngine(props, clip.shape[1], clip.shape[2], batch=4,
+                     backend="pallas")
+    got_out, got_stats = eng.process_frames(list(clip))
+    np.testing.assert_array_equal(got_out, exp_out)
+    np.testing.assert_allclose(got_stats, exp_stats, atol=1e-5, rtol=1e-4)
+    np.testing.assert_allclose(eng.heatmap(), o.heatmap, atol=1e-4)
