@@ -22,7 +22,7 @@ import dataclasses
 import logging
 import queue
 import threading
-from typing import Callable, Iterable, Iterator, List, Optional, Sequence, Tuple
+from typing import Callable, Iterator, List, Optional, Sequence, Tuple
 
 import numpy as np
 

@@ -10,7 +10,7 @@ from __future__ import annotations
 
 import os
 import re
-from typing import Iterator, List, Tuple
+from typing import Iterator, List
 
 import numpy as np
 

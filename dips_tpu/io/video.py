@@ -12,7 +12,7 @@ happens here (ref cvt_color calls, dips_alt/src/lib.rs:623-629,654-660).
 from __future__ import annotations
 
 import os
-from typing import Iterator, Optional, Tuple
+from typing import Iterator, Optional
 
 import cv2
 import numpy as np

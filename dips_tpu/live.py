@@ -19,7 +19,6 @@ import sys
 
 import cv2
 
-from .errors import DeviceError
 from .models import DiPsEngine
 from .properties import DiPsProperties
 from .io.video import open_camera

@@ -30,7 +30,7 @@ import jax
 import jax.numpy as jnp
 
 from ..errors import DeviceError
-from ..properties import DiPsMethod, DiPsProperties, OutputMode
+from ..properties import DiPsProperties, OutputMode
 from ..ops import reference
 from ..ops.oracle import NUM_STATS
 from ..ops.reference import pad_geometry

@@ -24,7 +24,7 @@ round-to-nearest-even of an ``rgba8unorm`` store.
 
 from __future__ import annotations
 
-from typing import Dict, Optional, Tuple
+from typing import Optional, Tuple
 
 import numpy as np
 

@@ -44,11 +44,10 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ..properties import (ChromaFilter, DiPsFilter, DiPsMethod,
-                          DiPsProperties, OutputMode)
+from ..properties import (ChromaFilter, DiPsMethod, DiPsProperties,
+                          OutputMode)
 from . import networks
-from .oracle import INV_SIGMOID_EPS, NUM_STATS
-from .reference import emphasize, diff_to_color_planes
+from .reference import emphasize
 
 # Per-(frame, row-block) raw-diff partials: sum, sum_abs, max_abs, count.
 _PART = 4

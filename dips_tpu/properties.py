@@ -21,7 +21,7 @@ from __future__ import annotations
 
 import dataclasses
 import enum
-from typing import Optional, Sequence, Tuple
+from typing import Sequence, Tuple
 
 
 class DiPsFilter(enum.Enum):
