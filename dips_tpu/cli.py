@@ -151,9 +151,15 @@ def main(argv: Optional[List[str]] = None) -> int:
             print("--inputs requires --output-dir", file=sys.stderr)
             return 2
         from .app import run_dips_on_files
-        counts = run_dips_on_files(args.inputs, args.output_dir,
-                                   args.encoding, props, batch=args.batch,
-                                   backend=args.backend)
+        from .errors import DiPsError
+        try:
+            counts = run_dips_on_files(args.inputs, args.output_dir,
+                                       args.encoding, props,
+                                       batch=args.batch,
+                                       backend=args.backend)
+        except (DiPsError, NotImplementedError) as e:
+            print(f"error: {e}", file=sys.stderr)
+            return 1
         print(f"processed {len(counts)} streams "
               f"({int(counts.sum())} frames) -> {args.output_dir}")
         return 0

@@ -107,3 +107,14 @@ def test_run_dips_on_files_cli(tmp_path, capsys):
     for i, n in enumerate(lens):
         with VideoReader(str(tmp_path / "out" / f"v{i}.dips.avi")) as r:
             assert len(list(r)) == n
+
+
+def test_multi_input_cli_raw_mode_clean_error(tmp_path, capsys):
+    from dips_tpu.cli import main as cli_main
+    from dips_tpu.io import moving_square_clip, write_clip
+    p = str(tmp_path / "v.avi")
+    write_clip(moving_square_clip(n=4, height=16, width=24), p)
+    rc = cli_main(["--inputs", p, "--output-dir", str(tmp_path / "o"),
+                   "--output-mode", "absdiff"])
+    assert rc == 1
+    assert "error:" in capsys.readouterr().err

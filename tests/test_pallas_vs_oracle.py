@@ -110,3 +110,16 @@ def test_pallas_raw_modes_bit_exact(method, output, clip):
     np.testing.assert_array_equal(got_out, exp_out)
     np.testing.assert_allclose(got_stats, exp_stats, atol=1e-5, rtol=1e-4)
     np.testing.assert_allclose(eng.heatmap(), o.heatmap, atol=1e-4)
+
+
+def test_pallas_max_temporal_ring(clip):
+    """T=16 (the reference's MAX_TEMPORAL_ARRAY_SIZE) with B=8 -> fpb=8."""
+    props = DiPsProperties(window_size=1, temporal_size=16,
+                           filter=DiPsFilter.UNFILTERED)
+    o = DiPsOracle(props)
+    exp_out, exp_stats = o.run(clip)
+    eng = DiPsEngine(props, clip.shape[1], clip.shape[2], batch=8,
+                     backend="pallas")
+    got_out, got_stats = eng.process_frames(list(clip))
+    assert_close(exp_out, exp_stats, got_out, got_stats, True,
+                 clip.shape[1] * clip.shape[2])
