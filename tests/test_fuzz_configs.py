@@ -1,0 +1,61 @@
+"""Seeded configuration fuzz: random property/geometry combinations must
+hold the parity contract on both backends (CPU: XLA + Pallas interpreter)."""
+
+import numpy as np
+import pytest
+
+from dips_tpu.models import DiPsEngine
+from dips_tpu.ops.oracle import DiPsOracle
+from dips_tpu.properties import (ChromaFilter, DiPsFilter, DiPsMethod,
+                                 DiPsProperties, OutputMode)
+from tests.conftest import make_clip
+from tests.test_engine_vs_oracle import assert_close
+
+
+def _random_props(r: np.random.Generator) -> DiPsProperties:
+    return DiPsProperties(
+        method=r.choice([DiPsMethod.OVERALL, DiPsMethod.PER_FRAME]),
+        output=r.choice([OutputMode.COLORIZE, OutputMode.GRAYSCALE,
+                         OutputMode.ABSDIFF, OutputMode.THRESHOLD]),
+        filter=r.choice([DiPsFilter.SIGMOID, DiPsFilter.INVERSE_SIGMOID,
+                         DiPsFilter.UNFILTERED]),
+        chroma=r.choice(list(ChromaFilter)),
+        window_size=int(r.integers(1, 8)),          # clamped to odd
+        temporal_size=int(r.integers(1, 7)),
+        sensitivity=float(r.uniform(0.5, 8.0)),
+        sigmoid_horizontal_scalar=float(r.uniform(0.0, 12.0)),  # clamped
+        refresh_markers=tuple(int(m) for m in
+                              r.choice(20, size=r.integers(0, 3),
+                                       replace=False)),
+        change_threshold=int(r.integers(1, 60)),
+    )
+
+
+@pytest.mark.parametrize("seed", range(8))
+def test_fuzzed_config_parity(seed):
+    r = np.random.default_rng(1000 + seed)
+    props = _random_props(r)
+    h = int(r.integers(9, 30))
+    w = int(r.integers(20, 150))
+    n = int(r.integers(4, 12))
+    batch = int(r.integers(1, 7))
+    frames = make_clip(n=n, h=h, w=w, seed=seed)
+
+    o = DiPsOracle(props)
+    exp_out, exp_stats = o.run(frames)
+    if exp_out.ndim == 3:
+        exp_out = exp_out[..., None]
+
+    raw = props.output in (OutputMode.ABSDIFF, OutputMode.THRESHOLD)
+    exact = raw or props.filter == DiPsFilter.UNFILTERED
+    for backend in ("xla", "pallas"):
+        eng = DiPsEngine(props, h, w, batch=batch, backend=backend)
+        got_out, got_stats = eng.process_frames(list(frames))
+        if raw:
+            np.testing.assert_array_equal(got_out, exp_out, err_msg=str(props))
+            np.testing.assert_allclose(got_stats, exp_stats, atol=1e-4,
+                                       rtol=1e-4, err_msg=str(props))
+        else:
+            assert_close(exp_out, exp_stats, got_out, got_stats, exact, h * w)
+        np.testing.assert_allclose(eng.heatmap(), o.heatmap, atol=1e-3,
+                                   err_msg=str(props))
