@@ -54,13 +54,11 @@ def make_sharded_step(props: DiPsProperties, h: int, w: int, mesh: Mesh,
     mean (rides ICI).
     """
     raw_mode = props.output in _RAW_MODES
-    if raw_mode:
-        step = reference.absdiff_step.__wrapped__
-    elif backend == "pallas":
-        from ..ops import pallas_fused
-        step = pallas_fused.batch_step.__wrapped__
+    if backend == "pallas":
+        from ..ops import pallas_fused as mod
     else:
-        step = reference.batch_step.__wrapped__
+        mod = reference
+    step = (mod.absdiff_step if raw_mode else mod.batch_step).__wrapped__
     n_dev = mesh.devices.size
 
     def per_shard(raw, baseline, flags, heatmap, valid):
@@ -96,10 +94,8 @@ class MultiStreamEngine:
     def __init__(self, props: DiPsProperties, height: int, width: int,
                  n_streams: int, batch: int = 8,
                  mesh: Optional[Mesh] = None, backend: str = "xla"):
-        if props.output in _RAW_MODES:
-            raise NotImplementedError(
-                "MultiStreamEngine currently supports median-pipeline modes")
         self.props = props
+        self._raw_mode = props.output in _RAW_MODES
         self.height, self.width = int(height), int(width)
         self.hp, self.wp = reference.pad_geometry(height, width)
         self.batch = int(batch)
@@ -117,8 +113,12 @@ class MultiStreamEngine:
         t = self.props.temporal_size
         self.frame_index = 0
         self._tails = [None] * self.n_streams
-        self._baseline = jnp.zeros((self.n_streams, self.hp, self.wp),
-                                   jnp.float32)
+        if self._raw_mode:
+            self._baseline = jnp.zeros(
+                (self.n_streams, 3, self.hp, self.wp), jnp.uint8)
+        else:
+            self._baseline = jnp.zeros((self.n_streams, self.hp, self.wp),
+                                       jnp.float32)
         self._heatmap = jnp.zeros((self.n_streams, self.hp, self.wp),
                                   jnp.float32)
         self.failed: dict[int, StreamError] = {}

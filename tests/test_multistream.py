@@ -7,7 +7,7 @@ import pytest
 from dips_tpu.parallel import MultiStreamEngine, make_sharded_step, stream_mesh
 from dips_tpu.models import DiPsEngine
 from dips_tpu.ops.oracle import DiPsOracle
-from dips_tpu.properties import DiPsFilter, DiPsProperties
+from dips_tpu.properties import DiPsFilter, DiPsProperties, OutputMode
 from tests.conftest import make_clip
 
 
@@ -109,12 +109,27 @@ def test_run_dips_on_files_cli(tmp_path, capsys):
             assert len(list(r)) == n
 
 
-def test_multi_input_cli_raw_mode_clean_error(tmp_path, capsys):
+def test_multi_input_cli_raw_mode(tmp_path, capsys):
+    """Raw modes work through the multi-stream CLI path too."""
+    import os
     from dips_tpu.cli import main as cli_main
     from dips_tpu.io import moving_square_clip, write_clip
     p = str(tmp_path / "v.avi")
     write_clip(moving_square_clip(n=4, height=16, width=24), p)
     rc = cli_main(["--inputs", p, "--output-dir", str(tmp_path / "o"),
-                   "--output-mode", "absdiff"])
-    assert rc == 1
-    assert "error:" in capsys.readouterr().err
+                   "--output-mode", "absdiff", "--temporal=2", "--batch=2"])
+    assert rc == 0
+    assert os.path.exists(tmp_path / "o" / "v.dips.avi")
+
+
+def test_multistream_raw_matches_single():
+    props = DiPsProperties(output=OutputMode.ABSDIFF, temporal_size=2)
+    h, w = 12, 40
+    clips = [make_clip(n=4, h=h, w=w, seed=s) for s in range(8)]
+    ms = MultiStreamEngine(props, h, w, n_streams=8, batch=4)
+    out, stats, _ = ms.process_batch([list(c) for c in clips])
+    for s, c in enumerate(clips):
+        eng = DiPsEngine(props, h, w, batch=4)
+        exp_out, exp_stats = eng.process_frames(list(c))
+        np.testing.assert_array_equal(out[s], exp_out)
+        np.testing.assert_allclose(stats[s], exp_stats, atol=1e-5)
