@@ -59,3 +59,34 @@ def test_fuzzed_config_parity(seed):
             assert_close(exp_out, exp_stats, got_out, got_stats, exact, h * w)
         np.testing.assert_allclose(eng.heatmap(), o.heatmap, atol=1e-3,
                                    err_msg=str(props))
+
+
+@pytest.mark.parametrize("fill", [0, 255])
+def test_saturated_frames(fill):
+    """All-black / all-white frames: clip boundaries and zero diffs."""
+    frames = np.full((5, 16, 40, 3), fill, np.uint8)
+    props = DiPsProperties(window_size=3, temporal_size=2)
+    o = DiPsOracle(props)
+    exp_out, exp_stats = o.run(frames)
+    np.testing.assert_array_equal(exp_stats, 0)
+    for backend in ("xla", "pallas"):
+        eng = DiPsEngine(props, 16, 40, batch=3, backend=backend)
+        got_out, got_stats = eng.process_frames(list(frames))
+        np.testing.assert_array_equal(got_stats, 0)
+        d = np.abs(got_out.astype(int) - exp_out.astype(int))
+        assert d.max() <= 1
+
+
+def test_full_scale_step_change():
+    """0 -> 255 scene change: diff saturates, colorize clips cleanly."""
+    frames = np.zeros((6, 16, 40, 3), np.uint8)
+    frames[3:] = 255
+    props = DiPsProperties(window_size=1, temporal_size=1,
+                           filter=DiPsFilter.UNFILTERED, sensitivity=5.0)
+    o = DiPsOracle(props)
+    exp_out, exp_stats = o.run(frames)
+    assert exp_stats[3, 2] == 1.0  # max |diff| saturates at full scale
+    eng = DiPsEngine(props, 16, 40, batch=3, backend="pallas")
+    got_out, got_stats = eng.process_frames(list(frames))
+    np.testing.assert_array_equal(got_out, exp_out)
+    np.testing.assert_allclose(got_stats, exp_stats, atol=1e-6)
