@@ -1,0 +1,146 @@
+"""Row-sharded single-stream processing: spatial parallelism over the mesh.
+
+Data parallelism over streams (multistream.py) is the primary scaling axis,
+but a single enormous stream (e.g. 8K/16K scientific captures) can also be
+split *spatially*: each device owns a horizontal slab of every frame, and
+the spatial median's stencil halo rows are exchanged between neighbouring
+devices over ICI with ``jax.lax.ppermute`` before filtering — the sequence-
+parallel analogue for this workload (frames have no sequence axis to split,
+but they do have rows; SURVEY.md §2 calls every other axis N/A).
+
+Everything else (temporal median, baseline capture, diff, emphasis, stats)
+is row-local, so after the halo exchange each shard runs the standard
+pipeline stages on its slab; per-frame statistics are reduced with ``psum``.
+
+Semantics match ``ops/reference.batch_step`` exactly (same oracle) — tested
+slab-for-slab against the single-device path.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.sharding import Mesh, PartitionSpec as P
+
+from ..properties import DiPsMethod, DiPsProperties, OutputMode
+from ..ops import reference
+from ..ops.networks import median_of, window_median
+
+
+def _halo_exchange(slab: jnp.ndarray, p: int, axis: str) -> jnp.ndarray:
+    """(..., Hs, W) -> (..., Hs + 2p, W): neighbours' boundary rows over ICI.
+
+    The first shard's top halo and the last shard's bottom halo are zero
+    (the pipeline's zero out-of-bounds stencil semantics).
+    """
+    n = lax.axis_size(axis)
+    idx = lax.axis_index(axis)
+    # send my bottom rows DOWN (to idx+1) -> they become his top halo
+    down = [(i, (i + 1) % n) for i in range(n)]
+    top_halo = lax.ppermute(slab[..., -p:, :], axis, down)
+    # send my top rows UP (to idx-1) -> they become his bottom halo
+    up = [(i, (i - 1) % n) for i in range(n)]
+    bottom_halo = lax.ppermute(slab[..., :p, :], axis, up)
+    zero = jnp.zeros_like(top_halo)
+    top_halo = jnp.where(idx == 0, zero, top_halo)
+    bottom_halo = jnp.where(idx == n - 1, zero, bottom_halo)
+    return jnp.concatenate([top_halo, slab, bottom_halo], axis=-2)
+
+
+def make_rowsharded_step(props: DiPsProperties, h: int, w: int, mesh: Mesh,
+                         axis: str = "rows"):
+    """Jitted single-stream step with the H axis sharded over ``mesh``.
+
+    Maps raw u8 (T+B, 3, Hp, Wp), baseline f32 (Hp, Wp), flags (B,),
+    heatmap (Hp, Wp), valid (B,) -> (out u8 (B, C, Hp, Wp),
+    stats (B, NUM_STATS), new baseline, new heatmap); Hp must divide evenly
+    by the mesh size.  Median/emphasis modes only (raw modes have no stencil
+    and gain nothing from row sharding).
+    """
+    if props.output in (OutputMode.ABSDIFF, OutputMode.THRESHOLD):
+        raise ValueError("row sharding applies to the median pipeline modes")
+    t = props.temporal_size
+    window = props.window_size
+    p = window // 2
+    n_dev = mesh.devices.size
+
+    def per_shard(raw, baseline, flags, heatmap, valid):
+        hs, wp = raw.shape[-2], raw.shape[-1]
+        if hs < p:
+            raise ValueError(
+                f"row slab of {hs} rows < stencil halo {p}: too many devices"
+                f" for this frame height")
+        row0 = lax.axis_index(axis) * hs
+
+        planes = reference.intensity_planar(raw, props.chroma)
+        if window > 1:
+            ext = _halo_exchange(planes, p, axis)     # (T+B, Hs+2p, Wp)
+            # x taps stay local: pad W by p zeros as in the single-dev path
+            ext = jnp.pad(ext, [(0, 0), (0, 0), (p, p)])
+            vtaps = [ext[:, dy:dy + hs, :] for dy in range(window)]
+
+            def shift(x, dx):
+                return x[..., p + dx:p + dx + wp]
+
+            filtered = window_median(vtaps, shift, jnp.minimum, jnp.maximum)
+        else:
+            filtered = planes
+        cur_all = reference.temporal_median_windows(filtered, t)
+        prev, cur = cur_all[:-1], cur_all[1:]
+
+        if props.method == DiPsMethod.OVERALL:
+            def capture(bl, xs):
+                c, flag = xs
+                bl = jnp.where(flag, c, bl)
+                return bl, bl
+            new_baseline, baselines = lax.scan(capture, baseline,
+                                               (cur, flags))
+            raw_diff = baselines - cur
+        else:
+            new_baseline = baseline
+            raw_diff = prev - cur
+
+        rows = lax.broadcasted_iota(jnp.int32, (hs, wp), 0) + row0
+        cols = lax.broadcasted_iota(jnp.int32, (hs, wp), 1)
+        mask = ((rows < h) & (cols < w)).astype(jnp.float32)
+        raw_diff = raw_diff * mask
+
+        # stats: local partials + psum over the row mesh
+        a = jnp.abs(raw_diff)
+        thr = jnp.float32(props.change_threshold) / jnp.float32(255.0)
+        inv_n = jnp.float32(1.0 / (h * w))
+        stats = jnp.stack([
+            lax.psum(jnp.sum(raw_diff, axis=(-2, -1)), axis) * inv_n,
+            lax.psum(jnp.sum(a, axis=(-2, -1)), axis) * inv_n,
+            lax.pmax(jnp.max(a, axis=(-2, -1)), axis),
+            lax.psum(jnp.sum((a >= thr).astype(jnp.float32), axis=(-2, -1)),
+                     axis),
+        ], axis=-1)
+        vw = valid.astype(jnp.float32)[:, None, None]
+        heatmap = heatmap + jnp.sum(a * vw, axis=0)
+
+        d = reference.emphasize(raw_diff, props.filter,
+                                props.sigmoid_horizontal_scalar,
+                                props.sensitivity)
+        if props.output == OutputMode.COLORIZE:
+            r, g, bch = reference.diff_to_color_planes(d)
+            out = jnp.stack([r, g, bch], axis=1)
+        else:
+            out = (jnp.float32(0.5) - d)[:, None]
+        if props.method == DiPsMethod.OVERALL:
+            flag_b = flags[:, None, None, None]
+            out = jnp.where(flag_b, cur[:, None], out)
+        return reference.quantize_u8(out), stats, new_baseline, heatmap
+
+    sharded = jax.shard_map(
+        per_shard, mesh=mesh,
+        in_specs=(P(None, None, axis, None), P(axis, None), P(None),
+                  P(axis, None), P(None)),
+        out_specs=(P(None, None, axis, None), P(None), P(axis, None),
+                   P(axis, None)),
+        check_vma=False)
+    return jax.jit(sharded, donate_argnums=(1, 3))

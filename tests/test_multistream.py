@@ -133,3 +133,52 @@ def test_multistream_raw_matches_single():
         exp_out, exp_stats = eng.process_frames(list(c))
         np.testing.assert_array_equal(out[s], exp_out)
         np.testing.assert_allclose(stats[s], exp_stats, atol=1e-5)
+
+
+def test_rowsharded_matches_single_device():
+    """One stream with rows sharded over 8 devices == single-device path
+    (exercises the ppermute halo exchange for every window size)."""
+    import jax.numpy as jnp
+    from dips_tpu.ops import reference
+    from dips_tpu.ops.reference import pad_geometry
+    from dips_tpu.parallel.rowsharded import make_rowsharded_step
+    from dips_tpu.parallel import stream_mesh
+
+    h, w, b, t = 32, 40, 4, 2
+    hp, wp = pad_geometry(h, w)
+    mesh = stream_mesh()
+    mesh = jax.sharding.Mesh(mesh.devices, ("rows",))
+    r = np.random.default_rng(0)
+    raw = jnp.asarray(r.integers(0, 256, (t + b, 3, hp, wp), np.uint8))
+    flags = jnp.asarray(np.array([True, False, False, False]))
+    valid = jnp.ones((b,), bool)
+
+    for window in (1, 3, 5, 7):
+        props = DiPsProperties(window_size=window, temporal_size=t,
+                               filter=DiPsFilter.UNFILTERED)
+        exp = reference.batch_step(
+            props, h, w, raw, jnp.zeros((hp, wp), jnp.float32), flags,
+            jnp.zeros((hp, wp), jnp.float32), valid)
+        step = make_rowsharded_step(props, h, w, mesh)
+        got = step(raw, jnp.zeros((hp, wp), jnp.float32), flags,
+                   jnp.zeros((hp, wp), jnp.float32), valid)
+        np.testing.assert_array_equal(np.asarray(got[0]), np.asarray(exp[0]))
+        np.testing.assert_allclose(np.asarray(got[1]), np.asarray(exp[1]),
+                                   atol=1e-5)
+        np.testing.assert_allclose(np.asarray(got[2]), np.asarray(exp[2]),
+                                   atol=1e-6)
+        np.testing.assert_allclose(np.asarray(got[3]), np.asarray(exp[3]),
+                                   atol=1e-5)
+
+
+def test_rowsharded_rejects_too_small_slabs():
+    from dips_tpu.parallel.rowsharded import make_rowsharded_step
+    import jax.numpy as jnp
+    mesh = jax.sharding.Mesh(np.asarray(jax.devices()), ("rows",))
+    props = DiPsProperties(window_size=7, temporal_size=1)
+    step = make_rowsharded_step(props, 16, 24, mesh)  # slabs of 2 < halo 3
+    with pytest.raises(Exception):
+        step(jnp.zeros((3, 3, 16, 128), jnp.uint8),
+             jnp.zeros((16, 128), jnp.float32),
+             jnp.zeros((2,), bool), jnp.zeros((16, 128), jnp.float32),
+             jnp.ones((2,), bool))
