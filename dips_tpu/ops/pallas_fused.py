@@ -154,15 +154,16 @@ def _make_kernel(props: DiPsProperties, h: int, w: int, t: int, b: int,
         for i in range(fpb):
             gf = fs * fpb + i  # global frame index in [0, T+B)
 
-            # ---- intensity strip with 8-row halos ----------------------
+            # ---- intensity strip with p-row halos ----------------------
             strip_ref[8:8 + bh] = _intensity(cur_ref[i], props.chroma)
             if p > 0:
-                up = _intensity(up_ref[i], props.chroma)
-                dn = _intensity(dn_ref[i], props.chroma)
-                zero8 = jnp.zeros((8, wp), jnp.float32)
-                strip_ref[0:8] = jnp.where(hb > 0, up, zero8)
-                strip_ref[8 + bh:16 + bh] = jnp.where(
-                    hb < n_hb - 1, dn, zero8)
+                # convert only the p halo rows the stencil actually reads
+                up = _intensity(up_ref[i, :, 8 - p:8], props.chroma)
+                dn = _intensity(dn_ref[i, :, 0:p], props.chroma)
+                zerop = jnp.zeros((p, wp), jnp.float32)
+                strip_ref[8 - p:8] = jnp.where(hb > 0, up, zerop)
+                strip_ref[8 + bh:8 + bh + p] = jnp.where(
+                    hb < n_hb - 1, dn, zerop)
 
             # ---- spatial median: shared column sorts + pruned merge ----
             if window > 1:
