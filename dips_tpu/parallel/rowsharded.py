@@ -69,72 +69,8 @@ def make_rowsharded_step(props: DiPsProperties, h: int, w: int, mesh: Mesh,
     n_dev = mesh.devices.size
 
     def per_shard(raw, baseline, flags, heatmap, valid):
-        hs, wp = raw.shape[-2], raw.shape[-1]
-        if hs < p:
-            raise ValueError(
-                f"row slab of {hs} rows < stencil halo {p}: too many devices"
-                f" for this frame height")
-        row0 = lax.axis_index(axis) * hs
-
-        planes = reference.intensity_planar(raw, props.chroma)
-        if window > 1:
-            ext = _halo_exchange(planes, p, axis)     # (T+B, Hs+2p, Wp)
-            # x taps stay local: pad W by p zeros as in the single-dev path
-            ext = jnp.pad(ext, [(0, 0), (0, 0), (p, p)])
-            vtaps = [ext[:, dy:dy + hs, :] for dy in range(window)]
-
-            def shift(x, dx):
-                return x[..., p + dx:p + dx + wp]
-
-            filtered = window_median(vtaps, shift, jnp.minimum, jnp.maximum)
-        else:
-            filtered = planes
-        cur_all = reference.temporal_median_windows(filtered, t)
-        prev, cur = cur_all[:-1], cur_all[1:]
-
-        if props.method == DiPsMethod.OVERALL:
-            def capture(bl, xs):
-                c, flag = xs
-                bl = jnp.where(flag, c, bl)
-                return bl, bl
-            new_baseline, baselines = lax.scan(capture, baseline,
-                                               (cur, flags))
-            raw_diff = baselines - cur
-        else:
-            new_baseline = baseline
-            raw_diff = prev - cur
-
-        rows = lax.broadcasted_iota(jnp.int32, (hs, wp), 0) + row0
-        cols = lax.broadcasted_iota(jnp.int32, (hs, wp), 1)
-        mask = ((rows < h) & (cols < w)).astype(jnp.float32)
-        raw_diff = raw_diff * mask
-
-        # stats: local partials + psum over the row mesh
-        a = jnp.abs(raw_diff)
-        thr = jnp.float32(props.change_threshold) / jnp.float32(255.0)
-        inv_n = jnp.float32(1.0 / (h * w))
-        stats = jnp.stack([
-            lax.psum(jnp.sum(raw_diff, axis=(-2, -1)), axis) * inv_n,
-            lax.psum(jnp.sum(a, axis=(-2, -1)), axis) * inv_n,
-            lax.pmax(jnp.max(a, axis=(-2, -1)), axis),
-            lax.psum(jnp.sum((a >= thr).astype(jnp.float32), axis=(-2, -1)),
-                     axis),
-        ], axis=-1)
-        vw = valid.astype(jnp.float32)[:, None, None]
-        heatmap = heatmap + jnp.sum(a * vw, axis=0)
-
-        d = reference.emphasize(raw_diff, props.filter,
-                                props.sigmoid_horizontal_scalar,
-                                props.sensitivity)
-        if props.output == OutputMode.COLORIZE:
-            r, g, bch = reference.diff_to_color_planes(d)
-            out = jnp.stack([r, g, bch], axis=1)
-        else:
-            out = (jnp.float32(0.5) - d)[:, None]
-        if props.method == DiPsMethod.OVERALL:
-            flag_b = flags[:, None, None, None]
-            out = jnp.where(flag_b, cur[:, None], out)
-        return reference.quantize_u8(out), stats, new_baseline, heatmap
+        return _row_body(props, h, w, raw, baseline, flags, heatmap, valid,
+                         axis)
 
     sharded = jax.shard_map(
         per_shard, mesh=mesh,
@@ -144,3 +80,79 @@ def make_rowsharded_step(props: DiPsProperties, h: int, w: int, mesh: Mesh,
                    P(axis, None)),
         check_vma=False)
     return jax.jit(sharded, donate_argnums=(1, 3))
+
+
+def _row_body(props, h, w, raw, baseline, flags, heatmap, valid, axis):
+    """Single-stream row-slab pipeline body (shared with rowsharded.py's
+    per_shard, factored for vmap over streams).
+
+    Statistics here are reduced over ``axis`` only; the caller combines
+    streams.
+    """
+    from ..ops import reference
+    from ..ops.networks import window_median
+
+    t = props.temporal_size
+    window = props.window_size
+    p = window // 2
+    hs, wp = raw.shape[-2], raw.shape[-1]
+    if hs < p:
+        raise ValueError(f"row slab {hs} < halo {p}")
+    from .rowsharded import _halo_exchange
+    row0 = lax.axis_index(axis) * hs
+
+    planes = reference.intensity_planar(raw, props.chroma)
+    if window > 1:
+        ext = _halo_exchange(planes, p, axis)
+        ext = jnp.pad(ext, [(0, 0), (0, 0), (p, p)])
+        vtaps = [ext[:, dy:dy + hs, :] for dy in range(window)]
+
+        def shift(x, dx):
+            return x[..., p + dx:p + dx + wp]
+
+        filtered = window_median(vtaps, shift, jnp.minimum, jnp.maximum)
+    else:
+        filtered = planes
+    cur_all = reference.temporal_median_windows(filtered, t)
+    prev, cur = cur_all[:-1], cur_all[1:]
+
+    from ..properties import DiPsMethod
+    if props.method == DiPsMethod.OVERALL:
+        def capture(bl, xs):
+            c, flag = xs
+            return jnp.where(flag, c, bl), jnp.where(flag, c, bl)
+        new_baseline, baselines = lax.scan(capture, baseline, (cur, flags))
+        raw_diff = baselines - cur
+    else:
+        new_baseline = baseline
+        raw_diff = prev - cur
+
+    rows = lax.broadcasted_iota(jnp.int32, (hs, wp), 0) + row0
+    cols = lax.broadcasted_iota(jnp.int32, (hs, wp), 1)
+    mask = ((rows < h) & (cols < w)).astype(jnp.float32)
+    raw_diff = raw_diff * mask
+
+    a = jnp.abs(raw_diff)
+    thr = jnp.float32(props.change_threshold) / jnp.float32(255.0)
+    inv_n = jnp.float32(1.0 / (h * w))
+    stats = jnp.stack([
+        lax.psum(jnp.sum(raw_diff, axis=(-2, -1)), axis) * inv_n,
+        lax.psum(jnp.sum(a, axis=(-2, -1)), axis) * inv_n,
+        lax.pmax(jnp.max(a, axis=(-2, -1)), axis),
+        lax.psum(jnp.sum((a >= thr).astype(jnp.float32), axis=(-2, -1)),
+                 axis),
+    ], axis=-1)
+    vw = valid.astype(jnp.float32)[:, None, None]
+    heatmap = heatmap + jnp.sum(a * vw, axis=0)
+
+    d = reference.emphasize(raw_diff, props.filter,
+                            props.sigmoid_horizontal_scalar,
+                            props.sensitivity)
+    if props.output == OutputMode.COLORIZE:
+        r_, g_, b_ = reference.diff_to_color_planes(d)
+        out = jnp.stack([r_, g_, b_], axis=1)
+    else:
+        out = (jnp.float32(0.5) - d)[:, None]
+    if props.method == DiPsMethod.OVERALL:
+        out = jnp.where(flags[:, None, None, None], cur[:, None], out)
+    return reference.quantize_u8(out), stats, new_baseline, heatmap

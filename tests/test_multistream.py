@@ -182,3 +182,38 @@ def test_rowsharded_rejects_too_small_slabs():
              jnp.zeros((16, 128), jnp.float32),
              jnp.zeros((2,), bool), jnp.zeros((16, 128), jnp.float32),
              jnp.ones((2,), bool))
+
+
+def test_grid2d_streams_by_rows():
+    """2-D mesh (2 streams x 4 row slabs): matches single-device runs."""
+    from dips_tpu.ops import reference
+    from dips_tpu.ops.reference import pad_geometry
+    from dips_tpu.parallel.grid2d import grid_mesh, make_grid_step
+    import jax.numpy as jnp
+
+    props = DiPsProperties(window_size=3, temporal_size=2,
+                           filter=DiPsFilter.UNFILTERED)
+    h, w, b, t, s = 32, 40, 4, 2, 2
+    hp, wp = pad_geometry(h, w)
+    mesh = grid_mesh(2, 4)
+    r = np.random.default_rng(3)
+    raw = jnp.asarray(r.integers(0, 256, (s, t + b, 3, hp, wp), np.uint8))
+    flags = jnp.asarray(np.tile([True, False, False, False], (s, 1)))
+    valid = jnp.ones((s, b), bool)
+    baseline = jnp.zeros((s, hp, wp), jnp.float32)
+    heatmap = jnp.zeros((s, hp, wp), jnp.float32)
+
+    step = make_grid_step(props, h, w, mesh)
+    out, stats, nb, nh, gmean = step(raw, baseline, flags, heatmap, valid)
+
+    means = []
+    for si in range(s):
+        exp = reference.batch_step(
+            props, h, w, raw[si], jnp.zeros((hp, wp), jnp.float32),
+            flags[si], jnp.zeros((hp, wp), jnp.float32), valid[si])
+        np.testing.assert_array_equal(np.asarray(out[si]),
+                                      np.asarray(exp[0]))
+        np.testing.assert_allclose(np.asarray(stats[si]),
+                                   np.asarray(exp[1]), atol=1e-5)
+        means.append(np.asarray(exp[1])[:, 1])
+    np.testing.assert_allclose(float(gmean), np.mean(means), rtol=1e-5)
