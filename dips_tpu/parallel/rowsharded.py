@@ -18,9 +18,6 @@ slab-for-slab against the single-device path.
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
-
-import numpy as np
 import jax
 import jax.numpy as jnp
 from jax import lax
@@ -28,7 +25,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 from ..properties import DiPsMethod, DiPsProperties, OutputMode
 from ..ops import reference
-from ..ops.networks import median_of, window_median
+from ..ops.networks import window_median
 
 
 def _halo_exchange(slab: jnp.ndarray, p: int, axis: str) -> jnp.ndarray:
@@ -63,11 +60,6 @@ def make_rowsharded_step(props: DiPsProperties, h: int, w: int, mesh: Mesh,
     """
     if props.output in (OutputMode.ABSDIFF, OutputMode.THRESHOLD):
         raise ValueError("row sharding applies to the median pipeline modes")
-    t = props.temporal_size
-    window = props.window_size
-    p = window // 2
-    n_dev = mesh.devices.size
-
     def per_shard(raw, baseline, flags, heatmap, valid):
         return _row_body(props, h, w, raw, baseline, flags, heatmap, valid,
                          axis)
@@ -89,16 +81,12 @@ def _row_body(props, h, w, raw, baseline, flags, heatmap, valid, axis):
     Statistics here are reduced over ``axis`` only; the caller combines
     streams.
     """
-    from ..ops import reference
-    from ..ops.networks import window_median
-
     t = props.temporal_size
     window = props.window_size
     p = window // 2
     hs, wp = raw.shape[-2], raw.shape[-1]
     if hs < p:
         raise ValueError(f"row slab {hs} < halo {p}")
-    from .rowsharded import _halo_exchange
     row0 = lax.axis_index(axis) * hs
 
     planes = reference.intensity_planar(raw, props.chroma)
@@ -116,7 +104,6 @@ def _row_body(props, h, w, raw, baseline, flags, heatmap, valid, axis):
     cur_all = reference.temporal_median_windows(filtered, t)
     prev, cur = cur_all[:-1], cur_all[1:]
 
-    from ..properties import DiPsMethod
     if props.method == DiPsMethod.OVERALL:
         def capture(bl, xs):
             c, flag = xs
