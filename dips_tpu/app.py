@@ -133,31 +133,35 @@ def stream_dips(job: DiPsJob) -> Iterator[Tuple[int, np.ndarray, np.ndarray,
     h, w = engine.height, engine.width
     timers = StageTimers() if job.profile else None
     job.timers = timers
+    t = job.properties.temporal_size
     try:
         eos = False
         while not eos:
-            batch: List[np.ndarray] = []
-            while len(batch) < job.batch:
-                slot = np.empty((3, hp, wp), np.uint8)
-                rc = ring.pop(slot, timeout_ms=30000)
+            # pop decoded frames straight into the device batch buffer —
+            # no intermediate staging copy
+            buf = engine.new_batch_buffer()
+            n = 0
+            while n < job.batch:
+                rc = ring.pop(buf[t + n], timeout_ms=30000)
                 if rc == -1:
                     eos = True
                     break
                 if rc == -2:
-                    if batch:
+                    if n:
                         break  # flush what we have
                     raise DecodeError("decode stalled (ring timeout)")
-                batch.append(slot)
+                n += 1
             if errbox:
                 raise DecodeError(str(errbox[0])) from errbox[0]
-            if not batch:
+            if n == 0:
                 break
+            batch = [buf[t + i] for i in range(n)]
             if timers:
                 with timers.stage("device"):
-                    outs, stats = engine.process_planar(batch)
-                timers.add_frames(len(batch))
+                    outs, stats = engine.process_buffer(buf, n)
+                timers.add_frames(n)
             else:
-                outs, stats = engine.process_planar(batch)
+                outs, stats = engine.process_buffer(buf, n)
             if job.denoise_radius:
                 from .ops.analysis import denoise_frames
                 outs = np.asarray(

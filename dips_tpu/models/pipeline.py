@@ -123,10 +123,35 @@ class DiPsEngine:
         """
         return self.process_planar([self._planarize(f) for f in frames])
 
+    def new_batch_buffer(self) -> np.ndarray:
+        """Allocate a (T+B, 3, Hp, Wp) uint8 batch buffer.  Fill rows
+        [T : T+n] with planarized frames (e.g. pop the decode ring straight
+        into ``buf[T+i]``) and pass to :meth:`process_buffer` — the
+        zero-extra-copy streaming path."""
+        t = self.props.temporal_size
+        return np.empty((t + self.batch, 3, self.hp, self.wp), np.uint8)
+
+    def process_buffer(self, buf: np.ndarray, n: int
+                       ) -> Tuple[np.ndarray, np.ndarray]:
+        """Process ``n`` frames already written at ``buf[T:T+n]`` (padded
+        planar layout); the engine fills the tail rows and padding."""
+        if n < 1 or n > self.batch:
+            raise ValueError(f"n={n} outside 1..{self.batch}")
+        t = self.props.temporal_size
+        b = self.batch
+        if not self._tail:  # first batch: prefill ring with frame 0
+            self._tail.extend([buf[t].copy()] * t)
+        buf[:t] = np.stack(list(self._tail))
+        for i in range(n, b):
+            buf[t + i] = buf[t + n - 1]  # replicate last for padding
+        # tail for the next batch = last T real frames
+        self._tail.extend(buf[t + max(0, n - t):t + n].copy())
+        return self._dispatch(buf, n)
+
     def process_planar(self, planar: Sequence[np.ndarray]
                        ) -> Tuple[np.ndarray, np.ndarray]:
-        """Process frames already in padded planar (3, Hp, Wp) uint8 layout
-        (the zero-copy entry used by the native decode path)."""
+        """Process frames already in padded planar (3, Hp, Wp) uint8
+        layout."""
         n = len(planar)
         if n == 0:
             return (np.zeros((0, self.height, self.width,
@@ -134,16 +159,16 @@ class DiPsEngine:
                     np.zeros((0, NUM_STATS), np.float32))
         if n > self.batch:
             raise ValueError(f"got {n} frames > batch {self.batch}")
+        buf = self.new_batch_buffer()
+        t = self.props.temporal_size
+        for i in range(n):
+            buf[t + i] = planar[i]
+        return self.process_buffer(buf, n)
+
+    def _dispatch(self, buf: np.ndarray, n: int
+                  ) -> Tuple[np.ndarray, np.ndarray]:
         t = self.props.temporal_size
         b = self.batch
-
-        if not self._tail:  # first batch: prefill ring with frame 0
-            self._tail.extend([planar[0]] * t)
-
-        buf = np.empty((t + b, 3, self.hp, self.wp), np.uint8)
-        buf[:t] = np.stack(list(self._tail))
-        for i in range(b):
-            buf[t + i] = planar[min(i, n - 1)]  # replicate last for padding
 
         flags = np.zeros((b,), np.bool_)
         valid = np.zeros((b,), np.bool_)
@@ -158,9 +183,6 @@ class DiPsEngine:
             self.props, self.height, self.width,
             jnp.asarray(buf), self._baseline, jnp.asarray(flags),
             self._heatmap, jnp.asarray(valid))
-
-        # host-side stream state update (real frames only)
-        self._tail.extend(planar)
         self.frame_index += n
 
         out_np = np.asarray(out[:n])
