@@ -10,7 +10,9 @@ from .properties import (ChromaFilter, DiPsFilter, DiPsMethod, DiPsProperties,
                          Encoding, OutputMode)
 from .models import DiPsEngine
 from .app import (DiPsJob, custom_dips_on_files, extract_thumbnail,
-                  perform_dips, run_dips_on_file, stream_dips)
+                  init_frame_extractor, init_thumbnail_extractor,
+                  perform_dips, run_dips_app, run_dips_on_file,
+                  run_dips_on_files, stream_dips)
 
 __version__ = "0.1.0"
 
@@ -19,6 +21,8 @@ __all__ = [
     "DiPsMethod", "DiPsProperties", "DecodeError", "DeviceError", "Encoding",
     "EncodeError", "FrameCallbackError", "OutputMode", "OutputPathError",
     "StreamError", "VideoPathError", "custom_dips_on_files",
-    "extract_thumbnail", "perform_dips", "run_dips_on_file", "stream_dips",
+    "extract_thumbnail", "init_frame_extractor", "init_thumbnail_extractor",
+    "perform_dips", "run_dips_app", "run_dips_on_file", "run_dips_on_files",
+    "stream_dips",
     "__version__",
 ]

@@ -231,6 +231,26 @@ def run_dips_on_file(input_path: str, output_path: str,
     return perform_dips(job)
 
 
+def init_frame_extractor() -> None:
+    """Media-stack initialisation hook (ref: dips/src/lib.rs:248-250, which
+    runs gst::init).  The OpenCV backend needs none; the optional GStreamer
+    backend initialises lazily — kept as a no-op for API parity."""
+
+
+def init_thumbnail_extractor() -> None:
+    """Parity hook (ref: dips/src/lib.rs:259-261); see
+    :func:`init_frame_extractor`."""
+
+
+def run_dips_app(properties: Optional[DiPsProperties] = None,
+                 camera: int = 0, backend: str = "xla") -> int:
+    """Live webcam app (ref: run_dips_app, dips_alt/src/lib.rs:543-552);
+    delegates to the cv2 preview loop in live.py."""
+    from .live import run_live
+    return run_live(properties or DiPsProperties(), camera=camera,
+                    backend=backend)
+
+
 def run_dips_on_files(input_paths: Sequence[str], output_dir: str,
                       encoding: Encoding | str = Encoding.MJPG,
                       properties: Optional[DiPsProperties] = None,

@@ -191,6 +191,20 @@ class DiPsProperties:
     def with_window_size(self, w: int) -> "DiPsProperties":
         return dataclasses.replace(self, window_size=w)
 
+    # reference-name aliases (dips/src/lib.rs builder method names)
+    def with_spatial_window_size(self, w: int) -> "DiPsProperties":
+        return self.with_window_size(w)
+
+    def with_filter_type(self, f: "DiPsFilter | str") -> "DiPsProperties":
+        return self.with_filter(f)
+
+    def with_chroma_filter(self, c: "ChromaFilter | str") -> "DiPsProperties":
+        return self.with_chroma(c)
+
+    def with_colorize(self, colorize: bool) -> "DiPsProperties":
+        return self.with_output(OutputMode.COLORIZE if colorize
+                                else OutputMode.GRAYSCALE)
+
     def with_temporal_size(self, t: int) -> "DiPsProperties":
         return dataclasses.replace(self, temporal_size=t)
 

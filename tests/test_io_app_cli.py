@@ -194,3 +194,21 @@ def test_cli_live_headless_is_clean(capsys):
     assert rc == 1
     err = capsys.readouterr().err
     assert "camera" in err or "display" in err
+
+
+def test_reference_name_aliases():
+    """API-surface parity: reference builder/entry names resolve."""
+    import dips_tpu
+    from dips_tpu.properties import OutputMode
+    dips_tpu.init_frame_extractor()       # no-op parity hooks
+    dips_tpu.init_thumbnail_extractor()
+    assert callable(dips_tpu.run_dips_app)
+    assert callable(dips_tpu.run_dips_on_files)
+    p = (DiPsProperties()
+         .with_spatial_window_size(5)
+         .with_filter_type("unfiltered")
+         .with_chroma_filter("red")
+         .with_colorize(False))
+    assert p.window_size == 5
+    assert p.output == OutputMode.GRAYSCALE
+    assert p.chroma.name == "RED"
