@@ -1,0 +1,111 @@
+"""Deployment acceptance check: on-device parity against the numpy oracle.
+
+``python -m dips_tpu.validate [--backend pallas|xla] [--quick]`` compiles the
+pipeline on the CURRENT jax backend (TPU in production) and asserts the
+numerics contract (DESIGN.md): integer modes byte-exact, f32 modes within
+1 LSB, statistics and heatmaps to float tolerance.  Exit code 0 = the
+installed jax/libtpu/dips_tpu stack produces correct results on this host.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+import numpy as np
+
+from .models import DiPsEngine
+from .ops.oracle import DiPsOracle
+from .properties import (ChromaFilter, DiPsFilter, DiPsMethod, DiPsProperties,
+                         OutputMode)
+
+
+def _clip(n=10, h=24, w=140, seed=0):
+    r = np.random.default_rng(seed)
+    base = r.integers(0, 256, (h, w, 3), np.uint8)
+    frames = np.empty((n, h, w, 3), np.uint8)
+    for i in range(n):
+        f = base.copy()
+        f[(2 + 2 * i) % (h - 5):(2 + 2 * i) % (h - 5) + 5,
+          (3 + 5 * i) % (w - 5):(3 + 5 * i) % (w - 5) + 5] = 255
+        frames[i] = f
+    return frames
+
+
+CASES = [
+    ("overall/colorize/sigmoid/w3/t4", DiPsProperties(), False),
+    ("overall/colorize/unfiltered/w5/t2",
+     DiPsProperties(window_size=5, temporal_size=2,
+                    filter=DiPsFilter.UNFILTERED), True),
+    ("per_frame/gray/inv_sig/w3/t3",
+     DiPsProperties(method=DiPsMethod.PER_FRAME,
+                    output=OutputMode.GRAYSCALE,
+                    filter=DiPsFilter.INVERSE_SIGMOID, temporal_size=3),
+     False),
+    ("overall/absdiff (cv2 parity)",
+     DiPsProperties(output=OutputMode.ABSDIFF, temporal_size=2), True),
+    ("per_frame/threshold",
+     DiPsProperties(method=DiPsMethod.PER_FRAME,
+                    output=OutputMode.THRESHOLD, temporal_size=2,
+                    change_threshold=20), True),
+    ("overall/colorize/w7 + markers",
+     DiPsProperties(window_size=7, temporal_size=2,
+                    filter=DiPsFilter.UNFILTERED, refresh_markers=(5,)),
+     True),
+]
+
+
+def run(backend: str = "pallas", quick: bool = False,
+        verbose: bool = True) -> int:
+    import jax
+    frames = _clip(n=6 if quick else 10)
+    h, w = frames.shape[1:3]
+    failures = 0
+    if verbose:
+        print(f"backend: {jax.default_backend()}, devices: {jax.devices()}")
+    cases = CASES[:3] if quick else CASES
+    for name, props, exact in cases:
+        t0 = time.time()
+        try:
+            o = DiPsOracle(props)
+            exp_out, exp_stats = o.run(frames)
+            if exp_out.ndim == 3:
+                exp_out = exp_out[..., None]
+            eng = DiPsEngine(props, h, w, batch=4, backend=backend)
+            got_out, got_stats = eng.process_frames(list(frames))
+            diff = np.abs(got_out.astype(np.int16) - exp_out.astype(np.int16))
+            raw = props.output in (OutputMode.ABSDIFF, OutputMode.THRESHOLD)
+            if raw or exact:
+                limit = 0 if raw else 1
+                assert diff.max() <= limit, f"u8 diff {diff.max()} > {limit}"
+            else:
+                assert diff.max() <= 1, f"u8 diff {diff.max()} > 1"
+            np.testing.assert_allclose(got_stats[:, :3], exp_stats[:, :3],
+                                       atol=1e-4, rtol=1e-3)
+            np.testing.assert_allclose(eng.heatmap(), o.heatmap, atol=1e-3)
+            if verbose:
+                print(f"  PASS {name:<40s} ({time.time() - t0:.1f}s)")
+        except Exception as e:
+            failures += 1
+            if verbose:
+                print(f"  FAIL {name:<40s} {e}")
+    if verbose:
+        print("PASS: device numerics match the oracle" if not failures
+              else f"FAIL: {failures} case(s) diverged")
+    return 1 if failures else 0
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(
+        description="dips_tpu on-device numerics acceptance check")
+    ap.add_argument("--backend", default="pallas",
+                    choices=["pallas", "xla"])
+    ap.add_argument("--quick", action="store_true",
+                    help="3 cases instead of 6 (fewer compiles)")
+    args = ap.parse_args(argv)
+    return run(args.backend, args.quick)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

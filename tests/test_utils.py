@@ -53,3 +53,9 @@ def test_cli_profile_flag(tmp_path, capsys):
     assert rc == 0
     out = capsys.readouterr().out
     assert "StageTimers" in out and "device" in out
+
+
+def test_validate_tool():
+    """The deployment acceptance check passes on this backend."""
+    from dips_tpu import validate
+    assert validate.run(backend="xla", quick=True, verbose=False) == 0
