@@ -65,3 +65,17 @@ def test_serve_error_isolation(server):
     o, _ = cli.process(make_clip(n=1, h=24, w=40)[0])
     assert o.shape == (24, 40, 3)
     cli.close()
+
+
+def test_sequential_clients_share_state(server):
+    """A reconnecting client continues the same stream (frame cursor and
+    baseline persist across connections)."""
+    clip = make_clip(n=4, h=24, w=40, seed=9)
+    c1 = DiPsClient(server.port)
+    c1.process(clip[0])
+    c1.close()
+    c2 = DiPsClient(server.port)
+    info = c2.hello()
+    assert info["frame_index"] == 1  # state survived the reconnect
+    c2.process(clip[1])
+    c2.close()
