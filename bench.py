@@ -117,7 +117,7 @@ def main():
                     help="BASELINE.json benchmark config")
     ap.add_argument("--height", type=int, default=1080)
     ap.add_argument("--width", type=int, default=1920)
-    ap.add_argument("--batch", type=int, default=32)
+    ap.add_argument("--batch", type=int, default=64)
     ap.add_argument("--window", type=int, default=3)
     ap.add_argument("--temporal", type=int, default=4)
     ap.add_argument("--full-pipeline-headline", action="store_true",
