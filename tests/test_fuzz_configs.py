@@ -90,3 +90,19 @@ def test_full_scale_step_change():
     got_out, got_stats = eng.process_frames(list(frames))
     np.testing.assert_array_equal(got_out, exp_out)
     np.testing.assert_allclose(got_stats, exp_stats, atol=1e-6)
+
+
+def test_tiny_geometry_one_row():
+    """Degenerate 1-row frames: padding, stencils and masks still agree."""
+    r = np.random.default_rng(7)
+    frames = r.integers(0, 256, (5, 1, 5, 3), np.uint8)
+    props = DiPsProperties(window_size=3, temporal_size=2,
+                           filter=DiPsFilter.UNFILTERED)
+    o = DiPsOracle(props)
+    exp_out, exp_stats = o.run(frames)
+    for backend in ("xla", "pallas"):
+        eng = DiPsEngine(props, 1, 5, batch=2, backend=backend)
+        got_out, got_stats = eng.process_frames(list(frames))
+        d = np.abs(got_out.astype(int) - exp_out.astype(int))
+        assert d.max() <= 1, backend
+        np.testing.assert_allclose(got_stats, exp_stats, atol=1e-5)
