@@ -388,7 +388,7 @@ def _make_raw_kernel(props: DiPsProperties, h: int, w: int, t: int, b: int,
                base_out_ref,                    # u8 (3, BH, Wp)
                heat_out_ref,                    # f32 (BH, Wp)
                base_ref,                        # u8 scratch (3, BH, Wp)
-               prev_ref,                        # u8 scratch (3, BH, Wp)
+               ref32_ref,                       # i32 scratch (3, BH, Wp)
                heat_ref):                       # f32 scratch (BH, Wp)
         fs = pl.program_id(1)
 
@@ -396,36 +396,39 @@ def _make_raw_kernel(props: DiPsProperties, h: int, w: int, t: int, b: int,
         def _seed():
             base_ref[:] = base_in_ref[:]
             heat_ref[:] = heat_in_ref[:]
+            if overall:
+                # cache the reference frame in i32 once; refreshed only on
+                # capture — saves 3 uint8->int32 converts on every frame
+                ref32_ref[:] = base_in_ref[:].astype(jnp.int32)
 
         for i in range(fpb):
             gf = fs * fpb + i
 
-            if i == fpb - 1:
+            if i == fpb - 1 and not overall:
                 @pl.when(fs == warm - 1)
                 def _():
-                    prev_ref[:] = cur_ref[i]
+                    ref32_ref[:] = cur_ref[i].astype(jnp.int32)
 
             @pl.when(fs >= warm)
             def _emit():
                 m = gf - t
+                cs = [cur_ref[i, ch].astype(jnp.int32) for ch in range(3)]
                 if overall:
                     flag = flags_ref[m] != 0
 
                     @pl.when(flag)
                     def _():
                         base_ref[:] = cur_ref[i]
-                    ref = base_ref
-                else:
-                    ref = prev_ref
+                        for ch in range(3):
+                            ref32_ref[ch] = cs[ch]
 
-                cs = [cur_ref[i, ch].astype(jnp.int32) for ch in range(3)]
-                bs = [ref[ch].astype(jnp.int32) for ch in range(3)]
-                sg = [bs[ch] - cs[ch] for ch in range(3)]
+                sg = [ref32_ref[ch] - cs[ch] for ch in range(3)]
                 ad = [jnp.abs(x) for x in sg]
                 dmax = jnp.maximum(jnp.maximum(ad[0], ad[1]), ad[2])
 
                 if not overall:
-                    prev_ref[:] = cur_ref[i]
+                    for ch in range(3):
+                        ref32_ref[ch] = cs[ch]
 
                 # channel-mean statistic partials (oracle._process_raw)
                 s_signed = (jnp.sum(sg[0]) + jnp.sum(sg[1])
@@ -523,7 +526,7 @@ def absdiff_step(props: DiPsProperties, h: int, w: int,
         ],
         scratch_shapes=[
             pltpu.VMEM((3, bh, wp), jnp.uint8),
-            pltpu.VMEM((3, bh, wp), jnp.uint8),
+            pltpu.VMEM((3, bh, wp), jnp.int32),
             pltpu.VMEM((bh, wp), jnp.float32),
         ],
     )
