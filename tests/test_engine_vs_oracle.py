@@ -142,3 +142,16 @@ def test_checkpoint_to_disk(clip, tmp_path):
     out_full, _ = eng3.process_frames(list(clip))
     np.testing.assert_array_equal(np.concatenate([out_a, out_b]), out_full)
     np.testing.assert_allclose(eng2.heatmap(), eng3.heatmap(), atol=1e-6)
+
+
+def test_engine_reset(clip):
+    props = DiPsProperties(window_size=1, temporal_size=2,
+                           filter=DiPsFilter.UNFILTERED)
+    h, w = clip.shape[1], clip.shape[2]
+    eng = DiPsEngine(props, h, w, batch=4)
+    a, sa = eng.process_frames(list(clip))
+    eng.reset()
+    assert eng.frame_index == 0 and eng.heatmap().max() == 0
+    b, sb = eng.process_frames(list(clip))
+    np.testing.assert_array_equal(a, b)  # reset == fresh engine
+    np.testing.assert_allclose(sa, sb, atol=1e-6)

@@ -217,3 +217,15 @@ def test_grid2d_streams_by_rows():
                                    np.asarray(exp[1]), atol=1e-5)
         means.append(np.asarray(exp[1])[:, 1])
     np.testing.assert_allclose(float(gmean), np.mean(means), rtol=1e-5)
+
+
+def test_multistream_heatmaps_and_reset():
+    props = DiPsProperties(window_size=1, temporal_size=1,
+                           filter=DiPsFilter.UNFILTERED)
+    clips = [make_clip(n=3, h=8, w=16, seed=s) for s in range(8)]
+    ms = MultiStreamEngine(props, 8, 16, n_streams=8, batch=3)
+    ms.process_batch([list(c) for c in clips])
+    hm = ms.heatmaps()
+    assert hm.shape == (8, 8, 16) and hm.max() > 0
+    ms.reset()
+    assert ms.frame_index == 0 and ms.heatmaps().max() == 0

@@ -130,3 +130,15 @@ def test_frame_ring_concurrent_stress():
         got += 1
     t.join()
     assert not errors and got == n
+
+
+def test_frame_ring_len():
+    ring = native.FrameRing(slots=4, slot_bytes=8)
+    import numpy as np
+    assert len(ring) == 0
+    ring.push(np.zeros(8, np.uint8))
+    ring.push(np.zeros(8, np.uint8))
+    assert len(ring) == 2
+    buf = np.empty(8, np.uint8)
+    ring.pop(buf)
+    assert len(ring) == 1
