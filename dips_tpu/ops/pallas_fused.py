@@ -56,12 +56,16 @@ _VMEM_BUDGET = 10 * 1024 * 1024
 
 
 def _frames_per_step(t: int, b: int) -> int:
-    """F frames per grid step: the largest common divisor of T and B <= 8
-    (F | T keeps warm-up grid steps entirely warm-up)."""
-    f = math.gcd(t, b)
-    while f > 8:
-        f //= 2
-    return max(f, 1)
+    """F frames per grid step: the largest divisor of gcd(T, B) that is
+    <= 8 (F | T keeps warm-up grid steps entirely warm-up; F | B keeps
+    emit steps whole).  Halving the gcd is NOT correct here — e.g.
+    gcd(9, 9) = 9 halves to 4, which divides neither."""
+    g = math.gcd(t, b)
+    f = 1
+    for d in range(2, min(g, 8) + 1):
+        if g % d == 0:
+            f = d
+    return f
 
 
 def _pick_block_rows(hp: int, wp: int, window: int, t: int, c: int,
@@ -287,6 +291,7 @@ def batch_step(props: DiPsProperties, h: int, w: int,
     hp, wp = raw.shape[-2], raw.shape[-1]
     c = props.out_channels
     fpb = _frames_per_step(t, b)
+    assert t % fpb == 0 and b % fpb == 0, (t, b, fpb)
     bh = _pick_block_rows(hp, wp, props.window_size, t, c, fpb)
     n_hb = hp // bh
     n8 = hp // 8
@@ -481,6 +486,7 @@ def absdiff_step(props: DiPsProperties, h: int, w: int,
     hp, wp = raw.shape[-2], raw.shape[-1]
     c = 1 if props.output == OutputMode.THRESHOLD else 3
     fpb = _frames_per_step(t, b)
+    assert t % fpb == 0 and b % fpb == 0, (t, b, fpb)
     # per-row VMEM: cur in + out (u8, F-deep, dbl-buffered), 2 u8 base
     # scratch + base in/out, heat f32 scratch + in/out, i32 temps ~6 planes
     bytes_per_row = wp * (3 * fpb * 2 + c * fpb * 2 + 3 * 4 + 4 * 5 + 4 * 6)

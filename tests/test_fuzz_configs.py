@@ -21,7 +21,7 @@ def _random_props(r: np.random.Generator) -> DiPsProperties:
                          DiPsFilter.UNFILTERED]),
         chroma=r.choice(list(ChromaFilter)),
         window_size=int(r.integers(1, 8)),          # clamped to odd
-        temporal_size=int(r.integers(1, 7)),
+        temporal_size=int(r.integers(1, 17)),       # full TEMPORAL_MAX range
         sensitivity=float(r.uniform(0.5, 8.0)),
         sigmoid_horizontal_scalar=float(r.uniform(0.0, 12.0)),  # clamped
         refresh_markers=tuple(int(m) for m in
@@ -39,6 +39,8 @@ def test_fuzzed_config_parity(seed):
     w = int(r.integers(20, 150))
     n = int(r.integers(4, 12))
     batch = int(r.integers(1, 7))
+    if seed % 2:  # exercise batch = multiple of temporal (frames-per-step > 1)
+        batch = props.temporal_size * int(r.integers(1, 3))
     frames = make_clip(n=n, h=h, w=w, seed=seed)
 
     o = DiPsOracle(props)
@@ -59,6 +61,35 @@ def test_fuzzed_config_parity(seed):
             assert_close(exp_out, exp_stats, got_out, got_stats, exact, h * w)
         np.testing.assert_allclose(eng.heatmap(), o.heatmap, atol=1e-3,
                                    err_msg=str(props))
+
+
+@pytest.mark.parametrize("t,b", [(9, 9), (11, 11), (13, 13), (15, 15),
+                                 (9, 18), (12, 12), (16, 16)])
+def test_frames_per_step_divides(t, b):
+    """Regression: F must divide both T and B (gcd-halving picked F=4 for
+    t=b=9, silently corrupting both Pallas kernels' outputs)."""
+    from dips_tpu.ops.pallas_fused import _frames_per_step
+    f = _frames_per_step(t, b)
+    assert 1 <= f <= 8 and t % f == 0 and b % f == 0
+
+
+@pytest.mark.parametrize("output", [OutputMode.COLORIZE, OutputMode.ABSDIFF])
+def test_large_temporal_batch_multiple_parity(output):
+    """Regression for the advisor's t=9/b=9 corruption: both fused kernels
+    must match the oracle when temporal_size > 8 and batch % t == 0."""
+    props = DiPsProperties(window_size=3, temporal_size=9, output=output,
+                           filter=DiPsFilter.UNFILTERED)
+    frames = make_clip(n=11, h=10, w=40, seed=3)
+    o = DiPsOracle(props)
+    exp_out, exp_stats = o.run(frames)
+    if exp_out.ndim == 3:
+        exp_out = exp_out[..., None]
+    eng = DiPsEngine(props, 10, 40, batch=9, backend="pallas")
+    got_out, got_stats = eng.process_frames(list(frames))
+    raw = output == OutputMode.ABSDIFF
+    d = np.abs(got_out.astype(int) - exp_out.astype(int))
+    assert d.max() <= (0 if raw else 1)
+    np.testing.assert_allclose(got_stats, exp_stats, atol=1e-4, rtol=1e-4)
 
 
 @pytest.mark.parametrize("fill", [0, 255])
