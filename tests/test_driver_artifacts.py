@@ -34,10 +34,33 @@ def test_bench_prints_exactly_one_json_line():
 def test_graft_entry_hooks():
     sys.path.insert(0, REPO)
     try:
-        from __graft_entry__ import entry, dryrun_multichip
+        from __graft_entry__ import entry
     finally:
         sys.path.remove(REPO)
     fn, args = entry()
     out = jax.jit(fn)(*args)
     assert all(np.isfinite(np.asarray(x)).all() for x in out[1:2])
-    dryrun_multichip(8)  # conftest provides 8 virtual CPU devices
+
+
+def test_dryrun_multichip_hermetic_under_driver_conditions():
+    """Round-1 regression: the driver ran dryrun_multichip in a process whose
+    backend was ALREADY initialised (1 device, wrong platform) and the old
+    env-sniffing guard silently did nothing — the mesh work landed on the
+    real TPU and died.  Simulate exactly that: a fresh parent process that
+    initialises a 1-device CPU backend first (no conftest CPU forcing, no
+    xla_force_host_platform_device_count), then calls dryrun_multichip(8).
+    The hermetic subprocess implementation must still produce an 8-device
+    mesh run."""
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    env.pop("XLA_FLAGS", None)  # parent has NO virtual-device forcing
+    script = (
+        "import jax; jax.config.update('jax_platforms','cpu');"
+        "assert len(jax.devices()) == 1, jax.devices();"  # backend is live
+        "from __graft_entry__ import dryrun_multichip;"
+        "dryrun_multichip(8); print('PARENT-OK')"
+    )
+    r = subprocess.run([sys.executable, "-c", script], env=env, cwd=REPO,
+                       capture_output=True, text=True, timeout=600)
+    assert r.returncode == 0, r.stderr[-3000:]
+    assert "PARENT-OK" in r.stdout
