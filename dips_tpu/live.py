@@ -1,58 +1,199 @@
-"""Live preview mode: webcam -> pipeline -> window.
+"""Live preview mode: webcam -> pipeline -> window, with runtime controls.
 
 The capability equivalent of the reference's winit/egui live app
-(``run_dips_app``, dips_alt/src/lib.rs:113-552) — TPU hosts are headless, so
-the GUI collapses to a cv2.imshow preview with key controls:
+(``run_dips_app``, dips_alt/src/lib.rs:113-552).  TPU hosts are headless, so
+the egui overlay (dips_alt/src/gui/mod.rs:14-148 — SnapShot button, colorize
+checkbox, filter/chroma combos, sensitivity and window sliders, each change
+rebuilding ``DiPsCompute``) becomes a keyboard-driven state machine over the
+cv2 preview window, factored into :class:`LiveController` so it is testable
+headless.
 
-  s = re-capture the snapshot baseline (the egui SnapShot button,
-      dips_alt/src/lib.rs:296-298)
-  q / ESC = quit
+Key map (egui-widget parity first, rebuild semantics identical: a parameter
+change rebuilds the engine while the snapshot baseline / temporal ring /
+frame cursor carry over — ref redip closure, dips_alt/src/lib.rs:267-293):
 
-Parameter sweeps (the egui sliders that rebuilt the GPU pipeline per change,
-dips_alt/src/lib.rs:267-293) are done by re-running with different CLI flags —
-the same specialise-and-rebuild semantics.
+  s        re-capture the snapshot baseline   (SnapShot button, lib.rs:296)
+  o        toggle colorize <-> grayscale      (colorize checkbox)
+  f        cycle filter sigmoid -> inv_sigmoid -> none   (filter combo)
+  c        cycle chroma all -> r -> g -> b    (chroma combo)
+  - / +    sensitivity down / up by 0.5       (sensitivity slider)
+  [ / ]    sigmoid horizontal scalar -/+ 1    (window slider's sibling)
+  w / W    spatial window -/+ 2 (odd 1..7)    (window size slider)
+  t / T    temporal ring length -/+ 1 (1..16)
+  m        toggle method overall <-> per_frame
+  q / ESC  quit
 """
 
 from __future__ import annotations
 
 import sys
-
-import cv2
+from typing import Optional
 
 from .models import DiPsEngine
-from .properties import DiPsProperties
-from .io.video import open_camera
+from .properties import (ChromaFilter, DiPsFilter, DiPsMethod,
+                         DiPsProperties, OutputMode)
+
+_FILTER_CYCLE = [DiPsFilter.SIGMOID, DiPsFilter.INVERSE_SIGMOID,
+                 DiPsFilter.UNFILTERED]
+_CHROMA_CYCLE = [ChromaFilter.ALL, ChromaFilter.RED, ChromaFilter.GREEN,
+                 ChromaFilter.BLUE]
+
+
+class LiveController:
+    """Key -> properties state machine for the live preview.
+
+    ``handle_key`` returns True when the engine must be rebuilt (the egui
+    overlay's pipeline-rebuild-on-change semantics); the new configuration
+    is in ``props``.  ``snapshot_requested`` / ``quit`` are one-shot flags
+    the run loop consumes.
+    """
+
+    def __init__(self, props: DiPsProperties):
+        self.props = props
+        self.snapshot_requested = False
+        self.quit = False
+
+    def _cycle(self, cycle, current):
+        return cycle[(cycle.index(current) + 1) % len(cycle)]
+
+    def handle_key(self, key: int | str) -> bool:
+        """Process one key (int keycode or 1-char string); True = rebuild."""
+        if isinstance(key, int):
+            if key == 27:  # ESC
+                self.quit = True
+                return False
+            if not 0 <= key < 0x110000:
+                return False
+            key = chr(key)
+        p = self.props
+        if key == "q":
+            self.quit = True
+            return False
+        if key == "s":
+            self.snapshot_requested = True
+            return False
+        if key == "o":
+            new = p.with_colorize(not p.colorize)
+        elif key == "f":
+            new = p.with_filter(self._cycle(_FILTER_CYCLE, p.filter))
+        elif key == "c":
+            new = p.with_chroma(self._cycle(_CHROMA_CYCLE, p.chroma))
+        elif key == "m":
+            new = p.with_method(DiPsMethod.PER_FRAME
+                                if p.method == DiPsMethod.OVERALL
+                                else DiPsMethod.OVERALL)
+        elif key == "-":
+            new = p.with_sensitivity(max(0.0, p.sensitivity - 0.5))
+        elif key in ("+", "="):
+            new = p.with_sensitivity(p.sensitivity + 0.5)
+        elif key == "[":
+            new = p.with_sigmoid_horizontal_scalar(
+                p.sigmoid_horizontal_scalar - 1)
+        elif key == "]":
+            new = p.with_sigmoid_horizontal_scalar(
+                p.sigmoid_horizontal_scalar + 1)
+        elif key == "w":
+            new = p.with_window_size(max(1, p.window_size - 2))
+        elif key == "W":
+            new = p.with_window_size(p.window_size + 2)
+        elif key == "t":
+            new = p.with_temporal_size(p.temporal_size - 1)
+        elif key == "T":
+            new = p.with_temporal_size(p.temporal_size + 1)
+        else:
+            return False
+        changed = new != p
+        self.props = new
+        return changed
+
+    def status_line(self) -> str:
+        """One-line HUD of the current configuration."""
+        p = self.props
+        return (f"{p.method.name.lower()} {p.output.name.lower()} "
+                f"filt={p.filter.name.lower()} chroma={p.chroma.name.lower()} "
+                f"w={p.window_size} t={p.temporal_size} "
+                f"sens={p.sensitivity:g} scalar={p.sigmoid_horizontal_scalar:g}")
+
+
+def rebuild_engine(old: DiPsEngine, props: DiPsProperties,
+                   backend: str = "xla") -> DiPsEngine:
+    """New engine for ``props`` carrying over the streaming state.
+
+    The baseline, temporal ring tail, heatmap and frame cursor survive the
+    rebuild when the state representations are compatible (same geometry,
+    both f32-baseline modes or both raw modes); otherwise the new engine
+    starts fresh — matching the reference, which re-snapshots after every
+    egui change (index = 0, dips_alt/src/lib.rs:267-293).
+    """
+    eng = DiPsEngine(props, old.height, old.width, batch=old.batch,
+                     backend=backend, device=old.device)
+    if eng._raw_mode == old._raw_mode:
+        state = old.state_dict()
+        if state["tail"] is not None and props.temporal_size:
+            tail = state["tail"]
+            # deque(maxlen=T_new) keeps the newest T_new frames on extend
+            state["tail"] = tail[-props.temporal_size:]
+        eng.load_state_dict(state)
+    return eng
+
+
+def _to_bgr(out):
+    """uint8 (H, W, C) diff map -> BGR for imshow (C == 1 shows the plane)."""
+    import cv2
+    if out.ndim == 2 or out.shape[-1] == 1:
+        return cv2.cvtColor(out.reshape(out.shape[0], out.shape[1]),
+                            cv2.COLOR_GRAY2BGR)
+    return cv2.cvtColor(out, cv2.COLOR_RGB2BGR)
 
 
 def run_live(props: DiPsProperties, camera: int = 0, batch: int = 1,
-             backend: str = "xla") -> int:
-    try:
-        reader = open_camera(camera)
-    except Exception as e:
-        print(f"no camera available: {e}", file=sys.stderr)
+             backend: str = "xla",
+             reader: Optional[object] = None) -> int:
+    """The preview loop; ``reader`` is injectable for tests."""
+    import os
+    import cv2
+    from .io.video import open_camera
+    if reader is None:
+        try:
+            reader = open_camera(camera)
+        except Exception as e:
+            print(f"no camera available: {e}", file=sys.stderr)
+            return 1
+    # cv2's GTK backend ABORTS (not raises) on a missing X/Wayland display,
+    # so probe the environment before touching highgui.
+    if sys.platform.startswith("linux") and not (
+            os.environ.get("DISPLAY") or os.environ.get("WAYLAND_DISPLAY")):
+        print("no display available for --live (DISPLAY unset)",
+              file=sys.stderr)
+        reader.close()
         return 1
     try:
         cv2.namedWindow("DiPs")
     except cv2.error as e:
         print(f"no display available for --live: {e}", file=sys.stderr)
+        reader.close()
         return 1
 
+    ctl = LiveController(props)
     engine = None
     try:
-        while True:
+        while not ctl.quit:
             frame = reader.read()
             if frame is None:
                 break
             if engine is None:
                 h, w = frame.shape[:2]
-                engine = DiPsEngine(props, h, w, batch=batch, backend=backend)
+                engine = DiPsEngine(ctl.props, h, w, batch=batch,
+                                    backend=backend)
             outs, _stats = engine.process_batch([frame])
-            cv2.imshow("DiPs", cv2.cvtColor(outs[0], cv2.COLOR_RGB2BGR))
+            cv2.imshow("DiPs", _to_bgr(outs[0]))
+            cv2.setWindowTitle("DiPs", "DiPs  " + ctl.status_line())
             key = cv2.waitKey(1) & 0xFF
-            if key in (ord("q"), 27):
-                break
-            if key == ord("s") and engine is not None:
+            if key != 0xFF and ctl.handle_key(int(key)):
+                engine = rebuild_engine(engine, ctl.props, backend)
+            if ctl.snapshot_requested and engine is not None:
                 engine.snapshot()
+                ctl.snapshot_requested = False
         return 0
     finally:
         reader.close()

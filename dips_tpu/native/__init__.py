@@ -158,7 +158,11 @@ class FrameRing:
 
     def pop(self, out: np.ndarray, timeout_ms: int = 10000) -> int:
         """Blocking pop into ``out``; 0 = ok, -1 = closed+drained,
-        -2 = timeout."""
+        -2 = timeout.  ``out`` must be C-contiguous — reshape(-1) of a
+        non-contiguous view returns a copy and the frame would be silently
+        discarded."""
+        if not out.flags["C_CONTIGUOUS"]:
+            raise ValueError("FrameRing.pop requires a C-contiguous buffer")
         flat = out.reshape(-1)
         if self._native:
             return _lib.fp_ring_pop(self._h, _u8p(flat), flat.size,

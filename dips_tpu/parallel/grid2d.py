@@ -53,11 +53,13 @@ def make_grid_step(props: DiPsProperties, h: int, w: int, mesh: Mesh):
             return _row_body(props, h, w, r, bl, fl, hm, vd, "rows")
         out, stats, new_b, new_h = jax.vmap(one_stream)(
             raw, baseline, flags, heatmap, valid)
-        local = jnp.sum(stats[..., 1])
-        total = lax.psum(lax.psum(local, "rows"), "stream")
-        n_total = (stats.shape[0] * stats.shape[1]
-                   * mesh.shape["stream"] * mesh.shape["rows"])
-        return out, stats, new_b, new_h, total / n_total
+        # valid-slot-masked global mean (stats are already row-reduced inside
+        # _row_body, so the extra "rows" psum cancels between total and count)
+        vw = valid.astype(jnp.float32)
+        total = lax.psum(lax.psum(jnp.sum(stats[..., 1] * vw), "rows"),
+                         "stream")
+        count = lax.psum(lax.psum(jnp.sum(vw), "rows"), "stream")
+        return out, stats, new_b, new_h, total / jnp.maximum(count, 1.0)
 
     sharded = jax.shard_map(
         per_shard, mesh=mesh,

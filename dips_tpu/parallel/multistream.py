@@ -59,16 +59,17 @@ def make_sharded_step(props: DiPsProperties, h: int, w: int, mesh: Mesh,
     else:
         mod = reference
     step = (mod.absdiff_step if raw_mode else mod.batch_step).__wrapped__
-    n_dev = mesh.devices.size
 
     def per_shard(raw, baseline, flags, heatmap, valid):
         out, stats, new_b, new_h = jax.vmap(
             lambda r, b, f, hm, v: step(props, h, w, r, b, f, hm, v))(
                 raw, baseline, flags, heatmap, valid)
-        local = jnp.sum(stats[..., 1])
-        total = jax.lax.psum(local, axis_name="stream")
-        s_total = stats.shape[0] * stats.shape[1] * n_dev
-        return out, stats, new_b, new_h, total / s_total
+        # global mean over VALID slots only: padding-replicated frames and
+        # dead/failed streams (valid=False) must not pollute the aggregate
+        vw = valid.astype(jnp.float32)
+        total = jax.lax.psum(jnp.sum(stats[..., 1] * vw), axis_name="stream")
+        count = jax.lax.psum(jnp.sum(vw), axis_name="stream")
+        return out, stats, new_b, new_h, total / jnp.maximum(count, 1.0)
 
     # check_vma=False: pallas_call out_shapes don't carry varying-mesh-axis
     # annotations; the specs below are the full contract.

@@ -1,0 +1,130 @@
+"""Headless tests for the live-preview controller (the egui-overlay parity
+surface, ref dips_alt/src/lib.rs:237-478): key -> properties transitions,
+engine rebuild with state carry-over, and display-path helpers."""
+
+import numpy as np
+import pytest
+
+from dips_tpu.live import LiveController, _to_bgr, rebuild_engine, run_live
+from dips_tpu.models import DiPsEngine
+from dips_tpu.properties import (ChromaFilter, DiPsFilter, DiPsMethod,
+                                 DiPsProperties, OutputMode)
+from tests.conftest import make_clip
+
+
+def test_filter_and_chroma_cycles():
+    ctl = LiveController(DiPsProperties())
+    seen = [ctl.props.filter]
+    for _ in range(3):
+        assert ctl.handle_key("f") is True
+        seen.append(ctl.props.filter)
+    assert seen[:3] == [DiPsFilter.SIGMOID, DiPsFilter.INVERSE_SIGMOID,
+                        DiPsFilter.UNFILTERED]
+    assert seen[3] == DiPsFilter.SIGMOID  # full cycle
+    for expected in (ChromaFilter.RED, ChromaFilter.GREEN, ChromaFilter.BLUE,
+                     ChromaFilter.ALL):
+        assert ctl.handle_key("c") is True
+        assert ctl.props.chroma == expected
+
+
+def test_toggles_and_sliders():
+    ctl = LiveController(DiPsProperties())
+    assert ctl.handle_key("o") and ctl.props.output == OutputMode.GRAYSCALE
+    assert ctl.handle_key("o") and ctl.props.output == OutputMode.COLORIZE
+    assert ctl.handle_key("m") and ctl.props.method == DiPsMethod.PER_FRAME
+    assert ctl.handle_key("+") and ctl.props.sensitivity == 5.5
+    assert ctl.handle_key("-") and ctl.props.sensitivity == 5.0
+    assert ctl.handle_key("]") and ctl.props.sigmoid_horizontal_scalar == 6.0
+    assert ctl.handle_key("T") and ctl.props.temporal_size == 5
+    assert ctl.handle_key("t") and ctl.props.temporal_size == 4
+
+
+def test_clamped_edges_report_no_rebuild():
+    """At a clamp boundary the properties don't change, so no rebuild."""
+    ctl = LiveController(DiPsProperties(window_size=7))
+    assert ctl.handle_key("W") is False  # already at WINDOW_MAX
+    assert ctl.props.window_size == 7
+    ctl = LiveController(DiPsProperties(sigmoid_horizontal_scalar=10))
+    assert ctl.handle_key("]") is False
+    ctl = LiveController(DiPsProperties(temporal_size=1))
+    assert ctl.handle_key("t") is False
+
+
+def test_snapshot_and_quit_keys():
+    ctl = LiveController(DiPsProperties())
+    assert ctl.handle_key("s") is False and ctl.snapshot_requested
+    assert not ctl.quit
+    assert ctl.handle_key("q") is False and ctl.quit
+    ctl2 = LiveController(DiPsProperties())
+    ctl2.handle_key(27)  # ESC as an int keycode
+    assert ctl2.quit
+    assert ctl2.handle_key("z") is False  # unknown keys are ignored
+    assert "overall" in ctl2.status_line()
+
+
+def test_rebuild_preserves_streaming_state():
+    """Parameter changes keep the pinned baseline / ring / cursor, like the
+    reference's redip closure carries the GPU state forward."""
+    frames = make_clip(n=6, h=10, w=24, seed=1)
+    props = DiPsProperties(window_size=1, temporal_size=2,
+                           filter=DiPsFilter.UNFILTERED)
+    eng = DiPsEngine(props, 10, 24, batch=3)
+    eng.process_frames(list(frames[:3]))
+    base_before = np.asarray(eng._baseline)
+
+    new_props = props.with_sensitivity(2.0)
+    eng2 = rebuild_engine(eng, new_props)
+    assert eng2.frame_index == 3
+    np.testing.assert_array_equal(np.asarray(eng2._baseline), base_before)
+    # frame 3 is NOT index 0 in the rebuilt engine: no spurious re-capture
+    out, stats = eng2.process_batch(list(frames[3:6]))
+    assert stats[:, 3].max() > 0  # still diffing against the old baseline
+
+
+def test_rebuild_temporal_resize_truncates_tail():
+    frames = make_clip(n=4, h=8, w=16, seed=2)
+    eng = DiPsEngine(DiPsProperties(temporal_size=4), 8, 16, batch=4)
+    eng.process_frames(list(frames))
+    eng2 = rebuild_engine(eng, eng.props.with_temporal_size(2))
+    assert len(eng2._tail) == 2
+    # newest two frames survive
+    np.testing.assert_array_equal(
+        np.stack(list(eng2._tail)), np.stack(list(eng._tail))[-2:])
+
+
+def test_rebuild_across_incompatible_modes_resets():
+    eng = DiPsEngine(DiPsProperties(), 8, 16, batch=2)
+    eng.process_batch([make_clip(n=1, h=8, w=16)[0]])
+    eng2 = rebuild_engine(eng, DiPsProperties(output=OutputMode.ABSDIFF))
+    assert eng2.frame_index == 0  # raw-mode baseline is u8: fresh start
+
+
+def test_to_bgr_single_channel():
+    """ADVICE regression: GRAYSCALE/THRESHOLD output is (H, W, 1) and must
+    not crash the preview conversion."""
+    gray = np.full((6, 8, 1), 77, np.uint8)
+    bgr = _to_bgr(gray)
+    assert bgr.shape == (6, 8, 3) and (bgr == 77).all()
+    rgb = np.zeros((6, 8, 3), np.uint8)
+    rgb[..., 0] = 200  # red in RGB -> blue-last in BGR
+    assert _to_bgr(rgb)[0, 0, 2] == 200
+
+
+class _FakeReader:
+    def __init__(self):
+        self.closed = False
+
+    def read(self):
+        return np.zeros((8, 8, 3), np.uint8)
+
+    def close(self):
+        self.closed = True
+
+
+def test_run_live_headless_fails_gracefully():
+    """No display: run_live must return 1 and release the reader."""
+    r = _FakeReader()
+    rc = run_live(DiPsProperties(), reader=r)
+    if rc == 0:  # a display exists in this environment; nothing to assert
+        pytest.skip("display available")
+    assert rc == 1 and r.closed

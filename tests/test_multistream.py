@@ -62,6 +62,27 @@ def test_stream_failure_isolation():
     np.testing.assert_array_equal(out[0], exp_out)
 
 
+def test_global_mean_masks_invalid_slots():
+    """ADVICE regression: the psum'd global mean must exclude padding-
+    replicated slots of short streams and dead/failed streams entirely."""
+    props = DiPsProperties(window_size=1, temporal_size=1,
+                           filter=DiPsFilter.UNFILTERED)
+    h, w = 8, 16
+    clips = [make_clip(n=3, h=h, w=w, seed=s) for s in range(8)]
+    ms = MultiStreamEngine(props, h, w, n_streams=8, batch=3)
+    feeds = [list(c) for c in clips]
+    feeds[2] = feeds[2][:1]                       # short: 2 padded slots
+    feeds[5] = [np.zeros((4, 4, 3), np.uint8)]    # bad geometry: failed
+    out, stats, gmean = ms.process_batch(feeds)
+    assert 5 in ms.failed
+    valid_vals = []
+    for si, f in enumerate(feeds):
+        if si == 5:
+            continue
+        valid_vals.extend(stats[si, :len(f), 1])
+    np.testing.assert_allclose(gmean, np.mean(valid_vals), rtol=1e-5)
+
+
 def test_stream_count_validation():
     props = DiPsProperties()
     with pytest.raises(ValueError):
