@@ -23,6 +23,30 @@ import threading
 SENSITIVITY_MAX = 10.0  # ref: entry/src/main.rs:13
 
 
+def props_from_controls(colorize: bool, filt: str, chroma: str, method: str,
+                        window: int, sensitivity: float):
+    """Widget values -> DiPsProperties (factored out of the Tk callbacks so
+    the assembly logic is testable headless).
+
+    ``sensitivity`` is the raw slider value; it is inverted the way the
+    reference GUI inverts it (SENSITIVITY_MAX - value, entry/src/main.rs:84).
+    """
+    from .properties import (ChromaFilter, DiPsFilter, DiPsMethod,
+                             DiPsProperties, OutputMode)
+    return DiPsProperties(
+        method=DiPsMethod[method.upper()],
+        output=(OutputMode.COLORIZE if colorize else OutputMode.GRAYSCALE),
+        filter={"sigmoid": DiPsFilter.SIGMOID,
+                "inv_sig": DiPsFilter.INVERSE_SIGMOID,
+                "none": DiPsFilter.UNFILTERED}[filt],
+        chroma={"all": ChromaFilter.ALL, "r": ChromaFilter.RED,
+                "g": ChromaFilter.GREEN, "b": ChromaFilter.BLUE}[chroma],
+        window_size=int(window),
+        # inverted slider, as in the reference GUI
+        sensitivity=SENSITIVITY_MAX - float(sensitivity),
+    )
+
+
 def run_gui() -> int:
     try:
         import tkinter as tk
@@ -33,8 +57,6 @@ def run_gui() -> int:
 
     from .app import DiPsJob, perform_dips
     from .io.thumbnail import extract_thumbnail
-    from .properties import (ChromaFilter, DiPsFilter, DiPsMethod,
-                             DiPsProperties, OutputMode)
 
     try:
         root = tk.Tk()
@@ -86,20 +108,8 @@ def run_gui() -> int:
             title="Output video", defaultextension=".avi")
         if not out:
             return
-        props = DiPsProperties(
-            method=DiPsMethod[method.get().upper()],
-            output=(OutputMode.COLORIZE if colorize.get()
-                    else OutputMode.GRAYSCALE),
-            filter={"sigmoid": DiPsFilter.SIGMOID,
-                    "inv_sig": DiPsFilter.INVERSE_SIGMOID,
-                    "none": DiPsFilter.UNFILTERED}[filt.get()],
-            chroma={"all": ChromaFilter.ALL, "r": ChromaFilter.RED,
-                    "g": ChromaFilter.GREEN, "b": ChromaFilter.BLUE
-                    }[chroma.get()],
-            window_size=win.get(),
-            # inverted slider, as in the reference GUI
-            sensitivity=SENSITIVITY_MAX - sens.get(),
-        )
+        props = props_from_controls(colorize.get(), filt.get(), chroma.get(),
+                                    method.get(), win.get(), sens.get())
         job = DiPsJob(properties=props, video_path=state["input"],
                       output_path=out)
         status.configure(text="running…")

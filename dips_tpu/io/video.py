@@ -115,6 +115,13 @@ class VideoWriter:
             self._w = cv2.VideoWriter(
                 path, cv2.VideoWriter_fourcc(*alt), fps, (width, height))
             self.fallback_used = alt
+            if self._w.isOpened():
+                import logging
+                import warnings
+                msg = (f"encoder {encoding.name} unavailable in this OpenCV "
+                       f"build; falling back to {alt} for {path}")
+                logging.getLogger("dips_tpu").warning(msg)
+                warnings.warn(msg, RuntimeWarning, stacklevel=2)
         if not self._w.isOpened():
             raise EncodeError(
                 f"could not open encoder {encoding.name} for {path}")

@@ -133,17 +133,28 @@ class FrameRing:
     timeout; ``close`` lets consumers drain then signals EOS.
     """
 
-    def __init__(self, slots: int, slot_bytes: int):
+    def __init__(self, slots: int, slot_bytes: int,
+                 use_native: Optional[bool] = None):
         self.slots = int(slots)
         self.slot_bytes = int(slot_bytes)
-        self._native = _lib is not None
+        self._native = (_lib is not None) if use_native is None else (
+            use_native and _lib is not None)
         if self._native:
             self._h = _lib.fp_ring_create(self.slots, self.slot_bytes)
             if not self._h:
                 raise MemoryError("fp_ring_create failed")
         else:
-            import queue
-            self._q: "queue.Queue" = queue.Queue(maxsize=self.slots)
+            # Pure-Python twin of framepump.cpp's ring: preallocated slots,
+            # wrapping head/tail cursors (the reference's UCircularIndex,
+            # dips/src/utils/indexing.rs:1-34), one condition variable.
+            import threading
+            from ..utils import UCircularIndex
+            self._buf = np.empty((self.slots, self.slot_bytes), np.uint8)
+            self._lens = np.zeros(self.slots, np.int64)
+            self._head = UCircularIndex(0, self.slots)   # next pop slot
+            self._tail = UCircularIndex(0, self.slots)   # next push slot
+            self._count = 0
+            self._cv = threading.Condition()
             self._closed = False
 
     def push(self, data: np.ndarray) -> bool:
@@ -151,9 +162,17 @@ class FrameRing:
         flat = data.reshape(-1)
         if self._native:
             return _lib.fp_ring_push(self._h, _u8p(flat), flat.size) == 0
-        if self._closed:
-            return False
-        self._q.put(flat.copy())
+        n = min(flat.size, self.slot_bytes)
+        with self._cv:
+            while self._count == self.slots and not self._closed:
+                self._cv.wait(0.1)
+            if self._closed:
+                return False
+            self._buf[int(self._tail), :n] = flat[:n]
+            self._lens[int(self._tail)] = n
+            self._tail += 1
+            self._count += 1
+            self._cv.notify_all()
         return True
 
     def pop(self, out: np.ndarray, timeout_ms: int = 10000) -> int:
@@ -167,24 +186,36 @@ class FrameRing:
         if self._native:
             return _lib.fp_ring_pop(self._h, _u8p(flat), flat.size,
                                     timeout_ms)
-        import queue as _q
-        try:
-            item = self._q.get(timeout=timeout_ms / 1000.0)
-        except _q.Empty:
-            return -1 if self._closed else -2
-        flat[:item.size] = item
+        import time
+        deadline = time.monotonic() + timeout_ms / 1000.0
+        with self._cv:
+            while self._count == 0:
+                if self._closed:
+                    return -1
+                remaining = deadline - time.monotonic()
+                if remaining <= 0:
+                    return -2
+                self._cv.wait(min(remaining, 0.1))
+            n = min(int(self._lens[int(self._head)]), flat.size)
+            flat[:n] = self._buf[int(self._head), :n]
+            self._head += 1
+            self._count -= 1
+            self._cv.notify_all()
         return 0
 
     def close(self) -> None:
         if self._native:
             _lib.fp_ring_close(self._h)
         else:
-            self._closed = True
+            with self._cv:
+                self._closed = True
+                self._cv.notify_all()
 
     def __len__(self) -> int:
         if self._native:
             return int(_lib.fp_ring_size(self._h))
-        return self._q.qsize()
+        with self._cv:
+            return self._count
 
     def __del__(self):
         if getattr(self, "_native", False) and getattr(self, "_h", None):

@@ -1,8 +1,9 @@
 """Wrapping counter (ref: UCircularIndex, dips/src/utils/indexing.rs:1-34,
 cloned in dips_alt and dips_opencv).
 
-The device ring uses modular arithmetic directly, but the host-side utility
-is part of the public API surface for parity and is used by host ring logic.
+The device ring uses modular arithmetic directly (``lax.rem`` ring slots in
+ops/pallas_fused.py); on the host this counter drives the head/tail cursors
+of the pure-Python ``native.FrameRing`` fallback.
 """
 
 from __future__ import annotations

@@ -83,6 +83,11 @@ def run(backend: str = "pallas", quick: bool = False,
                 assert diff.max() <= 1, f"u8 diff {diff.max()} > 1"
             np.testing.assert_allclose(got_stats[:, :3], exp_stats[:, :3],
                                        atol=1e-4, rtol=1e-3)
+            # changed_count: exact in integer modes; f32 emphasis paths may
+            # flip knife-edge pixels at the threshold boundary only
+            cnt_tol = 0 if raw else 0.01 * h * w
+            cnt_err = np.abs(got_stats[:, 3] - exp_stats[:, 3]).max()
+            assert cnt_err <= cnt_tol, f"changed_count off by {cnt_err}"
             np.testing.assert_allclose(eng.heatmap(), o.heatmap, atol=1e-3)
             if verbose:
                 print(f"  PASS {name:<40s} ({time.time() - t0:.1f}s)")

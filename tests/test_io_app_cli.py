@@ -43,8 +43,9 @@ def test_reader_missing_file():
 
 
 def test_writer_fallback(tmp_path):
-    # H264 encode is unavailable in this image -> falls back
-    w = VideoWriter(str(tmp_path / "o.avi"), 10, 64, 48, Encoding.H264)
+    # H264 encode is unavailable in this image -> falls back, loudly
+    with pytest.warns(RuntimeWarning, match="falling back"):
+        w = VideoWriter(str(tmp_path / "o.avi"), 10, 64, 48, Encoding.H264)
     assert w.fallback_used == "MJPG"
     w.write(np.zeros((48, 64, 3), np.uint8))
     w.close()

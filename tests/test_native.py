@@ -53,8 +53,21 @@ def test_planarize_roundtrip(rng):
     np.testing.assert_array_equal(back, frame)
 
 
-def test_frame_ring_order_and_backpressure():
-    ring = native.FrameRing(slots=4, slot_bytes=16)
+@pytest.fixture(params=["native", "fallback"])
+def make_ring(request):
+    """Build rings against the loaded implementation AND the pure-Python
+    UCircularIndex fallback, for differential testing."""
+    use_native = request.param == "native"
+    if use_native and not native.NATIVE_AVAILABLE:
+        pytest.skip("native framepump unavailable")
+
+    def mk(slots, slot_bytes):
+        return native.FrameRing(slots, slot_bytes, use_native=use_native)
+    return mk
+
+
+def test_frame_ring_order_and_backpressure(make_ring):
+    ring = make_ring(4, 16)
     produced = [np.full(16, i, np.uint8) for i in range(32)]
 
     def producer():
@@ -78,16 +91,16 @@ def test_frame_ring_order_and_backpressure():
         np.testing.assert_array_equal(g, produced[i])
 
 
-def test_frame_ring_timeout():
-    ring = native.FrameRing(slots=2, slot_bytes=8)
+def test_frame_ring_timeout(make_ring):
+    ring = make_ring(2, 8)
     buf = np.empty(8, np.uint8)
     assert ring.pop(buf, timeout_ms=50) == -2  # empty, not closed
     ring.close()
     assert ring.pop(buf, timeout_ms=50) == -1  # closed and drained
 
 
-def test_push_after_close_rejected():
-    ring = native.FrameRing(slots=2, slot_bytes=8)
+def test_push_after_close_rejected(make_ring):
+    ring = make_ring(2, 8)
     ring.close()
     assert not ring.push(np.zeros(8, np.uint8))
 
@@ -99,11 +112,11 @@ def test_native_available_or_fallback():
         assert native.NATIVE_AVAILABLE
 
 
-def test_frame_ring_concurrent_stress():
+def test_frame_ring_concurrent_stress(make_ring):
     """Race-stress the SPSC ring (SURVEY.md §5: the rebuild's concurrency
     surface is exactly this producer/consumer pair)."""
     import numpy as np
-    ring = native.FrameRing(slots=3, slot_bytes=256)
+    ring = make_ring(3, 256)
     n = 500
     errors = []
 
@@ -132,8 +145,8 @@ def test_frame_ring_concurrent_stress():
     assert not errors and got == n
 
 
-def test_frame_ring_len():
-    ring = native.FrameRing(slots=4, slot_bytes=8)
+def test_frame_ring_len(make_ring):
+    ring = make_ring(4, 8)
     import numpy as np
     assert len(ring) == 0
     ring.push(np.zeros(8, np.uint8))
@@ -142,3 +155,13 @@ def test_frame_ring_len():
     buf = np.empty(8, np.uint8)
     ring.pop(buf)
     assert len(ring) == 1
+
+
+def test_frame_ring_pop_rejects_noncontiguous(make_ring):
+    """ADVICE regression: reshape(-1) of a non-contiguous view is a copy;
+    the popped frame would be silently discarded."""
+    ring = make_ring(2, 8)
+    ring.push(np.arange(8, dtype=np.uint8))
+    view = np.empty((8, 2), np.uint8)[:, 0]  # non-contiguous column view
+    with pytest.raises(ValueError):
+        ring.pop(view)
