@@ -65,6 +65,9 @@ class DiPsJob:
     frame_callback: Optional[FrameCallback] = None
     batch: int = 8
     backend: str = "xla"
+    #: media backend for decode/encode: "opencv", "gstreamer" or "auto"
+    #: (the reference's primary ingest is GStreamer, frame_extractor.rs:38).
+    video_backend: str = "auto"
     queue_depth: int = 4  # decode-ahead batches
     #: collect per-stage timings (SURVEY.md §5 tracing; see utils.profiling);
     #: populated on the job as ``job.timers`` after a run.
@@ -73,6 +76,12 @@ class DiPsJob:
     #: FFT low-pass post-analysis of the diff maps before they are yielded
     #: (BASELINE configs[4]; ops/analysis.fft_denoise radius).
     denoise_radius: Optional[int] = None
+    #: VFR-safe egress: dup/drop frames onto the CFR writer schedule so a
+    #: variable-frame-rate input does not retime (GStreamer egress instead
+    #: carries the PTS through directly, like the reference's appsrc path,
+    #: frame_extractor.rs:242-262).  Populated per-run: ``job.frame_pts``.
+    retime_vfr: bool = False
+    frame_pts: Optional[list] = None
 
     # builder parity ------------------------------------------------------
     def with_video_path(self, p: str) -> "DiPsJob":
@@ -91,18 +100,24 @@ class DiPsJob:
     def with_properties(self, props: DiPsProperties) -> "DiPsJob":
         return dataclasses.replace(self, properties=props)
 
+    def with_video_backend(self, b: str) -> "DiPsJob":
+        return dataclasses.replace(self, video_backend=b)
+
 
 def _decode_worker(reader: VideoReader, hp: int, wp: int,
                    ring: "native.FrameRing", stop: threading.Event,
-                   errbox: list) -> None:
+                   errbox: list, pts_q) -> None:
     """Decode thread: fused BGR->planar conversion (native, single pass)
     staged into the bounded frame ring — the rebuild's analogue of the
-    GStreamer streaming thread feeding appsink."""
+    GStreamer streaming thread feeding appsink.  Per-frame PTS travel in a
+    side deque (appended before the push so the consumer never sees a frame
+    without its timestamp)."""
     try:
-        for bgr in reader.iter_bgr():
+        for bgr, pts in reader.iter_bgr_timed():
             if stop.is_set():
                 return
             planar = native.planarize(bgr, hp, wp, swap_rb=True)
+            pts_q.append(pts)
             if not ring.push(planar):
                 return
     except Exception as e:  # pragma: no cover - decoder internals
@@ -117,7 +132,8 @@ def stream_dips(job: DiPsJob) -> Iterator[Tuple[int, np.ndarray, np.ndarray,
     a decode thread keeps the device fed (bounded ring = backpressure)."""
     if not job.video_path:
         raise VideoPathError("no video path set (DiPsJob.with_video_path)")
-    reader = VideoReader(job.video_path)
+    from .io.gstreamer import open_video
+    reader = open_video(job.video_path, job.video_backend)
     engine = DiPsEngine(job.properties, reader.height, reader.width,
                         batch=job.batch, backend=job.backend)
     hp, wp = engine.hp, engine.wp
@@ -125,8 +141,12 @@ def stream_dips(job: DiPsJob) -> Iterator[Tuple[int, np.ndarray, np.ndarray,
                             slot_bytes=3 * hp * wp)
     stop = threading.Event()
     errbox: list = []
+    import collections
+    pts_q: collections.deque = collections.deque()
+    job.frame_pts = []
     worker = threading.Thread(
-        target=_decode_worker, args=(reader, hp, wp, ring, stop, errbox),
+        target=_decode_worker,
+        args=(reader, hp, wp, ring, stop, errbox, pts_q),
         daemon=True)
     worker.start()
     idx = 0
@@ -168,6 +188,7 @@ def stream_dips(job: DiPsJob) -> Iterator[Tuple[int, np.ndarray, np.ndarray,
                     denoise_frames(outs, int(job.denoise_radius)))
             for i in range(len(batch)):
                 out = outs[i]
+                job.frame_pts.append(pts_q.popleft() if pts_q else None)
                 inp = native.interleave(batch[i], h, w)  # RGB view for hooks
                 if job.frame_callback is not None:
                     try:
@@ -190,21 +211,38 @@ def perform_dips(job: DiPsJob) -> np.ndarray:
     stats (N, NUM_STATS).  (ref: perform_dips, dips/src/lib.rs:252-257.)"""
     if not job.output_path:
         raise OutputPathError("no output path set (DiPsJob.with_output_path)")
-    reader_probe = VideoReader(job.video_path) if job.video_path else None
-    if reader_probe is None:
+    if not job.video_path:
         raise VideoPathError("no video path set")
+    from .io.gstreamer import open_video, open_writer
+    reader_probe = open_video(job.video_path, job.video_backend)
     fps, w, h = reader_probe.fps, reader_probe.width, reader_probe.height
     reader_probe.close()
 
-    writer = VideoWriter(job.output_path, fps, w, h, job.encoding)
+    writer = open_writer(job.output_path, fps, w, h, job.encoding,
+                         job.video_backend)
+    from .io.gstreamer import GstVideoWriter
+    from .io.video import CfrRetimer
+    gst_writer = isinstance(writer, GstVideoWriter)
+    retimer = CfrRetimer(fps) if (job.retime_vfr and not gst_writer) else None
+
+    def emit(out, pts):
+        if gst_writer:
+            writer.write(out, pts=pts)  # VFR-preserving: PTS ride through
+        elif retimer is not None:
+            for f in retimer.feed(out, pts):
+                writer.write(f)
+        else:
+            writer.write(out)
+
     stats_rows: List[np.ndarray] = []
     with writer:
         for idx, _inp, out, stats in stream_dips(job):
+            pts = job.frame_pts[-1] if job.frame_pts else None
             if job.timers:
                 with job.timers.stage("encode"):
-                    writer.write(out)
+                    emit(out, pts)
             else:
-                writer.write(out)
+                emit(out, pts)
             stats_rows.append(stats)
             if idx % 100 == 0:
                 log.info("frame %d", idx)
@@ -218,7 +256,8 @@ def run_dips_on_file(input_path: str, output_path: str,
                      encoding: Encoding | str = Encoding.MJPG,
                      properties: Optional[DiPsProperties] = None,
                      refresh_markers: Sequence[int] = (),
-                     batch: int = 8, backend: str = "xla") -> np.ndarray:
+                     batch: int = 8, backend: str = "xla",
+                     video_backend: str = "auto") -> np.ndarray:
     """dips_alt CLI-style entry (ref dips_alt/src/lib.rs:554-690): bare
     refresh markers re-capture the baseline mid-stream."""
     props = properties or DiPsProperties()
@@ -226,7 +265,8 @@ def run_dips_on_file(input_path: str, output_path: str,
         props = props.with_refresh_markers(
             tuple(props.refresh_markers) + tuple(refresh_markers))
     job = DiPsJob(properties=props, video_path=input_path,
-                  output_path=output_path, batch=batch, backend=backend)
+                  output_path=output_path, batch=batch, backend=backend,
+                  video_backend=video_backend)
     job = job.with_encoding(encoding)
     return perform_dips(job)
 

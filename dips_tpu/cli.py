@@ -66,6 +66,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--batch", type=int, default=8,
                    help="frames per device dispatch")
     p.add_argument("--backend", default="xla", choices=["xla", "pallas"])
+    p.add_argument("--video-backend", default="auto",
+                   choices=["auto", "opencv", "gstreamer"],
+                   help="media decode/encode backend (the reference's "
+                        "primary ingest is GStreamer)")
+    p.add_argument("--retime-vfr", action="store_true",
+                   help="dup/drop frames onto the CFR writer schedule so "
+                        "variable-frame-rate inputs do not drift")
     p.add_argument("--stats-json", metavar="PATH",
                    help="write per-frame statistics to a JSON file")
     p.add_argument("--profile", action="store_true",
@@ -195,6 +202,8 @@ def main(argv: Optional[List[str]] = None) -> int:
         job = DiPsJob(properties=props, video_path=args.input,
                       output_path=args.output, encoding=enc,
                       batch=args.batch, backend=args.backend,
+                      video_backend=args.video_backend,
+                      retime_vfr=args.retime_vfr,
                       profile=args.profile, denoise_radius=args.denoise)
         from .utils.profiling import trace
         with trace(args.trace_dir):

@@ -1,13 +1,16 @@
-"""Optional GStreamer ingest backend (parity with the reference's primary
+"""Optional GStreamer media backend (parity with the reference's primary
 media layer, dips/src/frame_extractor.rs:38-290).
 
-The reference builds a ``filesrc -> decodebin -> queue -> videoconvert ->
-videoscale -> appsink(RGBA, sync=false)`` graph; this backend mirrors that
-via PyGObject when present.  GStreamer is typically absent on TPU hosts
-(including this image), so everything is gated: :func:`available` reports
-the backend state, and :class:`GstVideoReader` raises ``DecodeError`` with
-a clear message when the stack is missing.  The OpenCV backend
-(io/video.py) is the default either way.
+The reference builds ``filesrc -> decodebin -> queue -> videoconvert ->
+videoscale -> appsink(RGBA, sync=false)`` for ingest and ``appsrc ->
+videoconvert -> avimux -> filesink`` for egress with PTS/duration
+propagation (frame_extractor.rs:151-183, 242-262); this backend mirrors
+both via PyGObject when present.  GStreamer is typically absent on TPU
+hosts (including this image), so everything is gated: :func:`available`
+reports the backend state, and the classes raise ``DecodeError`` /
+``EncodeError`` with a clear message when the stack is missing.  The
+OpenCV backend (io/video.py) is the default either way; tests exercise
+these code paths through a fake-Gst shim (:func:`_set_gst_for_testing`).
 """
 
 from __future__ import annotations
@@ -16,7 +19,7 @@ from typing import Iterator, Optional
 
 import numpy as np
 
-from ..errors import DecodeError, VideoPathError
+from ..errors import DecodeError, EncodeError, VideoPathError
 
 _gst = None
 _gst_err: Optional[str] = None
@@ -38,16 +41,45 @@ def _load():
     return _gst
 
 
+def _set_gst_for_testing(fake) -> None:
+    """Install a fake Gst module (or None to reset the gate) so the reader/
+    writer code paths run in CI without the real stack."""
+    global _gst, _gst_err
+    _gst = fake
+    _gst_err = None if fake is not None else "GStreamer unavailable: reset"
+
+
 def available() -> bool:
     """True when PyGObject + GStreamer 1.0 are importable."""
     return _load() is not None
+
+
+def _parse_fps(caps_struct) -> Optional[float]:
+    """framerate fraction from a caps structure; PyGObject returns
+    (ok, numerator, denominator)."""
+    try:
+        res = caps_struct.get_fraction("framerate")
+    except Exception:
+        return None
+    try:
+        ok, num, den = res
+    except (TypeError, ValueError):
+        return None
+    if ok and den:
+        return num / den
+    return None
 
 
 class GstVideoReader:
     """RGB uint8 frame iterator over a GStreamer decode graph.
 
     Interface-compatible with io.video.VideoReader (fps/width/height/read/
-    iteration/close) so the application layer can swap backends.
+    iteration/close) so the application layer can swap backends; geometry
+    and fps are probed from the preroll sample at construction, BEFORE the
+    first ``read()`` (the app layer sizes the engine from ``.height``).
+    ``last_pts`` carries the most recent buffer's presentation timestamp in
+    seconds (the reference propagates PTS through appsrc,
+    frame_extractor.rs:242-262).
     """
 
     def __init__(self, path: str):
@@ -66,26 +98,41 @@ class GstVideoReader:
         self._sink = self._pipeline.get_by_name("sink")
         self._sink.set_property("emit-signals", False)
         self._gst = gst
-        self._pipeline.set_state(gst.State.PLAYING)
         self.path = path
         self.fps = 30.0
         self.width = 0
         self.height = 0
         self.frame_count = -1
+        self.last_pts: Optional[float] = None
+        self._pipeline.set_state(gst.State.PLAYING)
+        # probe geometry/fps from the preroll sample so callers can size
+        # buffers before the first read
+        pre = self._sink.emit("pull-preroll")
+        if pre is not None:
+            self._apply_caps(pre.get_caps().get_structure(0))
+        if self.width <= 0 or self.height <= 0:
+            self.close()
+            raise DecodeError(f"could not probe geometry of {path}")
+
+    def _apply_caps(self, caps) -> None:
+        w, h = caps.get_value("width"), caps.get_value("height")
+        if w and h:
+            self.width, self.height = int(w), int(h)
+        fps = _parse_fps(caps)
+        if fps:
+            self.fps = fps
 
     def read(self) -> Optional[np.ndarray]:
         gst = self._gst
         sample = self._sink.emit("pull-sample")
         if sample is None:
             return None
-        caps = sample.get_caps().get_structure(0)
-        self.width = caps.get_value("width")
-        self.height = caps.get_value("height")
-        num, den = caps.get_fraction("framerate")[1:3] if hasattr(
-            caps, "get_fraction") else (30, 1)
-        if den:
-            self.fps = num / den
+        self._apply_caps(sample.get_caps().get_structure(0))
         buf = sample.get_buffer()
+        pts = getattr(buf, "pts", None)
+        # Gst.CLOCK_TIME_NONE is 2**64-1; treat it as unknown
+        if pts is not None and 0 <= pts < 2**63:
+            self.last_pts = pts / 1e9
         ok, info = buf.map(gst.MapFlags.READ)
         if not ok:
             raise DecodeError("buffer map failed")
@@ -95,6 +142,14 @@ class GstVideoReader:
         finally:
             buf.unmap(info)
         return frame
+
+    def read_timed(self):
+        """(frame, pts_seconds) — pts falls back to frame_index/fps when the
+        container carries none."""
+        f = self.read()
+        if f is None:
+            return None
+        return f, self.last_pts
 
     def __iter__(self) -> Iterator[np.ndarray]:
         while True:
@@ -107,7 +162,82 @@ class GstVideoReader:
         for f in self:
             yield f[..., ::-1]
 
+    def iter_bgr_timed(self) -> Iterator[tuple]:
+        """(BGR frame, pts_seconds) pairs for the VFR-aware streaming path."""
+        while True:
+            r = self.read_timed()
+            if r is None:
+                return
+            f, pts = r
+            yield f[..., ::-1], pts
+
     def close(self) -> None:
+        self._pipeline.set_state(self._gst.State.NULL)
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+
+class GstVideoWriter:
+    """RGB uint8 frames -> AVI via ``appsrc -> videoconvert -> avimux ->
+    filesink`` with PTS/duration propagation (ref frame_extractor.rs:151-183:
+    the reference pushes each processed frame back through appsrc preserving
+    its timestamps).  Interface-compatible with io.video.VideoWriter."""
+
+    def __init__(self, path: str, fps: float, width: int, height: int,
+                 encoding=None):
+        gst = _load()
+        if gst is None:
+            raise EncodeError(_gst_err or "GStreamer unavailable")
+        self._gst = gst
+        self.path = path
+        self.fps = float(fps) or 30.0
+        self.width, self.height = int(width), int(height)
+        self.frames_written = 0
+        self.fallback_used = None
+        num = max(int(round(self.fps)), 1)
+        self._pipeline = gst.parse_launch(
+            f'appsrc name=src format=time is-live=false block=true '
+            f'caps=video/x-raw,format=RGB,width={self.width},'
+            f'height={self.height},framerate={num}/1 '
+            f'! videoconvert ! avimux ! filesink location="{path}"')
+        self._src = self._pipeline.get_by_name("src")
+        self._pipeline.set_state(gst.State.PLAYING)
+
+    def write(self, frame_rgb: np.ndarray, pts: Optional[float] = None,
+              duration: Optional[float] = None) -> None:
+        gst = self._gst
+        frame_rgb = np.ascontiguousarray(frame_rgb, np.uint8)
+        if frame_rgb.ndim == 2 or frame_rgb.shape[-1] == 1:
+            frame_rgb = np.broadcast_to(
+                frame_rgb.reshape(self.height, self.width, 1),
+                (self.height, self.width, 3))
+            frame_rgb = np.ascontiguousarray(frame_rgb)
+        buf = gst.Buffer.new_wrapped(frame_rgb.tobytes())
+        if pts is None:
+            pts = self.frames_written / self.fps
+        if duration is None:
+            duration = 1.0 / self.fps
+        buf.pts = buf.dts = int(pts * 1e9)
+        buf.duration = int(duration * 1e9)
+        self._src.emit("push-buffer", buf)
+        self.frames_written += 1
+
+    def close(self) -> None:
+        self._src.emit("end-of-stream")
+        bus = self._pipeline.get_bus()
+        if bus is not None:
+            # wait for EOS to flush the muxer (5 s cap, like the reference's
+            # thumbnail bus timeout)
+            try:
+                bus.timed_pop_filtered(
+                    5 * 10**9, self._gst.MessageType.EOS
+                    | self._gst.MessageType.ERROR)
+            except Exception:
+                pass
         self._pipeline.set_state(self._gst.State.NULL)
 
     def __enter__(self):
@@ -119,12 +249,26 @@ class GstVideoReader:
 
 def open_video(path: str, backend: str = "auto"):
     """Backend-selecting reader factory: 'opencv', 'gstreamer', or 'auto'
-    (OpenCV first — it is always present in this distribution)."""
+    (GStreamer when importable — it is the reference's primary ingest —
+    otherwise OpenCV, which is always present in this distribution)."""
     from .video import VideoReader
     if backend == "gstreamer":
         return GstVideoReader(path)
     if backend == "opencv":
         return VideoReader(path)
     if backend == "auto":
-        return VideoReader(path)
+        return GstVideoReader(path) if available() else VideoReader(path)
+    raise ValueError(f"unknown video backend {backend!r}")
+
+
+def open_writer(path: str, fps: float, width: int, height: int,
+                encoding, backend: str = "auto"):
+    """Backend-selecting writer factory (mirrors :func:`open_video`).
+    'auto' prefers OpenCV (its encoders honour ``encoding``); 'gstreamer'
+    muxes raw RGB into AVI with PTS propagation."""
+    from .video import VideoWriter
+    if backend == "gstreamer":
+        return GstVideoWriter(path, fps, width, height, encoding)
+    if backend in ("opencv", "auto"):
+        return VideoWriter(path, fps, width, height, encoding)
     raise ValueError(f"unknown video backend {backend!r}")

@@ -40,6 +40,7 @@ class VideoReader:
         self.width = int(self._cap.get(cv2.CAP_PROP_FRAME_WIDTH))
         self.height = int(self._cap.get(cv2.CAP_PROP_FRAME_HEIGHT))
         self.frame_count = int(self._cap.get(cv2.CAP_PROP_FRAME_COUNT))
+        self.last_pts: Optional[float] = None
 
     def __iter__(self) -> Iterator[np.ndarray]:
         while True:
@@ -52,7 +53,22 @@ class VideoReader:
         ok, frame = self._cap.read()
         if not ok:
             return None
+        self.last_pts = self._pts_of_last_read()
         return cv2.cvtColor(frame, cv2.COLOR_BGR2RGB)
+
+    def _pts_of_last_read(self) -> Optional[float]:
+        """Container timestamp (seconds) of the frame just decoded — real
+        per-frame PTS for VFR inputs.  cv2's FFmpeg backend updates
+        POS_MSEC to the decoded frame's own timestamp *after* each read."""
+        ms = self._cap.get(cv2.CAP_PROP_POS_MSEC)
+        return ms / 1000.0 if ms >= 0 else None
+
+    def read_timed(self):
+        """(frame, pts_seconds) or None at EOS."""
+        f = self.read()
+        if f is None:
+            return None
+        return f, self.last_pts
 
     def iter_bgr(self) -> Iterator[np.ndarray]:
         """Raw decoder-layout (BGR) frames — the zero-conversion path for
@@ -62,6 +78,14 @@ class VideoReader:
             if not ok:
                 return
             yield frame
+
+    def iter_bgr_timed(self) -> Iterator[tuple]:
+        """(BGR frame, pts_seconds) pairs for the VFR-aware streaming path."""
+        while True:
+            ok, frame = self._cap.read()
+            if not ok:
+                return
+            yield frame, self._pts_of_last_read()
 
     def close(self) -> None:
         self._cap.release()
@@ -85,7 +109,55 @@ def open_camera(index: int = 0) -> "VideoReader":
     r.width = int(r._cap.get(cv2.CAP_PROP_FRAME_WIDTH))
     r.height = int(r._cap.get(cv2.CAP_PROP_FRAME_HEIGHT))
     r.frame_count = -1
+    r.last_pts = None
     return r
+
+
+class CfrRetimer:
+    """Map VFR source timestamps onto a constant-frame-rate write schedule.
+
+    cv2's VideoWriter is CFR-only, so a VFR input written 1:1 would retime
+    (drift) — the reference instead carries PTS through its GStreamer graph
+    (frame_extractor.rs:242-262).  For CFR containers the equivalent is
+    dup/drop scheduling: ``feed(frame, pts)`` returns how many copies to
+    write so every frame's display time stays within half an output frame
+    of its source PTS.  Frames without a PTS pass through 1:1.
+    """
+
+    def __init__(self, fps: float):
+        self.fps = float(fps)
+        self.written = 0
+        self._t0: Optional[float] = None
+        self._prev = None
+
+    def feed(self, frame, pts: Optional[float]) -> list:
+        """Frames to write now: gap slots hold the PREVIOUS frame (it was
+        the one on screen), then the current frame lands on its own slot;
+        a burst (two source frames in one output slot) drops the older."""
+        if pts is None:
+            self._prev = frame
+            self.written += 1
+            return [frame]
+        if self._t0 is None:
+            self._t0 = pts
+        target = int(round((pts - self._t0) * self.fps))
+        out = []
+        while self.written < target:
+            out.append(self._prev if self._prev is not None else frame)
+            self.written += 1
+        if target >= self.written:  # on schedule (burst -> dropped)
+            out.append(frame)
+            self.written += 1
+        self._prev = frame
+        return out
+
+
+def retime_cfr(timed_frames, fps: float):
+    """Generator over (frame, pts) pairs emitting a CFR stream at ``fps``
+    (see :class:`CfrRetimer`)."""
+    r = CfrRetimer(fps)
+    for frame, pts in timed_frames:
+        yield from r.feed(frame, pts)
 
 
 # Encoders this image's OpenCV cannot produce, with a safe substitute.

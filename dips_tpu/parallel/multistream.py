@@ -111,8 +111,7 @@ class MultiStreamEngine:
         self.reset()
 
     def reset(self) -> None:
-        t = self.props.temporal_size
-        self.frame_index = 0
+        self.frame_cursors = [0] * self.n_streams
         self._tails = [None] * self.n_streams
         if self._raw_mode:
             self._baseline = jnp.zeros(
@@ -123,6 +122,28 @@ class MultiStreamEngine:
         self._heatmap = jnp.zeros((self.n_streams, self.hp, self.wp),
                                   jnp.float32)
         self.failed: dict[int, StreamError] = {}
+
+    @property
+    def frame_index(self) -> int:
+        """Furthest per-stream cursor (streams advance independently)."""
+        return max(self.frame_cursors, default=0)
+
+    # -- per-stream failure recovery (SURVEY.md §5 'Failure detection /
+    #    elastic recovery': the reference panics; here a stream can rejoin) --
+    def revive(self, stream: int) -> None:
+        """Clear a stream's failure and let it continue from its old state
+        (cursor, baseline and ring tail are preserved)."""
+        self.failed.pop(stream, None)
+
+    def reset_stream(self, stream: int) -> None:
+        """Clear a stream's failure AND restart it fresh: cursor back to 0
+        (so its next frame re-captures the baseline), ring tail dropped,
+        baseline/heatmap rows zeroed.  Sibling streams are untouched."""
+        self.failed.pop(stream, None)
+        self.frame_cursors[stream] = 0
+        self._tails[stream] = None
+        self._baseline = self._baseline.at[stream].set(0)
+        self._heatmap = self._heatmap.at[stream].set(0)
 
     def heatmaps(self) -> np.ndarray:
         """(S, H, W) accumulated |diff| heatmaps, cropped."""
@@ -171,16 +192,18 @@ class MultiStreamEngine:
                 for i in range(b):
                     buf[si, t + i] = planar[min(i, len(planar) - 1)]
                 valid[si, :len(planar)] = True
+                # markers fire on each stream's OWN cursor, so staggered
+                # starts and stalled streams stay correct
+                cursor = self.frame_cursors[si]
                 for i in range(len(planar)):
-                    flags[si, i] = (self.frame_index + i == 0 or
-                                    (self.frame_index + i)
-                                    in self.props.refresh_markers)
+                    flags[si, i] = (cursor + i == 0 or
+                                    (cursor + i) in self.props.refresh_markers)
                 self._tails[si] = (self._tails[si] + planar)[-t:]
+                self.frame_cursors[si] = cursor + len(planar)
 
         out, stats, self._baseline, self._heatmap, gmean = self._step(
             jnp.asarray(buf), self._baseline, jnp.asarray(flags),
             self._heatmap, jnp.asarray(valid))
-        self.frame_index += n
 
         out = np.asarray(out[:, :n, :, :self.height, :self.width])
         out = np.moveaxis(out, 2, -1)

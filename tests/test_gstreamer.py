@@ -1,0 +1,286 @@
+"""GStreamer backend tests through a fake-Gst shim (the real stack is absent
+on TPU hosts): reader caps/fps/preroll probing, PTS exposure, the appsrc
+egress writer with timestamp propagation, backend factories, and the full
+app-layer plumbing of DiPsJob.video_backend."""
+
+import types
+
+import numpy as np
+import pytest
+
+from dips_tpu.errors import DecodeError
+from dips_tpu.io import gstreamer
+from dips_tpu.io.gstreamer import (GstVideoReader, GstVideoWriter, open_video,
+                                   open_writer)
+
+
+# ---------------------------------------------------------------------------
+# fake Gst
+# ---------------------------------------------------------------------------
+
+class FakeCapsStruct:
+    def __init__(self, w, h, num=24, den=1):
+        self.w, self.h, self.num, self.den = w, h, num, den
+
+    def get_value(self, name):
+        return {"width": self.w, "height": self.h}[name]
+
+    def get_fraction(self, name):
+        return (True, self.num, self.den)
+
+
+class FakeCaps:
+    def __init__(self, struct):
+        self._s = struct
+
+    def get_structure(self, i):
+        return self._s
+
+
+class FakeBuffer:
+    def __init__(self, data, pts=None):
+        self.data = bytes(data)
+        self.pts = pts if pts is not None else 2**64 - 1  # CLOCK_TIME_NONE
+        self.dts = None
+        self.duration = None
+
+    def map(self, flags):
+        return True, types.SimpleNamespace(data=self.data)
+
+    def unmap(self, info):
+        pass
+
+
+class FakeSink:
+    def __init__(self, samples):
+        self.samples = list(samples)
+        self.props = {}
+
+    def set_property(self, k, v):
+        self.props[k] = v
+
+    def emit(self, signal, *a):
+        if signal == "pull-preroll":
+            return self.samples[0] if self.samples else None
+        if signal == "pull-sample":
+            return self.samples.pop(0) if self.samples else None
+        raise AssertionError(signal)
+
+
+class FakeSrc:
+    def __init__(self):
+        self.pushed = []
+        self.eos = False
+
+    def emit(self, signal, *a):
+        if signal == "push-buffer":
+            self.pushed.append(a[0])
+        elif signal == "end-of-stream":
+            self.eos = True
+
+
+class FakeBus:
+    def timed_pop_filtered(self, timeout_ns, mask):
+        return object()  # immediate EOS
+
+
+class FakePipeline:
+    def __init__(self, elements):
+        self.elements = elements
+        self.states = []
+
+    def get_by_name(self, name):
+        return self.elements.get(name)
+
+    def set_state(self, s):
+        self.states.append(s)
+
+    def get_bus(self):
+        return FakeBus()
+
+
+def _sample(frame, w, h, pts=None, num=24):
+    return types.SimpleNamespace(
+        get_caps=lambda: FakeCaps(FakeCapsStruct(w, h, num=num)),
+        get_buffer=lambda: FakeBuffer(frame.tobytes(), pts))
+
+
+class FakeGst:
+    State = types.SimpleNamespace(PLAYING="PLAYING", NULL="NULL")
+    MapFlags = types.SimpleNamespace(READ=1)
+    MessageType = types.SimpleNamespace(EOS=1, ERROR=2)
+
+    class Buffer:
+        @staticmethod
+        def new_wrapped(data):
+            return FakeBuffer(data, pts=None)
+
+    def __init__(self, frames=(), w=0, h=0, pts_list=None, num=24):
+        self._frames, self._w, self._h, self._num = frames, w, h, num
+        self._pts = pts_list or [None] * len(frames)
+        self.sinks, self.srcs, self.launches = [], [], []
+
+    def parse_launch(self, desc):
+        self.launches.append(desc)
+        if "appsink" in desc:
+            sink = FakeSink([_sample(f, self._w, self._h, p, self._num)
+                             for f, p in zip(self._frames, self._pts)])
+            self.sinks.append(sink)
+            return FakePipeline({"sink": sink})
+        src = FakeSrc()
+        self.srcs.append(src)
+        return FakePipeline({"src": src})
+
+
+@pytest.fixture
+def fake_gst():
+    def install(frames=(), w=0, h=0, pts_list=None, num=24):
+        g = FakeGst(frames, w, h, pts_list, num)
+        gstreamer._set_gst_for_testing(g)
+        return g
+    yield install
+    gstreamer._set_gst_for_testing(None)  # restore the unavailable gate
+
+
+def _rgb_frames(n, h, w, seed=0):
+    r = np.random.default_rng(seed)
+    return [r.integers(0, 256, (h, w, 3), np.uint8) for _ in range(n)]
+
+
+# ---------------------------------------------------------------------------
+# reader
+# ---------------------------------------------------------------------------
+
+def test_reader_probes_geometry_before_first_read(fake_gst, tmp_path):
+    frames = _rgb_frames(3, 10, 16)
+    fake_gst(frames, 16, 10, num=24)
+    p = tmp_path / "v.avi"
+    p.write_bytes(b"x")
+    r = GstVideoReader(str(p))
+    assert (r.width, r.height) == (16, 10)   # from the preroll sample
+    assert r.fps == 24.0                      # (ok, num, den) fraction parsed
+    got = list(r)
+    assert len(got) == 3
+    for g, f in zip(got, frames):
+        np.testing.assert_array_equal(g, f)
+    r.close()
+
+
+def test_reader_exposes_pts(fake_gst, tmp_path):
+    frames = _rgb_frames(2, 4, 8)
+    fake_gst(frames, 8, 4, pts_list=[int(0.5e9), int(1.25e9)])
+    p = tmp_path / "v.avi"
+    p.write_bytes(b"x")
+    r = GstVideoReader(str(p))
+    f, pts = r.read_timed()
+    assert pts == 0.5
+    f, pts = r.read_timed()
+    assert pts == 1.25
+    assert r.read_timed() is None
+
+
+def test_reader_iter_bgr_swaps(fake_gst, tmp_path):
+    f = np.zeros((4, 8, 3), np.uint8)
+    f[..., 0] = 200  # red plane
+    fake_gst([f], 8, 4)
+    p = tmp_path / "v.avi"
+    p.write_bytes(b"x")
+    r = GstVideoReader(str(p))
+    bgr = next(iter(r.iter_bgr()))
+    assert bgr[0, 0, 2] == 200 and bgr[0, 0, 0] == 0
+
+
+def test_reader_unavailable_gate(tmp_path):
+    gstreamer._set_gst_for_testing(None)
+    p = tmp_path / "v.avi"
+    p.write_bytes(b"x")
+    with pytest.raises(DecodeError, match="GStreamer unavailable"):
+        GstVideoReader(str(p))
+
+
+# ---------------------------------------------------------------------------
+# writer
+# ---------------------------------------------------------------------------
+
+def test_writer_propagates_pts_and_duration(fake_gst, tmp_path):
+    g = fake_gst()
+    w = GstVideoWriter(str(tmp_path / "o.avi"), 10.0, 8, 4)
+    frames = _rgb_frames(3, 4, 8)
+    w.write(frames[0])                      # default pts: index/fps
+    w.write(frames[1], pts=0.7, duration=0.3)
+    w.write(frames[2])
+    w.close()
+    src = g.srcs[0]
+    assert src.eos and len(src.pushed) == 3
+    assert src.pushed[0].pts == 0
+    assert src.pushed[0].duration == int(0.1 * 1e9)
+    assert src.pushed[1].pts == int(0.7 * 1e9)
+    assert src.pushed[1].duration == int(0.3 * 1e9)
+    assert src.pushed[2].pts == int(0.2 * 1e9)
+    np.testing.assert_array_equal(
+        np.frombuffer(src.pushed[0].data, np.uint8).reshape(4, 8, 3),
+        frames[0])
+    assert "avimux" in g.launches[0]        # ref egress graph shape
+
+
+def test_writer_broadcasts_single_plane(fake_gst, tmp_path):
+    g = fake_gst()
+    w = GstVideoWriter(str(tmp_path / "o.avi"), 10.0, 8, 4)
+    w.write(np.full((4, 8, 1), 7, np.uint8))
+    w.close()
+    data = np.frombuffer(g.srcs[0].pushed[0].data, np.uint8)
+    assert data.size == 4 * 8 * 3 and (data == 7).all()
+
+
+# ---------------------------------------------------------------------------
+# factories + app plumbing
+# ---------------------------------------------------------------------------
+
+def test_open_video_auto_prefers_gstreamer_when_available(fake_gst, tmp_path):
+    fake_gst(_rgb_frames(1, 4, 8), 8, 4)
+    p = tmp_path / "v.avi"
+    p.write_bytes(b"x")
+    assert isinstance(open_video(str(p), "gstreamer"), GstVideoReader)
+    assert isinstance(open_video(str(p), "auto"), GstVideoReader)
+    with pytest.raises(ValueError):
+        open_video(str(p), "nope")
+
+
+def test_open_writer_backends(fake_gst, tmp_path):
+    from dips_tpu.io.video import VideoWriter
+    from dips_tpu.properties import Encoding
+    fake_gst()
+    w = open_writer(str(tmp_path / "a.avi"), 10, 8, 4, Encoding.MJPG,
+                    "gstreamer")
+    assert isinstance(w, GstVideoWriter)
+    w.close()
+    w = open_writer(str(tmp_path / "b.avi"), 10, 8, 4, Encoding.MJPG, "auto")
+    assert isinstance(w, VideoWriter)
+    w.close()
+
+
+def test_perform_dips_through_gstreamer_backend(fake_gst, tmp_path):
+    """End-to-end: DiPsJob.video_backend='gstreamer' plumbs the fake reader
+    AND writer through stream_dips/perform_dips."""
+    from dips_tpu.app import DiPsJob, perform_dips
+    from dips_tpu.properties import DiPsFilter, DiPsProperties
+
+    h, w = 8, 16
+    frames = _rgb_frames(5, h, w, seed=3)
+    g = fake_gst(frames, w, h, num=20)
+    src_path = tmp_path / "in.avi"
+    src_path.write_bytes(b"x")
+    job = DiPsJob(
+        properties=DiPsProperties(window_size=1, temporal_size=1,
+                                  filter=DiPsFilter.UNFILTERED),
+        video_path=str(src_path), output_path=str(tmp_path / "out.avi"),
+        batch=2, video_backend="gstreamer")
+    stats = perform_dips(job)
+    assert stats.shape[0] == 5
+    src = g.srcs[0]
+    assert len(src.pushed) == 5 and src.eos
+    # constant-rate PTS at the probed input fps
+    assert src.pushed[1].pts == int(1e9 / 20)
+    # and the diff maps are real: frame 0 is the gray-rendered capture
+    first = np.frombuffer(src.pushed[0].data, np.uint8).reshape(h, w, 3)
+    assert first.std() > 0

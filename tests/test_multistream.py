@@ -62,6 +62,80 @@ def test_stream_failure_isolation():
     np.testing.assert_array_equal(out[0], exp_out)
 
 
+def test_staggered_stream_start_uses_own_cursor():
+    """A stream that joins late must capture its baseline on ITS first frame
+    and fire refresh markers on its own index, not the global one."""
+    props = DiPsProperties(window_size=1, temporal_size=1,
+                           filter=DiPsFilter.UNFILTERED, refresh_markers=(2,))
+    h, w = 8, 16
+    clips = [make_clip(n=9, h=h, w=w, seed=s) for s in range(8)]
+    ms = MultiStreamEngine(props, h, w, n_streams=8, batch=3)
+    late = 7
+    outs = {si: [] for si in range(8)}
+    stats = {si: [] for si in range(8)}
+    for step in range(3):
+        feeds = []
+        for si in range(8):
+            if si == late:
+                # joins one batch late, then feeds its clip from ITS frame 0
+                fr = [] if step == 0 else list(clips[si][(step - 1) * 3:
+                                                         step * 3])
+            else:
+                fr = list(clips[si][step * 3:(step + 1) * 3])
+            feeds.append(fr)
+        o, st, _ = ms.process_batch(feeds)
+        for si in range(8):
+            n = len(feeds[si])
+            outs[si].append(o[si, :n])
+            stats[si].append(st[si, :n])
+    assert ms.frame_cursors[late] == 6 and ms.frame_cursors[0] == 9
+    # the late stream's first 6 frames == an independent single-stream run
+    eng = DiPsEngine(props, h, w, batch=3)
+    exp_out, exp_stats = eng.process_frames(list(clips[late][:6]))
+    np.testing.assert_array_equal(np.concatenate(outs[late]), exp_out)
+    np.testing.assert_allclose(np.concatenate(stats[late]), exp_stats,
+                               atol=1e-5)
+
+
+def test_failed_stream_revive_and_reset():
+    props = DiPsProperties(window_size=1, temporal_size=1,
+                           filter=DiPsFilter.UNFILTERED)
+    h, w = 8, 16
+    clips = [make_clip(n=9, h=h, w=w, seed=s) for s in range(8)]
+    ms = MultiStreamEngine(props, h, w, n_streams=8, batch=3)
+    ms.process_batch([list(c[:3]) for c in clips])
+
+    feeds = [list(c[3:6]) for c in clips]
+    feeds[2] = [np.zeros((2, 2, 3), np.uint8)]  # bad frame -> isolated
+    ms.process_batch(feeds)
+    assert 2 in ms.failed and ms.frame_cursors[2] == 3
+
+    # while failed, its feeds are ignored entirely
+    ms.process_batch([list(c[6:9]) for c in clips])
+    assert ms.frame_cursors[2] == 3 and ms.frame_cursors[0] == 9
+
+    # revive: continues from the old state (baseline + cursor preserved)
+    ms.revive(2)
+    assert 2 not in ms.failed
+    out, st, _ = ms.process_batch(
+        [list(c[6:9]) if si == 2 else [] for si, c in enumerate(clips)])
+    assert ms.frame_cursors[2] == 6
+    eng = DiPsEngine(props, h, w, batch=3)
+    eng.process_frames(list(clips[2][:3]))
+    exp_out, exp_stats = eng.process_batch(list(clips[2][6:9]))
+    np.testing.assert_array_equal(out[2, :3], exp_out)
+    np.testing.assert_allclose(st[2, :3], exp_stats, atol=1e-5)
+
+    # reset_stream: restarts fresh — next frame is a capture again
+    ms.reset_stream(2)
+    assert ms.frame_cursors[2] == 0 and ms.heatmaps()[2].max() == 0
+    out2, st2, _ = ms.process_batch(
+        [[clips[2][0]] if si == 2 else [] for si in range(8)])
+    assert st2[2, 0, 3] == 0  # capture frame: zero changed pixels
+    # siblings untouched by the reset
+    assert ms.frame_cursors[0] == 9
+
+
 def test_global_mean_masks_invalid_slots():
     """ADVICE regression: the psum'd global mean must exclude padding-
     replicated slots of short streams and dead/failed streams entirely."""
