@@ -318,9 +318,10 @@ def run_dips_on_files(input_paths: Sequence[str], output_dir: str,
                 f"(multi-stream batches require uniform geometry)")
 
     mesh = mesh if mesh is not None else stream_mesh()
-    n_dev = mesh.devices.size
+    n_dev = dict(zip(mesh.axis_names, mesh.devices.shape)).get(
+        "stream", mesh.devices.size)
     s = len(readers)
-    pad_streams = (-s) % n_dev  # mesh wants a multiple of n_dev
+    pad_streams = (-s) % n_dev  # stream axis wants a multiple of its size
     eng = MultiStreamEngine(props, h, w, n_streams=s + pad_streams,
                             batch=batch, mesh=mesh, backend=backend)
 

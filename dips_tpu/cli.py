@@ -40,6 +40,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="multiple input videos: batched multi-stream mode, "
                         "sharded over the device mesh (requires --output-dir)")
     p.add_argument("--output-dir", help="output directory for --inputs mode")
+    p.add_argument("--mesh", metavar="SxR",
+                   help="2-D device mesh for --inputs mode: S stream shards "
+                        "x R row slabs (e.g. 2x4); default is a 1-D stream "
+                        "mesh over all devices")
     p.add_argument("--encoding", default="MJPG",
                    help="RGBA | HFYU | H264 | MJPG | mp4v")
     p.add_argument("--filter", default="sigmoid",
@@ -159,11 +163,21 @@ def main(argv: Optional[List[str]] = None) -> int:
             return 2
         from .app import run_dips_on_files
         from .errors import DiPsError
+        mesh = None
+        if args.mesh:
+            from .parallel.grid2d import grid_mesh
+            try:
+                s_ax, r_ax = (int(v) for v in args.mesh.lower().split("x"))
+            except ValueError:
+                print(f"bad --mesh {args.mesh!r} (want SxR, e.g. 2x4)",
+                      file=sys.stderr)
+                return 2
+            mesh = grid_mesh(s_ax, r_ax)
         try:
             counts = run_dips_on_files(args.inputs, args.output_dir,
                                        args.encoding, props,
                                        batch=args.batch,
-                                       backend=args.backend)
+                                       backend=args.backend, mesh=mesh)
         except (DiPsError, NotImplementedError) as e:
             print(f"error: {e}", file=sys.stderr)
             return 1

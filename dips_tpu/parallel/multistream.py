@@ -101,13 +101,26 @@ class MultiStreamEngine:
         self.hp, self.wp = reference.pad_geometry(height, width)
         self.batch = int(batch)
         self.mesh = mesh if mesh is not None else stream_mesh()
-        n_dev = self.mesh.devices.size
-        if n_streams % n_dev:
+        if "rows" in self.mesh.axis_names:
+            # composite 2-D (stream x rows) grid: each device owns a
+            # horizontal slab of a subset of streams (grid2d.make_grid_step)
+            from .grid2d import make_grid_step
+            n_shard = self.mesh.shape["stream"]
+            rows_ax = self.mesh.shape["rows"]
+            if self.hp % rows_ax:
+                raise ValueError(
+                    f"padded height {self.hp} must divide the rows axis "
+                    f"{rows_ax}")
+            self._step = make_grid_step(props, height, width, self.mesh)
+        else:
+            n_shard = self.mesh.devices.size
+            self._step = make_sharded_step(props, height, width, self.mesh,
+                                           backend)
+        if n_streams % n_shard:
             raise ValueError(
-                f"n_streams={n_streams} must be a multiple of mesh size {n_dev}")
+                f"n_streams={n_streams} must be a multiple of the stream "
+                f"axis size {n_shard}")
         self.n_streams = int(n_streams)
-        self._step = make_sharded_step(props, height, width, self.mesh,
-                                       backend)
         self.reset()
 
     def reset(self) -> None:

@@ -314,6 +314,51 @@ def test_grid2d_streams_by_rows():
     np.testing.assert_allclose(float(gmean), np.mean(means), rtol=1e-5)
 
 
+def test_multistream_engine_on_2d_grid_mesh():
+    """MultiStreamEngine over a (stream x rows) mesh == 1-D mesh results."""
+    from dips_tpu.parallel.grid2d import grid_mesh
+    props = DiPsProperties(window_size=3, temporal_size=2,
+                           filter=DiPsFilter.UNFILTERED)
+    h, w = 32, 40
+    clips = [make_clip(n=4, h=h, w=w, seed=s) for s in range(2)]
+    ms2d = MultiStreamEngine(props, h, w, n_streams=2, batch=4,
+                             mesh=grid_mesh(2, 4))
+    out2d, stats2d, g2d = ms2d.process_batch([list(c) for c in clips])
+    ms1d = MultiStreamEngine(props, h, w, n_streams=2, batch=4,
+                             mesh=stream_mesh(2))
+    out1d, stats1d, g1d = ms1d.process_batch([list(c) for c in clips])
+    np.testing.assert_array_equal(out2d, out1d)
+    np.testing.assert_allclose(stats2d, stats1d, atol=1e-5)
+    np.testing.assert_allclose(g2d, g1d, rtol=1e-5)
+
+
+def test_mesh_cli_2d_grid(tmp_path, capsys):
+    """--mesh 2x4 routes multi-input runs through the 2-D grid."""
+    from dips_tpu.cli import main as cli_main
+    from dips_tpu.io import VideoReader, moving_square_clip, write_clip
+    paths = []
+    for i in range(2):
+        p = str(tmp_path / f"v{i}.avi")
+        write_clip(moving_square_clip(n=6, height=32, width=48, seed=i), p)
+        paths.append(p)
+    outdir = str(tmp_path / "out")
+    rc = cli_main(["--inputs", *paths, "--output-dir", outdir,
+                   "--mesh", "2x4", "--temporal=2", "--batch=3",
+                   "--filter=none"])
+    assert rc == 0
+    assert "2 streams" in capsys.readouterr().out
+    for i in range(2):
+        with VideoReader(str(tmp_path / "out" / f"v{i}.dips.avi")) as r:
+            assert len(list(r)) == 6
+
+
+def test_mesh_cli_bad_spec(tmp_path, capsys):
+    from dips_tpu.cli import main as cli_main
+    rc = cli_main(["--inputs", "x.avi", "--output-dir", str(tmp_path),
+                   "--mesh", "oops"])
+    assert rc == 2
+
+
 def test_multistream_heatmaps_and_reset():
     props = DiPsProperties(window_size=1, temporal_size=1,
                            filter=DiPsFilter.UNFILTERED)
