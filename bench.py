@@ -100,6 +100,81 @@ def bench_device(props, h, w, batch, iters=(10, 60)):
     return fps
 
 
+def _write_bench_clip(path, h, w, n, fps=30):
+    import cv2
+    r = np.random.default_rng(0)
+    base = r.integers(0, 256, (h, w, 3), np.uint8)
+    wr = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"MJPG"), fps, (w, h))
+    if not wr.isOpened():
+        raise RuntimeError("MJPG writer unavailable")
+    for i in range(n):
+        f = base.copy()
+        y = (10 + 3 * i) % max(h - 40, 1)
+        x = (10 + 7 * i) % max(w - 40, 1)
+        f[y:y + 40, x:x + 40] = (40, 220, 40)
+        wr.write(f)
+    wr.release()
+
+
+def bench_cpu_e2e(path):
+    """CPU decode-to-diff-map baseline: cv2 decode loop + absdiff per frame
+    (the like-for-like end-to-end job on the host CPU)."""
+    import cv2
+    cap = cv2.VideoCapture(path)
+    ok, first = cap.read()
+    dst = np.empty_like(first)
+    n = 1
+    t0 = time.time()
+    while True:
+        ok, f = cap.read()
+        if not ok:
+            break
+        cv2.absdiff(f, first, dst)
+        n += 1
+    dt = time.time() - t0
+    cap.release()
+    return n / dt if dt > 0 else 0.0
+
+
+def bench_e2e(h, w, n_frames, batch, decode_workers):
+    """Measured end-to-end decode-to-diff-map fps through the real streaming
+    pipeline (file decode -> planarize -> device absdiff parity kernel ->
+    host diff maps), with per-stage shares from StageTimers."""
+    import tempfile
+    import jax
+    from dips_tpu.app import DiPsJob, stream_dips
+    from dips_tpu.properties import DiPsProperties, OutputMode
+
+    d = tempfile.mkdtemp()
+    path = f"{d}/bench.avi"
+    t0 = time.time()
+    _write_bench_clip(path, h, w, n_frames)
+    log(f"  clip synthesized: {n_frames}f {w}x{h} ({time.time() - t0:.1f}s)")
+
+    cpu_fps = bench_cpu_e2e(path)
+    log(f"  CPU e2e baseline (decode + cv2.absdiff): {cpu_fps:.0f} fps")
+
+    backend = "xla" if jax.default_backend() == "cpu" else "pallas"
+    props = DiPsProperties(output=OutputMode.ABSDIFF, temporal_size=4)
+
+    def run(profile):
+        job = DiPsJob(properties=props, video_path=path, batch=batch,
+                      backend=backend, video_backend="opencv",
+                      decode_workers=decode_workers, profile=profile)
+        t0 = time.time()
+        n = sum(1 for _ in stream_dips(job))
+        return n, time.time() - t0, job.timers
+
+    run(False)  # warm-up: compile + page the file into cache
+    n, dt, timers = run(True)
+    fps = n / dt
+    log(f"  e2e: {n} frames in {dt:.2f}s -> {fps:.0f} fps "
+        f"({decode_workers} decode worker(s))")
+    for name, row in timers.summary().items():
+        log(f"    {name:<12} {row}")
+    return fps, cpu_fps
+
+
 # The five BASELINE.json benchmark configs + the headline default.
 PRESETS = {
     "headline-1080p": dict(h=1080, w=1920, method="overall"),
@@ -123,7 +198,24 @@ def main():
     ap.add_argument("--full-pipeline-headline", action="store_true",
                     help="report the median/colorize pipeline as the "
                          "headline instead of the absdiff parity mode")
+    ap.add_argument("--e2e", action="store_true",
+                    help="measured end-to-end decode-to-diff-map fps on a "
+                         "real clip (file decode included) instead of the "
+                         "device-resident kernel rate")
+    ap.add_argument("--e2e-frames", type=int, default=150)
+    ap.add_argument("--decode-workers", type=int, default=1)
     args = ap.parse_args()
+
+    if args.e2e:
+        fps, cpu_fps = bench_e2e(args.height, args.width, args.e2e_frames,
+                                 args.batch, args.decode_workers)
+        print(json.dumps({
+            "metric": f"{args.height}p_e2e_decode_to_diffmap_fps",
+            "value": round(fps, 1),
+            "unit": "frames/s",
+            "vs_baseline": round(fps / cpu_fps, 2) if cpu_fps else 0.0,
+        }))
+        return
 
     from dips_tpu.properties import DiPsMethod, DiPsProperties, OutputMode
     method = DiPsMethod.OVERALL

@@ -69,6 +69,11 @@ class DiPsJob:
     #: (the reference's primary ingest is GStreamer, frame_extractor.rs:38).
     video_backend: str = "auto"
     queue_depth: int = 4  # decode-ahead batches
+    #: parallel decode workers (contiguous chunks, order-preserving chain).
+    #: Decode is the e2e wall on most hosts — the chip outruns one decoder
+    #: by orders of magnitude (see BASELINE.md stage shares).  Requires a
+    #: seekable container with a reliable frame count (AVI/MJPG).
+    decode_workers: int = 1
     #: collect per-stage timings (SURVEY.md §5 tracing; see utils.profiling);
     #: populated on the job as ``job.timers`` after a run.
     profile: bool = False
@@ -106,24 +111,71 @@ class DiPsJob:
 
 def _decode_worker(reader: VideoReader, hp: int, wp: int,
                    ring: "native.FrameRing", stop: threading.Event,
-                   errbox: list, pts_q) -> None:
+                   errbox: list, pts_q, timers: Optional[StageTimers] = None,
+                   stage: str = "decode", limit: Optional[int] = None,
+                   own_reader: bool = False) -> None:
     """Decode thread: fused BGR->planar conversion (native, single pass)
     staged into the bounded frame ring — the rebuild's analogue of the
     GStreamer streaming thread feeding appsink.  Per-frame PTS travel in a
     side deque (appended before the push so the consumer never sees a frame
-    without its timestamp)."""
+    without its timestamp).  ``limit`` bounds the frames decoded (chunked
+    parallel decode); ``stage`` names this worker's timer."""
+    it = reader.iter_bgr_timed()
+    done = 0
     try:
-        for bgr, pts in reader.iter_bgr_timed():
-            if stop.is_set():
+        while limit is None or done < limit:
+            if timers:
+                with timers.stage(stage):
+                    item = next(it, None)
+            else:
+                item = next(it, None)
+            if item is None or stop.is_set():
                 return
-            planar = native.planarize(bgr, hp, wp, swap_rb=True)
+            bgr, pts = item
+            if timers:
+                with timers.stage("planarize"):
+                    planar = native.planarize(bgr, hp, wp, swap_rb=True)
+            else:
+                planar = native.planarize(bgr, hp, wp, swap_rb=True)
             pts_q.append(pts)
             if not ring.push(planar):
                 return
+            done += 1
     except Exception as e:  # pragma: no cover - decoder internals
         errbox.append(e)
     finally:
         ring.close()
+        if own_reader:
+            reader.close()
+
+
+class _RingChain:
+    """Ordered consumption across N chunk rings: pop drains ring k fully
+    (closed + empty) before advancing to ring k+1, keeping frame order
+    strictly sequential while later chunks decode in parallel."""
+
+    def __init__(self, rings, pts_qs):
+        self.rings = rings
+        self.pts_qs = pts_qs
+        self._k = 0
+        self.last_pts = None
+
+    def pop(self, out, timeout_ms: int) -> int:
+        while self._k < len(self.rings):
+            rc = self.rings[self._k].pop(out, timeout_ms=timeout_ms)
+            if rc == 0:
+                q = self.pts_qs[self._k]
+                self.last_pts = q.popleft() if q else None
+                return 0
+            if rc == -1:  # this chunk is done: move to the next
+                self._k += 1
+                continue
+            return rc  # timeout
+        return -1
+
+    def close(self) -> None:
+        for r in self.rings:
+            r.close()
 
 
 def stream_dips(job: DiPsJob) -> Iterator[Tuple[int, np.ndarray, np.ndarray,
@@ -132,27 +184,60 @@ def stream_dips(job: DiPsJob) -> Iterator[Tuple[int, np.ndarray, np.ndarray,
     a decode thread keeps the device fed (bounded ring = backpressure)."""
     if not job.video_path:
         raise VideoPathError("no video path set (DiPsJob.with_video_path)")
+    import collections
     from .io.gstreamer import open_video
     reader = open_video(job.video_path, job.video_backend)
     engine = DiPsEngine(job.properties, reader.height, reader.width,
                         batch=job.batch, backend=job.backend)
     hp, wp = engine.hp, engine.wp
-    ring = native.FrameRing(slots=max(2, job.queue_depth) * job.batch,
-                            slot_bytes=3 * hp * wp)
-    stop = threading.Event()
-    errbox: list = []
-    import collections
-    pts_q: collections.deque = collections.deque()
-    job.frame_pts = []
-    worker = threading.Thread(
-        target=_decode_worker,
-        args=(reader, hp, wp, ring, stop, errbox, pts_q),
-        daemon=True)
-    worker.start()
-    idx = 0
-    h, w = engine.height, engine.width
     timers = StageTimers() if job.profile else None
     job.timers = timers
+    job.frame_pts = []
+    stop = threading.Event()
+    errbox: list = []
+    slots = max(2, job.queue_depth) * job.batch
+
+    nw = max(1, int(job.decode_workers))
+    total = getattr(reader, "frame_count", -1)
+    if nw > 1 and total and total > 0 and hasattr(reader, "seek_frame"):
+        # Parallel chunked decode: N readers, each seeked to its contiguous
+        # chunk, feeding its own bounded ring; the chain consumes chunks in
+        # order while later chunks pre-decode (decode is the usual wall on
+        # multi-core hosts — the chip outruns one decoder by far).
+        nw = min(nw, total)
+        reader.close()
+        per = total // nw
+        bounds = [(k * per, per if k < nw - 1 else total - (nw - 1) * per)
+                  for k in range(nw)]
+        rings = [native.FrameRing(slots=max(2, slots // nw),
+                                  slot_bytes=3 * hp * wp) for _ in range(nw)]
+        pts_qs = [collections.deque() for _ in range(nw)]
+        workers = []
+        for k, (start, count) in enumerate(bounds):
+            rd = open_video(job.video_path, job.video_backend)
+            rd.seek_frame(start)
+            suffix = "" if k == 0 else str(k)
+            workers.append(threading.Thread(
+                target=_decode_worker,
+                args=(rd, hp, wp, rings[k], stop, errbox, pts_qs[k], timers,
+                      f"decode{suffix}", count, True),
+                daemon=True))
+        source = _RingChain(rings, pts_qs)
+        readers_to_close: list = []
+    else:
+        ring = native.FrameRing(slots=slots, slot_bytes=3 * hp * wp)
+        pts_q: collections.deque = collections.deque()
+        workers = [threading.Thread(
+            target=_decode_worker,
+            args=(reader, hp, wp, ring, stop, errbox, pts_q, timers),
+            daemon=True)]
+        source = _RingChain([ring], [pts_q])
+        readers_to_close = [reader]
+    for wk in workers:
+        wk.start()
+
+    idx = 0
+    h, w = engine.height, engine.width
     t = job.properties.temporal_size
     try:
         eos = False
@@ -161,8 +246,9 @@ def stream_dips(job: DiPsJob) -> Iterator[Tuple[int, np.ndarray, np.ndarray,
             # no intermediate staging copy
             buf = engine.new_batch_buffer()
             n = 0
+            pts_batch = []
             while n < job.batch:
-                rc = ring.pop(buf[t + n], timeout_ms=30000)
+                rc = source.pop(buf[t + n], timeout_ms=30000)
                 if rc == -1:
                     eos = True
                     break
@@ -170,6 +256,7 @@ def stream_dips(job: DiPsJob) -> Iterator[Tuple[int, np.ndarray, np.ndarray,
                     if n:
                         break  # flush what we have
                     raise DecodeError("decode stalled (ring timeout)")
+                pts_batch.append(source.last_pts)
                 n += 1
             if errbox:
                 raise DecodeError(str(errbox[0])) from errbox[0]
@@ -188,7 +275,7 @@ def stream_dips(job: DiPsJob) -> Iterator[Tuple[int, np.ndarray, np.ndarray,
                     denoise_frames(outs, int(job.denoise_radius)))
             for i in range(len(batch)):
                 out = outs[i]
-                job.frame_pts.append(pts_q.popleft() if pts_q else None)
+                job.frame_pts.append(pts_batch[i])
                 inp = native.interleave(batch[i], h, w)  # RGB view for hooks
                 if job.frame_callback is not None:
                     try:
@@ -202,8 +289,9 @@ def stream_dips(job: DiPsJob) -> Iterator[Tuple[int, np.ndarray, np.ndarray,
                 idx += 1
     finally:
         stop.set()
-        ring.close()
-        reader.close()
+        source.close()
+        for r in readers_to_close:
+            r.close()
 
 
 def perform_dips(job: DiPsJob) -> np.ndarray:

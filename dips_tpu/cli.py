@@ -54,6 +54,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="r | g | b | '' (luminance)")
     p.add_argument("--win_size", type=int, default=3,
                    help="spatial median window, odd, clamped 1..7")
+    p.add_argument("--approx-median", action="store_true",
+                   help="separable spatial median (fast approximation "
+                        "with documented rank bounds; default is exact)")
     p.add_argument("--colorize", default="true",
                    help="true | false (false = grayscale diff)")
     p.add_argument("--method", default="overall",
@@ -77,6 +80,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--retime-vfr", action="store_true",
                    help="dup/drop frames onto the CFR writer schedule so "
                         "variable-frame-rate inputs do not drift")
+    p.add_argument("--decode-workers", type=int, default=1, metavar="N",
+                   help="parallel chunked decode threads (order-preserving; "
+                        "needs a seekable container)")
     p.add_argument("--stats-json", metavar="PATH",
                    help="write per-frame statistics to a JSON file")
     p.add_argument("--profile", action="store_true",
@@ -131,6 +137,7 @@ def props_from_args(args: argparse.Namespace) -> DiPsProperties:
         sigmoid_horizontal_scalar=args.sig_scalar,
         refresh_markers=tuple(args.markers),
         change_threshold=args.threshold,
+        approx_median=args.approx_median,
     )
 
 
@@ -218,6 +225,7 @@ def main(argv: Optional[List[str]] = None) -> int:
                       batch=args.batch, backend=args.backend,
                       video_backend=args.video_backend,
                       retime_vfr=args.retime_vfr,
+                      decode_workers=args.decode_workers,
                       profile=args.profile, denoise_radius=args.denoise)
         from .utils.profiling import trace
         with trace(args.trace_dir):

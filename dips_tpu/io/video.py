@@ -63,6 +63,12 @@ class VideoReader:
         ms = self._cap.get(cv2.CAP_PROP_POS_MSEC)
         return ms / 1000.0 if ms >= 0 else None
 
+    def seek_frame(self, index: int) -> None:
+        """Position the decoder at frame ``index`` (exact for AVI/MJPG and
+        other index-backed containers; used by the parallel chunked decode
+        path)."""
+        self._cap.set(cv2.CAP_PROP_POS_FRAMES, int(index))
+
     def read_timed(self):
         """(frame, pts_seconds) or None at EOS."""
         f = self.read()

@@ -62,11 +62,15 @@ def intensity(frame_u8: np.ndarray, chroma: ChromaFilter) -> np.ndarray:
     return (cmax + cmin) * np.float32(0.5)
 
 
-def spatial_median(plane: np.ndarray, window: int) -> np.ndarray:
+def spatial_median(plane: np.ndarray, window: int,
+                   approx: bool = False) -> np.ndarray:
     """Centered odd-window median with zero padding outside the image.
 
     ``window == 1`` is the identity (ref dips_shader.wgsl:123-126).
     Median = sorted taps at index ``(w*w) // 2`` (exact median, w odd).
+    ``approx`` selects the separable approximation (median of column
+    medians, then median across horizontal offsets — the same zero-padded
+    boundary semantics), matching ``DiPsProperties.approx_median``.
     """
     if window <= 1:
         return plane.astype(np.float32)
@@ -74,6 +78,16 @@ def spatial_median(plane: np.ndarray, window: int) -> np.ndarray:
     p = window // 2
     padded = np.zeros((h + 2 * p, w + 2 * p), np.float32)
     padded[p:p + h, p:p + w] = plane
+    if approx:
+        vtaps = np.stack([padded[dy:dy + h, p:p + w]
+                          for dy in range(window)])
+        vtaps.sort(axis=0)
+        colmed = vtaps[window // 2]
+        cpad = np.zeros((h, w + 2 * p), np.float32)
+        cpad[:, p:p + w] = colmed
+        htaps = np.stack([cpad[:, dx:dx + w] for dx in range(window)])
+        htaps.sort(axis=0)
+        return htaps[window // 2]
     taps = np.empty((window * window, h, w), np.float32)
     k = 0
     for dy in range(window):
@@ -233,7 +247,8 @@ class DiPsOracle:
 
     def _filtered(self, frame_u8: np.ndarray) -> np.ndarray:
         plane = intensity(frame_u8, self.props.chroma)
-        return spatial_median(plane, self.props.window_size)
+        return spatial_median(plane, self.props.window_size,
+                              self.props.approx_median)
 
     # -- streaming API ----------------------------------------------------
     def process(self, frame_u8: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:

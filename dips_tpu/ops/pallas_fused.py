@@ -170,11 +170,13 @@ def _make_kernel(props: DiPsProperties, h: int, w: int, t: int, b: int,
                     hb < n_hb - 1, dn, zerop)
 
             # ---- spatial median: shared column sorts + pruned merge ----
+            # (or the separable approximation when props.approx_median)
             if window > 1:
                 vtaps = [strip_ref[8 + dy - p:8 + dy - p + bh]
                          for dy in range(window)]
-                phi = networks.window_median(vtaps, _shift_x,
-                                             jnp.minimum, jnp.maximum)
+                med = (networks.separable_median if props.approx_median
+                       else networks.window_median)
+                phi = med(vtaps, _shift_x, jnp.minimum, jnp.maximum)
             else:
                 phi = strip_ref[8:8 + bh]
 

@@ -79,12 +79,15 @@ def intensity_planar(rgb_u8: jnp.ndarray, chroma: ChromaFilter) -> jnp.ndarray:
     return (cmax + cmin) * jnp.float32(0.5)
 
 
-def spatial_median(planes: jnp.ndarray, window: int) -> jnp.ndarray:
+def spatial_median(planes: jnp.ndarray, window: int,
+                   approx: bool = False) -> jnp.ndarray:
     """(..., H, W) centered odd-window median, zero-padded borders.
 
     Uses the column-factored exact plan from ops/networks.py: the w vertical
     shifts are sorted once per plane (shared by every horizontal offset) and
     a rank-pruned merge network selects the median — no data-dependent sort.
+    ``approx`` selects the separable approximation (networks.separable_median,
+    DiPsProperties.approx_median).
     """
     if window <= 1:
         return planes
@@ -97,7 +100,8 @@ def spatial_median(planes: jnp.ndarray, window: int) -> jnp.ndarray:
     def shift(x, dx):
         return x[..., p + dx:p + dx + w]
 
-    return networks.window_median(vtaps, shift, jnp.minimum, jnp.maximum)
+    fn = networks.separable_median if approx else networks.window_median
+    return fn(vtaps, shift, jnp.minimum, jnp.maximum)
 
 
 def temporal_median_windows(filtered: jnp.ndarray, t: int) -> jnp.ndarray:
@@ -192,7 +196,7 @@ def batch_step(props: DiPsProperties, h: int, w: int,
     mask = valid_mask(hp, wp, h, w)
 
     planes = intensity_planar(raw, props.chroma)          # (T+B, Hp, Wp)
-    filtered = spatial_median(planes, props.window_size)
+    filtered = spatial_median(planes, props.window_size, props.approx_median)
     cur_all = temporal_median_windows(filtered, t)        # (B+1, Hp, Wp)
     prev, cur = cur_all[:-1], cur_all[1:]                 # each (B, Hp, Wp)
 

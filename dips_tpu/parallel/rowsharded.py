@@ -25,7 +25,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 from ..properties import DiPsMethod, DiPsProperties, OutputMode
 from ..ops import reference
-from ..ops.networks import window_median
+from ..ops.networks import separable_median, window_median
 
 
 def _halo_exchange(slab: jnp.ndarray, p: int, axis: str) -> jnp.ndarray:
@@ -98,7 +98,8 @@ def _row_body(props, h, w, raw, baseline, flags, heatmap, valid, axis):
         def shift(x, dx):
             return x[..., p + dx:p + dx + wp]
 
-        filtered = window_median(vtaps, shift, jnp.minimum, jnp.maximum)
+        med = separable_median if props.approx_median else window_median
+        filtered = med(vtaps, shift, jnp.minimum, jnp.maximum)
     else:
         filtered = planes
     cur_all = reference.temporal_median_windows(filtered, t)

@@ -152,6 +152,12 @@ class DiPsProperties:
     #: uint8 |diff| threshold for the changed-pixel count statistic and the
     #: THRESHOLD output mode.
     change_threshold: int = DEFAULT_CHANGE_THRESHOLD
+    #: Opt-in separable spatial median (median of column medians): ~10x
+    #: fewer comparators at window 7 than the exact 49-tap median, at the
+    #: cost of an approximation (the result is always one of the window's
+    #: own order statistics near the median; see docs/DESIGN.md for
+    #: measured deviation).  The exact median remains the default.
+    approx_median: bool = False
 
     def __post_init__(self):
         object.__setattr__(self, "window_size", clamp_window(self.window_size))
@@ -219,6 +225,9 @@ class DiPsProperties:
 
     def with_change_threshold(self, t: int) -> "DiPsProperties":
         return dataclasses.replace(self, change_threshold=t)
+
+    def with_approx_median(self, a: bool = True) -> "DiPsProperties":
+        return dataclasses.replace(self, approx_median=bool(a))
 
     @property
     def colorize(self) -> bool:

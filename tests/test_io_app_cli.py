@@ -213,3 +213,38 @@ def test_reference_name_aliases():
     assert p.window_size == 5
     assert p.output == OutputMode.GRAYSCALE
     assert p.chroma.name == "RED"
+
+
+def test_parallel_decode_workers_match_single(video, tmp_path):
+    """Chunked parallel decode must yield the identical frame sequence:
+    bit-equal diff maps and stats vs the single-worker path."""
+    path, frames = video
+    props = DiPsProperties(window_size=1, temporal_size=2,
+                           filter=DiPsFilter.UNFILTERED)
+
+    def run(nw):
+        job = DiPsJob(properties=props, video_path=path, batch=4,
+                      decode_workers=nw, video_backend="opencv")
+        return list(stream_dips(job))
+
+    ref = run(1)
+    for nw in (2, 3, 5):
+        got = run(nw)
+        assert len(got) == len(ref) == 14
+        for (i1, inp1, out1, st1), (i2, inp2, out2, st2) in zip(ref, got):
+            assert i1 == i2
+            np.testing.assert_array_equal(inp1, inp2)
+            np.testing.assert_array_equal(out1, out2)
+            np.testing.assert_array_equal(st1, st2)
+
+
+def test_parallel_decode_cli_and_profile(video, tmp_path, capsys):
+    path, _ = video
+    out = str(tmp_path / "o.avi")
+    rc = cli_main(["--input", path, "--output", out, "--decode-workers", "3",
+                   "--temporal=2", "--profile"])
+    assert rc == 0
+    printed = capsys.readouterr().out
+    assert "decode" in printed and "device" in printed  # stage shares shown
+    with VideoReader(out) as r:
+        assert len(list(r)) == 14
