@@ -195,6 +195,8 @@ def main():
     ap.add_argument("--batch", type=int, default=64)
     ap.add_argument("--window", type=int, default=3)
     ap.add_argument("--temporal", type=int, default=4)
+    ap.add_argument("--approx-median", action="store_true",
+                    help="bench the separable approximate spatial median")
     ap.add_argument("--full-pipeline-headline", action="store_true",
                     help="report the median/colorize pipeline as the "
                          "headline instead of the absdiff parity mode")
@@ -238,7 +240,8 @@ def main():
     raw_props = DiPsProperties(output=OutputMode.ABSDIFF, method=method,
                                temporal_size=args.temporal)
     full_props = DiPsProperties(window_size=args.window, method=method,
-                                temporal_size=args.temporal)
+                                temporal_size=args.temporal,
+                                approx_median=args.approx_median)
     log("ABSDIFF parity mode (bit-exact vs cv2.absdiff):")
     absdiff_fps = bench_device(raw_props, h, w, args.batch)
     log("full fused pipeline (median/sigmoid/colorize/stats/heatmap):")

@@ -192,6 +192,7 @@ def stream_dips(job: DiPsJob) -> Iterator[Tuple[int, np.ndarray, np.ndarray,
     hp, wp = engine.hp, engine.wp
     timers = StageTimers() if job.profile else None
     job.timers = timers
+    engine.timers = timers  # h2d / dispatch / d2h split inside "device"
     job.frame_pts = []
     stop = threading.Event()
     errbox: list = []
@@ -456,19 +457,43 @@ def custom_dips_on_files(data_dir: str, output_path: str,
                          fps: float = 5.0,
                          properties: Optional[DiPsProperties] = None,
                          encoding: Encoding = Encoding.MJPG,
-                         batch: int = 8, backend: str = "xla") -> np.ndarray:
+                         batch: int = 8, backend: str = "xla",
+                         show: bool = False) -> np.ndarray:
     """Raw 'Dat_N.d' instrument-dump batch mode (ref dips_alt/src/lib.rs:
-    693-900; geometry defaults mirror its hardcoded 273x640, fps=5)."""
+    693-900; geometry defaults mirror its hardcoded 273x640, fps=5).
+
+    ``show`` previews each diff map in a window while processing (the
+    reference's imshow progress, dips_alt/src/lib.rs:679-682); silently
+    skipped on headless hosts.
+    """
     props = properties or DiPsProperties()
     frames = list(read_dat_dir(data_dir, width, height))
     if not frames:
         raise VideoPathError(f"no Dat_*.d files in {data_dir}")
     engine = DiPsEngine(props, height, width, batch=batch, backend=backend)
+    preview = None
+    if show:
+        from .live import _to_bgr
+        import os as _os
+        import sys as _sys
+        if not _sys.platform.startswith("linux") or (
+                _os.environ.get("DISPLAY")
+                or _os.environ.get("WAYLAND_DISPLAY")):
+            import cv2
+            preview = (cv2, _to_bgr)
+        else:
+            log.warning("dat preview requested but no display; skipping")
     stats_rows = []
     with VideoWriter(output_path, fps, width, height, encoding) as writer:
         for i in range(0, len(frames), batch):
             outs, stats = engine.process_batch(frames[i:i + batch])
             for o in outs:
                 writer.write(o)
+                if preview is not None:
+                    cv2, to_bgr = preview
+                    cv2.imshow("DiPs dat", to_bgr(o))
+                    cv2.waitKey(1)
             stats_rows.append(stats)
+    if preview is not None:
+        preview[0].destroyAllWindows()
     return np.concatenate(stats_rows)

@@ -192,10 +192,6 @@ def main(argv: Optional[List[str]] = None) -> int:
               f"({int(counts.sum())} frames) -> {args.output_dir}")
         return 0
 
-    if args.live:
-        from .live import run_live
-        return run_live(props, batch=args.batch, backend=args.backend)
-
     if args.dat_dir:
         if not args.output:
             print("--dat-dir requires --output", file=sys.stderr)
@@ -204,7 +200,11 @@ def main(argv: Optional[List[str]] = None) -> int:
         w, h = (int(v) for v in args.dat_geometry.lower().split("x"))
         stats = custom_dips_on_files(
             args.dat_dir, args.output, width=w, height=h, properties=props,
-            batch=args.batch, backend=args.backend)
+            batch=args.batch, backend=args.backend,
+            show=args.live)  # --live with --dat-dir = preview while batching
+    elif args.live:
+        from .live import run_live
+        return run_live(props, batch=args.batch, backend=args.backend)
     else:
         if not (args.input and args.output):
             print("need --input and --output (see --help)", file=sys.stderr)

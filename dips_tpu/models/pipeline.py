@@ -67,6 +67,10 @@ class DiPsEngine:
         self.device = device
         self._raw_mode = props.output in _RAW_MODES
         self._step = self._resolve_step(backend)
+        #: optional StageTimers: when set, _dispatch splits its time into
+        #: h2d (host->device upload), dispatch (async kernel launch) and
+        #: d2h (device sync + download + interleave) stages.
+        self.timers = None
         self.reset()
 
     def _resolve_step(self, backend: str):
@@ -179,23 +183,34 @@ class DiPsEngine:
             flags[0] = True
             self._force_snapshot = False
 
-        out, stats, self._baseline, self._heatmap = self._step(
-            self.props, self.height, self.width,
-            jnp.asarray(buf), self._baseline, jnp.asarray(flags),
-            self._heatmap, jnp.asarray(valid))
+        import contextlib
+
+        def stage(name):
+            return (self.timers.stage(name) if self.timers
+                    else contextlib.nullcontext())
+
+        with stage("h2d"):
+            raw_dev = jnp.asarray(buf)
+        with stage("dispatch"):
+            out, stats, self._baseline, self._heatmap = self._step(
+                self.props, self.height, self.width,
+                raw_dev, self._baseline, jnp.asarray(flags),
+                self._heatmap, jnp.asarray(valid))
         self.frame_index += n
 
-        out_np = np.asarray(out[:n])
-        if self.props.out_channels == 3:
-            hwc = np.empty((n, self.height, self.width, 3), np.uint8)
-            for i in range(n):
-                native.interleave(out_np[i], self.height, self.width,
-                                  out=hwc[i])
-            out_np = hwc
-        else:
-            out_np = np.moveaxis(
-                out_np[:, :, :self.height, :self.width], 1, -1)
-        return out_np, np.asarray(stats[:n])
+        with stage("d2h"):
+            out_np = np.asarray(out[:n])
+            if self.props.out_channels == 3:
+                hwc = np.empty((n, self.height, self.width, 3), np.uint8)
+                for i in range(n):
+                    native.interleave(out_np[i], self.height, self.width,
+                                      out=hwc[i])
+                out_np = hwc
+            else:
+                out_np = np.moveaxis(
+                    out_np[:, :, :self.height, :self.width], 1, -1)
+            stats_np = np.asarray(stats[:n])
+        return out_np, stats_np
 
     def process_frames(self, frames: Sequence[np.ndarray]
                        ) -> Tuple[np.ndarray, np.ndarray]:

@@ -248,3 +248,24 @@ def test_parallel_decode_cli_and_profile(video, tmp_path, capsys):
     assert "decode" in printed and "device" in printed  # stage shares shown
     with VideoReader(out) as r:
         assert len(list(r)) == 14
+
+
+def test_dat_preview_headless_skips(tmp_path, caplog):
+    """--live with --dat-dir requests the imshow progress preview (ref
+    dips_alt/src/lib.rs:679-682); on a headless host it degrades to a
+    warning, not a crash."""
+    import logging
+    w, h = 16, 8
+    rng = np.random.default_rng(0)
+    for i in range(3):
+        rgba = rng.integers(0, 256, (h, w, 4), np.uint8)
+        np.concatenate([np.zeros(4, np.uint8), rgba.ravel()]).tofile(
+            tmp_path / f"Dat_{i}.d")
+    out = str(tmp_path / "out.avi")
+    with caplog.at_level(logging.WARNING, logger="dips_tpu"):
+        stats = custom_dips_on_files(
+            str(tmp_path), out, width=w, height=h,
+            properties=DiPsProperties(temporal_size=1), show=True)
+    assert stats.shape == (3, 4)
+    if not os.environ.get("DISPLAY"):
+        assert any("no display" in r.message for r in caplog.records)
