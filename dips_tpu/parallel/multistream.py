@@ -162,6 +162,58 @@ class MultiStreamEngine:
         """(S, H, W) accumulated |diff| heatmaps, cropped."""
         return np.asarray(self._heatmap[:, :self.height, :self.width])
 
+    # -- checkpoint / resume (SURVEY.md §5; mirrors DiPsEngine) -------------
+    def state_dict(self) -> dict:
+        return {
+            "frame_cursors": list(self.frame_cursors),
+            "baseline": np.asarray(self._baseline),
+            "heatmap": np.asarray(self._heatmap),
+            "tails": [np.stack(t) if t is not None else None
+                      for t in self._tails],
+            "failed": sorted(self.failed),
+        }
+
+    def load_state_dict(self, state: dict) -> None:
+        got = tuple(np.asarray(state["baseline"]).shape[-2:])
+        if got != (self.hp, self.wp):
+            raise ValueError(
+                f"checkpoint geometry {got} != engine {(self.hp, self.wp)}")
+        if len(state["frame_cursors"]) != self.n_streams:
+            raise ValueError("checkpoint stream count mismatch")
+        self.frame_cursors = [int(c) for c in state["frame_cursors"]]
+        self._baseline = jnp.asarray(state["baseline"])
+        self._heatmap = jnp.asarray(state["heatmap"])
+        self._tails = [list(t) if t is not None else None
+                       for t in state["tails"]]
+        self.failed = {
+            int(si): StreamError(int(si),
+                                 RuntimeError("restored from checkpoint"))
+            for si in state.get("failed", ())}
+
+    def save(self, path: str) -> None:
+        s = self.state_dict()
+        t = self.props.temporal_size
+        tails = np.stack([
+            tl if tl is not None else np.zeros((t, 3, self.hp, self.wp),
+                                               np.uint8)
+            for tl in s["tails"]])
+        has_tail = np.asarray([tl is not None for tl in s["tails"]])
+        np.savez_compressed(
+            path, frame_cursors=np.asarray(s["frame_cursors"]),
+            baseline=s["baseline"], heatmap=s["heatmap"], tails=tails,
+            has_tail=has_tail, failed=np.asarray(s["failed"], np.int64))
+
+    def load(self, path: str) -> None:
+        z = np.load(path)
+        self.load_state_dict({
+            "frame_cursors": z["frame_cursors"].tolist(),
+            "baseline": z["baseline"],
+            "heatmap": z["heatmap"],
+            "tails": [z["tails"][i] if z["has_tail"][i] else None
+                      for i in range(z["tails"].shape[0])],
+            "failed": z["failed"].tolist(),
+        })
+
     def _planarize(self, frame: np.ndarray) -> np.ndarray:
         out = np.zeros((3, self.hp, self.wp), np.uint8)
         out[:, :self.height, :self.width] = np.moveaxis(frame, -1, 0)

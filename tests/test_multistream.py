@@ -359,6 +359,33 @@ def test_mesh_cli_bad_spec(tmp_path, capsys):
     assert rc == 2
 
 
+def test_multistream_checkpoint_roundtrip(tmp_path):
+    """save/load mid-stream: the resumed engine continues bit-identically
+    to an uninterrupted run (cursors, baselines, tails, failures)."""
+    props = DiPsProperties(window_size=1, temporal_size=2,
+                           filter=DiPsFilter.UNFILTERED)
+    h, w = 8, 16
+    clips = [make_clip(n=6, h=h, w=w, seed=s) for s in range(8)]
+    ms = MultiStreamEngine(props, h, w, n_streams=8, batch=3)
+    feeds1 = [list(c[:3]) for c in clips]
+    feeds1[4] = [np.zeros((2, 2, 3), np.uint8)]  # stream 4 fails
+    ms.process_batch(feeds1)
+    path = str(tmp_path / "ms.npz")
+    ms.save(path)
+
+    ms2 = MultiStreamEngine(props, h, w, n_streams=8, batch=3)
+    ms2.load(path)
+    assert ms2.frame_cursors == ms.frame_cursors and 4 in ms2.failed
+    feeds2 = [list(c[3:6]) for c in clips]
+    out_resumed, st_resumed, _ = ms2.process_batch(feeds2)
+    out_cont, st_cont, _ = ms.process_batch(feeds2)
+    np.testing.assert_array_equal(out_resumed, out_cont)
+    np.testing.assert_allclose(st_resumed, st_cont, atol=1e-6)
+
+    with pytest.raises(ValueError):
+        MultiStreamEngine(props, 16, 40, n_streams=8, batch=3).load(path)
+
+
 def test_multistream_heatmaps_and_reset():
     props = DiPsProperties(window_size=1, temporal_size=1,
                            filter=DiPsFilter.UNFILTERED)
