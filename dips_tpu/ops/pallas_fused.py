@@ -36,7 +36,6 @@ from __future__ import annotations
 
 import functools
 import math
-import os
 from typing import Tuple
 
 import jax
@@ -52,11 +51,6 @@ from .reference import emphasize
 
 # Per-(frame, row-block) raw-diff partials: sum, sum_abs, max_abs, count.
 _PART = 4
-# Exact-median kernel strategy: "shared" (column sorts shared across
-# offsets, w*(w-1) plane rolls) or "strip" (w-1 strip rolls, per-offset
-# column sorts).  Benchmarked on-chip in BASELINE.md; env-selectable so the
-# two variants can be A/B'd without code edits.
-_MEDIAN_STRATEGY = os.environ.get("DIPS_TPU_MEDIAN_STRATEGY", "shared")
 # Total per-step VMEM budget (hardware limit 16M; leave compiler headroom).
 _VMEM_BUDGET = 10 * 1024 * 1024
 
@@ -177,33 +171,12 @@ def _make_kernel(props: DiPsProperties, h: int, w: int, t: int, b: int,
 
             # ---- spatial median: shared column sorts + pruned merge ----
             # (or the separable approximation when props.approx_median)
-            if window > 1 and props.approx_median:
+            if window > 1:
                 vtaps = [strip_ref[8 + dy - p:8 + dy - p + bh]
                          for dy in range(window)]
-                phi = networks.separable_median(vtaps, _shift_x,
-                                                jnp.minimum, jnp.maximum)
-            elif window > 1 and _MEDIAN_STRATEGY == "strip":
-                # experimental exact variant: w-1 whole-strip rolls + one
-                # column sort per horizontal offset, feeding the same
-                # rank-pruned merge — trades w*(w-1) plane rolls (the
-                # relayout cost) for (w-1)*|colsort| extra comparators
-                col_sort, merge_ops, target = networks.column_median_plan(
-                    window)
-                cops = [(i, j, True, True) for i, j in col_sort]
-                wires = []
-                for dx in range(window):
-                    s = _shift_x(strip_ref[:], dx - p)
-                    vt = [s[8 + dy - p:8 + dy - p + bh]
-                          for dy in range(window)]
-                    wires.extend(networks.apply_network(
-                        vt, cops, jnp.minimum, jnp.maximum))
-                phi = networks.apply_network(
-                    wires, merge_ops, jnp.minimum, jnp.maximum)[target]
-            elif window > 1:
-                vtaps = [strip_ref[8 + dy - p:8 + dy - p + bh]
-                         for dy in range(window)]
-                phi = networks.window_median(vtaps, _shift_x,
-                                             jnp.minimum, jnp.maximum)
+                med = (networks.separable_median if props.approx_median
+                       else networks.window_median)
+                phi = med(vtaps, _shift_x, jnp.minimum, jnp.maximum)
             else:
                 phi = strip_ref[8:8 + bh]
 

@@ -107,38 +107,3 @@ def test_cli_approx_flag(tmp_path):
     assert not props_from_args(build_parser().parse_args([])).approx_median
 
 
-def test_strip_strategy_matches_oracle():
-    """The experimental 'strip' exact-median kernel variant (env-selected)
-    must match the oracle bit-for-bit like the default 'shared' plan."""
-    import os
-    import subprocess
-    import sys
-    code = (
-        "import os; os.environ['XLA_FLAGS']='';\n"
-        "import jax; jax.config.update('jax_platforms','cpu')\n"
-        "import numpy as np\n"
-        "from dips_tpu.models import DiPsEngine\n"
-        "from dips_tpu.ops.oracle import DiPsOracle\n"
-        "from dips_tpu.properties import DiPsFilter, DiPsProperties\n"
-        "from tests.conftest import make_clip\n"
-        "from dips_tpu.ops import pallas_fused\n"
-        "assert pallas_fused._MEDIAN_STRATEGY == 'strip'\n"
-        "props = DiPsProperties(window_size=7, temporal_size=2,\n"
-        "                       filter=DiPsFilter.UNFILTERED)\n"
-        "frames = make_clip(n=5, h=13, w=43, seed=6)\n"
-        "exp_out, exp_stats = DiPsOracle(props).run(frames)\n"
-        "eng = DiPsEngine(props, 13, 43, batch=3, backend='pallas')\n"
-        "got_out, got_stats = eng.process_frames(list(frames))\n"
-        "d = np.abs(got_out.astype(int) - exp_out.astype(int))\n"
-        "assert d.max() == 0, d.max()\n"
-        "np.testing.assert_allclose(got_stats, exp_stats, atol=1e-5)\n"
-        "print('STRIP-OK')\n"
-    )
-    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    env = dict(os.environ)
-    env["DIPS_TPU_MEDIAN_STRATEGY"] = "strip"
-    env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
-    r = subprocess.run([sys.executable, "-c", code], env=env, cwd=repo,
-                       capture_output=True, text=True, timeout=300)
-    assert r.returncode == 0, r.stderr[-2000:]
-    assert "STRIP-OK" in r.stdout
