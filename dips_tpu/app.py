@@ -64,7 +64,7 @@ class DiPsJob:
     encoding: Encoding = Encoding.MJPG
     frame_callback: Optional[FrameCallback] = None
     batch: int = 8
-    backend: str = "xla"
+    backend: str = "auto"
     #: media backend for decode/encode: "opencv", "gstreamer" or "auto"
     #: (the reference's primary ingest is GStreamer, frame_extractor.rs:38).
     video_backend: str = "auto"
@@ -345,7 +345,7 @@ def run_dips_on_file(input_path: str, output_path: str,
                      encoding: Encoding | str = Encoding.MJPG,
                      properties: Optional[DiPsProperties] = None,
                      refresh_markers: Sequence[int] = (),
-                     batch: int = 8, backend: str = "xla",
+                     batch: int = 8, backend: str = "auto",
                      video_backend: str = "auto") -> np.ndarray:
     """dips_alt CLI-style entry (ref dips_alt/src/lib.rs:554-690): bare
     refresh markers re-capture the baseline mid-stream."""
@@ -372,7 +372,7 @@ def init_thumbnail_extractor() -> None:
 
 
 def run_dips_app(properties: Optional[DiPsProperties] = None,
-                 camera: int = 0, backend: str = "xla") -> int:
+                 camera: int = 0, backend: str = "auto") -> int:
     """Live webcam app (ref: run_dips_app, dips_alt/src/lib.rs:543-552);
     delegates to the cv2 preview loop in live.py."""
     from .live import run_live
@@ -383,7 +383,7 @@ def run_dips_app(properties: Optional[DiPsProperties] = None,
 def run_dips_on_files(input_paths: Sequence[str], output_dir: str,
                       encoding: Encoding | str = Encoding.MJPG,
                       properties: Optional[DiPsProperties] = None,
-                      batch: int = 8, backend: str = "xla",
+                      batch: int = 8, backend: str = "auto",
                       mesh=None) -> "np.ndarray":
     """Batched multi-stream differencing over many videos (BASELINE
     configs[3]): decode S files in lockstep, run the sharded multi-stream
@@ -457,7 +457,7 @@ def custom_dips_on_files(data_dir: str, output_path: str,
                          fps: float = 5.0,
                          properties: Optional[DiPsProperties] = None,
                          encoding: Encoding = Encoding.MJPG,
-                         batch: int = 8, backend: str = "xla",
+                         batch: int = 8, backend: str = "auto",
                          show: bool = False) -> np.ndarray:
     """Raw 'Dat_N.d' instrument-dump batch mode (ref dips_alt/src/lib.rs:
     693-900; geometry defaults mirror its hardcoded 273x640, fps=5).

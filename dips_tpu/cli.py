@@ -72,7 +72,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="uint8 change threshold for stats / threshold mode")
     p.add_argument("--batch", type=int, default=8,
                    help="frames per device dispatch")
-    p.add_argument("--backend", default="xla", choices=["xla", "pallas"])
+    p.add_argument("--backend", default="auto",
+                   choices=["auto", "xla", "pallas"],
+                   help="device path: auto = fused Pallas kernels on TPU, "
+                        "portable XLA elsewhere")
     p.add_argument("--video-backend", default="auto",
                    choices=["auto", "opencv", "gstreamer"],
                    help="media decode/encode backend (the reference's "

@@ -116,7 +116,7 @@ class LiveController:
 
 
 def rebuild_engine(old: DiPsEngine, props: DiPsProperties,
-                   backend: str = "xla") -> DiPsEngine:
+                   backend: str = "auto") -> DiPsEngine:
     """New engine for ``props`` carrying over the streaming state.
 
     The baseline, temporal ring tail, heatmap and frame cursor survive the
@@ -147,7 +147,7 @@ def _to_bgr(out):
 
 
 def run_live(props: DiPsProperties, camera: int = 0, batch: int = 1,
-             backend: str = "xla",
+             backend: str = "auto",
              reader: Optional[object] = None) -> int:
     """The preview loop; ``reader`` is injectable for tests."""
     import os

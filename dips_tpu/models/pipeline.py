@@ -48,12 +48,14 @@ class DiPsEngine:
         dips_alt/src/lib.rs:267-293).
       height, width: true frame geometry.
       batch: frames per device dispatch (B).
-      backend: "xla" (portable jnp path) or "pallas" (fused TPU kernel).
+      backend: "pallas" (fused TPU kernel), "xla" (portable jnp path), or
+        "auto" (default: pallas on TPU, xla elsewhere — the fast path is
+        the default wherever it is available).
       device: optional jax.Device to place state on.
     """
 
     def __init__(self, props: DiPsProperties, height: int, width: int,
-                 batch: int = 8, backend: str = "xla",
+                 batch: int = 8, backend: str = "auto",
                  device: Optional[jax.Device] = None):
         if height <= 0 or width <= 0:
             raise ValueError(f"bad geometry {height}x{width}")
@@ -74,6 +76,9 @@ class DiPsEngine:
         self.reset()
 
     def _resolve_step(self, backend: str):
+        if backend == "auto":
+            backend = "pallas" if jax.default_backend() == "tpu" else "xla"
+            self.backend = backend
         if backend == "xla":
             return (reference.absdiff_step if self._raw_mode
                     else reference.batch_step)

@@ -40,26 +40,36 @@ NUM_STATS = len(STAT_NAMES)
 INV_SIGMOID_EPS = 1e-6
 
 
-def intensity(frame_u8: np.ndarray, chroma: ChromaFilter) -> np.ndarray:
-    """uint8 (H, W, 3) RGB -> f32 (H, W) intensity in [0, 1].
+#: The filtering pipeline works on the INTEGER intensity scale: ALL-chroma
+#: intensity is the exact integer cmax+cmin in [0, 510] (HSL lightness x
+#: 510), single channels are 2*c on the same scale.  Medians are selections
+#: (monotone-invariant), so filtering on integers is exact, and the diff
+#: gets ONE rounding — `(int_a - int_b) * INTENSITY_SCALE` — instead of
+#: accumulating per-channel /255 roundings.  This is also what lets the TPU
+#: kernel run its median networks in packed int16 bit-identically.
+INTENSITY_SCALE = np.float32(1.0 / 510.0)
 
-    ALL = HSL lightness (max+min)/2 (ref get_intensity,
-    dips_shader.wgsl:64-82); RED/GREEN/BLUE select a channel.
 
-    Normalisation is defined as multiplication by the f32-rounded reciprocal
-    of 255 (not division) — the form device implementations use; parity is
-    bit-exact only if every path does the same.
-    """
-    f = frame_u8.astype(np.float32) * np.float32(1.0 / 255.0)
+def intensity_int(frame_u8: np.ndarray, chroma: ChromaFilter) -> np.ndarray:
+    """uint8 (H, W, 3) RGB -> f32 (H, W) INTEGER-valued intensity in
+    [0, 510] (ALL = cmax+cmin, ref get_intensity dips_shader.wgsl:64-82;
+    single channels = 2*c on the same scale)."""
+    f = frame_u8.astype(np.int32)
     if chroma == ChromaFilter.RED:
-        return f[..., 0]
-    if chroma == ChromaFilter.GREEN:
-        return f[..., 1]
-    if chroma == ChromaFilter.BLUE:
-        return f[..., 2]
-    cmax = np.max(f, axis=-1)
-    cmin = np.min(f, axis=-1)
-    return (cmax + cmin) * np.float32(0.5)
+        v = 2 * f[..., 0]
+    elif chroma == ChromaFilter.GREEN:
+        v = 2 * f[..., 1]
+    elif chroma == ChromaFilter.BLUE:
+        v = 2 * f[..., 2]
+    else:
+        v = np.max(f, axis=-1) + np.min(f, axis=-1)
+    return v.astype(np.float32)
+
+
+def intensity(frame_u8: np.ndarray, chroma: ChromaFilter) -> np.ndarray:
+    """uint8 (H, W, 3) RGB -> f32 (H, W) intensity in [0, 1] (the display
+    scale: :func:`intensity_int` x INTENSITY_SCALE)."""
+    return intensity_int(frame_u8, chroma) * INTENSITY_SCALE
 
 
 def spatial_median(plane: np.ndarray, window: int,
@@ -246,7 +256,9 @@ class DiPsOracle:
         return idx == 0 or idx in self.props.refresh_markers
 
     def _filtered(self, frame_u8: np.ndarray) -> np.ndarray:
-        plane = intensity(frame_u8, self.props.chroma)
+        """Integer-scale filtered plane (values in [0, 510]; medians are
+        selections, so integerness is preserved)."""
+        plane = intensity_int(frame_u8, self.props.chroma)
         return spatial_median(plane, self.props.window_size,
                               self.props.approx_median)
 
@@ -273,8 +285,9 @@ class DiPsOracle:
                 self._baseline = cur
                 self._prev_filtered = cur
                 self._accumulate(np.zeros_like(cur))
+                disp = cur * INTENSITY_SCALE
                 out = quantize_u8(np.broadcast_to(
-                    cur[..., None], cur.shape + (p.out_channels,)))
+                    disp[..., None], disp.shape + (p.out_channels,)))
                 if p.out_channels == 1:
                     out = out[..., 0]
                 return out, frame_stats(np.zeros_like(cur), p.change_threshold)
@@ -283,7 +296,8 @@ class DiPsOracle:
             baseline = self._prev_filtered if idx > 0 else cur
         self._prev_filtered = cur
 
-        raw_diff = baseline - cur
+        # one rounding: exact integer difference scaled once to [-1, 1]
+        raw_diff = (baseline - cur) * INTENSITY_SCALE
         self._accumulate(raw_diff)
         stats = frame_stats(raw_diff, p.change_threshold)
         d = emphasize(raw_diff, p.filter, p.sigmoid_horizontal_scalar,

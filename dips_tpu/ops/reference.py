@@ -64,19 +64,28 @@ def pad_geometry(h: int, w: int) -> Tuple[int, int]:
 # Stage functions (jnp mirrors of ops/oracle.py)
 # ---------------------------------------------------------------------------
 
+#: See ops/oracle.INTENSITY_SCALE: filtering runs on the integer intensity
+#: scale [0, 510]; the diff is scaled to [-1, 1] with one rounding.
+#: Kept as a python float — a module-level jnp constant would initialise
+#: the JAX backend at import time (breaking hermetic platform forcing).
+INTENSITY_SCALE = 1.0 / 510.0
+
+
 def intensity_planar(rgb_u8: jnp.ndarray, chroma: ChromaFilter) -> jnp.ndarray:
-    """uint8 planar (..., 3, H, W) -> f32 (..., H, W) in [0, 1]."""
-    f = rgb_u8.astype(jnp.float32) * jnp.float32(1.0 / 255.0)
+    """uint8 planar (..., 3, H, W) -> f32 (..., H, W) INTEGER-valued
+    intensity in [0, 510] (oracle.intensity_int's jnp mirror)."""
+    f = rgb_u8.astype(jnp.int32)
     if chroma == ChromaFilter.RED:
-        return f[..., 0, :, :]
-    if chroma == ChromaFilter.GREEN:
-        return f[..., 1, :, :]
-    if chroma == ChromaFilter.BLUE:
-        return f[..., 2, :, :]
-    r, g, b = f[..., 0, :, :], f[..., 1, :, :], f[..., 2, :, :]
-    cmax = jnp.maximum(jnp.maximum(r, g), b)
-    cmin = jnp.minimum(jnp.minimum(r, g), b)
-    return (cmax + cmin) * jnp.float32(0.5)
+        v = 2 * f[..., 0, :, :]
+    elif chroma == ChromaFilter.GREEN:
+        v = 2 * f[..., 1, :, :]
+    elif chroma == ChromaFilter.BLUE:
+        v = 2 * f[..., 2, :, :]
+    else:
+        r, g, b = f[..., 0, :, :], f[..., 1, :, :], f[..., 2, :, :]
+        v = (jnp.maximum(jnp.maximum(r, g), b)
+             + jnp.minimum(jnp.minimum(r, g), b))
+    return v.astype(jnp.float32)
 
 
 def spatial_median(planes: jnp.ndarray, window: int,
@@ -206,10 +215,10 @@ def batch_step(props: DiPsProperties, h: int, w: int,
             bl = jnp.where(flag, c, bl)
             return bl, bl
         new_baseline, baselines = lax.scan(capture, baseline, (cur, snap_flags))
-        raw_diff = baselines - cur
+        raw_diff = (baselines - cur) * jnp.float32(INTENSITY_SCALE)
     else:  # PER_FRAME: diff vs previous ring median; flags are inert
         new_baseline = baseline
-        raw_diff = prev - cur
+        raw_diff = (prev - cur) * jnp.float32(INTENSITY_SCALE)
 
     raw_diff = raw_diff * mask
     stats = masked_stats(raw_diff, h * w, props.change_threshold)
@@ -230,7 +239,7 @@ def batch_step(props: DiPsProperties, h: int, w: int,
         # (Stats need no special-casing: the scan pins the baseline *before*
         # diffing, so capture frames already have an exactly-zero diff map.)
         flag_b = snap_flags[:, None, None, None]
-        out = jnp.where(flag_b, cur[:, None], out)
+        out = jnp.where(flag_b, (cur * jnp.float32(INTENSITY_SCALE))[:, None], out)
 
     return quantize_u8(out), stats, new_baseline, heatmap
 

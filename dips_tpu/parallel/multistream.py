@@ -43,7 +43,7 @@ def stream_mesh(n_devices: Optional[int] = None,
 
 
 def make_sharded_step(props: DiPsProperties, h: int, w: int, mesh: Mesh,
-                      backend: str = "xla"):
+                      backend: str = "auto"):
     """Build a jitted multi-stream step sharded over ``mesh``.
 
     The returned function maps
@@ -54,6 +54,8 @@ def make_sharded_step(props: DiPsProperties, h: int, w: int, mesh: Mesh,
     mean (rides ICI).
     """
     raw_mode = props.output in _RAW_MODES
+    if backend == "auto":
+        backend = "pallas" if jax.default_backend() == "tpu" else "xla"
     if backend == "pallas":
         from ..ops import pallas_fused as mod
     else:
@@ -94,7 +96,7 @@ class MultiStreamEngine:
 
     def __init__(self, props: DiPsProperties, height: int, width: int,
                  n_streams: int, batch: int = 8,
-                 mesh: Optional[Mesh] = None, backend: str = "xla"):
+                 mesh: Optional[Mesh] = None, backend: str = "auto"):
         self.props = props
         self._raw_mode = props.output in _RAW_MODES
         self.height, self.width = int(height), int(width)

@@ -110,10 +110,10 @@ def _row_body(props, h, w, raw, baseline, flags, heatmap, valid, axis):
             c, flag = xs
             return jnp.where(flag, c, bl), jnp.where(flag, c, bl)
         new_baseline, baselines = lax.scan(capture, baseline, (cur, flags))
-        raw_diff = baselines - cur
+        raw_diff = (baselines - cur) * jnp.float32(reference.INTENSITY_SCALE)
     else:
         new_baseline = baseline
-        raw_diff = prev - cur
+        raw_diff = (prev - cur) * jnp.float32(reference.INTENSITY_SCALE)
 
     rows = lax.broadcasted_iota(jnp.int32, (hs, wp), 0) + row0
     cols = lax.broadcasted_iota(jnp.int32, (hs, wp), 1)
@@ -142,5 +142,6 @@ def _row_body(props, h, w, raw, baseline, flags, heatmap, valid, axis):
     else:
         out = (jnp.float32(0.5) - d)[:, None]
     if props.method == DiPsMethod.OVERALL:
-        out = jnp.where(flags[:, None, None, None], cur[:, None], out)
+        out = jnp.where(flags[:, None, None, None],
+                        (cur * jnp.float32(reference.INTENSITY_SCALE))[:, None], out)
     return reference.quantize_u8(out), stats, new_baseline, heatmap

@@ -75,7 +75,7 @@ class DiPsServer:
 
     def __init__(self, props: DiPsProperties, height: int, width: int,
                  port: int = 0, host: str = "127.0.0.1", batch: int = 1,
-                 backend: str = "xla"):
+                 backend: str = "auto"):
         self.engine = DiPsEngine(props, height, width, batch=batch,
                                  backend=backend)
         self._sock = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
