@@ -72,16 +72,16 @@ def _pick_block_rows(hp: int, wp: int, window: int, t: int, c: int,
                      fpb: int) -> int:
     """Largest row-block (multiple of 8, divides Hp) that fits VMEM.
 
-    Accounts for everything resident per grid step: the w*w live i32 tap
-    planes of the selection network, the (T + base + prev) i32 + heat f32
-    scratch, the i32 halo strip, and the double-buffered u8/f32
-    input/output blocks Pallas pipelines (2x each, F frames per block).
+    Accounts for everything resident per grid step: the w*w live f32 tap
+    planes of the selection network, the (T + base + prev + heat) f32
+    scratch, the halo strip, and the double-buffered u8/f32 input/output
+    blocks Pallas pipelines (2x each, F frames per block).
     """
     taps = max(window * window, 1)
-    bytes_per_row = wp * (4 * taps           # live network planes (i32)
-                          + 4 * t            # ring scratch (i32)
-                          + 4 * 3            # base/prev (i32) + heat (f32)
-                          + 4                # strip scratch (i32)
+    bytes_per_row = wp * (4 * taps           # live network planes
+                          + 4 * t            # ring scratch
+                          + 4 * 3            # base/prev/heat scratch
+                          + 4                # strip scratch
                           + 1 * 3 * fpb * 2  # u8 input block, dbl-buffered
                           + 1 * c * fpb * 2  # u8 output block, dbl-buffered
                           + 4 * 2 * 2        # base/heat inputs, dbl-buffered
@@ -96,27 +96,30 @@ def _pick_block_rows(hp: int, wp: int, window: int, t: int, c: int,
 
 
 #: diff scale: filtering runs on the integer intensity scale [0, 510]
-#: (oracle.INTENSITY_SCALE) in int32 — medians are integer min/max, the
-#: diff is an exact integer subtraction with ONE f32 rounding, and the
-#: uint8 input needs a single convert (Mosaic has no 16-bit lane rotates,
-#: so packed int16 medians are off the table until tpu.dynamic_rotate
-#: grows non-32-bit support — measured, not assumed).
+#: (oracle.INTENSITY_SCALE) carried in f32 — small integers are exact in
+#: f32, so the medians (min/max selections) stay integer-exact, the diff
+#: is an exact subtraction with ONE rounding (the * _SCALE), and the VPU
+#: runs its fastest path.  Measured alternatives: int32 medians were
+#: 2-5% slower (same lane width, extra converts); packed int16 medians
+#: are blocked by Mosaic (tpu.dynamic_rotate is 32-bit only).
 _SCALE = 1.0 / 510.0  # python float: jnp-wrapped at use (no captured consts)
 
 
-def _intensity32(rgb_u8: jnp.ndarray, chroma: ChromaFilter) -> jnp.ndarray:
-    """(3, H, W) uint8 -> (H, W) int32 integer-scale intensity in
-    [0, 510]."""
+def _intensity_i(rgb_u8: jnp.ndarray, chroma: ChromaFilter) -> jnp.ndarray:
+    """(3, H, W) uint8 -> (H, W) f32 INTEGER-VALUED intensity in [0, 510]
+    (uint8 -> f32 hops through int32 for Mosaic)."""
     f = rgb_u8.astype(jnp.int32)
     if chroma == ChromaFilter.RED:
-        return 2 * f[0]
-    if chroma == ChromaFilter.GREEN:
-        return 2 * f[1]
-    if chroma == ChromaFilter.BLUE:
-        return 2 * f[2]
-    cmax = jnp.maximum(jnp.maximum(f[0], f[1]), f[2])
-    cmin = jnp.minimum(jnp.minimum(f[0], f[1]), f[2])
-    return cmax + cmin
+        v = 2 * f[0]
+    elif chroma == ChromaFilter.GREEN:
+        v = 2 * f[1]
+    elif chroma == ChromaFilter.BLUE:
+        v = 2 * f[2]
+    else:
+        cmax = jnp.maximum(jnp.maximum(f[0], f[1]), f[2])
+        cmin = jnp.minimum(jnp.minimum(f[0], f[1]), f[2])
+        v = cmax + cmin
+    return v.astype(jnp.float32)
 
 
 def _shift_x(x: jnp.ndarray, dx: int) -> jnp.ndarray:
@@ -159,7 +162,7 @@ def _make_kernel(props: DiPsProperties, h: int, w: int, t: int, b: int,
         def _seed():
             # carried baseline is f32 on the integer scale: exact values,
             # so the f32 -> i32 -> i16 hop is lossless
-            base_ref[:] = base_in_ref[:].astype(jnp.int32)
+            base_ref[:] = base_in_ref[:]
             heat_ref[:] = heat_in_ref[:]
             # validity mask is loop-invariant per row block: build it once
             rows = lax.broadcasted_iota(jnp.int32, (bh, wp), 0) + hb * bh
@@ -170,12 +173,12 @@ def _make_kernel(props: DiPsProperties, h: int, w: int, t: int, b: int,
             gf = fs * fpb + i  # global frame index in [0, T+B)
 
             # ---- intensity strip with p-row halos ----------------------
-            strip_ref[8:8 + bh] = _intensity32(cur_ref[i], props.chroma)
+            strip_ref[8:8 + bh] = _intensity_i(cur_ref[i], props.chroma)
             if p > 0:
                 # convert only the p halo rows the stencil actually reads
-                up = _intensity32(up_ref[i, :, 8 - p:8], props.chroma)
-                dn = _intensity32(dn_ref[i, :, 0:p], props.chroma)
-                zerop = jnp.zeros((p, wp), jnp.int32)
+                up = _intensity_i(up_ref[i, :, 8 - p:8], props.chroma)
+                dn = _intensity_i(dn_ref[i, :, 0:p], props.chroma)
+                zerop = jnp.zeros((p, wp), jnp.float32)
                 strip_ref[8 - p:8] = jnp.where(hb > 0, up, zerop)
                 strip_ref[8 + bh:8 + bh + p] = jnp.where(
                     hb < n_hb - 1, dn, zerop)
@@ -206,20 +209,20 @@ def _make_kernel(props: DiPsProperties, h: int, w: int, t: int, b: int,
             @pl.when(fs >= warm)
             def _emit():
                 m = gf - t  # output frame index in [0, B)
-                cur32 = networks.median_of([ring_ref[k] for k in range(t)],
-                                           jnp.minimum, jnp.maximum)
+                cur = networks.median_of([ring_ref[k] for k in range(t)],
+                                         jnp.minimum, jnp.maximum)
                 if overall:
                     flag = flags_ref[m] != 0
 
                     @pl.when(flag)
                     def _():
-                        base_ref[:] = cur32
-                    diff32 = base_ref[:] - cur32
+                        base_ref[:] = cur
+                    diff_i = base_ref[:] - cur   # exact: small ints in f32
                 else:
-                    diff32 = prev_ref[:] - cur32
-                prev_ref[:] = cur32
+                    diff_i = prev_ref[:] - cur
+                prev_ref[:] = cur
                 # exact integer difference, scaled to [-1, 1] in one rounding
-                raw_diff = diff32.astype(jnp.float32) * jnp.float32(_SCALE)
+                raw_diff = diff_i * jnp.float32(_SCALE)
 
                 # masked statistic partials
                 dm = raw_diff * mask_ref[:]
@@ -270,7 +273,7 @@ def _make_kernel(props: DiPsProperties, h: int, w: int, t: int, b: int,
                     # (rare: a real branch beats per-pixel selects)
                     @pl.when(flag)
                     def _():
-                        cur8 = q8(cur32.astype(jnp.float32) * jnp.float32(_SCALE))
+                        cur8 = q8(cur * jnp.float32(_SCALE))
                         for ch in range(3 if colorize else 1):
                             out_ref[i, ch] = cur8
 
@@ -282,7 +285,7 @@ def _make_kernel(props: DiPsProperties, h: int, w: int, t: int, b: int,
 
         @pl.when(fs == n_steps - 1)
         def _finish():
-            base_out_ref[:] = base_ref[:].astype(jnp.float32)
+            base_out_ref[:] = base_ref[:]
             heat_out_ref[:] = heat_ref[:]
 
     return kernel
@@ -354,12 +357,12 @@ def batch_step(props: DiPsProperties, h: int, w: int,
                          memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[
-            pltpu.VMEM((t, bh, wp), jnp.int32),       # temporal ring
-            pltpu.VMEM((bh, wp), jnp.int32),          # baseline
-            pltpu.VMEM((bh, wp), jnp.int32),          # prev ring median
+            pltpu.VMEM((t, bh, wp), jnp.float32),     # temporal ring
+            pltpu.VMEM((bh, wp), jnp.float32),        # baseline
+            pltpu.VMEM((bh, wp), jnp.float32),        # prev ring median
             pltpu.VMEM((bh, wp), jnp.float32),        # heatmap
             pltpu.VMEM((bh, wp), jnp.float32),        # validity mask
-            pltpu.VMEM((bh + 16, wp), jnp.int32),     # halo'd intensity
+            pltpu.VMEM((bh + 16, wp), jnp.float32),   # halo'd intensity
         ],
     )
 
