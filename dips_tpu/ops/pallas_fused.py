@@ -51,8 +51,13 @@ from .reference import emphasize
 
 # Per-(frame, row-block) raw-diff partials: sum, sum_abs, max_abs, count.
 _PART = 4
-# Total per-step VMEM budget (hardware limit 16M; leave compiler headroom).
-_VMEM_BUDGET = 10 * 1024 * 1024
+# Per-step VMEM budgets (hardware limit 16M; leave compiler headroom).
+# Measured split (1080p, B=64): the compute-bound median pipeline is ~2.5%
+# faster with 64-row blocks (14M budget -> fewer grid-step boundaries),
+# while the HBM-bound absdiff kernel is ~8% faster with 32-row blocks
+# (10M -> more steps, better DMA overlap).
+_VMEM_BUDGET = 14 * 1024 * 1024        # median/emphasis kernel
+_VMEM_BUDGET_RAW = 10 * 1024 * 1024    # integer absdiff/threshold kernel
 
 
 def _frames_per_step(t: int, b: int) -> int:
@@ -508,7 +513,7 @@ def absdiff_step(props: DiPsProperties, h: int, w: int,
     # per-row VMEM: cur in + out (u8, F-deep, dbl-buffered), 2 u8 base
     # scratch + base in/out, heat f32 scratch + in/out, i32 temps ~6 planes
     bytes_per_row = wp * (3 * fpb * 2 + c * fpb * 2 + 3 * 4 + 4 * 5 + 4 * 6)
-    max_rows = max(_VMEM_BUDGET // bytes_per_row, 8)
+    max_rows = max(_VMEM_BUDGET_RAW // bytes_per_row, 8)
     bh = 8
     for d in range(1, hp // 8 + 1):
         cand = 8 * d
