@@ -53,11 +53,13 @@ from .reference import emphasize
 _PART = 4
 # Per-step VMEM budgets (hardware limit 16M; leave compiler headroom).
 # Measured split (1080p, B=64): the compute-bound median pipeline is ~2.5%
-# faster with 64-row blocks (14M budget -> fewer grid-step boundaries),
-# while the HBM-bound absdiff kernel is ~8% faster with 32-row blocks
-# (10M -> more steps, better DMA overlap).
+# faster with the LARGEST blocks that fit 14M (fewer grid-step
+# boundaries), while the HBM-bound absdiff kernel peaks at SMALL blocks
+# (fps by row-block: 8 -> 21.3k, 16 -> 36.3k, 32 -> 33.2k, 64 -> 30.9k —
+# 16 rows is the DMA pipelining sweet spot).
 _VMEM_BUDGET = 14 * 1024 * 1024        # median/emphasis kernel
 _VMEM_BUDGET_RAW = 10 * 1024 * 1024    # integer absdiff/threshold kernel
+_RAW_TARGET_ROWS = 16                  # absdiff block-height sweet spot
 
 
 def _frames_per_step(t: int, b: int) -> int:
@@ -154,19 +156,18 @@ def _make_kernel(props: DiPsProperties, h: int, w: int, t: int, b: int,
                stats_ref,                       # f32 (F, 1, 8, 128) partials
                base_out_ref,                    # f32 (BH, Wp)
                heat_out_ref,                    # f32 (BH, Wp)
-               ring_ref,                        # i32 scratch (T, BH, Wp)
-               base_ref,                        # i32 scratch (BH, Wp)
-               prev_ref,                        # i32 scratch (BH, Wp)
+               ring_ref,                        # f32 scratch (T, BH, Wp)
+               base_ref,                        # f32 scratch (BH, Wp)
+               prev_ref,                        # f32 scratch (BH, Wp)
                heat_ref,                        # f32 scratch (BH, Wp)
                mask_ref,                        # f32 scratch (BH, Wp)
-               strip_ref):                      # i32 scratch (BH+16, Wp)
+               strip_ref):                      # f32 scratch (BH+16, Wp)
         hb = pl.program_id(0)
         fs = pl.program_id(1)
 
         @pl.when(fs == 0)
         def _seed():
-            # carried baseline is f32 on the integer scale: exact values,
-            # so the f32 -> i32 -> i16 hop is lossless
+            # carried baseline is f32 on the integer scale [0, 510]
             base_ref[:] = base_in_ref[:]
             heat_ref[:] = heat_in_ref[:]
             # validity mask is loop-invariant per row block: build it once
@@ -514,11 +515,15 @@ def absdiff_step(props: DiPsProperties, h: int, w: int,
     # scratch + base in/out, heat f32 scratch + in/out, i32 temps ~6 planes
     bytes_per_row = wp * (3 * fpb * 2 + c * fpb * 2 + 3 * 4 + 4 * 5 + 4 * 6)
     max_rows = max(_VMEM_BUDGET_RAW // bytes_per_row, 8)
+    # divisor of Hp nearest the measured DMA sweet spot (ties: larger)
     bh = 8
+    best_key = None
     for d in range(1, hp // 8 + 1):
         cand = 8 * d
         if hp % cand == 0 and cand <= max_rows:
-            bh = cand
+            key = (abs(cand - _RAW_TARGET_ROWS), -cand)
+            if best_key is None or key < best_key:
+                best_key, bh = key, cand
     n_hb = hp // bh
     warm = t // fpb
 

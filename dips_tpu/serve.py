@@ -15,6 +15,8 @@ Header commands:
         -> {"ok", "stats": [...], "shape": [H,W,C]} + uint8 map payload
   {"cmd": "snapshot"}                   -> {"ok"}   (re-pin the baseline)
   {"cmd": "heatmap"}                    -> {"ok", "shape"} + f32 payload
+  {"cmd": "save", "path": P}            -> {"ok"}   (checkpoint to disk)
+  {"cmd": "load", "path": P}            -> {"ok", "frame_index"}
   {"cmd": "reset"} / {"cmd": "close"}
 
 One client at a time (frames are ordered state); start with
@@ -135,6 +137,13 @@ class DiPsServer:
                     body = hm.tobytes()
                     _send(client, {"ok": True, "shape": list(hm.shape),
                                    "payload_len": len(body)}, body)
+                elif cmd == "save":
+                    eng.save(str(header["path"]))
+                    _send(client, {"ok": True})
+                elif cmd == "load":
+                    eng.load(str(header["path"]))
+                    _send(client, {"ok": True,
+                                   "frame_index": eng.frame_index})
                 elif cmd == "reset":
                     eng.reset()
                     _send(client, {"ok": True})
@@ -185,6 +194,17 @@ class DiPsClient:
 
     def snapshot(self) -> None:
         self._rpc({"cmd": "snapshot"})
+
+    def save(self, path: str) -> None:
+        h, _ = self._rpc({"cmd": "save", "path": path})
+        if not h.get("ok"):
+            raise RuntimeError(h.get("error"))
+
+    def load(self, path: str) -> int:
+        h, _ = self._rpc({"cmd": "load", "path": path})
+        if not h.get("ok"):
+            raise RuntimeError(h.get("error"))
+        return int(h["frame_index"])
 
     def heatmap(self) -> np.ndarray:
         h, body = self._rpc({"cmd": "heatmap"})

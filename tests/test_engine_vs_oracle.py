@@ -155,3 +155,14 @@ def test_engine_reset(clip):
     b, sb = eng.process_frames(list(clip))
     np.testing.assert_array_equal(a, b)  # reset == fresh engine
     np.testing.assert_allclose(sa, sb, atol=1e-6)
+
+
+def test_backend_auto_resolution():
+    """backend='auto' resolves to the portable XLA path off-TPU (and to the
+    fused Pallas kernels on TPU — exercised by validate.py on-device)."""
+    import jax
+    from dips_tpu.ops import reference
+    eng = DiPsEngine(DiPsProperties(), 8, 16)  # default backend="auto"
+    assert eng.backend == ("pallas" if jax.default_backend() == "tpu"
+                           else "xla")
+    assert eng._step in (reference.batch_step,)

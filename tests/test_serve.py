@@ -79,3 +79,35 @@ def test_sequential_clients_share_state(server):
     assert info["frame_index"] == 1  # state survived the reconnect
     c2.process(clip[1])
     c2.close()
+
+
+def test_serve_checkpoint_roundtrip(server, tmp_path):
+    """save/load over the wire: a reloaded server continues bit-identically."""
+    clip = make_clip(n=6, h=24, w=40, seed=5)
+    path = str(tmp_path / "ckpt.npz")
+    cli = DiPsClient(server.port)
+    for f in clip[:3]:
+        cli.process(f)
+    cli.save(path)
+    for f in clip[3:]:  # diverge the live state past the checkpoint
+        cli.process(f)
+    assert cli.load(path) == 3  # rewind
+    outs = [cli.process(f)[0] for f in clip[3:]]
+    cli.close()
+
+    eng = DiPsEngine(DiPsProperties(window_size=3, temporal_size=2,
+                                    filter=DiPsFilter.UNFILTERED),
+                     24, 40, batch=1)
+    eng.process_frames(list(clip[:3]))
+    exp_out, _ = eng.process_frames(list(clip[3:]))
+    np.testing.assert_array_equal(np.stack(outs), exp_out)
+
+
+def test_serve_error_isolation(server):
+    """A bad request errors that request, not the connection."""
+    cli = DiPsClient(server.port)
+    with pytest.raises(RuntimeError):
+        cli.load("/nonexistent/nope.npz")
+    out, stats = cli.process(make_clip(n=1, h=24, w=40)[0])
+    assert out.shape == (24, 40, 3)
+    cli.close()
