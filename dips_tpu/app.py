@@ -20,7 +20,6 @@ from __future__ import annotations
 
 import dataclasses
 import logging
-import queue
 import threading
 from typing import Callable, Iterator, List, Optional, Sequence, Tuple
 

@@ -31,7 +31,7 @@ from typing import Optional
 
 from .models import DiPsEngine
 from .properties import (ChromaFilter, DiPsFilter, DiPsMethod,
-                         DiPsProperties, OutputMode)
+                         DiPsProperties)
 
 _FILTER_CYCLE = [DiPsFilter.SIGMOID, DiPsFilter.INVERSE_SIGMOID,
                  DiPsFilter.UNFILTERED]

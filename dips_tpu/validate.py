@@ -10,14 +10,13 @@ installed jax/libtpu/dips_tpu stack produces correct results on this host.
 from __future__ import annotations
 
 import argparse
-import sys
 import time
 
 import numpy as np
 
 from .models import DiPsEngine
 from .ops.oracle import DiPsOracle
-from .properties import (ChromaFilter, DiPsFilter, DiPsMethod, DiPsProperties,
+from .properties import (DiPsFilter, DiPsMethod, DiPsProperties,
                          OutputMode)
 
 
