@@ -13,16 +13,17 @@ from .app import (DiPsJob, custom_dips_on_files, extract_thumbnail,
                   init_frame_extractor, init_thumbnail_extractor,
                   perform_dips, run_dips_app, run_dips_on_file,
                   run_dips_on_files, stream_dips)
+from .parallel import MultiStreamEngine, stream_mesh
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
 
 __all__ = [
     "ChromaFilter", "DiPsEngine", "DiPsError", "DiPsFilter", "DiPsJob",
     "DiPsMethod", "DiPsProperties", "DecodeError", "DeviceError", "Encoding",
-    "EncodeError", "FrameCallbackError", "OutputMode", "OutputPathError",
-    "StreamError", "VideoPathError", "custom_dips_on_files",
-    "extract_thumbnail", "init_frame_extractor", "init_thumbnail_extractor",
-    "perform_dips", "run_dips_app", "run_dips_on_file", "run_dips_on_files",
-    "stream_dips",
+    "EncodeError", "FrameCallbackError", "MultiStreamEngine", "OutputMode",
+    "OutputPathError", "StreamError", "VideoPathError",
+    "custom_dips_on_files", "extract_thumbnail", "init_frame_extractor",
+    "init_thumbnail_extractor", "perform_dips", "run_dips_app",
+    "run_dips_on_file", "run_dips_on_files", "stream_dips", "stream_mesh",
     "__version__",
 ]
