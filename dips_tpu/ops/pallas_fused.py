@@ -52,14 +52,19 @@ from .reference import emphasize
 # Per-(frame, row-block) raw-diff partials: sum, sum_abs, max_abs, count.
 _PART = 4
 # Per-step VMEM budgets (hardware limit 16M; leave compiler headroom).
-# Measured split (1080p, B=64): the compute-bound median pipeline is ~2.5%
-# faster with the LARGEST blocks that fit 14M (fewer grid-step
-# boundaries), while the HBM-bound absdiff kernel peaks at SMALL blocks
-# (fps by row-block: 8 -> 21.3k, 16 -> 36.3k, 32 -> 33.2k, 64 -> 30.9k —
-# 16 rows is the DMA pipelining sweet spot).
+# Measured split (B=64): the compute-bound median pipeline is fastest with
+# the LARGEST blocks that fit 14M (fewer grid-step boundaries), while the
+# HBM-bound absdiff kernel peaks near ~500KB of input block per grid step
+# with a 16-row floor.  Sweep evidence (absdiff fps by block-height/
+# input-block-bytes): 1080p 8/196K -> 21.3k, 16/393K -> 36.3k, 32/786K ->
+# 33.2k, 64/1.5M -> 30.9k; 480p 16/172K -> 101k, 40/420K -> 172.8k,
+# 48/516K -> 177k, 96/1.0M -> 168k; 720p 16/270K -> 57.3k, 24/406K -> 65k;
+# 4K 8/372K -> 7.8k, 16/762K -> 8.8k, 24/1.14M -> 7.3k.  Sub-16-row blocks
+# drown in per-step overhead; blocks past ~800KB pipeline poorly.
 _VMEM_BUDGET = 14 * 1024 * 1024        # median/emphasis kernel
 _VMEM_BUDGET_RAW = 10 * 1024 * 1024    # integer absdiff/threshold kernel
-_RAW_TARGET_ROWS = 16                  # absdiff block-height sweet spot
+_RAW_TARGET_BLOCK_BYTES = 500 * 1024   # absdiff input-block sweet spot
+_RAW_MIN_ROWS = 16                     # below this, step overhead dominates
 
 
 def _frames_per_step(t: int, b: int) -> int:
@@ -515,15 +520,15 @@ def absdiff_step(props: DiPsProperties, h: int, w: int,
     # scratch + base in/out, heat f32 scratch + in/out, i32 temps ~6 planes
     bytes_per_row = wp * (3 * fpb * 2 + c * fpb * 2 + 3 * 4 + 4 * 5 + 4 * 6)
     max_rows = max(_VMEM_BUDGET_RAW // bytes_per_row, 8)
-    # divisor of Hp nearest the measured DMA sweet spot (ties: larger)
-    bh = 8
-    best_key = None
-    for d in range(1, hp // 8 + 1):
-        cand = 8 * d
-        if hp % cand == 0 and cand <= max_rows:
-            key = (abs(cand - _RAW_TARGET_ROWS), -cand)
-            if best_key is None or key < best_key:
-                best_key, bh = key, cand
+    # divisor of Hp (>= the row floor where possible) whose input block
+    # (3 x F x bh x Wp bytes) is nearest the measured DMA sweet spot
+    # (ties: larger block)
+    in_row_bytes = 3 * fpb * wp
+    cands = [8 * d for d in range(1, hp // 8 + 1)
+             if hp % (8 * d) == 0 and 8 * d <= max_rows]
+    pool = [c for c in cands if c >= _RAW_MIN_ROWS] or cands or [8]
+    bh = min(pool, key=lambda c: (abs(c * in_row_bytes
+                                      - _RAW_TARGET_BLOCK_BYTES), -c))
     n_hb = hp // bh
     warm = t // fpb
 
