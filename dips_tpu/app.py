@@ -119,8 +119,14 @@ def _decode_worker(reader: VideoReader, hp: int, wp: int,
     side deque (appended before the push so the consumer never sees a frame
     without its timestamp).  ``limit`` bounds the frames decoded (chunked
     parallel decode); ``stage`` names this worker's timer."""
-    it = reader.iter_bgr_timed()
+    # Readers that decode natively to RGB (GStreamer) skip the BGR round
+    # trip: planarize without the swap instead of reversing + re-reversing.
+    rgb_native = getattr(reader, "native_rgb", False)
+    it = (reader.iter_rgb_timed() if rgb_native else reader.iter_bgr_timed())
     done = 0
+    # per-worker stage names: StageTimers accumulators are only safe when
+    # each name is written by a single thread
+    stage_pl = stage.replace("decode", "planarize")
     try:
         while limit is None or done < limit:
             if timers:
@@ -130,12 +136,14 @@ def _decode_worker(reader: VideoReader, hp: int, wp: int,
                 item = next(it, None)
             if item is None or stop.is_set():
                 return
-            bgr, pts = item
+            frame, pts = item
             if timers:
-                with timers.stage("planarize"):
-                    planar = native.planarize(bgr, hp, wp, swap_rb=True)
+                with timers.stage(stage_pl):
+                    planar = native.planarize(frame, hp, wp,
+                                              swap_rb=not rgb_native)
             else:
-                planar = native.planarize(bgr, hp, wp, swap_rb=True)
+                planar = native.planarize(frame, hp, wp,
+                                          swap_rb=not rgb_native)
             pts_q.append(pts)
             if not ring.push(planar):
                 return
@@ -290,6 +298,11 @@ def stream_dips(job: DiPsJob) -> Iterator[Tuple[int, np.ndarray, np.ndarray,
     finally:
         stop.set()
         source.close()
+        # join the decode threads BEFORE releasing their readers: cv2's
+        # VideoCapture.release() racing a concurrent read() on another
+        # thread is undefined behaviour (can crash)
+        for wk in workers:
+            wk.join(timeout=10.0)
         for r in readers_to_close:
             r.close()
 
@@ -404,6 +417,10 @@ def run_dips_on_files(input_paths: Sequence[str], output_dir: str,
             raise VideoPathError(
                 f"{r.path}: geometry {r.width}x{r.height} != {w}x{h} "
                 f"(multi-stream batches require uniform geometry)")
+        if abs(r.fps - fps) > 0.51:  # the documented shared-fps contract
+            raise VideoPathError(
+                f"{r.path}: fps {r.fps:g} != {fps:g} (multi-stream outputs "
+                f"share one clock; retime or process separately)")
 
     mesh = mesh if mesh is not None else stream_mesh()
     n_dev = dict(zip(mesh.axis_names, mesh.devices.shape)).get(
@@ -439,6 +456,15 @@ def run_dips_on_files(input_paths: Sequence[str], output_dir: str,
                 break
             out, stats, _ = eng.process_batch(feeds)
             for si in range(s):
+                if si in eng.failed:
+                    # isolated stream: stop decoding/writing it — its buffer
+                    # rows are zeros, not real diff maps
+                    if not done[si]:
+                        log.warning("stream %d (%s) failed and was "
+                                    "isolated: %s", si, input_paths[si],
+                                    eng.failed[si])
+                        done[si] = True
+                    continue
                 n = len(feeds[si])
                 for k in range(n):
                     writers[si].write(out[si, k])
@@ -448,6 +474,11 @@ def run_dips_on_files(input_paths: Sequence[str], output_dir: str,
             r.close()
         for wr in writers:
             wr.close()
+    if eng.failed:
+        counts = counts.copy()
+        for si in eng.failed:
+            if si < s:
+                counts[si] = -1  # sentinel: failed stream, output truncated
     return counts
 
 

@@ -191,8 +191,16 @@ def main(argv: Optional[List[str]] = None) -> int:
         except (DiPsError, NotImplementedError) as e:
             print(f"error: {e}", file=sys.stderr)
             return 1
+        failed = [i for i, c in enumerate(counts) if c < 0]
+        ok_total = int(sum(c for c in counts if c >= 0))
         print(f"processed {len(counts)} streams "
-              f"({int(counts.sum())} frames) -> {args.output_dir}")
+              f"({ok_total} frames) -> {args.output_dir}")
+        if failed:
+            print(f"WARNING: {len(failed)} stream(s) failed and were "
+                  f"isolated (outputs truncated): "
+                  f"{', '.join(args.inputs[i] for i in failed)}",
+                  file=sys.stderr)
+            return 1
         return 0
 
     if args.dat_dir:

@@ -82,6 +82,11 @@ class GstVideoReader:
     frame_extractor.rs:242-262).
     """
 
+    #: frames decode natively as RGB: the planarizer skips the BGR swap
+    native_rgb = True
+    #: pull timeout before checking the bus for a pipeline error (ns)
+    _PULL_TIMEOUT_NS = 10 * 10**9
+
     def __init__(self, path: str):
         import os
         if not os.path.exists(path):
@@ -90,11 +95,14 @@ class GstVideoReader:
         if gst is None:
             raise DecodeError(_gst_err or "GStreamer unavailable")
         # appsink caps mirror the reference: RGB, unthrottled (sync=false,
-        # ref frame_extractor.rs:147)
+        # ref frame_extractor.rs:147).  The location is set as an element
+        # property, NOT interpolated into the launch string — quotes in a
+        # filename must not be able to rewrite the pipeline.
         self._pipeline = gst.parse_launch(
-            f'filesrc location="{path}" ! decodebin ! queue ! videoconvert '
-            f'! video/x-raw,format=RGB ! appsink name=sink sync=false '
-            f'max-buffers=8 drop=false')
+            'filesrc name=src ! decodebin ! queue ! videoconvert '
+            '! video/x-raw,format=RGB ! appsink name=sink sync=false '
+            'max-buffers=8 drop=false')
+        self._pipeline.get_by_name("src").set_property("location", path)
         self._sink = self._pipeline.get_by_name("sink")
         self._sink.set_property("emit-signals", False)
         self._gst = gst
@@ -107,12 +115,34 @@ class GstVideoReader:
         self._pipeline.set_state(gst.State.PLAYING)
         # probe geometry/fps from the preroll sample so callers can size
         # buffers before the first read
-        pre = self._sink.emit("pull-preroll")
+        pre = self._pull("pull-preroll", "try-pull-preroll")
         if pre is not None:
             self._apply_caps(pre.get_caps().get_structure(0))
         if self.width <= 0 or self.height <= 0:
             self.close()
             raise DecodeError(f"could not probe geometry of {path}")
+
+    def _pull(self, signal: str, try_signal: str):
+        """Pull a sample with a timeout; a pipeline ERROR raises instead of
+        blocking forever (decodebin posts ERROR for undecodable inputs and
+        the sink then never prerolls)."""
+        try:
+            sample = self._sink.emit(try_signal, self._PULL_TIMEOUT_NS)
+        except TypeError:  # sink without the try-pull action (old/fake)
+            return self._sink.emit(signal)
+        if sample is None:
+            self._raise_on_bus_error()
+        return sample
+
+    def _raise_on_bus_error(self) -> None:
+        gst = self._gst
+        bus = getattr(self._pipeline, "get_bus", lambda: None)()
+        if bus is None:
+            return
+        msg = bus.timed_pop_filtered(0, gst.MessageType.ERROR)
+        if msg is not None:
+            err = msg.parse_error()
+            raise DecodeError(f"GStreamer pipeline error: {err}")
 
     def _apply_caps(self, caps) -> None:
         w, h = caps.get_value("width"), caps.get_value("height")
@@ -124,7 +154,7 @@ class GstVideoReader:
 
     def read(self) -> Optional[np.ndarray]:
         gst = self._gst
-        sample = self._sink.emit("pull-sample")
+        sample = self._pull("pull-sample", "try-pull-sample")
         if sample is None:
             return None
         self._apply_caps(sample.get_caps().get_structure(0))
@@ -137,7 +167,16 @@ class GstVideoReader:
         if not ok:
             raise DecodeError("buffer map failed")
         try:
-            frame = np.frombuffer(info.data, np.uint8).reshape(
+            # RGB video buffers are row-padded to 4-byte stride alignment:
+            # slice each row to w*3 before reshaping
+            flat = np.frombuffer(info.data, np.uint8)
+            row = self.width * 3
+            stride = flat.size // self.height
+            if stride < row or stride * self.height != flat.size:
+                raise DecodeError(
+                    f"buffer size {flat.size} inconsistent with "
+                    f"{self.width}x{self.height} RGB")
+            frame = flat.reshape(self.height, stride)[:, :row].reshape(
                 self.height, self.width, 3).copy()
         finally:
             buf.unmap(info)
@@ -171,6 +210,16 @@ class GstVideoReader:
             f, pts = r
             yield f[..., ::-1], pts
 
+    def iter_rgb_timed(self) -> Iterator[tuple]:
+        """(RGB frame, pts_seconds) in the reader's NATIVE channel order —
+        the zero-copy path (``native_rgb``): the planarizer consumes RGB
+        directly instead of reversing to BGR and swapping back."""
+        while True:
+            r = self.read_timed()
+            if r is None:
+                return
+            yield r
+
     def close(self) -> None:
         self._pipeline.set_state(self._gst.State.NULL)
 
@@ -198,12 +247,19 @@ class GstVideoWriter:
         self.width, self.height = int(width), int(height)
         self.frames_written = 0
         self.fallback_used = None
-        num = max(int(round(self.fps)), 1)
+        # rational fps so NTSC-style rates (29.97 -> 30000/1001) are not
+        # mislabelled in the caps (buffer PTS carry the exact times anyway)
+        from fractions import Fraction
+        fr = Fraction(self.fps).limit_denominator(1001)
+        num, den = max(fr.numerator, 1), max(fr.denominator, 1)
+        # filesink location is set as a property (never interpolated — see
+        # the reader) and the caps string contains only validated integers
         self._pipeline = gst.parse_launch(
             f'appsrc name=src format=time is-live=false block=true '
             f'caps=video/x-raw,format=RGB,width={self.width},'
-            f'height={self.height},framerate={num}/1 '
-            f'! videoconvert ! avimux ! filesink location="{path}"')
+            f'height={self.height},framerate={num}/{den} '
+            f'! videoconvert ! avimux ! filesink name=out')
+        self._pipeline.get_by_name("out").set_property("location", path)
         self._src = self._pipeline.get_by_name("src")
         self._pipeline.set_state(gst.State.PLAYING)
 

@@ -129,10 +129,16 @@ def rebuild_engine(old: DiPsEngine, props: DiPsProperties,
                      backend=backend, device=old.device)
     if eng._raw_mode == old._raw_mode:
         state = old.state_dict()
-        if state["tail"] is not None and props.temporal_size:
-            tail = state["tail"]
-            # deque(maxlen=T_new) keeps the newest T_new frames on extend
-            state["tail"] = tail[-props.temporal_size:]
+        tail = state["tail"]
+        if tail is not None:
+            t_new = props.temporal_size
+            if len(tail) > t_new:       # shrink: keep the newest frames
+                tail = tail[-t_new:]
+            elif len(tail) < t_new:     # grow: replay the oldest frame
+                import numpy as np
+                pad = np.repeat(tail[:1], t_new - len(tail), axis=0)
+                tail = np.concatenate([pad, tail])
+            state["tail"] = tail
         eng.load_state_dict(state)
     return eng
 

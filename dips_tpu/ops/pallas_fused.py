@@ -16,8 +16,9 @@ Design notes (see /opt/skills/guides/pallas_guide.md):
   ring, the pinned baseline, the previous-frame plane, and the heatmap
   across frame steps: the GPU ring-buffer-texture state machine
   (dips/src/gpu/bind_groups.rs:407-427) becomes scratch reuse inside one
-  kernel.  Each grid step processes F = gcd(T, B) frames (unrolled) to
-  amortise per-step scheduling overhead; F | T keeps warm-up steps whole.
+  kernel.  Each grid step processes F frames (the largest divisor of
+  gcd(T, B) <= 8, unrolled) to amortise per-step scheduling overhead;
+  F | T keeps warm-up steps whole and F | B keeps emit steps whole.
 * **Stencil halo** — each row-block reads its 8-row neighbours through thin
   extra BlockSpecs (block-index granularity 8 rows); x-taps use
   ``pltpu.roll`` whose wrap lands in the >= 4 dead zero lanes guaranteed by

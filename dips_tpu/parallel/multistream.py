@@ -111,8 +111,8 @@ class MultiStreamEngine:
             rows_ax = self.mesh.shape["rows"]
             if self.hp % rows_ax:
                 raise ValueError(
-                    f"padded height {self.hp} must divide the rows axis "
-                    f"{rows_ax}")
+                    f"rows axis {rows_ax} must divide the padded height "
+                    f"{self.hp}")
             self._step = make_grid_step(props, height, width, self.mesh)
         else:
             n_shard = self.mesh.devices.size

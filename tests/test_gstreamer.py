@@ -60,11 +60,19 @@ class FakeSink:
         self.props[k] = v
 
     def emit(self, signal, *a):
-        if signal == "pull-preroll":
+        if signal in ("pull-preroll", "try-pull-preroll"):
             return self.samples[0] if self.samples else None
-        if signal == "pull-sample":
+        if signal in ("pull-sample", "try-pull-sample"):
             return self.samples.pop(0) if self.samples else None
         raise AssertionError(signal)
+
+
+class FakeElement:
+    def __init__(self):
+        self.props = {}
+
+    def set_property(self, k, v):
+        self.props[k] = v
 
 
 class FakeSrc:
@@ -79,15 +87,28 @@ class FakeSrc:
             self.eos = True
 
 
+class FakeError:
+    def parse_error(self):
+        return "decode exploded"
+
+
 class FakeBus:
+    def __init__(self, error=False):
+        self.error = error
+
     def timed_pop_filtered(self, timeout_ns, mask):
-        return object()  # immediate EOS
+        if timeout_ns == 0:  # reader error probe: None = no pending error
+            return FakeError() if self.error else None
+        return object()  # writer EOS wait: immediate
 
 
 class FakePipeline:
-    def __init__(self, elements):
-        self.elements = elements
+    def __init__(self, elements, bus_error=False):
+        self.elements = dict(elements)
+        self.elements.setdefault("src", FakeElement())
+        self.elements.setdefault("out", FakeElement())
         self.states = []
+        self._bus = FakeBus(bus_error)
 
     def get_by_name(self, name):
         return self.elements.get(name)
@@ -96,7 +117,7 @@ class FakePipeline:
         self.states.append(s)
 
     def get_bus(self):
-        return FakeBus()
+        return self._bus
 
 
 def _sample(frame, w, h, pts=None, num=24):
@@ -115,18 +136,35 @@ class FakeGst:
         def new_wrapped(data):
             return FakeBuffer(data, pts=None)
 
-    def __init__(self, frames=(), w=0, h=0, pts_list=None, num=24):
+    def __init__(self, frames=(), w=0, h=0, pts_list=None, num=24,
+                 row_pad=0, bus_error=False):
         self._frames, self._w, self._h, self._num = frames, w, h, num
         self._pts = pts_list or [None] * len(frames)
+        self._row_pad = row_pad
+        self._bus_error = bus_error
         self.sinks, self.srcs, self.launches = [], [], []
+
+    def _payload(self, f):
+        if not self._row_pad:
+            return f.tobytes()
+        # stride-padded rows, like real videoconvert RGB output
+        h, w, _ = f.shape
+        padded = np.zeros((h, w * 3 + self._row_pad), np.uint8)
+        padded[:, :w * 3] = f.reshape(h, w * 3)
+        return padded.tobytes()
 
     def parse_launch(self, desc):
         self.launches.append(desc)
         if "appsink" in desc:
-            sink = FakeSink([_sample(f, self._w, self._h, p, self._num)
-                             for f, p in zip(self._frames, self._pts)])
+            sink = FakeSink(
+                [types.SimpleNamespace(
+                    get_caps=lambda _f=f: FakeCaps(
+                        FakeCapsStruct(self._w, self._h, num=self._num)),
+                    get_buffer=lambda _f=f, _p=p: FakeBuffer(
+                        self._payload(_f), _p))
+                 for f, p in zip(self._frames, self._pts)])
             self.sinks.append(sink)
-            return FakePipeline({"sink": sink})
+            return FakePipeline({"sink": sink}, bus_error=self._bus_error)
         src = FakeSrc()
         self.srcs.append(src)
         return FakePipeline({"src": src})
@@ -134,8 +172,8 @@ class FakeGst:
 
 @pytest.fixture
 def fake_gst():
-    def install(frames=(), w=0, h=0, pts_list=None, num=24):
-        g = FakeGst(frames, w, h, pts_list, num)
+    def install(frames=(), w=0, h=0, pts_list=None, num=24, **kw):
+        g = FakeGst(frames, w, h, pts_list, num, **kw)
         gstreamer._set_gst_for_testing(g)
         return g
     yield install
@@ -284,3 +322,54 @@ def test_perform_dips_through_gstreamer_backend(fake_gst, tmp_path):
     # and the diff maps are real: frame 0 is the gray-rendered capture
     first = np.frombuffer(src.pushed[0].data, np.uint8).reshape(h, w, 3)
     assert first.std() > 0
+
+
+def test_reader_handles_stride_padded_rows(fake_gst, tmp_path):
+    """Code-review regression: videoconvert RGB rows are padded to 4-byte
+    stride alignment — width not divisible by 4 must still decode."""
+    frames = _rgb_frames(2, 6, 9)  # 9*3=27 bytes/row -> stride 28
+    fake_gst(frames, 9, 6, row_pad=1)
+    p = tmp_path / "v.avi"
+    p.write_bytes(b"x")
+    r = GstVideoReader(str(p))
+    for got, exp in zip(iter(r), frames):
+        np.testing.assert_array_equal(got, exp)
+
+
+def test_reader_raises_on_pipeline_error(fake_gst, tmp_path):
+    """An undecodable input posts ERROR on the bus: raise, don't hang."""
+    fake_gst((), 0, 0, bus_error=True)
+    p = tmp_path / "bad.avi"
+    p.write_bytes(b"x")
+    with pytest.raises(DecodeError, match="pipeline error|probe"):
+        GstVideoReader(str(p))
+
+
+def test_paths_set_as_properties_not_interpolated(fake_gst, tmp_path):
+    """Quotes in filenames must not be able to rewrite the pipeline."""
+    frames = _rgb_frames(1, 4, 8)
+    g = fake_gst(frames, 8, 4)
+    evil = tmp_path / 'clip " ! fakesink x=.avi'
+    evil.write_bytes(b"x")
+    r = GstVideoReader(str(evil))
+    assert str(evil) not in g.launches[0]  # not in the launch string
+    r.close()
+    w = GstVideoWriter(str(tmp_path / 'out " pwn.avi'), 29.97, 8, 4)
+    assert "pwn" not in g.launches[1]
+    # NTSC-ish rates keep a faithful rational, not a rounded 30/1
+    assert "framerate=30/1 " not in g.launches[1]
+    assert "framerate=2997/100" in g.launches[1]
+    w.close()
+
+
+def test_reader_rgb_native_iterator(fake_gst, tmp_path):
+    frames = _rgb_frames(2, 4, 8)
+    fake_gst(frames, 8, 4, pts_list=[int(1e8), int(2e8)])
+    p = tmp_path / "v.avi"
+    p.write_bytes(b"x")
+    r = GstVideoReader(str(p))
+    assert r.native_rgb
+    got = list(r.iter_rgb_timed())
+    assert len(got) == 2
+    np.testing.assert_array_equal(got[0][0], frames[0])
+    assert got[0][1] == pytest.approx(0.1)

@@ -81,6 +81,21 @@ def test_rebuild_preserves_streaming_state():
     assert stats[:, 3].max() > 0  # still diffing against the old baseline
 
 
+def test_rebuild_temporal_grow_pads_tail():
+    """Code-review regression: pressing 'T' (temporal_size up) used to
+    restore a too-short tail and crash the next process_batch."""
+    frames = make_clip(n=4, h=8, w=16, seed=3)
+    eng = DiPsEngine(DiPsProperties(temporal_size=2), 8, 16, batch=4)
+    eng.process_frames(list(frames))
+    eng2 = rebuild_engine(eng, eng.props.with_temporal_size(5))
+    assert len(eng2._tail) == 5
+    # oldest frame replayed at the front, newest preserved at the back
+    np.testing.assert_array_equal(
+        np.stack(list(eng2._tail))[-2:], np.stack(list(eng._tail)))
+    out, stats = eng2.process_batch([frames[0]])  # must not raise
+    assert out.shape == (1, 8, 16, 3)
+
+
 def test_rebuild_temporal_resize_truncates_tail():
     frames = make_clip(n=4, h=8, w=16, seed=2)
     eng = DiPsEngine(DiPsProperties(temporal_size=4), 8, 16, batch=4)

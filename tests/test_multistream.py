@@ -396,3 +396,17 @@ def test_multistream_heatmaps_and_reset():
     assert hm.shape == (8, 8, 16) and hm.max() > 0
     ms.reset()
     assert ms.frame_index == 0 and ms.heatmaps().max() == 0
+
+
+def test_run_dips_on_files_fps_mismatch_rejected(tmp_path):
+    """Code-review regression: mixed-fps inputs must error, not silently
+    retime the faster stream to the first reader's clock."""
+    from dips_tpu.app import run_dips_on_files
+    from dips_tpu.errors import VideoPathError
+    from dips_tpu.io import moving_square_clip, write_clip
+    a = str(tmp_path / "a.avi")
+    b = str(tmp_path / "b.avi")
+    write_clip(moving_square_clip(n=4, height=16, width=24), a, fps=30)
+    write_clip(moving_square_clip(n=4, height=16, width=24), b, fps=60)
+    with pytest.raises(VideoPathError, match="fps"):
+        run_dips_on_files([a, b], str(tmp_path / "o"), batch=2)
