@@ -145,16 +145,23 @@ def _shift_x(x: jnp.ndarray, dx: int) -> jnp.ndarray:
 
 
 def _make_kernel(props: DiPsProperties, h: int, w: int, t: int, b: int,
-                 bh: int, wp: int, n_hb: int, fpb: int):
+                 bh: int, wp: int, n_hb: int, fpb: int, s: int = 1):
+    """``s`` > 1 = stacked-stream mode: the row axis carries s independent
+    streams of n_hb/s row blocks each.  One kernel instance processes all
+    of them (each row block's scratch is already independent), instead of
+    vmap dispatching s kernel instances — measured ~2x multi-stream
+    throughput on chip.  Capture/valid flags become per-stream (s, B) and
+    halos stop at stream boundaries."""
     window = props.window_size
     p = window // 2
     overall = props.method == DiPsMethod.OVERALL
     colorize = props.output == OutputMode.COLORIZE
     warm = t // fpb            # number of pure warm-up grid steps
     n_steps = (t + b) // fpb
+    n_hb_per = n_hb // s       # row blocks per stream
 
-    def kernel(flags_ref,                       # SMEM (B,) int32
-               valid_ref,                       # SMEM (B,) int32
+    def kernel(flags_ref,                       # SMEM (S, B) int32
+               valid_ref,                       # SMEM (S, B) int32
                cur_ref, up_ref, dn_ref,         # u8 (F,3,BH,Wp), (F,3,8,Wp) x2
                base_in_ref,                     # f32 (BH, Wp)
                heat_in_ref,                     # f32 (BH, Wp)
@@ -170,6 +177,8 @@ def _make_kernel(props: DiPsProperties, h: int, w: int, t: int, b: int,
                strip_ref):                      # f32 scratch (BH+16, Wp)
         hb = pl.program_id(0)
         fs = pl.program_id(1)
+        si = hb // n_hb_per          # which stream this row block belongs to
+        hb_in = lax.rem(hb, n_hb_per)  # row block index within the stream
 
         @pl.when(fs == 0)
         def _seed():
@@ -177,7 +186,8 @@ def _make_kernel(props: DiPsProperties, h: int, w: int, t: int, b: int,
             base_ref[:] = base_in_ref[:]
             heat_ref[:] = heat_in_ref[:]
             # validity mask is loop-invariant per row block: build it once
-            rows = lax.broadcasted_iota(jnp.int32, (bh, wp), 0) + hb * bh
+            # (row coordinates are stream-local in stacked mode)
+            rows = lax.broadcasted_iota(jnp.int32, (bh, wp), 0) + hb_in * bh
             cols = lax.broadcasted_iota(jnp.int32, (bh, wp), 1)
             mask_ref[:] = ((rows < h) & (cols < w)).astype(jnp.float32)
 
@@ -187,13 +197,14 @@ def _make_kernel(props: DiPsProperties, h: int, w: int, t: int, b: int,
             # ---- intensity strip with p-row halos ----------------------
             strip_ref[8:8 + bh] = _intensity_i(cur_ref[i], props.chroma)
             if p > 0:
-                # convert only the p halo rows the stencil actually reads
+                # convert only the p halo rows the stencil actually reads;
+                # halos are zero at image (= stream) boundaries
                 up = _intensity_i(up_ref[i, :, 8 - p:8], props.chroma)
                 dn = _intensity_i(dn_ref[i, :, 0:p], props.chroma)
                 zerop = jnp.zeros((p, wp), jnp.float32)
-                strip_ref[8 - p:8] = jnp.where(hb > 0, up, zerop)
+                strip_ref[8 - p:8] = jnp.where(hb_in > 0, up, zerop)
                 strip_ref[8 + bh:8 + bh + p] = jnp.where(
-                    hb < n_hb - 1, dn, zerop)
+                    hb_in < n_hb_per - 1, dn, zerop)
 
             # ---- spatial median: shared column sorts + pruned merge ----
             # (or the separable approximation when props.approx_median)
@@ -224,7 +235,7 @@ def _make_kernel(props: DiPsProperties, h: int, w: int, t: int, b: int,
                 cur = networks.median_of([ring_ref[k] for k in range(t)],
                                          jnp.minimum, jnp.maximum)
                 if overall:
-                    flag = flags_ref[m] != 0
+                    flag = flags_ref[si, m] != 0
 
                     @pl.when(flag)
                     def _():
@@ -253,7 +264,7 @@ def _make_kernel(props: DiPsProperties, h: int, w: int, t: int, b: int,
                     tile = jnp.where(row0 & (lane == k), v, tile)
                 stats_ref[i, 0] = tile
                 heat_ref[:] = (heat_ref[:]
-                               + am * valid_ref[m].astype(jnp.float32))
+                               + am * valid_ref[si, m].astype(jnp.float32))
 
                 d = emphasize(raw_diff, props.filter,
                               props.sigmoid_horizontal_scalar,
@@ -303,34 +314,39 @@ def _make_kernel(props: DiPsProperties, h: int, w: int, t: int, b: int,
     return kernel
 
 
-@functools.partial(jax.jit, static_argnums=(0, 1, 2),
-                   donate_argnums=(4, 6))  # baseline/heatmap update in place
-def batch_step(props: DiPsProperties, h: int, w: int,
-               raw: jnp.ndarray, baseline: jnp.ndarray,
-               snap_flags: jnp.ndarray, heatmap: jnp.ndarray,
-               valid: jnp.ndarray
-               ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """Drop-in fused-kernel equivalent of ``reference.batch_step``.
+def _batch_step_impl(props: DiPsProperties, h: int, w: int, s: int,
+                     raw, baseline, flags2d, heatmap, valid2d):
+    """Shared body: ``s`` streams stacked along the row axis.
 
-    Same protocol: raw uint8 (T+B, 3, Hp, Wp), f32 baseline/heatmap
-    (Hp, Wp), bool (B,) capture/valid flags -> (uint8 (B, C, Hp, Wp),
-    f32 (B, NUM_STATS), new baseline, new heatmap).
-    """
+    raw (T+B, 3, s*Hp, Wp) u8, baseline/heatmap (s*Hp, Wp) f32,
+    flags/valid (s, B) -> (out (B, C, s*Hp, Wp) u8, stats (s, B, 4) f32,
+    new baseline, new heatmap)."""
     t = props.temporal_size
     b = raw.shape[0] - t
-    hp, wp = raw.shape[-2], raw.shape[-1]
+    hp_tot, wp = raw.shape[-2], raw.shape[-1]
+    hp = hp_tot // s
     c = props.out_channels
     fpb = _frames_per_step(t, b)
     assert t % fpb == 0 and b % fpb == 0, (t, b, fpb)
     bh = _pick_block_rows(hp, wp, props.window_size, t, c, fpb)
-    n_hb = hp // bh
-    n8 = hp // 8
+    n_hb_per = hp // bh
+    n_hb = s * n_hb_per
+    n8_per = hp // 8
     bh8 = bh // 8
     warm = t // fpb
 
-    flags_i32 = snap_flags.astype(jnp.int32)
-    valid_i32 = valid.astype(jnp.int32)
-    kernel = _make_kernel(props, h, w, t, b, bh, wp, n_hb, fpb)
+    flags_i32 = flags2d.astype(jnp.int32)
+    valid_i32 = valid2d.astype(jnp.int32)
+    kernel = _make_kernel(props, h, w, t, b, bh, wp, n_hb, fpb, s)
+
+    def up_idx(hb, f, *_):
+        # the 8-row halo block above, clamped to this stream's first block
+        lo = (hb // n_hb_per) * n8_per
+        return (f, 0, jnp.maximum(hb * bh8 - 1, lo), 0)
+
+    def dn_idx(hb, f, *_):
+        hi = (hb // n_hb_per + 1) * n8_per - 1
+        return (f, 0, jnp.minimum((hb + 1) * bh8, hi), 0)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
@@ -338,15 +354,8 @@ def batch_step(props: DiPsProperties, h: int, w: int,
         in_specs=[
             pl.BlockSpec((fpb, 3, bh, wp), lambda hb, f, *_: (f, 0, hb, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(
-                (fpb, 3, 8, wp),
-                lambda hb, f, *_: (f, 0, jnp.maximum(hb * bh8 - 1, 0), 0),
-                memory_space=pltpu.VMEM),
-            pl.BlockSpec(
-                (fpb, 3, 8, wp),
-                lambda hb, f, *_: (f, 0, jnp.minimum((hb + 1) * bh8, n8 - 1),
-                                   0),
-                memory_space=pltpu.VMEM),
+            pl.BlockSpec((fpb, 3, 8, wp), up_idx, memory_space=pltpu.VMEM),
+            pl.BlockSpec((fpb, 3, 8, wp), dn_idx, memory_space=pltpu.VMEM),
             pl.BlockSpec((bh, wp), lambda hb, f, *_: (hb, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((bh, wp), lambda hb, f, *_: (hb, 0),
@@ -382,23 +391,59 @@ def batch_step(props: DiPsProperties, h: int, w: int,
         kernel,
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((b, c, hp, wp), jnp.uint8),
+            jax.ShapeDtypeStruct((b, c, hp_tot, wp), jnp.uint8),
             jax.ShapeDtypeStruct((b, n_hb, 8, 128), jnp.float32),
-            jax.ShapeDtypeStruct((hp, wp), jnp.float32),
-            jax.ShapeDtypeStruct((hp, wp), jnp.float32),
+            jax.ShapeDtypeStruct((hp_tot, wp), jnp.float32),
+            jax.ShapeDtypeStruct((hp_tot, wp), jnp.float32),
         ],
         interpret=jax.default_backend() == "cpu",
     )(flags_i32, valid_i32, raw, raw, raw, baseline, heatmap)
 
     inv_n = jnp.float32(1.0 / (h * w))
-    parts = parts[:, :, 0, :_PART]                       # (B, n_hb, 4)
+    parts = parts[:, :, 0, :_PART].reshape(b, s, n_hb_per, _PART)
     stats = jnp.stack([
-        parts[:, :, 0].sum(axis=1) * inv_n,
-        parts[:, :, 1].sum(axis=1) * inv_n,
-        parts[:, :, 2].max(axis=1),
-        parts[:, :, 3].sum(axis=1),
-    ], axis=-1)
+        parts[..., 0].sum(axis=2) * inv_n,
+        parts[..., 1].sum(axis=2) * inv_n,
+        parts[..., 2].max(axis=2),
+        parts[..., 3].sum(axis=2),
+    ], axis=-1).transpose(1, 0, 2)                       # (s, B, 4)
     return out, stats, new_baseline, new_heatmap
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1, 2),
+                   donate_argnums=(4, 6))  # baseline/heatmap update in place
+def batch_step(props: DiPsProperties, h: int, w: int,
+               raw: jnp.ndarray, baseline: jnp.ndarray,
+               snap_flags: jnp.ndarray, heatmap: jnp.ndarray,
+               valid: jnp.ndarray
+               ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Drop-in fused-kernel equivalent of ``reference.batch_step``.
+
+    Same protocol: raw uint8 (T+B, 3, Hp, Wp), f32 baseline/heatmap
+    (Hp, Wp), bool (B,) capture/valid flags -> (uint8 (B, C, Hp, Wp),
+    f32 (B, NUM_STATS), new baseline, new heatmap).
+    """
+    out, stats, nb, nh = _batch_step_impl(
+        props, h, w, 1, raw, baseline, snap_flags[None], heatmap,
+        valid[None])
+    return out, stats[0], nb, nh
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1, 2, 3),
+                   donate_argnums=(5, 7))  # baseline/heatmap update in place
+def batch_step_stacked(props: DiPsProperties, h: int, w: int, s: int,
+                       raw: jnp.ndarray, baseline: jnp.ndarray,
+                       snap_flags: jnp.ndarray, heatmap: jnp.ndarray,
+                       valid: jnp.ndarray):
+    """``s`` independent streams stacked along the row axis in ONE kernel
+    instance (vs vmap's s instances — measured ~2x multi-stream throughput).
+
+    raw (T+B, 3, s*Hp, Wp) u8 (stream si occupies rows [si*Hp, (si+1)*Hp)),
+    baseline/heatmap (s*Hp, Wp) f32, flags/valid (s, B) bool ->
+    (out (B, C, s*Hp, Wp), stats (s, B, NUM_STATS), new baseline/heatmap).
+    """
+    return _batch_step_impl(props, h, w, s, raw, baseline, snap_flags,
+                            heatmap, valid)
 
 
 # ---------------------------------------------------------------------------
@@ -407,14 +452,15 @@ def batch_step(props: DiPsProperties, h: int, w: int,
 # ---------------------------------------------------------------------------
 
 def _make_raw_kernel(props: DiPsProperties, h: int, w: int, t: int, b: int,
-                     bh: int, wp: int, fpb: int):
+                     bh: int, wp: int, fpb: int, s: int = 1,
+                     n_hb_per: int = 1):
     overall = props.method == DiPsMethod.OVERALL
     threshold_mode = props.output == OutputMode.THRESHOLD
     thr = props.change_threshold
     warm = t // fpb
     n_steps = (t + b) // fpb
 
-    def kernel(flags_ref, valid_ref,            # SMEM (B,) int32 each
+    def kernel(flags_ref, valid_ref,            # SMEM (S, B) int32 each
                cur_ref,                         # u8 (F, 3, BH, Wp)
                base_in_ref,                     # u8 (3, BH, Wp)
                heat_in_ref,                     # f32 (BH, Wp)
@@ -426,6 +472,7 @@ def _make_raw_kernel(props: DiPsProperties, h: int, w: int, t: int, b: int,
                ref32_ref,                       # i32 scratch (3, BH, Wp)
                heat_ref):                       # f32 scratch (BH, Wp)
         fs = pl.program_id(1)
+        si = pl.program_id(0) // n_hb_per  # stream of this row block
 
         @pl.when(fs == 0)
         def _seed():
@@ -449,7 +496,7 @@ def _make_raw_kernel(props: DiPsProperties, h: int, w: int, t: int, b: int,
                 m = gf - t
                 cs = [cur_ref[i, ch].astype(jnp.int32) for ch in range(3)]
                 if overall:
-                    flag = flags_ref[m] != 0
+                    flag = flags_ref[si, m] != 0
 
                     @pl.when(flag)
                     def _():
@@ -483,7 +530,7 @@ def _make_raw_kernel(props: DiPsProperties, h: int, w: int, t: int, b: int,
                 heat_ref[:] = heat_ref[:] + (
                     (ad[0] + ad[1] + ad[2]).astype(jnp.float32)
                     * jnp.float32(1.0 / (3 * 255.0))
-                    * valid_ref[m].astype(jnp.float32))
+                    * valid_ref[si, m].astype(jnp.float32))
 
                 if threshold_mode:
                     out_ref[i, 0] = jnp.where(
@@ -501,19 +548,14 @@ def _make_raw_kernel(props: DiPsProperties, h: int, w: int, t: int, b: int,
     return kernel
 
 
-@functools.partial(jax.jit, static_argnums=(0, 1, 2),
-                   donate_argnums=(4, 6))  # baseline/heatmap update in place
-def absdiff_step(props: DiPsProperties, h: int, w: int,
-                 raw: jnp.ndarray, baseline_raw: jnp.ndarray,
-                 snap_flags: jnp.ndarray, heatmap: jnp.ndarray,
-                 valid: jnp.ndarray
-                 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray,
-                            jnp.ndarray]:
-    """Fused-kernel equivalent of ``reference.absdiff_step`` (bit-exact
-    uint8 |cur - baseline| per channel == cv2.absdiff; THRESHOLD mask)."""
+def _absdiff_step_impl(props: DiPsProperties, h: int, w: int, s: int,
+                       raw, baseline_raw, flags2d, heatmap, valid2d):
+    """Shared body; ``s`` streams stacked along the row axis (see
+    ``_batch_step_impl``)."""
     t = props.temporal_size
     b = raw.shape[0] - t
-    hp, wp = raw.shape[-2], raw.shape[-1]
+    hp_tot, wp = raw.shape[-2], raw.shape[-1]
+    hp = hp_tot // s
     c = 1 if props.output == OutputMode.THRESHOLD else 3
     fpb = _frames_per_step(t, b)
     assert t % fpb == 0 and b % fpb == 0, (t, b, fpb)
@@ -521,21 +563,22 @@ def absdiff_step(props: DiPsProperties, h: int, w: int,
     # scratch + base in/out, heat f32 scratch + in/out, i32 temps ~6 planes
     bytes_per_row = wp * (3 * fpb * 2 + c * fpb * 2 + 3 * 4 + 4 * 5 + 4 * 6)
     max_rows = max(_VMEM_BUDGET_RAW // bytes_per_row, 8)
-    # divisor of Hp (>= the row floor where possible) whose input block
-    # (3 x F x bh x Wp bytes) is nearest the measured DMA sweet spot
-    # (ties: larger block)
+    # divisor of the per-stream Hp (>= the row floor where possible) whose
+    # input block (3 x F x bh x Wp bytes) is nearest the measured DMA sweet
+    # spot (ties: larger block)
     in_row_bytes = 3 * fpb * wp
     cands = [8 * d for d in range(1, hp // 8 + 1)
              if hp % (8 * d) == 0 and 8 * d <= max_rows]
-    pool = [c for c in cands if c >= _RAW_MIN_ROWS] or cands or [8]
-    bh = min(pool, key=lambda c: (abs(c * in_row_bytes
-                                      - _RAW_TARGET_BLOCK_BYTES), -c))
-    n_hb = hp // bh
+    pool = [cd for cd in cands if cd >= _RAW_MIN_ROWS] or cands or [8]
+    bh = min(pool, key=lambda cd: (abs(cd * in_row_bytes
+                                       - _RAW_TARGET_BLOCK_BYTES), -cd))
+    n_hb_per = hp // bh
+    n_hb = s * n_hb_per
     warm = t // fpb
 
-    flags_i32 = snap_flags.astype(jnp.int32)
-    valid_i32 = valid.astype(jnp.int32)
-    kernel = _make_raw_kernel(props, h, w, t, b, bh, wp, fpb)
+    flags_i32 = flags2d.astype(jnp.int32)
+    valid_i32 = valid2d.astype(jnp.int32)
+    kernel = _make_raw_kernel(props, h, w, t, b, bh, wp, fpb, s, n_hb_per)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
@@ -575,20 +618,48 @@ def absdiff_step(props: DiPsProperties, h: int, w: int,
         kernel,
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((b, c, hp, wp), jnp.uint8),
+            jax.ShapeDtypeStruct((b, c, hp_tot, wp), jnp.uint8),
             jax.ShapeDtypeStruct((b, n_hb, 8, 128), jnp.float32),
-            jax.ShapeDtypeStruct((3, hp, wp), jnp.uint8),
-            jax.ShapeDtypeStruct((hp, wp), jnp.float32),
+            jax.ShapeDtypeStruct((3, hp_tot, wp), jnp.uint8),
+            jax.ShapeDtypeStruct((hp_tot, wp), jnp.float32),
         ],
         interpret=jax.default_backend() == "cpu",
     )(flags_i32, valid_i32, raw, baseline_raw, heatmap)
 
     inv = jnp.float32(1.0 / (3 * h * w * 255))
-    parts = parts[:, :, 0, :_PART]
+    parts = parts[:, :, 0, :_PART].reshape(b, s, n_hb_per, _PART)
     stats = jnp.stack([
-        parts[:, :, 0].sum(axis=1) * inv,
-        parts[:, :, 1].sum(axis=1) * inv,
-        parts[:, :, 2].max(axis=1) * jnp.float32(1 / 255.0),
-        parts[:, :, 3].sum(axis=1),
-    ], axis=-1)
+        parts[..., 0].sum(axis=2) * inv,
+        parts[..., 1].sum(axis=2) * inv,
+        parts[..., 2].max(axis=2) * jnp.float32(1 / 255.0),
+        parts[..., 3].sum(axis=2),
+    ], axis=-1).transpose(1, 0, 2)                       # (s, B, 4)
     return out, stats, new_baseline, new_heatmap
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1, 2),
+                   donate_argnums=(4, 6))  # baseline/heatmap update in place
+def absdiff_step(props: DiPsProperties, h: int, w: int,
+                 raw: jnp.ndarray, baseline_raw: jnp.ndarray,
+                 snap_flags: jnp.ndarray, heatmap: jnp.ndarray,
+                 valid: jnp.ndarray
+                 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray,
+                            jnp.ndarray]:
+    """Fused-kernel equivalent of ``reference.absdiff_step`` (bit-exact
+    uint8 |cur - baseline| per channel == cv2.absdiff; THRESHOLD mask)."""
+    out, stats, nb, nh = _absdiff_step_impl(
+        props, h, w, 1, raw, baseline_raw, snap_flags[None], heatmap,
+        valid[None])
+    return out, stats[0], nb, nh
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1, 2, 3),
+                   donate_argnums=(5, 7))  # baseline/heatmap update in place
+def absdiff_step_stacked(props: DiPsProperties, h: int, w: int, s: int,
+                         raw: jnp.ndarray, baseline_raw: jnp.ndarray,
+                         snap_flags: jnp.ndarray, heatmap: jnp.ndarray,
+                         valid: jnp.ndarray):
+    """``s`` streams stacked along the row axis in one kernel instance
+    (see ``batch_step_stacked``); baseline_raw is u8 (3, s*Hp, Wp)."""
+    return _absdiff_step_impl(props, h, w, s, raw, baseline_raw, snap_flags,
+                              heatmap, valid)

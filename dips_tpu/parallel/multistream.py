@@ -56,22 +56,54 @@ def make_sharded_step(props: DiPsProperties, h: int, w: int, mesh: Mesh,
     raw_mode = props.output in _RAW_MODES
     if backend == "auto":
         backend = "pallas" if jax.default_backend() == "tpu" else "xla"
-    if backend == "pallas":
-        from ..ops import pallas_fused as mod
-    else:
-        mod = reference
-    step = (mod.absdiff_step if raw_mode else mod.batch_step).__wrapped__
 
-    def per_shard(raw, baseline, flags, heatmap, valid):
-        out, stats, new_b, new_h = jax.vmap(
-            lambda r, b, f, hm, v: step(props, h, w, r, b, f, hm, v))(
-                raw, baseline, flags, heatmap, valid)
+    def _gmean(stats, valid):
         # global mean over VALID slots only: padding-replicated frames and
         # dead/failed streams (valid=False) must not pollute the aggregate
         vw = valid.astype(jnp.float32)
         total = jax.lax.psum(jnp.sum(stats[..., 1] * vw), axis_name="stream")
         count = jax.lax.psum(jnp.sum(vw), axis_name="stream")
-        return out, stats, new_b, new_h, total / jnp.maximum(count, 1.0)
+        return total / jnp.maximum(count, 1.0)
+
+    if backend == "pallas":
+        # stacked-stream mode: the shard's local streams fold along the row
+        # axis of ONE kernel instance instead of vmap dispatching one kernel
+        # per stream — measured ~2x multi-stream throughput on chip
+        # (BASELINE.md).  Layout conversions are device-side transposes.
+        from ..ops import pallas_fused
+        step = (pallas_fused._absdiff_step_impl if raw_mode
+                else pallas_fused._batch_step_impl)
+
+        def per_shard(raw, baseline, flags, heatmap, valid):
+            s_l, tb = raw.shape[0], raw.shape[1]
+            hp, wp = raw.shape[-2], raw.shape[-1]
+            raw_st = raw.transpose(1, 2, 0, 3, 4).reshape(
+                tb, 3, s_l * hp, wp)
+            if raw_mode:
+                bl_st = baseline.transpose(1, 0, 2, 3).reshape(
+                    3, s_l * hp, wp)
+            else:
+                bl_st = baseline.reshape(s_l * hp, wp)
+            hm_st = heatmap.reshape(s_l * hp, wp)
+            out, stats, nb, nh = step(props, h, w, s_l, raw_st, bl_st,
+                                      flags, hm_st, valid)
+            b, c = out.shape[0], out.shape[1]
+            out = out.reshape(b, c, s_l, hp, wp).transpose(2, 0, 1, 3, 4)
+            if raw_mode:
+                nb = nb.reshape(3, s_l, hp, wp).transpose(1, 0, 2, 3)
+            else:
+                nb = nb.reshape(s_l, hp, wp)
+            nh = nh.reshape(s_l, hp, wp)
+            return out, stats, nb, nh, _gmean(stats, valid)
+    else:
+        step = (reference.absdiff_step if raw_mode
+                else reference.batch_step).__wrapped__
+
+        def per_shard(raw, baseline, flags, heatmap, valid):
+            out, stats, new_b, new_h = jax.vmap(
+                lambda r, b, f, hm, v: step(props, h, w, r, b, f, hm, v))(
+                    raw, baseline, flags, heatmap, valid)
+            return out, stats, new_b, new_h, _gmean(stats, valid)
 
     # check_vma=False: pallas_call out_shapes don't carry varying-mesh-axis
     # annotations; the specs below are the full contract.
