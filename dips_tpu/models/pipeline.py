@@ -220,6 +220,10 @@ class DiPsEngine:
     def process_frames(self, frames: Sequence[np.ndarray]
                        ) -> Tuple[np.ndarray, np.ndarray]:
         """Process an arbitrary number of frames, batching internally."""
+        if not frames:
+            return (np.zeros((0, self.height, self.width,
+                              self.props.out_channels), np.uint8),
+                    np.zeros((0, NUM_STATS), np.float32))
         outs: List[np.ndarray] = []
         stats: List[np.ndarray] = []
         for i in range(0, len(frames), self.batch):
@@ -244,10 +248,14 @@ class DiPsEngine:
         }
 
     def load_state_dict(self, state: dict) -> None:
-        got = tuple(np.asarray(state["baseline"]).shape[-2:])
-        if got != (self.hp, self.wp):
+        bl = np.asarray(state["baseline"])
+        expect = ((3, self.hp, self.wp) if self._raw_mode
+                  else (self.hp, self.wp))
+        if bl.shape != expect:
             raise ValueError(
-                f"checkpoint geometry {got} != engine {(self.hp, self.wp)}")
+                f"checkpoint baseline shape {bl.shape} != engine's expected "
+                f"{expect} (raw and median modes have different baseline "
+                f"representations)")
         self.frame_index = int(state["frame_index"])
         self._baseline = jnp.asarray(state["baseline"])
         self._tail.clear()

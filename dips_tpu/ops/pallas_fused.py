@@ -162,19 +162,20 @@ def _make_kernel(props: DiPsProperties, h: int, w: int, t: int, b: int,
 
     def kernel(flags_ref,                       # SMEM (S, B) int32
                valid_ref,                       # SMEM (S, B) int32
-               cur_ref, up_ref, dn_ref,         # u8 (F,3,BH,Wp), (F,3,8,Wp) x2
-               base_in_ref,                     # f32 (BH, Wp)
-               heat_in_ref,                     # f32 (BH, Wp)
-               out_ref,                         # u8 (F, C, BH, Wp)
-               stats_ref,                       # f32 (F, 1, 8, 128) partials
-               base_out_ref,                    # f32 (BH, Wp)
-               heat_out_ref,                    # f32 (BH, Wp)
-               ring_ref,                        # f32 scratch (T, BH, Wp)
-               base_ref,                        # f32 scratch (BH, Wp)
-               prev_ref,                        # f32 scratch (BH, Wp)
-               heat_ref,                        # f32 scratch (BH, Wp)
-               mask_ref,                        # f32 scratch (BH, Wp)
-               strip_ref):                      # f32 scratch (BH+16, Wp)
+               *refs):
+        # inputs: cur [, up, dn when p > 0], base_in, heat_in
+        # outputs: out, stats, base_out, heat_out
+        # scratch: ring, base, prev, heat, mask, strip
+        if p > 0:
+            (cur_ref, up_ref, dn_ref, base_in_ref, heat_in_ref,
+             out_ref, stats_ref, base_out_ref, heat_out_ref,
+             ring_ref, base_ref, prev_ref, heat_ref, mask_ref,
+             strip_ref) = refs
+        else:
+            (cur_ref, base_in_ref, heat_in_ref,
+             out_ref, stats_ref, base_out_ref, heat_out_ref,
+             ring_ref, base_ref, prev_ref, heat_ref, mask_ref,
+             strip_ref) = refs
         hb = pl.program_id(0)
         fs = pl.program_id(1)
         si = hb // n_hb_per          # which stream this row block belongs to
@@ -220,7 +221,7 @@ def _make_kernel(props: DiPsProperties, h: int, w: int, t: int, b: int,
             # ---- temporal ring (carried across sequential steps) -------
             ring_ref[lax.rem(gf, t)] = phi
 
-            if i == fpb - 1:
+            if i == fpb - 1 and not overall:
                 # the last warm-up sub-frame completes window 0 (= the
                 # previous frame's ring median, needed by PER_FRAME mode)
                 @pl.when(fs == warm - 1)
@@ -243,7 +244,7 @@ def _make_kernel(props: DiPsProperties, h: int, w: int, t: int, b: int,
                     diff_i = base_ref[:] - cur   # exact: small ints in f32
                 else:
                     diff_i = prev_ref[:] - cur
-                prev_ref[:] = cur
+                    prev_ref[:] = cur  # only PER_FRAME reads it back
                 # exact integer difference, scaled to [-1, 1] in one rounding
                 raw_diff = diff_i * jnp.float32(_SCALE)
 
@@ -348,14 +349,21 @@ def _batch_step_impl(props: DiPsProperties, h: int, w: int, s: int,
         hi = (hb // n_hb_per + 1) * n8_per - 1
         return (f, 0, jnp.minimum((hb + 1) * bh8, hi), 0)
 
+    # window 1 has no stencil: skip the halo inputs entirely (they would
+    # stream 2 x (F x 3 x 8 x Wp) unread bytes per grid step)
+    has_halo = props.window_size > 1
+    halo_specs = [
+        pl.BlockSpec((fpb, 3, 8, wp), up_idx, memory_space=pltpu.VMEM),
+        pl.BlockSpec((fpb, 3, 8, wp), dn_idx, memory_space=pltpu.VMEM),
+    ] if has_halo else []
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(n_hb, (t + b) // fpb),
         in_specs=[
             pl.BlockSpec((fpb, 3, bh, wp), lambda hb, f, *_: (f, 0, hb, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((fpb, 3, 8, wp), up_idx, memory_space=pltpu.VMEM),
-            pl.BlockSpec((fpb, 3, 8, wp), dn_idx, memory_space=pltpu.VMEM),
+            *halo_specs,
             pl.BlockSpec((bh, wp), lambda hb, f, *_: (hb, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((bh, wp), lambda hb, f, *_: (hb, 0),
@@ -397,7 +405,8 @@ def _batch_step_impl(props: DiPsProperties, h: int, w: int, s: int,
             jax.ShapeDtypeStruct((hp_tot, wp), jnp.float32),
         ],
         interpret=jax.default_backend() == "cpu",
-    )(flags_i32, valid_i32, raw, raw, raw, baseline, heatmap)
+    )(flags_i32, valid_i32,
+      *((raw, raw, raw) if has_halo else (raw,)), baseline, heatmap)
 
     inv_n = jnp.float32(1.0 / (h * w))
     parts = parts[:, :, 0, :_PART].reshape(b, s, n_hb_per, _PART)

@@ -38,6 +38,10 @@ def stream_mesh(n_devices: Optional[int] = None,
     if devices is None:
         devices = jax.devices()
         if n_devices is not None:
+            if n_devices > len(devices):
+                raise ValueError(
+                    f"stream_mesh: {n_devices} devices requested, only "
+                    f"{len(devices)} available")
             devices = devices[:n_devices]
     return Mesh(np.asarray(devices), ("stream",))
 
@@ -137,7 +141,14 @@ class MultiStreamEngine:
         self.mesh = mesh if mesh is not None else stream_mesh()
         if "rows" in self.mesh.axis_names:
             # composite 2-D (stream x rows) grid: each device owns a
-            # horizontal slab of a subset of streams (grid2d.make_grid_step)
+            # horizontal slab of a subset of streams (grid2d.make_grid_step,
+            # XLA body — explicitly requesting pallas here would silently
+            # drop the request, so reject it instead)
+            if backend == "pallas":
+                raise ValueError(
+                    "backend='pallas' is not available on a 2-D "
+                    "(stream x rows) mesh; use backend='auto'/'xla' or a "
+                    "1-D stream mesh")
             from .grid2d import make_grid_step
             n_shard = self.mesh.shape["stream"]
             rows_ax = self.mesh.shape["rows"]
@@ -208,10 +219,13 @@ class MultiStreamEngine:
         }
 
     def load_state_dict(self, state: dict) -> None:
-        got = tuple(np.asarray(state["baseline"]).shape[-2:])
-        if got != (self.hp, self.wp):
+        bl = np.asarray(state["baseline"])
+        expect = ((self.n_streams, 3, self.hp, self.wp) if self._raw_mode
+                  else (self.n_streams, self.hp, self.wp))
+        if bl.shape != expect:
             raise ValueError(
-                f"checkpoint geometry {got} != engine {(self.hp, self.wp)}")
+                f"checkpoint baseline shape {bl.shape} != engine's "
+                f"expected {expect}")
         if len(state["frame_cursors"]) != self.n_streams:
             raise ValueError("checkpoint stream count mismatch")
         self.frame_cursors = [int(c) for c in state["frame_cursors"]]
@@ -249,9 +263,13 @@ class MultiStreamEngine:
         })
 
     def _planarize(self, frame: np.ndarray) -> np.ndarray:
-        out = np.zeros((3, self.hp, self.wp), np.uint8)
-        out[:, :self.height, :self.width] = np.moveaxis(frame, -1, 0)
-        return out
+        if frame.shape[:2] != (self.height, self.width):
+            raise ValueError(
+                f"frame shape {frame.shape} != "
+                f"{(self.height, self.width, 3)}")
+        # single-pass native layout transform (numpy fallback inside)
+        from .. import native
+        return native.planarize(frame, self.hp, self.wp)
 
     def process_batch(self, frames_per_stream: Sequence[Sequence[np.ndarray]]
                       ) -> Tuple[np.ndarray, np.ndarray, float]:
@@ -277,12 +295,12 @@ class MultiStreamEngine:
         flags = np.zeros((s, b), np.bool_)
         valid = np.zeros((s, b), np.bool_)
         for si, frames in enumerate(frames_per_stream):
+            if si in self.failed:
+                continue  # dead stream: don't planarize work we discard
             try:
                 planar = [self._planarize(f) for f in frames]
             except Exception as e:  # bad frame: isolate the stream
                 self.failed[si] = StreamError(si, e)
-                planar = []
-            if si in self.failed:
                 continue
             if planar:
                 if self._tails[si] is None:

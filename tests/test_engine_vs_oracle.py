@@ -166,3 +166,22 @@ def test_backend_auto_resolution():
     assert eng.backend == ("pallas" if jax.default_backend() == "tpu"
                            else "xla")
     assert eng._step in (reference.batch_step,)
+
+
+def test_process_frames_empty():
+    eng = DiPsEngine(DiPsProperties(), 8, 16, batch=2)
+    out, stats = eng.process_frames([])
+    assert out.shape == (0, 8, 16, 3) and stats.shape == (0, 4)
+
+
+def test_checkpoint_mode_mismatch_rejected(tmp_path):
+    """A raw-mode checkpoint (u8 (3,Hp,Wp) baseline) must be rejected by a
+    median-mode engine at load time, not fail opaquely inside jit later."""
+    raw_eng = DiPsEngine(DiPsProperties(output=OutputMode.ABSDIFF,
+                                        temporal_size=1), 8, 16, batch=2)
+    raw_eng.process_batch([make_clip(n=1, h=8, w=16)[0]])
+    p = str(tmp_path / "raw.npz")
+    raw_eng.save(p)
+    med_eng = DiPsEngine(DiPsProperties(), 8, 16, batch=2)
+    with pytest.raises(ValueError, match="baseline shape"):
+        med_eng.load(p)

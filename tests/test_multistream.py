@@ -410,3 +410,15 @@ def test_run_dips_on_files_fps_mismatch_rejected(tmp_path):
     write_clip(moving_square_clip(n=4, height=16, width=24), b, fps=60)
     with pytest.raises(VideoPathError, match="fps"):
         run_dips_on_files([a, b], str(tmp_path / "o"), batch=2)
+
+
+def test_stream_mesh_overrequest_rejected():
+    with pytest.raises(ValueError, match="devices requested"):
+        stream_mesh(n_devices=99)
+
+
+def test_grid_mesh_rejects_explicit_pallas():
+    from dips_tpu.parallel.grid2d import grid_mesh
+    with pytest.raises(ValueError, match="pallas"):
+        MultiStreamEngine(DiPsProperties(), 32, 40, n_streams=2, batch=2,
+                          mesh=grid_mesh(2, 4), backend="pallas")
