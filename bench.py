@@ -175,6 +175,69 @@ def bench_e2e(h, w, n_frames, batch, decode_workers):
     return fps, cpu_fps
 
 
+def bench_multistream(s, h, w, batch, temporal=4):
+    """Stacked-stream aggregate on one chip: S streams folded along the row
+    axis of one kernel instance (the MultiStreamEngine per-shard shape,
+    including the layout transposes)."""
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+    from dips_tpu.ops import pallas_fused, reference
+    from dips_tpu.ops.reference import pad_geometry
+    from dips_tpu.properties import DiPsProperties, OutputMode
+
+    hp, wp = pad_geometry(h, w)
+    t = temporal
+    props = DiPsProperties(output=OutputMode.ABSDIFF, temporal_size=t)
+    rng = np.random.default_rng(0)
+    raw = jnp.asarray(
+        rng.integers(0, 256, (s, t + batch, 3, hp, wp), np.uint8))
+    baseline = jnp.zeros((s, 3, hp, wp), jnp.uint8)
+    heatmap = jnp.zeros((s, hp, wp), jnp.float32)
+    flags = jnp.zeros((s, batch), bool).at[:, 0].set(True)
+    valid = jnp.ones((s, batch), bool)
+    on_cpu = jax.default_backend() == "cpu"
+
+    def step(raw, bl, hm):
+        if on_cpu:  # portable twin (interpret would be unfair on CPU)
+            out, stats, nb, nh = jax.vmap(
+                lambda r, b2, f, h2, v: reference.absdiff_step.__wrapped__(
+                    props, h, w, r, b2, f, h2, v))(raw, bl, flags, hm, valid)
+            return out, stats, nb, nh
+        tb = raw.shape[1]
+        raw_st = raw.transpose(1, 2, 0, 3, 4).reshape(tb, 3, s * hp, wp)
+        bl_st = bl.transpose(1, 0, 2, 3).reshape(3, s * hp, wp)
+        out, stats, nb, nh = pallas_fused._absdiff_step_impl(
+            props, h, w, s, raw_st, bl_st, flags, hm.reshape(s * hp, wp),
+            valid)
+        return (out, stats, nb.reshape(3, s, hp, wp).transpose(1, 0, 2, 3),
+                nh.reshape(s, hp, wp))
+
+    @jax.jit
+    def loop(n, raw, baseline, heatmap):
+        def body(_, carry):
+            bl, hm, acc = carry
+            out, stats, bl, hm = step(raw, bl, hm)
+            return bl, hm, acc + stats.sum() + out.ravel()[0].astype(
+                jnp.float32)
+        return lax.fori_loop(0, n, body,
+                             (baseline, heatmap, jnp.float32(0)))
+
+    t0 = time.time()
+    float(loop(2, raw, baseline, heatmap)[2])
+    log(f"  compile+warmup: {time.time() - t0:.1f}s")
+    times = []
+    for n in (5, 25):
+        t0 = time.time()
+        float(loop(n, raw, baseline, heatmap)[2])
+        times.append(time.time() - t0)
+    per_step = (times[1] - times[0]) / 20
+    agg = s * batch / per_step
+    log(f"  {s} x {w}x{h} stacked: {agg:.0f} fps aggregate "
+        f"({agg / s:.0f} fps/stream)")
+    return agg
+
+
 # The five BASELINE.json benchmark configs + the headline default.
 PRESETS = {
     "headline-1080p": dict(h=1080, w=1920, method="overall"),
@@ -206,7 +269,23 @@ def main():
                          "device-resident kernel rate")
     ap.add_argument("--e2e-frames", type=int, default=150)
     ap.add_argument("--decode-workers", type=int, default=1)
+    ap.add_argument("--streams", type=int, metavar="S",
+                    help="bench the stacked multi-stream aggregate for S "
+                         "streams of --height x --width instead of the "
+                         "single-stream kernels")
     args = ap.parse_args()
+
+    if args.streams:
+        agg = bench_multistream(args.streams, args.height, args.width,
+                                args.batch, args.temporal)
+        print(json.dumps({
+            "metric": (f"{args.height}p_x{args.streams}_stacked_aggregate_"
+                       f"fps_per_chip"),
+            "value": round(agg, 1),
+            "unit": "frames/s/chip",
+            "vs_baseline": round(agg / args.streams, 1),  # per-stream rate
+        }))
+        return
 
     if args.e2e:
         fps, cpu_fps = bench_e2e(args.height, args.width, args.e2e_frames,
