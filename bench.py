@@ -276,6 +276,12 @@ def main():
     args = ap.parse_args()
 
     if args.streams:
+        rng = np.random.default_rng(0)
+        frames = [rng.integers(0, 256, (args.height, args.width, 3),
+                               np.uint8) for _ in range(8)]
+        cpu_fps = bench_cpu_absdiff(frames, frames[0])
+        log(f"cv2.absdiff CPU baseline: {cpu_fps:.0f} fps "
+            f"@ {args.width}x{args.height}")
         agg = bench_multistream(args.streams, args.height, args.width,
                                 args.batch, args.temporal)
         print(json.dumps({
@@ -283,7 +289,7 @@ def main():
                        f"fps_per_chip"),
             "value": round(agg, 1),
             "unit": "frames/s/chip",
-            "vs_baseline": round(agg / args.streams, 1),  # per-stream rate
+            "vs_baseline": round(agg / cpu_fps, 2),
         }))
         return
 

@@ -144,6 +144,18 @@ def props_from_args(args: argparse.Namespace) -> DiPsProperties:
     )
 
 
+def _parse_encoding(name: str) -> Optional[Encoding]:
+    up = name.upper()
+    if up in Encoding.__members__:
+        return Encoding[up]
+    try:
+        return Encoding(name)
+    except ValueError:
+        print(f"unknown --encoding {name!r} "
+              f"(RGBA | HFYU | H264 | MJPG | mp4v)", file=sys.stderr)
+        return None
+
+
 def main(argv: Optional[List[str]] = None) -> int:
     args = build_parser().parse_args(argv)
 
@@ -208,10 +220,18 @@ def main(argv: Optional[List[str]] = None) -> int:
             print("--dat-dir requires --output", file=sys.stderr)
             return 2
         from .app import custom_dips_on_files
-        w, h = (int(v) for v in args.dat_geometry.lower().split("x"))
+        try:
+            w, h = (int(v) for v in args.dat_geometry.lower().split("x"))
+        except ValueError:
+            print(f"bad --dat-geometry {args.dat_geometry!r} "
+                  f"(want WIDTHxHEIGHT, e.g. 273x640)", file=sys.stderr)
+            return 2
+        enc = _parse_encoding(args.encoding)
+        if enc is None:
+            return 2
         stats = custom_dips_on_files(
             args.dat_dir, args.output, width=w, height=h, properties=props,
-            batch=args.batch, backend=args.backend,
+            encoding=enc, batch=args.batch, backend=args.backend,
             show=args.live)  # --live with --dat-dir = preview while batching
     elif args.live:
         from .live import run_live
@@ -221,16 +241,9 @@ def main(argv: Optional[List[str]] = None) -> int:
             print("need --input and --output (see --help)", file=sys.stderr)
             return 2
         from .app import DiPsJob, perform_dips
-        name = args.encoding.upper()
-        if name in Encoding.__members__:
-            enc = Encoding[name]
-        else:
-            try:
-                enc = Encoding(args.encoding)
-            except ValueError:
-                print(f"unknown --encoding {args.encoding!r} "
-                      f"(RGBA | HFYU | H264 | MJPG | mp4v)", file=sys.stderr)
-                return 2
+        enc = _parse_encoding(args.encoding)
+        if enc is None:
+            return 2
         job = DiPsJob(properties=props, video_path=args.input,
                       output_path=args.output, encoding=enc,
                       batch=args.batch, backend=args.backend,

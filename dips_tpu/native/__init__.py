@@ -159,9 +159,11 @@ class FrameRing:
 
     def push(self, data: np.ndarray) -> bool:
         """Blocking push of a uint8 buffer; False if the ring is closed."""
+        if data.dtype != np.uint8:
+            raise TypeError(f"FrameRing carries uint8, got {data.dtype}")
         flat = data.reshape(-1)
         if self._native:
-            return _lib.fp_ring_push(self._h, _u8p(flat), flat.size) == 0
+            return _lib.fp_ring_push(self._h, _u8p(flat), flat.nbytes) == 0
         n = min(flat.size, self.slot_bytes)
         with self._cv:
             while self._count == self.slots and not self._closed:
@@ -182,9 +184,11 @@ class FrameRing:
         discarded."""
         if not out.flags["C_CONTIGUOUS"]:
             raise ValueError("FrameRing.pop requires a C-contiguous buffer")
+        if out.dtype != np.uint8:
+            raise TypeError(f"FrameRing carries uint8, got {out.dtype}")
         flat = out.reshape(-1)
         if self._native:
-            return _lib.fp_ring_pop(self._h, _u8p(flat), flat.size,
+            return _lib.fp_ring_pop(self._h, _u8p(flat), flat.nbytes,
                                     timeout_ms)
         import time
         deadline = time.monotonic() + timeout_ms / 1000.0

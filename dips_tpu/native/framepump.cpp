@@ -35,9 +35,21 @@ void fp_planarize(const uint8_t* src, int64_t h, int64_t w, int64_t c_in,
                   int64_t row_stride, uint8_t* dst, int64_t hp, int64_t wp,
                   int swap_rb) {
     const int64_t plane = hp * wp;
-    // zero the padding once per call (right dead zone + bottom rows)
+    // zero ONLY the padding (right dead zone per row + bottom rows): a
+    // whole-destination memset rewrote ~6 MB/frame at 1080p to clear
+    // ~46 KB of actual pad in the decode hot path
     if (wp > w || hp > h) {
-        std::memset(dst, 0, 3 * plane);
+        for (int64_t ch = 0; ch < 3; ++ch) {
+            uint8_t* pl = dst + ch * plane;
+            if (wp > w) {
+                for (int64_t y = 0; y < h; ++y) {
+                    std::memset(pl + y * wp + w, 0, wp - w);
+                }
+            }
+            if (hp > h) {
+                std::memset(pl + h * wp, 0, (hp - h) * wp);
+            }
+        }
     }
     const int r_off = swap_rb ? 2 : 0;
     const int b_off = swap_rb ? 0 : 2;

@@ -40,6 +40,10 @@ from .properties import DiPsProperties
 
 log = logging.getLogger("dips_tpu.serve")
 _LEN = struct.Struct("<I")
+#: protocol sanity caps: headers are small JSON; payloads are frames
+#: (a 4K RGBA frame is ~33 MB) — reject anything absurd before allocating
+_MAX_HEADER = 64 * 1024
+_MAX_PAYLOAD = 256 * 1024 * 1024
 
 
 def _send(sock: socket.socket, header: dict, payload: bytes = b"") -> None:
@@ -61,11 +65,16 @@ def _recv(sock: socket.socket) -> Optional[Tuple[dict, bytes]]:
     raw_len = _recv_exact(sock, _LEN.size)
     if raw_len is None:
         return None
-    hdr = _recv_exact(sock, _LEN.unpack(raw_len)[0])
+    hdr_len = _LEN.unpack(raw_len)[0]
+    if hdr_len > _MAX_HEADER:
+        raise ValueError(f"header length {hdr_len} exceeds {_MAX_HEADER}")
+    hdr = _recv_exact(sock, hdr_len)
     if hdr is None:
         return None
     header = json.loads(hdr)
     n = int(header.get("payload_len", 0))
+    if not 0 <= n <= _MAX_PAYLOAD:
+        raise ValueError(f"payload length {n} exceeds {_MAX_PAYLOAD}")
     payload = _recv_exact(sock, n) if n else b""
     if n and payload is None:
         return None
@@ -99,12 +108,28 @@ class DiPsServer:
                 return
             with client:
                 log.info("client %s", addr)
-                self._serve_client(client)
+                try:
+                    self._serve_client(client)
+                except Exception:
+                    # one bad/broken client must never kill the daemon
+                    log.exception("client %s dropped", addr)
 
     def _serve_client(self, client: socket.socket) -> None:
         eng = self.engine
+        # periodic timeout so shutdown() can interrupt an idle connection
+        client.settimeout(0.5)
         while not self._stop.is_set():
-            msg = _recv(client)
+            try:
+                msg = _recv(client)
+            except socket.timeout:
+                continue
+            except (ValueError, json.JSONDecodeError) as e:
+                log.warning("protocol error: %s", e)
+                try:
+                    _send(client, {"ok": False, "error": str(e)})
+                except OSError:
+                    pass
+                return
             if msg is None:
                 return
             header, payload = msg
@@ -155,7 +180,10 @@ class DiPsServer:
                                    "error": f"unknown cmd {cmd!r}"})
             except Exception as e:  # per-request isolation
                 log.exception("request failed")
-                _send(client, {"ok": False, "error": str(e)})
+                try:
+                    _send(client, {"ok": False, "error": str(e)})
+                except OSError:
+                    return  # client gone mid-error: drop the connection
 
     def shutdown(self) -> None:
         self._stop.set()
@@ -193,7 +221,9 @@ class DiPsClient:
         return out, np.asarray(h["stats"], np.float32)
 
     def snapshot(self) -> None:
-        self._rpc({"cmd": "snapshot"})
+        h, _ = self._rpc({"cmd": "snapshot"})
+        if not h.get("ok"):
+            raise RuntimeError(h.get("error"))
 
     def save(self, path: str) -> None:
         h, _ = self._rpc({"cmd": "save", "path": path})
@@ -208,6 +238,8 @@ class DiPsClient:
 
     def heatmap(self) -> np.ndarray:
         h, body = self._rpc({"cmd": "heatmap"})
+        if not h.get("ok"):
+            raise RuntimeError(h.get("error"))
         return np.frombuffer(body, np.float32).reshape(h["shape"])
 
     def close(self) -> None:

@@ -75,11 +75,16 @@ def run(backend: str = "pallas", quick: bool = False,
             got_out, got_stats = eng.process_frames(list(frames))
             diff = np.abs(got_out.astype(np.int16) - exp_out.astype(np.int16))
             raw = props.output in (OutputMode.ABSDIFF, OutputMode.THRESHOLD)
-            if raw or exact:
-                limit = 0 if raw else 1
-                assert diff.max() <= limit, f"u8 diff {diff.max()} > {limit}"
+            if raw:
+                assert diff.max() == 0, f"u8 diff {diff.max()} != 0"
             else:
+                # f32 paths: <= 1 LSB (XLA FMA/distribution ulp drift can
+                # flip exactly-x.5 rounding ties); pure min/max paths
+                # (exact=True) must additionally have only RARE tie flips
                 assert diff.max() <= 1, f"u8 diff {diff.max()} > 1"
+                if exact:
+                    frac = (diff != 0).mean()
+                    assert frac <= 0.01, f"tie-flip fraction {frac:.3%}"
             np.testing.assert_allclose(got_stats[:, :3], exp_stats[:, :3],
                                        atol=1e-4, rtol=1e-3)
             # changed_count: exact in integer modes; f32 emphasis paths may

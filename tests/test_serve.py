@@ -111,3 +111,40 @@ def test_serve_error_isolation(server):
     out, stats = cli.process(make_clip(n=1, h=24, w=40)[0])
     assert out.shape == (24, 40, 3)
     cli.close()
+
+
+def test_malformed_request_does_not_kill_daemon(server):
+    """A garbage request must drop that connection only; the daemon keeps
+    serving the next client (code-review regression)."""
+    import socket
+    import struct
+    s = socket.create_connection(("127.0.0.1", server.port))
+    s.sendall(struct.pack("<I", 12) + b"not json!!!!")
+    s.close()
+    # oversized header claim must be rejected, not allocated
+    s2 = socket.create_connection(("127.0.0.1", server.port))
+    s2.sendall(struct.pack("<I", 0xFFFFFFFF))
+    s2.close()
+    # daemon still alive and serving real work
+    cli = DiPsClient(server.port)
+    out, stats = cli.process(make_clip(n=1, h=24, w=40)[0])
+    assert out.shape == (24, 40, 3)
+    cli.close()
+
+
+def test_shutdown_interrupts_idle_client():
+    """shutdown() must stop the server even while a client sits idle in a
+    connection (recv timeouts check the stop flag)."""
+    import socket
+    import time
+    props = DiPsProperties(window_size=1, temporal_size=1,
+                           filter=DiPsFilter.UNFILTERED)
+    srv = DiPsServer(props, 8, 16, port=0, batch=1)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    idle = socket.create_connection(("127.0.0.1", srv.port))
+    time.sleep(0.2)  # let the server enter _serve_client
+    srv.shutdown()
+    t.join(timeout=5.0)
+    assert not t.is_alive()
+    idle.close()
