@@ -141,3 +141,48 @@ def test_stacked_per_frame_method():
             np.asarray(out1))
         np.testing.assert_allclose(np.asarray(stats_s[si]),
                                    np.asarray(stats1), atol=1e-6)
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_stacked_fuzz(seed):
+    """Random configs + random per-stream flags/validity: stacked must
+    stay bit-identical to per-stream runs (both kernels)."""
+    import sys
+    sys.path.insert(0, "tests")
+    from test_fuzz_configs import _random_props
+
+    r = np.random.default_rng(5000 + seed)
+    props = _random_props(r)
+    s = int(r.integers(2, 5))
+    t, b = props.temporal_size, int(r.integers(1, 6))
+    h, w = int(r.integers(9, 26)), int(r.integers(20, 100))
+    hp, wp = pad_geometry(h, w)
+    raws = [jnp.asarray(r.integers(0, 256, (t + b, 3, hp, wp), np.uint8))
+            for _ in range(s)]
+    stacked = jnp.concatenate(raws, axis=2)
+    flags = r.random((s, b)) < 0.3
+    flags[:, 0] |= True
+    valid = r.random((s, b)) < 0.8
+    raw_mode = props.output in (OutputMode.ABSDIFF, OutputMode.THRESHOLD)
+    if raw_mode:
+        st, one = pallas_fused.absdiff_step_stacked, pallas_fused.absdiff_step
+        base1 = lambda: jnp.zeros((3, hp, wp), jnp.uint8)
+        bases = lambda: jnp.zeros((3, s * hp, wp), jnp.uint8)
+    else:
+        st, one = pallas_fused.batch_step_stacked, pallas_fused.batch_step
+        base1 = lambda: jnp.zeros((hp, wp), jnp.float32)
+        bases = lambda: jnp.zeros((s * hp, wp), jnp.float32)
+    out_s, stats_s, _, nh_s = st(
+        props, h, w, s, stacked, bases(), jnp.asarray(flags),
+        jnp.zeros((s * hp, wp), jnp.float32), jnp.asarray(valid))
+    for si in range(s):
+        o1, st1, _, nh1 = one(props, h, w, raws[si], base1(),
+                              jnp.asarray(flags[si]),
+                              jnp.zeros((hp, wp), jnp.float32),
+                              jnp.asarray(valid[si]))
+        np.testing.assert_array_equal(
+            np.asarray(out_s[:, :, si * hp:(si + 1) * hp]), np.asarray(o1))
+        np.testing.assert_allclose(np.asarray(stats_s[si]), np.asarray(st1),
+                                   atol=1e-5, rtol=1e-5)
+        np.testing.assert_allclose(np.asarray(nh_s[si * hp:(si + 1) * hp]),
+                                   np.asarray(nh1), atol=1e-5)
