@@ -19,7 +19,9 @@ Header commands:
   {"cmd": "load", "path": P}            -> {"ok", "frame_index"}
   {"cmd": "reset"} / {"cmd": "close"}
 
-One client at a time (frames are ordered state); start with
+Each connection gets its OWN engine (private baseline/ring/heatmap state),
+so up to ``max_sessions`` clients — e.g. N cameras — stream concurrently
+against one chip; JAX serialises their dispatches.  Start with
 ``python -m dips_tpu.serve --port 7807 --height H --width W [options]``.
 """
 
@@ -82,22 +84,33 @@ def _recv(sock: socket.socket) -> Optional[Tuple[dict, bytes]]:
 
 
 class DiPsServer:
-    """Owns one engine; serves one client at a time on a TCP port."""
+    """Serves up to ``max_sessions`` concurrent clients on a TCP port, each
+    with its own engine (private streaming state on the shared chip)."""
 
     def __init__(self, props: DiPsProperties, height: int, width: int,
                  port: int = 0, host: str = "127.0.0.1", batch: int = 1,
-                 backend: str = "auto"):
-        self.engine = DiPsEngine(props, height, width, batch=batch,
-                                 backend=backend)
+                 backend: str = "auto", max_sessions: int = 1):
+        self._mk_engine = lambda: DiPsEngine(props, height, width,
+                                             batch=batch, backend=backend)
+        #: the default session engine (kept for embedding/back-compat)
+        self.engine = self._mk_engine()
+        self.max_sessions = max(1, int(max_sessions))
+        self._sessions = threading.Semaphore(self.max_sessions)
+        # engines return to the pool when a session ends, so a reconnecting
+        # client resumes the streaming state (the single-session behaviour)
+        self._pool: list = [self.engine]
+        self._pool_lock = threading.Lock()
+        self._threads: list = []
         self._sock = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
         self._sock.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
         self._sock.bind((host, port))
-        self._sock.listen(1)
+        self._sock.listen(self.max_sessions)
         self.port = self._sock.getsockname()[1]
         self._stop = threading.Event()
 
     def serve_forever(self) -> None:
-        log.info("serving on port %d", self.port)
+        log.info("serving on port %d (max %d sessions)", self.port,
+                 self.max_sessions)
         while not self._stop.is_set():
             try:
                 self._sock.settimeout(0.5)
@@ -105,17 +118,43 @@ class DiPsServer:
             except socket.timeout:
                 continue
             except OSError:
-                return
+                break
+            # brief grace so a just-closed session's slot can free up
+            if not self._sessions.acquire(timeout=1.0):
+                log.warning("rejecting %s: %d sessions busy", addr,
+                            self.max_sessions)
+                try:
+                    with client:
+                        _send(client, {"ok": False,
+                                       "error": "server at session limit"})
+                except OSError:
+                    pass
+                continue
+            with self._pool_lock:
+                eng = self._pool.pop() if self._pool else self._mk_engine()
+            th = threading.Thread(target=self._session, args=(client, addr,
+                                                              eng),
+                                  daemon=True)
+            self._threads.append(th)
+            th.start()
+        for th in self._threads:
+            th.join(timeout=5.0)
+
+    def _session(self, client: socket.socket, addr, eng) -> None:
+        try:
             with client:
                 log.info("client %s", addr)
                 try:
-                    self._serve_client(client)
+                    self._serve_client(client, eng)
                 except Exception:
                     # one bad/broken client must never kill the daemon
                     log.exception("client %s dropped", addr)
+        finally:
+            with self._pool_lock:
+                self._pool.append(eng)
+            self._sessions.release()
 
-    def _serve_client(self, client: socket.socket) -> None:
-        eng = self.engine
+    def _serve_client(self, client: socket.socket, eng) -> None:
         # periodic timeout so shutdown() can interrupt an idle connection
         client.settimeout(0.5)
         while not self._stop.is_set():
@@ -258,11 +297,14 @@ def main(argv=None) -> int:
     ap.add_argument("--host", default="127.0.0.1")
     ap.add_argument("--height", type=int, required=True)
     ap.add_argument("--width", type=int, required=True)
+    ap.add_argument("--sessions", type=int, default=1,
+                    help="max concurrent client sessions (each gets its "
+                         "own engine state)")
     args = ap.parse_args(argv)
     props = props_from_args(args)
     server = DiPsServer(props, args.height, args.width, port=args.port,
                         host=args.host, batch=args.batch,
-                        backend=args.backend)
+                        backend=args.backend, max_sessions=args.sessions)
     print(f"dips server on {args.host}:{server.port}", flush=True)
     try:
         server.serve_forever()

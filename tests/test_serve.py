@@ -148,3 +148,51 @@ def test_shutdown_interrupts_idle_client():
     t.join(timeout=5.0)
     assert not t.is_alive()
     idle.close()
+
+
+def test_concurrent_sessions_have_independent_state(tmp_path):
+    """Two clients on a 2-session server stream interleaved; each session's
+    results match an independent single-stream engine run."""
+    props = DiPsProperties(window_size=1, temporal_size=1,
+                           filter=DiPsFilter.UNFILTERED)
+    srv = DiPsServer(props, 10, 20, port=0, batch=1, max_sessions=2)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        clips = [make_clip(n=4, h=10, w=20, seed=s) for s in range(2)]
+        clients = [DiPsClient(srv.port), DiPsClient(srv.port)]
+        outs = {0: [], 1: []}
+        for k in range(4):  # interleave frames across the two sessions
+            for ci, cli in enumerate(clients):
+                o, _ = cli.process(clips[ci][k])
+                outs[ci].append(o)
+        for ci, cli in enumerate(clients):
+            cli.close()
+            eng = DiPsEngine(props, 10, 20, batch=1)
+            exp, _ = eng.process_frames(list(clips[ci]))
+            np.testing.assert_array_equal(np.stack(outs[ci]), exp)
+    finally:
+        srv.shutdown()
+
+
+def test_session_limit_rejects_extra_client():
+    import socket as sk
+    import struct
+    props = DiPsProperties(window_size=1, temporal_size=1,
+                           filter=DiPsFilter.UNFILTERED)
+    srv = DiPsServer(props, 8, 16, port=0, batch=1, max_sessions=1)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        holder = DiPsClient(srv.port)   # occupies the only session
+        holder.hello()
+        extra = sk.create_connection(("127.0.0.1", srv.port))
+        raw_len = extra.recv(4)
+        n = struct.unpack("<I", raw_len)[0]
+        import json as _json
+        resp = _json.loads(extra.recv(n))
+        assert not resp["ok"] and "session limit" in resp["error"]
+        extra.close()
+        holder.close()
+    finally:
+        srv.shutdown()
