@@ -86,6 +86,12 @@ class DiPsJob:
     #: frame_extractor.rs:242-262).  Populated per-run: ``job.frame_pts``.
     retime_vfr: bool = False
     frame_pts: Optional[list] = None
+    #: batches kept in flight on the device (2 = dispatch batch k+1 while
+    #: batch k downloads — real double-buffering on PCIe-attached hosts
+    #: where h2d and d2h ride separate DMA engines).  Default 1: on this
+    #: dev harness's serialized tunnel, overlapping transfers contend and
+    #: MEASURABLY hurt (1080p e2e 2.1 -> 0.6 fps), so overlap is opt-in.
+    pipeline_depth: int = 1
 
     # builder parity ------------------------------------------------------
     def with_video_path(self, p: str) -> "DiPsJob":
@@ -247,7 +253,42 @@ def stream_dips(job: DiPsJob) -> Iterator[Tuple[int, np.ndarray, np.ndarray,
     idx = 0
     h, w = engine.height, engine.width
     t = job.properties.temporal_size
+
+    def emit(pending):
+        """Collect a dispatched batch and yield its frames."""
+        nonlocal idx
+        handle, batch, pts_batch = pending
+        if timers:
+            with timers.stage("device"):
+                outs, stats = engine.collect(handle)
+            timers.add_frames(len(batch))
+        else:
+            outs, stats = engine.collect(handle)
+        if job.denoise_radius:
+            from .ops.analysis import denoise_frames
+            outs = np.asarray(
+                denoise_frames(outs, int(job.denoise_radius)))
+        for i in range(len(batch)):
+            out = outs[i]
+            job.frame_pts.append(pts_batch[i])
+            inp = native.interleave(batch[i], h, w)  # RGB view for hooks
+            if job.frame_callback is not None:
+                try:
+                    replacement = job.frame_callback(idx, inp, out, stats[i])
+                except Exception as e:
+                    raise FrameCallbackError(str(e)) from e
+                if replacement is not None:
+                    out = replacement
+            yield idx, inp, out, stats[i]
+            idx += 1
+
     try:
+        # pipeline_depth 2: one batch stays in flight — while batch k
+        # downloads/encodes, batch k+1 is already dispatched (JAX async),
+        # the double-buffering the reference's per-frame blocking readback
+        # never had.  Depth 1 collects immediately (see DiPsJob).
+        overlap = int(getattr(job, "pipeline_depth", 1) or 1) > 1
+        pending = None
         eos = False
         while not eos:
             # pop decoded frames straight into the device batch buffer —
@@ -268,33 +309,25 @@ def stream_dips(job: DiPsJob) -> Iterator[Tuple[int, np.ndarray, np.ndarray,
                 n += 1
             if errbox:
                 raise DecodeError(str(errbox[0])) from errbox[0]
-            if n == 0:
+            if n:
+                # views stay valid: each loop allocates a fresh buffer and
+                # dispatch_async only writes the tail/padding rows
+                batch = [buf[t + i] for i in range(n)]
+                if timers:
+                    with timers.stage("device"):
+                        handle = engine.dispatch_async(buf, n)
+                else:
+                    handle = engine.dispatch_async(buf, n)
+                prev, pending = pending, (handle, batch, pts_batch)
+                if prev is not None:
+                    yield from emit(prev)
+                if not overlap:
+                    yield from emit(pending)
+                    pending = None
+            elif not eos:
                 break
-            batch = [buf[t + i] for i in range(n)]
-            if timers:
-                with timers.stage("device"):
-                    outs, stats = engine.process_buffer(buf, n)
-                timers.add_frames(n)
-            else:
-                outs, stats = engine.process_buffer(buf, n)
-            if job.denoise_radius:
-                from .ops.analysis import denoise_frames
-                outs = np.asarray(
-                    denoise_frames(outs, int(job.denoise_radius)))
-            for i in range(len(batch)):
-                out = outs[i]
-                job.frame_pts.append(pts_batch[i])
-                inp = native.interleave(batch[i], h, w)  # RGB view for hooks
-                if job.frame_callback is not None:
-                    try:
-                        replacement = job.frame_callback(
-                            idx, inp, out, stats[i])
-                    except Exception as e:
-                        raise FrameCallbackError(str(e)) from e
-                    if replacement is not None:
-                        out = replacement
-                yield idx, inp, out, stats[i]
-                idx += 1
+        if pending is not None:
+            yield from emit(pending)
     finally:
         stop.set()
         source.close()

@@ -86,6 +86,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--decode-workers", type=int, default=1, metavar="N",
                    help="parallel chunked decode threads (order-preserving; "
                         "needs a seekable container)")
+    p.add_argument("--pipeline-depth", type=int, default=1,
+                   choices=[1, 2],
+                   help="2 = keep one device batch in flight (overlap "
+                        "transfers with compute; helps on PCIe hosts, "
+                        "hurts on serialized links)")
     p.add_argument("--stats-json", metavar="PATH",
                    help="write per-frame statistics to a JSON file")
     p.add_argument("--profile", action="store_true",
@@ -250,6 +255,7 @@ def main(argv: Optional[List[str]] = None) -> int:
                       video_backend=args.video_backend,
                       retime_vfr=args.retime_vfr,
                       decode_workers=args.decode_workers,
+                      pipeline_depth=args.pipeline_depth,
                       profile=args.profile, denoise_radius=args.denoise)
         from .utils.profiling import trace
         with trace(args.trace_dir):

@@ -69,9 +69,9 @@ class DiPsEngine:
         self.device = device
         self._raw_mode = props.output in _RAW_MODES
         self._step = self._resolve_step(backend)
-        #: optional StageTimers: when set, _dispatch splits its time into
-        #: h2d (host->device upload), dispatch (async kernel launch) and
-        #: d2h (device sync + download + interleave) stages.
+        #: optional StageTimers: when set, dispatch/collect split their
+        #: time into h2d (host->device upload), dispatch (async kernel
+        #: launch) and d2h (device sync + download + interleave) stages.
         self.timers = None
         self.reset()
 
@@ -144,18 +144,7 @@ class DiPsEngine:
                        ) -> Tuple[np.ndarray, np.ndarray]:
         """Process ``n`` frames already written at ``buf[T:T+n]`` (padded
         planar layout); the engine fills the tail rows and padding."""
-        if n < 1 or n > self.batch:
-            raise ValueError(f"n={n} outside 1..{self.batch}")
-        t = self.props.temporal_size
-        b = self.batch
-        if not self._tail:  # first batch: prefill ring with frame 0
-            self._tail.extend([buf[t].copy()] * t)
-        buf[:t] = np.stack(list(self._tail))
-        for i in range(n, b):
-            buf[t + i] = buf[t + n - 1]  # replicate last for padding
-        # tail for the next batch = last T real frames
-        self._tail.extend(buf[t + max(0, n - t):t + n].copy())
-        return self._dispatch(buf, n)
+        return self.collect(self.dispatch_async(buf, n))
 
     def process_planar(self, planar: Sequence[np.ndarray]
                        ) -> Tuple[np.ndarray, np.ndarray]:
@@ -174,10 +163,29 @@ class DiPsEngine:
             buf[t + i] = planar[i]
         return self.process_buffer(buf, n)
 
-    def _dispatch(self, buf: np.ndarray, n: int
-                  ) -> Tuple[np.ndarray, np.ndarray]:
+    def _stage(self, name):
+        import contextlib
+        return (self.timers.stage(name) if self.timers
+                else contextlib.nullcontext())
+
+    def dispatch_async(self, buf: np.ndarray, n: int):
+        """Launch the device step WITHOUT waiting for results: returns an
+        opaque handle for :meth:`collect`.  JAX dispatch is asynchronous,
+        so a caller can keep one batch in flight while converting the
+        previous one — host<->device transfer overlaps device compute (the
+        double-buffering the reference's per-frame blocking readback never
+        had).  Engine state (tail/cursor/baseline futures) advances at
+        dispatch time, so calls must stay ordered."""
         t = self.props.temporal_size
         b = self.batch
+        if n < 1 or n > b:
+            raise ValueError(f"n={n} outside 1..{b}")
+        if not self._tail:  # first batch: prefill ring with frame 0
+            self._tail.extend([buf[t].copy()] * t)
+        buf[:t] = np.stack(list(self._tail))
+        for i in range(n, b):
+            buf[t + i] = buf[t + n - 1]  # replicate last for padding
+        self._tail.extend(buf[t + max(0, n - t):t + n].copy())
 
         flags = np.zeros((b,), np.bool_)
         valid = np.zeros((b,), np.bool_)
@@ -188,22 +196,20 @@ class DiPsEngine:
             flags[0] = True
             self._force_snapshot = False
 
-        import contextlib
-
-        def stage(name):
-            return (self.timers.stage(name) if self.timers
-                    else contextlib.nullcontext())
-
-        with stage("h2d"):
+        with self._stage("h2d"):
             raw_dev = jnp.asarray(buf)
-        with stage("dispatch"):
+        with self._stage("dispatch"):
             out, stats, self._baseline, self._heatmap = self._step(
                 self.props, self.height, self.width,
                 raw_dev, self._baseline, jnp.asarray(flags),
                 self._heatmap, jnp.asarray(valid))
         self.frame_index += n
+        return out, stats, n
 
-        with stage("d2h"):
+    def collect(self, handle) -> Tuple[np.ndarray, np.ndarray]:
+        """Materialise a :meth:`dispatch_async` handle on the host."""
+        out, stats, n = handle
+        with self._stage("d2h"):
             out_np = np.asarray(out[:n])
             if self.props.out_channels == 3:
                 hwc = np.empty((n, self.height, self.width, 3), np.uint8)
@@ -216,6 +222,7 @@ class DiPsEngine:
                     out_np[:, :, :self.height, :self.width], 1, -1)
             stats_np = np.asarray(stats[:n])
         return out_np, stats_np
+
 
     def process_frames(self, frames: Sequence[np.ndarray]
                        ) -> Tuple[np.ndarray, np.ndarray]:

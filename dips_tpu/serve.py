@@ -13,6 +13,10 @@ Header commands:
   {"cmd": "hello"}                      -> {"ok", "config", "frame_index"}
   {"cmd": "process", "shape": [H,W,3]}  + uint8 RGB payload
         -> {"ok", "stats": [...], "shape": [H,W,C]} + uint8 map payload
+  {"cmd": "process_batch", "shape": [N,H,W,3]} + uint8 RGB payload
+        -> {"ok", "stats": [[...]xN], "shape": [N,H,W,C]} + uint8 payload
+        (one request per device batch: amortises the per-request round
+        trip the way the engine amortises per-frame dispatch)
   {"cmd": "snapshot"}                   -> {"ok"}   (re-pin the baseline)
   {"cmd": "heatmap"}                    -> {"ok", "shape"} + f32 payload
   {"cmd": "save", "path": P}            -> {"ok"}   (checkpoint to disk)
@@ -193,6 +197,16 @@ class DiPsServer:
                                    "stats": [float(v) for v in stats[0]],
                                    "shape": list(outs[0].shape),
                                    "payload_len": len(body)}, body)
+                elif cmd == "process_batch":
+                    shape = tuple(header["shape"])
+                    frames = np.frombuffer(payload, np.uint8).reshape(shape)
+                    outs, stats = eng.process_frames(list(frames))
+                    body = outs.tobytes()
+                    _send(client, {"ok": True,
+                                   "stats": [[float(v) for v in row]
+                                             for row in stats],
+                                   "shape": list(outs.shape),
+                                   "payload_len": len(body)}, body)
                 elif cmd == "snapshot":
                     eng.snapshot()
                     _send(client, {"ok": True})
@@ -254,6 +268,18 @@ class DiPsClient:
     def process(self, frame: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
         h, body = self._rpc({"cmd": "process", "shape": list(frame.shape)},
                             np.ascontiguousarray(frame).tobytes())
+        if not h.get("ok"):
+            raise RuntimeError(h.get("error"))
+        out = np.frombuffer(body, np.uint8).reshape(h["shape"])
+        return out, np.asarray(h["stats"], np.float32)
+
+    def process_many(self, frames: np.ndarray
+                     ) -> Tuple[np.ndarray, np.ndarray]:
+        """Batched round trip: (N, H, W, 3) uint8 -> ((N, H, W, C) maps,
+        (N, NUM_STATS) stats) in one request."""
+        frames = np.ascontiguousarray(frames, np.uint8)
+        h, body = self._rpc({"cmd": "process_batch",
+                             "shape": list(frames.shape)}, frames.tobytes())
         if not h.get("ok"):
             raise RuntimeError(h.get("error"))
         out = np.frombuffer(body, np.uint8).reshape(h["shape"])

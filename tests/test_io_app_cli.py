@@ -269,3 +269,23 @@ def test_dat_preview_headless_skips(tmp_path, caplog):
     assert stats.shape == (3, 4)
     if not os.environ.get("DISPLAY"):
         assert any("no display" in r.message for r in caplog.records)
+
+
+def test_pipeline_depth_2_matches_depth_1(video):
+    """Opt-in double-buffering must be result-identical to sequential."""
+    path, frames = video
+    props = DiPsProperties(window_size=1, temporal_size=2,
+                           filter=DiPsFilter.UNFILTERED)
+
+    def run(depth):
+        job = DiPsJob(properties=props, video_path=path, batch=4,
+                      pipeline_depth=depth, video_backend="opencv")
+        return list(stream_dips(job))
+
+    r1, r2 = run(1), run(2)
+    assert len(r1) == len(r2) == len(frames)
+    for (i1, inp1, o1, s1), (i2, inp2, o2, s2) in zip(r1, r2):
+        assert i1 == i2
+        np.testing.assert_array_equal(inp1, inp2)
+        np.testing.assert_array_equal(o1, o2)
+        np.testing.assert_array_equal(s1, s2)

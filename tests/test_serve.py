@@ -196,3 +196,17 @@ def test_session_limit_rejects_extra_client():
         holder.close()
     finally:
         srv.shutdown()
+
+
+def test_process_batch_round_trip(server):
+    """Batched requests equal per-frame requests frame-for-frame."""
+    clip = make_clip(n=5, h=24, w=40, seed=7)
+    c1 = DiPsClient(server.port)
+    out_b, stats_b = c1.process_many(np.stack(clip))
+    c1.close()
+    eng = DiPsEngine(DiPsProperties(window_size=3, temporal_size=2,
+                                    filter=DiPsFilter.UNFILTERED),
+                     24, 40, batch=1)
+    exp_out, exp_stats = eng.process_frames(list(clip))
+    np.testing.assert_array_equal(out_b, exp_out)
+    np.testing.assert_allclose(stats_b, exp_stats, atol=1e-6)
