@@ -24,9 +24,12 @@ _NUM = re.compile(r"(\d+)")
 
 
 def list_dat_files(data_dir: str) -> List[str]:
-    """Files starting with 'D', sorted by their numeric suffix
-    (ref sort: dips_alt/src/lib.rs:753-768)."""
-    names = [n for n in os.listdir(data_dir) if n.startswith("D")]
+    """Regular files starting with 'D', sorted by their numeric suffix
+    (ref sort: dips_alt/src/lib.rs:753-768; directories and other
+    non-regular entries are skipped like the reference's skip branch)."""
+    names = [n for n in os.listdir(data_dir)
+             if n.startswith("D")
+             and os.path.isfile(os.path.join(data_dir, n))]
 
     def key(n: str) -> int:
         m = _NUM.search(n)

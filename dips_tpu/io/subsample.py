@@ -15,13 +15,22 @@ def subsample_video(input_path: str, output_path: str, keep_every: int = 10,
     most ``target_seconds``.  Returns frames written."""
     if keep_every < 1:
         raise ValueError("keep_every must be >= 1")
-    with VideoReader(input_path) as r:
-        kept = [f for i, f in enumerate(r) if i % keep_every == 0]
-    if not kept:
+    # the writer needs fps (= kept count / target) up front, so count kept
+    # frames from the container index; fall back to a counting pass when
+    # the container has no reliable frame count — but never buffer the
+    # whole video in memory (hours of 4K would OOM)
+    with VideoReader(input_path) as probe:
+        total = probe.frame_count
+        h, w = probe.height, probe.width
+        if total <= 0:
+            total = sum(1 for _ in probe.iter_bgr())
+    n_kept = (total + keep_every - 1) // keep_every
+    if n_kept == 0:
         return 0
-    fps = max(len(kept) / target_seconds, 1.0)
-    h, w = kept[0].shape[:2]
-    with VideoWriter(output_path, fps, w, h, encoding) as wr:
-        for f in kept:
-            wr.write(f)
+    fps = max(n_kept / target_seconds, 1.0)
+    with VideoReader(input_path) as r, \
+            VideoWriter(output_path, fps, w, h, encoding) as wr:
+        for i, f in enumerate(r):
+            if i % keep_every == 0:
+                wr.write(f)
         return wr.frames_written

@@ -25,8 +25,11 @@ def extract_thumbnail(input_path: str, output_path: str,
         raise DecodeError(f"no decodable frame in {input_path}")
     h, w = frame.shape[:2]
     scale = height / h
+    # INTER_AREA is only right for downscales; it degrades to blocky
+    # nearest-neighbour when enlarging
+    interp = cv2.INTER_AREA if scale <= 1.0 else cv2.INTER_LINEAR
     thumb = cv2.resize(frame, (max(1, int(round(w * scale))), height),
-                       interpolation=cv2.INTER_AREA)
+                       interpolation=interp)
     if not cv2.imwrite(output_path, cv2.cvtColor(thumb, cv2.COLOR_RGB2BGR)):
         raise EncodeError(f"could not write thumbnail: {output_path}")
     return thumb

@@ -7,7 +7,7 @@ Productizes the reference's exploratory side-rail scripts (SURVEY.md §1):
   planes, on device.
 * ``fft_denoise``   <- test_scripts/image_denoise.py:5-52 (2-D FFT, centered
   square low-pass mask of radius 75, inverse FFT, magnitude).
-* ``accumulate_heatmap`` — running per-pixel |diff| accumulation used by the
+* (heatmap accumulation lives inside the device steps themselves — used by the
   RGB-heatmap benchmark config (BASELINE.json configs[2]).
 """
 
@@ -64,12 +64,6 @@ def fft_magnitude_spectrum(image: jnp.ndarray) -> jnp.ndarray:
     return 20.0 * jnp.log(jnp.abs(f) + 1.0)
 
 
-@jax.jit
-def accumulate_heatmap(heatmap: jnp.ndarray, diffs: jnp.ndarray) -> jnp.ndarray:
-    """heatmap (H, W) += sum over the batch of |diff| (B, H, W)."""
-    return heatmap + jnp.sum(jnp.abs(diffs), axis=0)
-
-
 @functools.partial(jax.jit, static_argnums=(1,))
 def denoise_frames(frames_u8: jnp.ndarray, radius: int) -> jnp.ndarray:
     """Batched FFT low-pass denoise of uint8 frames (N, H, W, C) -> uint8.
@@ -79,6 +73,6 @@ def denoise_frames(frames_u8: jnp.ndarray, radius: int) -> jnp.ndarray:
     """
     f = frames_u8.astype(jnp.float32)
     planes = jnp.moveaxis(f, -1, 1)                        # (N, C, H, W)
-    den = jax.vmap(jax.vmap(lambda p: fft_denoise(p, radius)))(planes)
+    den = fft_denoise(planes, radius)  # operates on the last two axes
     den = jnp.moveaxis(den, 1, -1)
     return jnp.clip(jnp.rint(den), 0, 255).astype(jnp.uint8)

@@ -166,6 +166,35 @@ def masked_stats(raw_diff: jnp.ndarray, n_valid: int,
     ], axis=-1)
 
 
+def capture_scan(baseline, cur, flags):
+    """OVERALL-mode baseline pinning, resolved sequentially inside the step:
+    returns (carried baseline, per-frame pinned baselines).  Shared by the
+    single-device step and the row-sharded body so their semantics cannot
+    drift."""
+    def capture(bl, xs):
+        c, flag = xs
+        bl = jnp.where(flag, c, bl)
+        return bl, bl
+    return lax.scan(capture, baseline, (cur, flags))
+
+
+def render_output(props: DiPsProperties, d: jnp.ndarray, cur: jnp.ndarray,
+                  flags: jnp.ndarray) -> jnp.ndarray:
+    """Emphasised diff -> quantized uint8 maps; OVERALL capture frames
+    render the freshly pinned baseline as gray (ref snapshot branch,
+    dips_alt/.../pre_compute_shader.wgsl:231-235).  Shared by batch_step
+    and the row-sharded body."""
+    if props.output == OutputMode.COLORIZE:
+        r, g, bch = diff_to_color_planes(d)
+        out = jnp.stack([r, g, bch], axis=1)              # (B, 3, H, W)
+    else:  # GRAYSCALE: 0.5 - diff (ref dips_shader.wgsl:236)
+        out = (jnp.float32(0.5) - d)[:, None]             # (B, 1, H, W)
+    if props.method == DiPsMethod.OVERALL:
+        out = jnp.where(flags[:, None, None, None],
+                        (cur * jnp.float32(INTENSITY_SCALE))[:, None], out)
+    return quantize_u8(out)
+
+
 def valid_mask(hp: int, wp: int, h: int, w: int) -> jnp.ndarray:
     """(Hp, Wp) f32 mask: 1 on true pixels, 0 on tile padding."""
     rows = lax.broadcasted_iota(jnp.int32, (hp, wp), 0) < h
@@ -200,7 +229,6 @@ def batch_step(props: DiPsProperties, h: int, w: int,
     new_heatmap).
     """
     t = props.temporal_size
-    b = raw.shape[0] - t
     hp, wp = raw.shape[-2], raw.shape[-1]
     mask = valid_mask(hp, wp, h, w)
 
@@ -210,11 +238,7 @@ def batch_step(props: DiPsProperties, h: int, w: int,
     prev, cur = cur_all[:-1], cur_all[1:]                 # each (B, Hp, Wp)
 
     if props.method == DiPsMethod.OVERALL:
-        def capture(bl, xs):
-            c, flag = xs
-            bl = jnp.where(flag, c, bl)
-            return bl, bl
-        new_baseline, baselines = lax.scan(capture, baseline, (cur, snap_flags))
+        new_baseline, baselines = capture_scan(baseline, cur, snap_flags)
         raw_diff = (baselines - cur) * jnp.float32(INTENSITY_SCALE)
     else:  # PER_FRAME: diff vs previous ring median; flags are inert
         new_baseline = baseline
@@ -227,21 +251,10 @@ def batch_step(props: DiPsProperties, h: int, w: int,
 
     d = emphasize(raw_diff, props.filter, props.sigmoid_horizontal_scalar,
                   props.sensitivity)
-    if props.output == OutputMode.COLORIZE:
-        r, g, bch = diff_to_color_planes(d)
-        out = jnp.stack([r, g, bch], axis=1)              # (B, 3, Hp, Wp)
-    else:  # GRAYSCALE: 0.5 - diff (ref dips_shader.wgsl:236)
-        out = (jnp.float32(0.5) - d)[:, None]             # (B, 1, Hp, Wp)
-
-    if props.method == DiPsMethod.OVERALL:
-        # Capture frames render the freshly pinned baseline as gray
-        # (ref snapshot branch, dips_alt/.../pre_compute_shader.wgsl:231-235).
-        # (Stats need no special-casing: the scan pins the baseline *before*
-        # diffing, so capture frames already have an exactly-zero diff map.)
-        flag_b = snap_flags[:, None, None, None]
-        out = jnp.where(flag_b, (cur * jnp.float32(INTENSITY_SCALE))[:, None], out)
-
-    return quantize_u8(out), stats, new_baseline, heatmap
+    # (Stats need no special-casing: the scan pins the baseline *before*
+    # diffing, so capture frames already have an exactly-zero diff map.)
+    return (render_output(props, d, cur, snap_flags), stats, new_baseline,
+            heatmap)
 
 
 # ---------------------------------------------------------------------------

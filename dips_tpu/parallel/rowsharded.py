@@ -106,10 +106,7 @@ def _row_body(props, h, w, raw, baseline, flags, heatmap, valid, axis):
     prev, cur = cur_all[:-1], cur_all[1:]
 
     if props.method == DiPsMethod.OVERALL:
-        def capture(bl, xs):
-            c, flag = xs
-            return jnp.where(flag, c, bl), jnp.where(flag, c, bl)
-        new_baseline, baselines = lax.scan(capture, baseline, (cur, flags))
+        new_baseline, baselines = reference.capture_scan(baseline, cur, flags)
         raw_diff = (baselines - cur) * jnp.float32(reference.INTENSITY_SCALE)
     else:
         new_baseline = baseline
@@ -136,12 +133,5 @@ def _row_body(props, h, w, raw, baseline, flags, heatmap, valid, axis):
     d = reference.emphasize(raw_diff, props.filter,
                             props.sigmoid_horizontal_scalar,
                             props.sensitivity)
-    if props.output == OutputMode.COLORIZE:
-        r_, g_, b_ = reference.diff_to_color_planes(d)
-        out = jnp.stack([r_, g_, b_], axis=1)
-    else:
-        out = (jnp.float32(0.5) - d)[:, None]
-    if props.method == DiPsMethod.OVERALL:
-        out = jnp.where(flags[:, None, None, None],
-                        (cur * jnp.float32(reference.INTENSITY_SCALE))[:, None], out)
-    return reference.quantize_u8(out), stats, new_baseline, heatmap
+    out = reference.render_output(props, d, cur, flags)
+    return out, stats, new_baseline, heatmap
