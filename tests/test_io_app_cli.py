@@ -289,3 +289,25 @@ def test_pipeline_depth_2_matches_depth_1(video):
         np.testing.assert_array_equal(inp1, inp2)
         np.testing.assert_array_equal(o1, o2)
         np.testing.assert_array_equal(s1, s2)
+
+
+def test_streaming_soak_with_all_features(tmp_path):
+    """Mini-soak: several hundred frames through the full streaming stack
+    (pipelining, chunked decode, refresh markers) — counts, marker zeros
+    and monotone indices all hold."""
+    from dips_tpu.io import moving_square_clip, write_clip
+    p = str(tmp_path / "soak.avi")
+    write_clip(moving_square_clip(n=300, height=32, width=48, seed=0), p,
+               fps=30)
+    job = DiPsJob(properties=DiPsProperties(window_size=3, temporal_size=4,
+                                            refresh_markers=(100, 200)),
+                  video_path=p, batch=8, decode_workers=3,
+                  pipeline_depth=2, video_backend="opencv")
+    idxs, marker_counts = [], {}
+    for idx, _inp, out, stats in stream_dips(job):
+        idxs.append(idx)
+        if idx in (100, 200):
+            marker_counts[idx] = float(stats[3])
+    assert idxs == list(range(300))
+    # refresh-marker frames re-capture: zero changed pixels
+    assert marker_counts == {100: 0.0, 200: 0.0}
