@@ -210,3 +210,27 @@ def test_process_batch_round_trip(server):
     exp_out, exp_stats = eng.process_frames(list(clip))
     np.testing.assert_array_equal(out_b, exp_out)
     np.testing.assert_allclose(stats_b, exp_stats, atol=1e-6)
+
+
+def test_protocol_fuzz_random_garbage(server):
+    """Random byte blobs thrown at the daemon must never kill it."""
+    import socket
+    import struct
+    rng = np.random.default_rng(0)
+    for trial in range(12):
+        s = socket.create_connection(("127.0.0.1", server.port))
+        kind = trial % 4
+        if kind == 0:      # random bytes, no framing
+            s.sendall(bytes(rng.integers(0, 256, 64, dtype=np.uint8)))
+        elif kind == 1:    # valid length, garbage header
+            s.sendall(struct.pack("<I", 32)
+                      + bytes(rng.integers(0, 256, 32, dtype=np.uint8)))
+        elif kind == 2:    # truncated mid-header
+            s.sendall(struct.pack("<I", 1000) + b"{\"cmd\"")
+        else:              # valid header, absurd payload claim
+            hdr = b'{"cmd": "process", "payload_len": 999999999999}'
+            s.sendall(struct.pack("<I", len(hdr)) + hdr)
+        s.close()
+    cli = DiPsClient(server.port)  # still alive
+    assert cli.hello()["ok"]
+    cli.close()
