@@ -1,0 +1,68 @@
+"""Serving demo: the TCP daemon with batched requests, checkpointing and
+concurrent sessions.
+
+Run on CPU:
+  XLA_FLAGS=--xla_force_host_platform_device_count=8 \
+  python examples/serving.py --cpu
+"""
+
+import argparse
+import tempfile
+import threading
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cpu", action="store_true")
+    args = ap.parse_args()
+    if args.cpu:
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+
+    from dips_tpu import DiPsProperties
+    from dips_tpu.serve import DiPsClient, DiPsServer
+
+    h, w = 96, 128
+    server = DiPsServer(DiPsProperties(window_size=3, temporal_size=2),
+                        h, w, port=0, batch=8, max_sessions=2)
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    print(f"serving on port {server.port} (2 sessions)")
+
+    rng = np.random.default_rng(0)
+    base = rng.integers(0, 256, (h, w, 3), np.uint8)
+    frames = np.stack([base] * 12)
+    for i in range(12):
+        y, x = 4 + 3 * i, 8 + 5 * i
+        frames[i, y:y + 12, x:x + 12] = (250, 40, 40)
+
+    cli = DiPsClient(server.port)
+    print("hello:", cli.hello()["config"])
+
+    # one batched request per device batch (amortises the round trip)
+    maps, stats = cli.process_many(frames[:8])
+    print(f"batched: {maps.shape} maps, mean|diff| per frame "
+          f"{np.round(stats[:, 1], 4)}")
+
+    # checkpoint, diverge, rewind
+    ckpt = tempfile.mktemp(suffix=".npz")
+    cli.save(ckpt)
+    cli.process_many(frames[8:])          # advance past the checkpoint
+    resumed = cli.load(ckpt)              # rewind
+    print(f"rewound to frame {resumed}")
+    maps2, _ = cli.process_many(frames[8:])
+    print(f"replayed {maps2.shape[0]} frames after resume")
+
+    # a second concurrent session has fully independent state
+    cli2 = DiPsClient(server.port)
+    assert cli2.hello()["frame_index"] == 0
+    print("second session starts fresh: frame_index 0")
+    cli2.close()
+    cli.close()
+    server.shutdown()
+    print("done")
+
+
+if __name__ == "__main__":
+    main()
