@@ -59,3 +59,24 @@ def test_validate_tool():
     """The deployment acceptance check passes on this backend."""
     from dips_tpu import validate
     assert validate.run(backend="xla", quick=True, verbose=False) == 0
+
+
+def test_remaining_builder_aliases_and_spectrum():
+    """Touch the last unreferenced public surfaces: builder aliases and the
+    FFT spectrum view."""
+    import numpy as np
+    from dips_tpu import DiPsJob, DiPsProperties
+    from dips_tpu.ops.analysis import fft_magnitude_spectrum
+
+    p = DiPsProperties().with_change_threshold(500)
+    assert p.change_threshold == 255  # clamped
+    assert DiPsProperties().with_approx_median().approx_median
+    job = DiPsJob().with_properties(p).with_video_backend("opencv")
+    assert job.properties.change_threshold == 255
+    assert job.video_backend == "opencv"
+
+    img = np.zeros((16, 32), np.uint8)
+    img[::2] = 255  # strong vertical frequency
+    spec = np.asarray(fft_magnitude_spectrum(img))
+    assert spec.shape == (16, 32) and np.isfinite(spec).all()
+    assert spec.max() > spec.min()
