@@ -466,8 +466,17 @@ def _make_raw_kernel(props: DiPsProperties, h: int, w: int, t: int, b: int,
     overall = props.method == DiPsMethod.OVERALL
     threshold_mode = props.output == OutputMode.THRESHOLD
     thr = props.change_threshold
-    warm = t // fpb
-    n_steps = (t + b) // fpb
+    # OVERALL needs no temporal context at all (diff vs the pinned raw
+    # baseline): the kernel's frame axis covers ONLY the B new frames and
+    # the T-frame tail is never even DMA'd (T/(T+B) less input traffic).
+    # Measured: fps unchanged at 1080p/B=64 — the kernel is bound by the
+    # OUTPUT DMA chain, and the removed input-only steps were hiding under
+    # it — but the skip is kept (strictly less traffic, fewer steps).
+    # PER_FRAME warms its previous-frame cache from the tail's last frame,
+    # so it keeps the full axis.
+    t_in = 0 if overall else t
+    warm = t_in // fpb
+    n_steps = (t_in + b) // fpb
 
     def kernel(flags_ref, valid_ref,            # SMEM (S, B) int32 each
                cur_ref,                         # u8 (F, 3, BH, Wp)
@@ -502,7 +511,7 @@ def _make_raw_kernel(props: DiPsProperties, h: int, w: int, t: int, b: int,
 
             @pl.when(fs >= warm)
             def _emit():
-                m = gf - t
+                m = gf - t_in
                 cs = [cur_ref[i, ch].astype(jnp.int32) for ch in range(3)]
                 if overall:
                     flag = flags_ref[si, m] != 0
@@ -583,17 +592,24 @@ def _absdiff_step_impl(props: DiPsProperties, h: int, w: int, s: int,
                                        - _RAW_TARGET_BLOCK_BYTES), -cd))
     n_hb_per = hp // bh
     n_hb = s * n_hb_per
-    warm = t // fpb
 
     flags_i32 = flags2d.astype(jnp.int32)
     valid_i32 = valid2d.astype(jnp.int32)
     kernel = _make_raw_kernel(props, h, w, t, b, bh, wp, fpb, s, n_hb_per)
 
+    # OVERALL skips the tail entirely (see _make_raw_kernel): the grid's
+    # frame axis covers only the B new frames and the input index map
+    # offsets past the tail blocks
+    t_in = 0 if props.method == DiPsMethod.OVERALL else t
+    t_off = (t - t_in) // fpb
+    warm = t_in // fpb
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
-        grid=(n_hb, (t + b) // fpb),
+        grid=(n_hb, (t_in + b) // fpb),
         in_specs=[
-            pl.BlockSpec((fpb, 3, bh, wp), lambda hb, f, *_: (f, 0, hb, 0),
+            pl.BlockSpec((fpb, 3, bh, wp),
+                         lambda hb, f, *_: (f + t_off, 0, hb, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((3, bh, wp), lambda hb, f, *_: (0, hb, 0),
                          memory_space=pltpu.VMEM),
