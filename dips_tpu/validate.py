@@ -52,7 +52,66 @@ CASES = [
      DiPsProperties(window_size=7, temporal_size=2,
                     filter=DiPsFilter.UNFILTERED, refresh_markers=(5,)),
      True),
+    ("overall/colorize/w7 approx-median",
+     DiPsProperties(window_size=7, temporal_size=2,
+                    filter=DiPsFilter.UNFILTERED, approx_median=True),
+     True),
 ]
+
+
+def _run_stacked(verbose: bool) -> int:
+    """Stacked-stream kernels (MultiStreamEngine's per-shard path): two
+    streams in one kernel instance must match per-stream runs on THIS
+    device."""
+    import jax.numpy as jnp
+    from .ops import pallas_fused
+    from .ops.reference import pad_geometry
+
+    t0 = time.time()
+    try:
+        s, t, b, h, w = 2, 2, 4, 24, 140
+        hp, wp = pad_geometry(h, w)
+        r = np.random.default_rng(1)
+        raws = [jnp.asarray(r.integers(0, 256, (t + b, 3, hp, wp), np.uint8))
+                for _ in range(s)]
+        stacked = jnp.concatenate(raws, axis=2)
+        flags = np.zeros((s, b), bool)
+        flags[:, 0] = True
+        valid = np.ones((s, b), bool)
+        for st, one, base1, bases in [
+            (pallas_fused.batch_step_stacked, pallas_fused.batch_step,
+             lambda: jnp.zeros((hp, wp), jnp.float32),
+             lambda: jnp.zeros((s * hp, wp), jnp.float32)),
+            (pallas_fused.absdiff_step_stacked, pallas_fused.absdiff_step,
+             lambda: jnp.zeros((3, hp, wp), jnp.uint8),
+             lambda: jnp.zeros((3, s * hp, wp), jnp.uint8)),
+        ]:
+            props = (DiPsProperties(window_size=3, temporal_size=t,
+                                    filter=DiPsFilter.UNFILTERED)
+                     if one is pallas_fused.batch_step
+                     else DiPsProperties(output=OutputMode.ABSDIFF,
+                                         temporal_size=t))
+            out_s, stats_s, _, _ = st(
+                props, h, w, s, stacked, bases(), jnp.asarray(flags),
+                jnp.zeros((s * hp, wp), jnp.float32), jnp.asarray(valid))
+            for si in range(s):
+                o1, st1, _, _ = one(
+                    props, h, w, raws[si], base1(), jnp.asarray(flags[si]),
+                    jnp.zeros((hp, wp), jnp.float32), jnp.asarray(valid[si]))
+                d = np.abs(np.asarray(out_s[:, :, si * hp:(si + 1) * hp],
+                                      np.int16)
+                           - np.asarray(o1, np.int16))
+                assert d.max() == 0, f"stacked stream {si} diff {d.max()}"
+                np.testing.assert_allclose(np.asarray(stats_s[si]),
+                                           np.asarray(st1), atol=1e-5)
+        if verbose:
+            print(f"  PASS {'stacked 2-stream kernels':<40s} "
+                  f"({time.time() - t0:.1f}s)")
+        return 0
+    except Exception as e:
+        if verbose:
+            print(f"  FAIL {'stacked 2-stream kernels':<40s} {e}")
+        return 1
 
 
 def run(backend: str = "pallas", quick: bool = False,
@@ -99,6 +158,8 @@ def run(backend: str = "pallas", quick: bool = False,
             failures += 1
             if verbose:
                 print(f"  FAIL {name:<40s} {e}")
+    if backend == "pallas" and not quick:
+        failures += _run_stacked(verbose)
     if verbose:
         print("PASS: device numerics match the oracle" if not failures
               else f"FAIL: {failures} case(s) diverged")
