@@ -252,7 +252,7 @@ def stream_dips(job: DiPsJob) -> Iterator[Tuple[int, np.ndarray, np.ndarray,
 
     idx = 0
     h, w = engine.height, engine.width
-    t = job.properties.temporal_size
+    t = engine.tail_rows  # buffer offset of new frames (0 in ring-carry)
 
     def emit(pending):
         """Collect a dispatched batch and yield its frames."""

@@ -10,11 +10,15 @@ engine.  Differences that matter on TPU:
   The engine dispatches B frames per device step and only materialises
   results when the caller consumes them — JAX's async dispatch overlaps host
   decode with device compute.
-* **Ring state via a raw-frame tail.**  Instead of a device-resident texture
-  ring with a circular-index uniform (dips/src/gpu/bind_groups.rs:407-427),
-  the host keeps the last T raw frames and prepends them to each batch; the
-  device recomputes their (cheap) filtered planes, keeping every step a pure
-  function of its inputs — resumable and shardable by construction.
+* **Ring state carried on device** (``ring_carry``, default on the Pallas
+  backend).  The filtered temporal ring, the PER_FRAME previous plane and
+  the baseline/heatmap live in HBM and are donated through each step — the
+  input is only the B new frames, so no tail re-upload and no tail
+  re-filtering (saves T/(T+B) of both).  The portable XLA backend instead
+  keeps the last T raw frames on the host and prepends them to each batch
+  (every step a pure function of its inputs).  Both modes checkpoint the
+  same raw-tail state_dict — the ring is rebuilt from the tail on load, so
+  checkpoints are portable across backends and modes.
 * **Geometry bucketing.**  Frames are padded to (×8, ×128) tiles once on the
   host; a validity mask keeps padding out of outputs and statistics
   (the reference's analogue is 256-byte row padding, dips/src/gpu/mod.rs:33-37).
@@ -52,11 +56,16 @@ class DiPsEngine:
         "auto" (default: pallas on TPU, xla elsewhere — the fast path is
         the default wherever it is available).
       device: optional jax.Device to place state on.
+      ring_carry: carry the filtered temporal ring (and PER_FRAME previous
+        plane) as device state instead of re-uploading/re-filtering a
+        T-frame raw tail every batch (see module docstring).  Default None
+        = auto: on for the Pallas backend, off for XLA.
     """
 
     def __init__(self, props: DiPsProperties, height: int, width: int,
                  batch: int = 8, backend: str = "auto",
-                 device: Optional[jax.Device] = None):
+                 device: Optional[jax.Device] = None,
+                 ring_carry: Optional[bool] = None):
         if height <= 0 or width <= 0:
             raise ValueError(f"bad geometry {height}x{width}")
         if batch < 1:
@@ -69,6 +78,11 @@ class DiPsEngine:
         self.device = device
         self._raw_mode = props.output in _RAW_MODES
         self._step = self._resolve_step(backend)
+        if ring_carry is None:
+            ring_carry = self.backend == "pallas"
+        if ring_carry and self.backend != "pallas":
+            raise ValueError("ring_carry requires the pallas backend")
+        self.ring_carry = bool(ring_carry)
         #: optional StageTimers: when set, dispatch/collect split their
         #: time into h2d (host->device upload), dispatch (async kernel
         #: launch) and d2h (device sync + download + interleave) stages.
@@ -89,6 +103,12 @@ class DiPsEngine:
         raise DeviceError(f"unknown backend {backend!r}")
 
     # -- state ------------------------------------------------------------
+    @property
+    def tail_rows(self) -> int:
+        """Leading tail rows in a :meth:`new_batch_buffer` buffer (0 in
+        ring-carry mode — new frames go at ``buf[tail_rows + i]``)."""
+        return 0 if self.ring_carry else self.props.temporal_size
+
     def reset(self) -> None:
         """Clear all streaming state (frame cursor, ring tail, baseline)."""
         t = self.props.temporal_size
@@ -99,9 +119,22 @@ class DiPsEngine:
         else:
             self._baseline = jnp.zeros((self.hp, self.wp), jnp.float32)
         self._heatmap = jnp.zeros((self.hp, self.wp), jnp.float32)
+        self._ring_off = 0
+        self._seeded = False
+        self._ring = self._prev = None
+        if self.ring_carry:
+            if self._raw_mode:
+                self._prev = jnp.zeros((3, self.hp, self.wp), jnp.uint8)
+            else:
+                self._ring = jnp.zeros((t, self.hp, self.wp), jnp.float32)
+                self._prev = jnp.zeros((self.hp, self.wp), jnp.float32)
         if self.device is not None:
             self._baseline = jax.device_put(self._baseline, self.device)
             self._heatmap = jax.device_put(self._heatmap, self.device)
+            if self._ring is not None:
+                self._ring = jax.device_put(self._ring, self.device)
+            if self._prev is not None:
+                self._prev = jax.device_put(self._prev, self.device)
 
     # -- helpers ------------------------------------------------------------
     def _planarize(self, frame: np.ndarray) -> np.ndarray:
@@ -133,17 +166,19 @@ class DiPsEngine:
         return self.process_planar([self._planarize(f) for f in frames])
 
     def new_batch_buffer(self) -> np.ndarray:
-        """Allocate a (T+B, 3, Hp, Wp) uint8 batch buffer.  Fill rows
-        [T : T+n] with planarized frames (e.g. pop the decode ring straight
-        into ``buf[T+i]``) and pass to :meth:`process_buffer` — the
-        zero-extra-copy streaming path."""
-        t = self.props.temporal_size
-        return np.empty((t + self.batch, 3, self.hp, self.wp), np.uint8)
+        """Allocate a (tail_rows+B, 3, Hp, Wp) uint8 batch buffer.  Fill
+        rows [tail_rows : tail_rows+n] with planarized frames (e.g. pop the
+        decode ring straight into ``buf[engine.tail_rows + i]``) and pass
+        to :meth:`process_buffer` — the zero-extra-copy streaming path.
+        (tail_rows is 0 in ring-carry mode, T otherwise.)"""
+        return np.empty((self.tail_rows + self.batch, 3, self.hp, self.wp),
+                        np.uint8)
 
     def process_buffer(self, buf: np.ndarray, n: int
                        ) -> Tuple[np.ndarray, np.ndarray]:
-        """Process ``n`` frames already written at ``buf[T:T+n]`` (padded
-        planar layout); the engine fills the tail rows and padding."""
+        """Process ``n`` frames already written at
+        ``buf[tail_rows:tail_rows+n]`` (padded planar layout); the engine
+        fills the tail rows and padding."""
         return self.collect(self.dispatch_async(buf, n))
 
     def process_planar(self, planar: Sequence[np.ndarray]
@@ -158,9 +193,9 @@ class DiPsEngine:
         if n > self.batch:
             raise ValueError(f"got {n} frames > batch {self.batch}")
         buf = self.new_batch_buffer()
-        t = self.props.temporal_size
+        tr = self.tail_rows
         for i in range(n):
-            buf[t + i] = planar[i]
+            buf[tr + i] = planar[i]
         return self.process_buffer(buf, n)
 
     def _stage(self, name):
@@ -178,14 +213,16 @@ class DiPsEngine:
         dispatch time, so calls must stay ordered."""
         t = self.props.temporal_size
         b = self.batch
+        tr = self.tail_rows
         if n < 1 or n > b:
             raise ValueError(f"n={n} outside 1..{b}")
         if not self._tail:  # first batch: prefill ring with frame 0
-            self._tail.extend([buf[t].copy()] * t)
-        buf[:t] = np.stack(list(self._tail))
+            self._tail.extend([buf[tr].copy()] * t)
+        if tr:
+            buf[:t] = np.stack(list(self._tail))
         for i in range(n, b):
-            buf[t + i] = buf[t + n - 1]  # replicate last for padding
-        self._tail.extend(buf[t + max(0, n - t):t + n].copy())
+            buf[tr + i] = buf[tr + n - 1]  # replicate last for padding
+        self._tail.extend(buf[tr + max(0, n - t):tr + n].copy())
 
         flags = np.zeros((b,), np.bool_)
         valid = np.zeros((b,), np.bool_)
@@ -199,10 +236,29 @@ class DiPsEngine:
         with self._stage("h2d"):
             raw_dev = jnp.asarray(buf)
         with self._stage("dispatch"):
-            out, stats, self._baseline, self._heatmap = self._step(
-                self.props, self.height, self.width,
-                raw_dev, self._baseline, jnp.asarray(flags),
-                self._heatmap, jnp.asarray(valid))
+            if self.ring_carry:
+                from ..ops import pallas_fused
+                seed = jnp.int32(0 if self._seeded else 1)
+                if self._raw_mode:
+                    (out, stats, self._prev, self._baseline,
+                     self._heatmap) = pallas_fused.absdiff_step_ring(
+                        self.props, self.height, self.width, raw_dev,
+                        self._prev, self._baseline, jnp.asarray(flags),
+                        self._heatmap, jnp.asarray(valid), seed)
+                else:
+                    (out, stats, self._ring, self._prev, self._baseline,
+                     self._heatmap) = pallas_fused.batch_step_ring(
+                        self.props, self.height, self.width, raw_dev,
+                        self._ring, self._prev, self._baseline,
+                        jnp.asarray(flags), self._heatmap,
+                        jnp.asarray(valid), jnp.int32(self._ring_off), seed)
+                self._ring_off = (self._ring_off + n) % t
+                self._seeded = True
+            else:
+                out, stats, self._baseline, self._heatmap = self._step(
+                    self.props, self.height, self.width,
+                    raw_dev, self._baseline, jnp.asarray(flags),
+                    self._heatmap, jnp.asarray(valid))
         self.frame_index += n
         return out, stats, n
 
@@ -270,6 +326,47 @@ class DiPsEngine:
             self._tail.extend(list(state["tail"]))
         if "heatmap" in state and state["heatmap"] is not None:
             self._heatmap = jnp.asarray(state["heatmap"])
+        if self.ring_carry:
+            self._rebuild_ring_state()
+
+    def _rebuild_ring_state(self) -> None:
+        """Reconstruct the carried device ring/prev state from the raw-frame
+        tail (checkpoints store the tail, so they stay portable between
+        ring-carry and tail engines and across backends).  Re-filters the T
+        tail frames through the ring kernel with a scratch heatmap and inert
+        capture flags — outputs and statistics are discarded."""
+        t = self.props.temporal_size
+        self._ring_off = 0
+        self._seeded = False
+        if self._raw_mode:
+            self._prev = jnp.zeros((3, self.hp, self.wp), jnp.uint8)
+        else:
+            self._ring = jnp.zeros((t, self.hp, self.wp), jnp.float32)
+            self._prev = jnp.zeros((self.hp, self.wp), jnp.float32)
+        if not self._tail:
+            return
+        from ..ops import pallas_fused
+        tailbuf = np.stack(list(self._tail))           # (T, 3, Hp, Wp)
+        flags = jnp.zeros((t,), bool)
+        valid = jnp.ones((t,), bool)
+        scratch_hm = jnp.zeros((self.hp, self.wp), jnp.float32)
+        if self._raw_mode:
+            _, _, self._prev, self._baseline, _ = (
+                pallas_fused.absdiff_step_ring(
+                    self.props, self.height, self.width,
+                    jnp.asarray(tailbuf), self._prev, self._baseline,
+                    flags, scratch_hm, valid, jnp.int32(1)))
+        else:
+            _, _, self._ring, self._prev, self._baseline, _ = (
+                pallas_fused.batch_step_ring(
+                    self.props, self.height, self.width,
+                    jnp.asarray(tailbuf), self._ring, self._prev,
+                    self._baseline, flags, scratch_hm, valid,
+                    jnp.int32(0), jnp.int32(1)))
+        # slots now hold tail frame j at slot j; the next incoming frame
+        # overwrites the oldest -> cursor wraps back to 0
+        self._ring_off = t % t
+        self._seeded = True
 
     def heatmap(self) -> np.ndarray:
         """Accumulated per-pixel sum of |diff| so far, cropped to true

@@ -144,6 +144,104 @@ def _shift_x(x: jnp.ndarray, dx: int) -> jnp.ndarray:
     return pltpu.roll(x, (-dx) % wp, 1)
 
 
+def _emit_median_frame(props: DiPsProperties, i: int, m, si, cur,
+                       flags_ref, valid_ref, base_ref, prev_ref,
+                       mask_ref, out_ref, stats_ref, heat_ref,
+                       gate_state: bool) -> None:
+    """Shared per-frame emit body of the median-pipeline kernels: baseline
+    capture / per-frame diff, masked statistic partials, heatmap, emphasis,
+    colorize/grayscale quantization.  ``i`` is the static within-block frame
+    index, ``m`` the (traced) output-frame index used for flag lookup.
+
+    ``gate_state`` (ring-carry mode) suppresses carried-state writes
+    (baseline capture, prev update) for invalid padding frames: ring-carry
+    state persists across batches, so padding replicas must not touch it.
+    The tail kernel keeps its historical ungated semantics (state is rebuilt
+    from the raw tail every batch, so padding writes are inert there).
+    """
+    overall = props.method == DiPsMethod.OVERALL
+    colorize = props.output == OutputMode.COLORIZE
+    vw = valid_ref[si, m]
+
+    if overall:
+        flag = flags_ref[si, m] != 0
+        if gate_state:
+            flag = flag & (vw != 0)
+
+        @pl.when(flag)
+        def _():
+            base_ref[:] = cur
+        diff_i = base_ref[:] - cur       # exact: small ints in f32
+    else:
+        diff_i = prev_ref[:] - cur
+        if gate_state:
+            @pl.when(vw != 0)
+            def _():
+                prev_ref[:] = cur
+        else:
+            prev_ref[:] = cur  # only PER_FRAME reads it back
+    # exact integer difference, scaled to [-1, 1] in one rounding
+    raw_diff = diff_i * jnp.float32(_SCALE)
+
+    # masked statistic partials
+    dm = raw_diff * mask_ref[:]
+    am = jnp.abs(dm)
+    thr = (jnp.float32(props.change_threshold)
+           * jnp.float32(1 / 255.))
+    # Partials go out as one (8,128) f32 tile with the 4 scalars in row 0,
+    # lanes 0..3 (scalar SMEM outputs would violate Mosaic's (8,128) block
+    # rule when n_hb > 1).
+    lane = lax.broadcasted_iota(jnp.int32, (8, 128), 1)
+    row0 = lax.broadcasted_iota(jnp.int32, (8, 128), 0) == 0
+    vals = [jnp.sum(dm), jnp.sum(am), jnp.max(am),
+            jnp.sum((am >= thr).astype(jnp.float32))]
+    tile = jnp.zeros((8, 128), jnp.float32)
+    for k, v in enumerate(vals):
+        tile = jnp.where(row0 & (lane == k), v, tile)
+    stats_ref[i, 0] = tile
+    heat_ref[:] = heat_ref[:] + am * vw.astype(jnp.float32)
+
+    d = emphasize(raw_diff, props.filter,
+                  props.sigmoid_horizontal_scalar,
+                  props.sensitivity)
+
+    def q8(x):
+        # f32 -> u8 must hop through i32 for Mosaic; value is already
+        # rounded and clipped to [0, 255].
+        v = jnp.rint(jnp.clip(x, 0.0, 1.0) * jnp.float32(255.0))
+        return v.astype(jnp.int32).astype(jnp.uint8)
+
+    def write_normal():
+        if colorize:
+            # quantize the two distinct channel values once and select in
+            # uint8 (== quantize-after-select exactly; saves one full
+            # quantize chain per frame)
+            sa = jnp.abs(d)
+            hi8 = q8(jnp.float32(0.5) + sa * jnp.float32(0.5))
+            lo8 = q8(jnp.float32(0.5) - sa * jnp.float32(0.5))
+            neg = d < 0
+            out_ref[i, 0] = jnp.where(neg, hi8, lo8)
+            out_ref[i, 1] = jnp.where(neg, lo8, hi8)
+            out_ref[i, 2] = lo8
+        else:
+            out_ref[i, 0] = q8(jnp.float32(0.5) - d)
+
+    if overall:
+        # capture frames render the fresh baseline as gray
+        # (rare: a real branch beats per-pixel selects)
+        @pl.when(flag)
+        def _():
+            cur8 = q8(cur * jnp.float32(_SCALE))
+            for ch in range(3 if colorize else 1):
+                out_ref[i, ch] = cur8
+
+        @pl.when(jnp.logical_not(flag))
+        def _():
+            write_normal()
+    else:
+        write_normal()
+
+
 def _make_kernel(props: DiPsProperties, h: int, w: int, t: int, b: int,
                  bh: int, wp: int, n_hb: int, fpb: int, s: int = 1):
     """``s`` > 1 = stacked-stream mode: the row axis carries s independent
@@ -155,7 +253,6 @@ def _make_kernel(props: DiPsProperties, h: int, w: int, t: int, b: int,
     window = props.window_size
     p = window // 2
     overall = props.method == DiPsMethod.OVERALL
-    colorize = props.output == OutputMode.COLORIZE
     warm = t // fpb            # number of pure warm-up grid steps
     n_steps = (t + b) // fpb
     n_hb_per = n_hb // s       # row blocks per stream
@@ -235,77 +332,10 @@ def _make_kernel(props: DiPsProperties, h: int, w: int, t: int, b: int,
                 m = gf - t  # output frame index in [0, B)
                 cur = networks.median_of([ring_ref[k] for k in range(t)],
                                          jnp.minimum, jnp.maximum)
-                if overall:
-                    flag = flags_ref[si, m] != 0
-
-                    @pl.when(flag)
-                    def _():
-                        base_ref[:] = cur
-                    diff_i = base_ref[:] - cur   # exact: small ints in f32
-                else:
-                    diff_i = prev_ref[:] - cur
-                    prev_ref[:] = cur  # only PER_FRAME reads it back
-                # exact integer difference, scaled to [-1, 1] in one rounding
-                raw_diff = diff_i * jnp.float32(_SCALE)
-
-                # masked statistic partials
-                dm = raw_diff * mask_ref[:]
-                am = jnp.abs(dm)
-                thr = (jnp.float32(props.change_threshold)
-                       * jnp.float32(1 / 255.))
-                # Partials go out as one (8,128) f32 tile with the 4
-                # scalars in row 0, lanes 0..3 (scalar SMEM outputs would
-                # violate Mosaic's (8,128) block rule when n_hb > 1).
-                lane = lax.broadcasted_iota(jnp.int32, (8, 128), 1)
-                row0 = lax.broadcasted_iota(jnp.int32, (8, 128), 0) == 0
-                vals = [jnp.sum(dm), jnp.sum(am), jnp.max(am),
-                        jnp.sum((am >= thr).astype(jnp.float32))]
-                tile = jnp.zeros((8, 128), jnp.float32)
-                for k, v in enumerate(vals):
-                    tile = jnp.where(row0 & (lane == k), v, tile)
-                stats_ref[i, 0] = tile
-                heat_ref[:] = (heat_ref[:]
-                               + am * valid_ref[si, m].astype(jnp.float32))
-
-                d = emphasize(raw_diff, props.filter,
-                              props.sigmoid_horizontal_scalar,
-                              props.sensitivity)
-
-                def q8(x):
-                    # f32 -> u8 must hop through i32 for Mosaic; value is
-                    # already rounded and clipped to [0, 255].
-                    v = jnp.rint(jnp.clip(x, 0.0, 1.0) * jnp.float32(255.0))
-                    return v.astype(jnp.int32).astype(jnp.uint8)
-
-                def write_normal():
-                    if colorize:
-                        # quantize the two distinct channel values once and
-                        # select in uint8 (== quantize-after-select exactly;
-                        # saves one full quantize chain per frame)
-                        s = jnp.abs(d)
-                        hi8 = q8(jnp.float32(0.5) + s * jnp.float32(0.5))
-                        lo8 = q8(jnp.float32(0.5) - s * jnp.float32(0.5))
-                        neg = d < 0
-                        out_ref[i, 0] = jnp.where(neg, hi8, lo8)
-                        out_ref[i, 1] = jnp.where(neg, lo8, hi8)
-                        out_ref[i, 2] = lo8
-                    else:
-                        out_ref[i, 0] = q8(jnp.float32(0.5) - d)
-
-                if overall:
-                    # capture frames render the fresh baseline as gray
-                    # (rare: a real branch beats per-pixel selects)
-                    @pl.when(flag)
-                    def _():
-                        cur8 = q8(cur * jnp.float32(_SCALE))
-                        for ch in range(3 if colorize else 1):
-                            out_ref[i, ch] = cur8
-
-                    @pl.when(jnp.logical_not(flag))
-                    def _():
-                        write_normal()
-                else:
-                    write_normal()
+                _emit_median_frame(props, i, m, si, cur, flags_ref,
+                                   valid_ref, base_ref, prev_ref, mask_ref,
+                                   out_ref, stats_ref, heat_ref,
+                                   gate_state=False)
 
         @pl.when(fs == n_steps - 1)
         def _finish():
@@ -456,13 +486,312 @@ def batch_step_stacked(props: DiPsProperties, h: int, w: int, s: int,
 
 
 # ---------------------------------------------------------------------------
+# Ring-carry variant: the filtered temporal ring as DEVICE state.
+#
+# The tail protocol re-uploads and re-filters the last T raw frames every
+# batch (models/pipeline.py "Ring state via a raw-frame tail").  Here the
+# ring of filtered intensity planes (plus the PER_FRAME previous-median
+# plane) is carried across steps like the baseline/heatmap: the input is
+# just the B new frames, T/(T+B) of the median work and of the tail H2D
+# upload disappears, and the frames-per-step divisor stops depending on T
+# (fpb = largest divisor of B <= 8 — T=9 with B=64 runs 8-frame steps
+# instead of the tail kernel's forced fpb=1).
+#
+# Carried-state contract: invalid (padding-replica) frames never touch the
+# ring, prev plane or baseline — their writes are gated on the valid flag
+# (the tail kernel needs no gating: it rebuilds state from the raw tail).
+# Slot convention: ``offset`` is the engine's processed-frame cursor mod T;
+# frame m writes slot (offset + m) mod T.  ``seed`` = 1 replicates frame 0's
+# filtered plane into every slot, reproducing the tail protocol's
+# first-batch prefill (and the oracle's ring warm-up).
+# ---------------------------------------------------------------------------
+
+
+def _ring_frames_per_step(b: int) -> int:
+    """Largest divisor of B that is <= 8 (no T constraint in ring mode)."""
+    f = 1
+    for d in range(2, min(b, 8) + 1):
+        if b % d == 0:
+            f = d
+    return f
+
+
+def _pick_block_rows_ring(hp: int, wp: int, window: int, t: int, c: int,
+                          fpb: int, per_frame: bool) -> int:
+    """Ring-mode row-block picker: like :func:`_pick_block_rows` but the
+    ring lives in the (single-buffered) in/out blocks instead of scratch,
+    and the prev plane is carried only in PER_FRAME mode."""
+    taps = max(window * window, 1)
+    bytes_per_row = wp * (4 * taps           # live network planes
+                          + 4 * t * 2        # ring in + working out block
+                          + (4 * 2 if per_frame else 0)  # prev in/out
+                          + 4 * 2 * 2        # base/heat in blocks
+                          + 4 * 2 * 2        # base/heat working out blocks
+                          + 4 + 4            # mask + strip scratch
+                          + 1 * 3 * fpb * 2  # u8 input block, dbl-buffered
+                          + 1 * c * fpb * 2)  # u8 output block, dbl-buffered
+    max_rows = max(_VMEM_BUDGET // bytes_per_row, 8)
+    best = 8
+    for d in range(1, hp // 8 + 1):
+        bh = 8 * d
+        if hp % bh == 0 and bh <= max_rows:
+            best = bh
+    return min(best, hp)
+
+
+def _make_ring_kernel(props: DiPsProperties, h: int, w: int, t: int, b: int,
+                      bh: int, wp: int, n_hb: int, fpb: int, s: int = 1):
+    """Ring-carry median-pipeline kernel (see the section comment above).
+    Carried state (ring/prev/baseline/heatmap) lives directly in the
+    fs-invariant output blocks — seeded from the input blocks at fs == 0,
+    flushed to HBM once after the last frame step — so it costs no VMEM
+    scratch."""
+    window = props.window_size
+    p = window // 2
+    overall = props.method == DiPsMethod.OVERALL
+    n_hb_per = n_hb // s
+
+    def kernel(flags_ref, valid_ref, off_ref, seed_ref, *refs):
+        # inputs: cur [, up, dn], ring_in [, prev_in], base_in, heat_in
+        # outputs: out, stats, ring (working) [, prev (working)],
+        #          base (working), heat (working)
+        # scratch: mask, strip
+        it = iter(refs)
+        cur_ref = next(it)
+        up_ref = next(it) if p > 0 else None
+        dn_ref = next(it) if p > 0 else None
+        ring_in_ref = next(it)
+        prev_in_ref = None if overall else next(it)
+        base_in_ref = next(it)
+        heat_in_ref = next(it)
+        out_ref = next(it)
+        stats_ref = next(it)
+        ring_ref = next(it)
+        prev_ref = None if overall else next(it)
+        base_ref = next(it)
+        heat_ref = next(it)
+        mask_ref = next(it)
+        strip_ref = next(it)
+
+        hb = pl.program_id(0)
+        fs = pl.program_id(1)
+        si = hb // n_hb_per
+        hb_in = lax.rem(hb, n_hb_per)
+
+        @pl.when(fs == 0)
+        def _seed():
+            ring_ref[:] = ring_in_ref[:]
+            if not overall:
+                prev_ref[:] = prev_in_ref[:]
+            base_ref[:] = base_in_ref[:]
+            heat_ref[:] = heat_in_ref[:]
+            rows = lax.broadcasted_iota(jnp.int32, (bh, wp), 0) + hb_in * bh
+            cols = lax.broadcasted_iota(jnp.int32, (bh, wp), 1)
+            mask_ref[:] = ((rows < h) & (cols < w)).astype(jnp.float32)
+
+        for i in range(fpb):
+            gf = fs * fpb + i  # frame index in [0, B)
+
+            # ---- intensity strip with p-row halos (as the tail kernel) --
+            strip_ref[8:8 + bh] = _intensity_i(cur_ref[i], props.chroma)
+            if p > 0:
+                up = _intensity_i(up_ref[i, :, 8 - p:8], props.chroma)
+                dn = _intensity_i(dn_ref[i, :, 0:p], props.chroma)
+                zerop = jnp.zeros((p, wp), jnp.float32)
+                strip_ref[8 - p:8] = jnp.where(hb_in > 0, up, zerop)
+                strip_ref[8 + bh:8 + bh + p] = jnp.where(
+                    hb_in < n_hb_per - 1, dn, zerop)
+
+            if window > 1:
+                vtaps = [strip_ref[8 + dy - p:8 + dy - p + bh]
+                         for dy in range(window)]
+                med = (networks.separable_median if props.approx_median
+                       else networks.window_median)
+                phi = med(vtaps, _shift_x, jnp.minimum, jnp.maximum)
+            else:
+                phi = strip_ref[8:8 + bh]
+
+            # ---- carried ring: slot = (cursor + frame) mod T, writes
+            # gated on valid so padding replicas can't pollute state ------
+            slot = lax.rem(off_ref[si] + gf, t)
+
+            @pl.when(valid_ref[si, gf] != 0)
+            def _():
+                ring_ref[slot] = phi
+
+            if i == 0:
+                # fresh stream: replicate frame 0 into every slot (the
+                # tail protocol's first-batch prefill)
+                @pl.when((fs == 0) & (seed_ref[si] != 0))
+                def _():
+                    for k in range(t):
+                        ring_ref[k] = phi
+                    if not overall:
+                        prev_ref[:] = phi
+
+            cur = networks.median_of([ring_ref[k] for k in range(t)],
+                                     jnp.minimum, jnp.maximum)
+            _emit_median_frame(props, i, gf, si, cur, flags_ref, valid_ref,
+                               base_ref, prev_ref, mask_ref, out_ref,
+                               stats_ref, heat_ref, gate_state=True)
+
+    return kernel
+
+
+def _batch_step_ring_impl(props: DiPsProperties, h: int, w: int, s: int,
+                          raw, ring, prev, baseline, flags2d, heatmap,
+                          valid2d, offsets, seeds):
+    """Shared ring-carry body; ``s`` streams stacked along the row axis.
+
+    raw (B, 3, s*Hp, Wp) u8, ring (T, s*Hp, Wp) f32, prev/baseline/heatmap
+    (s*Hp, Wp) f32, flags/valid (s, B) bool, offsets/seeds (s,) i32 ->
+    (out (B, C, s*Hp, Wp) u8, stats (s, B, 4) f32, new ring, new prev,
+    new baseline, new heatmap)."""
+    t = props.temporal_size
+    b = raw.shape[0]
+    hp_tot, wp = raw.shape[-2], raw.shape[-1]
+    hp = hp_tot // s
+    c = props.out_channels
+    overall = props.method == DiPsMethod.OVERALL
+    fpb = _ring_frames_per_step(b)
+    bh = _pick_block_rows_ring(hp, wp, props.window_size, t, c, fpb,
+                               not overall)
+    n_hb_per = hp // bh
+    n_hb = s * n_hb_per
+    n8_per = hp // 8
+    bh8 = bh // 8
+
+    flags_i32 = flags2d.astype(jnp.int32)
+    valid_i32 = valid2d.astype(jnp.int32)
+    off_i32 = offsets.astype(jnp.int32)
+    seed_i32 = seeds.astype(jnp.int32)
+    kernel = _make_ring_kernel(props, h, w, t, b, bh, wp, n_hb, fpb, s)
+
+    def up_idx(hb, f, *_):
+        lo = (hb // n_hb_per) * n8_per
+        return (f, 0, jnp.maximum(hb * bh8 - 1, lo), 0)
+
+    def dn_idx(hb, f, *_):
+        hi = (hb // n_hb_per + 1) * n8_per - 1
+        return (f, 0, jnp.minimum((hb + 1) * bh8, hi), 0)
+
+    has_halo = props.window_size > 1
+    halo_specs = [
+        pl.BlockSpec((fpb, 3, 8, wp), up_idx, memory_space=pltpu.VMEM),
+        pl.BlockSpec((fpb, 3, 8, wp), dn_idx, memory_space=pltpu.VMEM),
+    ] if has_halo else []
+    plane_spec = pl.BlockSpec((bh, wp), lambda hb, f, *_: (hb, 0),
+                              memory_space=pltpu.VMEM)
+    ring_spec = pl.BlockSpec((t, bh, wp), lambda hb, f, *_: (0, hb, 0),
+                             memory_space=pltpu.VMEM)
+    prev_specs = [] if overall else [plane_spec]
+    prev_shapes = ([] if overall
+                   else [jax.ShapeDtypeStruct((hp_tot, wp), jnp.float32)])
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=(n_hb, b // fpb),
+        in_specs=[
+            pl.BlockSpec((fpb, 3, bh, wp), lambda hb, f, *_: (f, 0, hb, 0),
+                         memory_space=pltpu.VMEM),
+            *halo_specs,
+            ring_spec,
+            *prev_specs,
+            plane_spec,
+            plane_spec,
+        ],
+        out_specs=[
+            pl.BlockSpec((fpb, c, bh, wp),
+                         lambda hb, f, *_: (f, 0, hb, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((fpb, 1, 8, 128), lambda hb, f, *_: (f, hb, 0, 0),
+                         memory_space=pltpu.VMEM),
+            ring_spec,
+            *prev_specs,
+            plane_spec,
+            plane_spec,
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((bh, wp), jnp.float32),        # validity mask
+            pltpu.VMEM((bh + 16, wp), jnp.float32),   # halo'd intensity
+        ],
+    )
+
+    outs = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((b, c, hp_tot, wp), jnp.uint8),
+            jax.ShapeDtypeStruct((b, n_hb, 8, 128), jnp.float32),
+            jax.ShapeDtypeStruct((t, hp_tot, wp), jnp.float32),
+            *prev_shapes,
+            jax.ShapeDtypeStruct((hp_tot, wp), jnp.float32),
+            jax.ShapeDtypeStruct((hp_tot, wp), jnp.float32),
+        ],
+        interpret=jax.default_backend() == "cpu",
+    )(flags_i32, valid_i32, off_i32, seed_i32,
+      *((raw, raw, raw) if has_halo else (raw,)), ring,
+      *([] if overall else [prev]), baseline, heatmap)
+
+    if overall:
+        out, parts, new_ring, new_baseline, new_heatmap = outs
+        new_prev = prev
+    else:
+        out, parts, new_ring, new_prev, new_baseline, new_heatmap = outs
+
+    inv_n = jnp.float32(1.0 / (h * w))
+    parts = parts[:, :, 0, :_PART].reshape(b, s, n_hb_per, _PART)
+    stats = jnp.stack([
+        parts[..., 0].sum(axis=2) * inv_n,
+        parts[..., 1].sum(axis=2) * inv_n,
+        parts[..., 2].max(axis=2),
+        parts[..., 3].sum(axis=2),
+    ], axis=-1).transpose(1, 0, 2)                       # (s, B, 4)
+    return out, stats, new_ring, new_prev, new_baseline, new_heatmap
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1, 2),
+                   donate_argnums=(4, 5, 6, 8))  # ring/prev/base/heat carry
+def batch_step_ring(props: DiPsProperties, h: int, w: int,
+                    raw: jnp.ndarray, ring: jnp.ndarray, prev: jnp.ndarray,
+                    baseline: jnp.ndarray, snap_flags: jnp.ndarray,
+                    heatmap: jnp.ndarray, valid: jnp.ndarray,
+                    offset: jnp.ndarray, seed: jnp.ndarray):
+    """Ring-carry device step: B new frames only, the filtered temporal
+    ring carried as state (see the ring-carry section comment).
+
+    raw u8 (B, 3, Hp, Wp), ring f32 (T, Hp, Wp), prev/baseline/heatmap f32
+    (Hp, Wp), flags/valid bool (B,), offset/seed i32 scalars ->
+    (out u8 (B, C, Hp, Wp), stats f32 (B, NUM_STATS), new ring, new prev,
+    new baseline, new heatmap)."""
+    out, stats, nr, npv, nb, nh = _batch_step_ring_impl(
+        props, h, w, 1, raw, ring, prev, baseline, snap_flags[None],
+        heatmap, valid[None], offset[None], seed[None])
+    return out, stats[0], nr, npv, nb, nh
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1, 2, 3),
+                   donate_argnums=(5, 6, 7, 9))  # ring/prev/base/heat carry
+def batch_step_ring_stacked(props: DiPsProperties, h: int, w: int, s: int,
+                            raw: jnp.ndarray, ring: jnp.ndarray,
+                            prev: jnp.ndarray, baseline: jnp.ndarray,
+                            snap_flags: jnp.ndarray, heatmap: jnp.ndarray,
+                            valid: jnp.ndarray, offsets: jnp.ndarray,
+                            seeds: jnp.ndarray):
+    """Stacked-stream ring-carry step: ``s`` streams along the row axis,
+    per-stream cursors/seeds (offsets/seeds i32 (s,), flags/valid (s, B))."""
+    return _batch_step_ring_impl(props, h, w, s, raw, ring, prev, baseline,
+                                 snap_flags, heatmap, valid, offsets, seeds)
+
+
+# ---------------------------------------------------------------------------
 # Raw uint8 fast path: fused ABSDIFF / THRESHOLD kernel (the cv2.absdiff
 # parity surface, BASELINE.json metric) — pure integer math, one HBM pass.
 # ---------------------------------------------------------------------------
 
 def _make_raw_kernel(props: DiPsProperties, h: int, w: int, t: int, b: int,
                      bh: int, wp: int, fpb: int, s: int = 1,
-                     n_hb_per: int = 1):
+                     n_hb_per: int = 1, ring: bool = False):
     overall = props.method == DiPsMethod.OVERALL
     threshold_mode = props.output == OutputMode.THRESHOLD
     thr = props.change_threshold
@@ -472,23 +801,40 @@ def _make_raw_kernel(props: DiPsProperties, h: int, w: int, t: int, b: int,
     # Measured: fps unchanged at 1080p/B=64 — the kernel is bound by the
     # OUTPUT DMA chain, and the removed input-only steps were hiding under
     # it — but the skip is kept (strictly less traffic, fewer steps).
-    # PER_FRAME warms its previous-frame cache from the tail's last frame,
-    # so it keeps the full axis.
-    t_in = 0 if overall else t
+    # PER_FRAME warms its previous-frame cache from the tail's last frame —
+    # unless ``ring`` (ring-carry protocol): then the previous raw frame is
+    # carried device state (prev in/out blocks), the input axis covers only
+    # the B new frames in both methods, and carried-state writes are gated
+    # on the valid flag (padding replicas must not touch persistent state).
+    t_in = 0 if (overall or ring) else t
     warm = t_in // fpb
     n_steps = (t_in + b) // fpb
+    carry_prev = ring and not overall
 
-    def kernel(flags_ref, valid_ref,            # SMEM (S, B) int32 each
-               cur_ref,                         # u8 (F, 3, BH, Wp)
-               base_in_ref,                     # u8 (3, BH, Wp)
-               heat_in_ref,                     # f32 (BH, Wp)
-               out_ref,                         # u8 (F, C, BH, Wp)
-               stats_ref,                       # f32 (F, 1, 8, 128)
-               base_out_ref,                    # u8 (3, BH, Wp)
-               heat_out_ref,                    # f32 (BH, Wp)
-               base_ref,                        # u8 scratch (3, BH, Wp)
-               ref32_ref,                       # i32 scratch (3, BH, Wp)
-               heat_ref):                       # f32 scratch (BH, Wp)
+    def kernel(*args):
+        # scalar prefetch: flags, valid [, seeds when ring]  (S, B)/(S,) i32
+        # inputs: cur [, prev_in when carry_prev], base_in, heat_in
+        # outputs: out, stats [, prev_out when carry_prev], base_out,
+        #          heat_out; scratch: base, ref32, heat
+        if ring:
+            flags_ref, valid_ref, seed_ref, *refs = args
+        else:
+            flags_ref, valid_ref, *refs = args
+            seed_ref = None
+        it = iter(refs)
+        cur_ref = next(it)                      # u8 (F, 3, BH, Wp)
+        prev_in_ref = next(it) if carry_prev else None  # u8 (3, BH, Wp)
+        base_in_ref = next(it)                  # u8 (3, BH, Wp)
+        heat_in_ref = next(it)                  # f32 (BH, Wp)
+        out_ref = next(it)                      # u8 (F, C, BH, Wp)
+        stats_ref = next(it)                    # f32 (F, 1, 8, 128)
+        prev_out_ref = next(it) if carry_prev else None  # u8 (3, BH, Wp)
+        base_out_ref = next(it)                 # u8 (3, BH, Wp)
+        heat_out_ref = next(it)                 # f32 (BH, Wp)
+        base_ref = next(it)                     # u8 scratch (3, BH, Wp)
+        ref32_ref = next(it)                    # i32 scratch (3, BH, Wp)
+        heat_ref = next(it)                     # f32 scratch (BH, Wp)
+
         fs = pl.program_id(1)
         si = pl.program_id(0) // n_hb_per  # stream of this row block
 
@@ -500,21 +846,33 @@ def _make_raw_kernel(props: DiPsProperties, h: int, w: int, t: int, b: int,
                 # cache the reference frame in i32 once; refreshed only on
                 # capture — saves 3 uint8->int32 converts on every frame
                 ref32_ref[:] = base_in_ref[:].astype(jnp.int32)
+            elif carry_prev:
+                ref32_ref[:] = prev_in_ref[:].astype(jnp.int32)
 
         for i in range(fpb):
             gf = fs * fpb + i
 
-            if i == fpb - 1 and not overall:
+            if i == fpb - 1 and not overall and not ring:
                 @pl.when(fs == warm - 1)
                 def _():
                     ref32_ref[:] = cur_ref[i].astype(jnp.int32)
 
+            if carry_prev and i == 0:
+                # fresh stream: frame 0 diffs against itself (the tail
+                # protocol's first-batch prefill)
+                @pl.when((fs == 0) & (seed_ref[si] != 0))
+                def _():
+                    ref32_ref[:] = cur_ref[0].astype(jnp.int32)
+
             @pl.when(fs >= warm)
             def _emit():
                 m = gf - t_in
+                vw = valid_ref[si, m]
                 cs = [cur_ref[i, ch].astype(jnp.int32) for ch in range(3)]
                 if overall:
                     flag = flags_ref[si, m] != 0
+                    if ring:
+                        flag = flag & (vw != 0)
 
                     @pl.when(flag)
                     def _():
@@ -527,8 +885,15 @@ def _make_raw_kernel(props: DiPsProperties, h: int, w: int, t: int, b: int,
                 dmax = jnp.maximum(jnp.maximum(ad[0], ad[1]), ad[2])
 
                 if not overall:
-                    for ch in range(3):
-                        ref32_ref[ch] = cs[ch]
+                    def _advance():
+                        for ch in range(3):
+                            ref32_ref[ch] = cs[ch]
+                    if ring:
+                        @pl.when(vw != 0)
+                        def _():
+                            _advance()
+                    else:
+                        _advance()
 
                 # channel-mean statistic partials (oracle._process_raw)
                 s_signed = (jnp.sum(sg[0]) + jnp.sum(sg[1])
@@ -562,21 +927,31 @@ def _make_raw_kernel(props: DiPsProperties, h: int, w: int, t: int, b: int,
         def _finish():
             base_out_ref[:] = base_ref[:]
             heat_out_ref[:] = heat_ref[:]
+            if carry_prev:
+                # ref32 holds the last valid frame (updates are gated);
+                # values are 0..255 so the u8 cast is exact
+                prev_out_ref[:] = ref32_ref[:].astype(jnp.uint8)
 
     return kernel
 
 
 def _absdiff_step_impl(props: DiPsProperties, h: int, w: int, s: int,
-                       raw, baseline_raw, flags2d, heatmap, valid2d):
+                       raw, baseline_raw, flags2d, heatmap, valid2d,
+                       prev=None, seeds=None, ring: bool = False):
     """Shared body; ``s`` streams stacked along the row axis (see
-    ``_batch_step_impl``)."""
+    ``_batch_step_impl``).  ``ring`` selects the ring-carry protocol: raw
+    covers only the B new frames and PER_FRAME's previous raw frame is the
+    carried ``prev`` state (u8 (3, s*Hp, Wp))."""
     t = props.temporal_size
-    b = raw.shape[0] - t
+    b = raw.shape[0] - (0 if ring else t)
     hp_tot, wp = raw.shape[-2], raw.shape[-1]
     hp = hp_tot // s
     c = 1 if props.output == OutputMode.THRESHOLD else 3
-    fpb = _frames_per_step(t, b)
-    assert t % fpb == 0 and b % fpb == 0, (t, b, fpb)
+    if ring:
+        fpb = _ring_frames_per_step(b)
+    else:
+        fpb = _frames_per_step(t, b)
+        assert t % fpb == 0 and b % fpb == 0, (t, b, fpb)
     # per-row VMEM: cur in + out (u8, F-deep, dbl-buffered), 2 u8 base
     # scratch + base in/out, heat f32 scratch + in/out, i32 temps ~6 planes
     bytes_per_row = wp * (3 * fpb * 2 + c * fpb * 2 + 3 * 4 + 4 * 5 + 4 * 6)
@@ -595,24 +970,35 @@ def _absdiff_step_impl(props: DiPsProperties, h: int, w: int, s: int,
 
     flags_i32 = flags2d.astype(jnp.int32)
     valid_i32 = valid2d.astype(jnp.int32)
-    kernel = _make_raw_kernel(props, h, w, t, b, bh, wp, fpb, s, n_hb_per)
+    kernel = _make_raw_kernel(props, h, w, t, b, bh, wp, fpb, s, n_hb_per,
+                              ring)
+    carry_prev = ring and props.method != DiPsMethod.OVERALL
 
     # OVERALL skips the tail entirely (see _make_raw_kernel): the grid's
     # frame axis covers only the B new frames and the input index map
-    # offsets past the tail blocks
-    t_in = 0 if props.method == DiPsMethod.OVERALL else t
-    t_off = (t - t_in) // fpb
+    # offsets past the tail blocks.  Ring mode has no tail at all.
+    t_in = 0 if (ring or props.method == DiPsMethod.OVERALL) else t
+    t_off = 0 if ring else (t - t_in) // fpb
     warm = t_in // fpb
 
+    base_spec = pl.BlockSpec((3, bh, wp), lambda hb, f, *_: (0, hb, 0),
+                             memory_space=pltpu.VMEM)
+    prev_specs = [base_spec] if carry_prev else []
+    prev_shapes = ([jax.ShapeDtypeStruct((3, hp_tot, wp), jnp.uint8)]
+                   if carry_prev else [])
+    scalars = [flags_i32, valid_i32]
+    if ring:
+        scalars.append(seeds.astype(jnp.int32))
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=len(scalars),
         grid=(n_hb, (t_in + b) // fpb),
         in_specs=[
             pl.BlockSpec((fpb, 3, bh, wp),
                          lambda hb, f, *_: (f + t_off, 0, hb, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((3, bh, wp), lambda hb, f, *_: (0, hb, 0),
-                         memory_space=pltpu.VMEM),
+            *prev_specs,
+            base_spec,
             pl.BlockSpec((bh, wp), lambda hb, f, *_: (hb, 0),
                          memory_space=pltpu.VMEM),
         ],
@@ -627,8 +1013,8 @@ def _absdiff_step_impl(props: DiPsProperties, h: int, w: int, s: int,
                 lambda hb, f, *_: (jnp.clip(f - warm, 0, b // fpb - 1), hb,
                                    0, 0),
                 memory_space=pltpu.VMEM),
-            pl.BlockSpec((3, bh, wp), lambda hb, f, *_: (0, hb, 0),
-                         memory_space=pltpu.VMEM),
+            *prev_specs,
+            base_spec,
             pl.BlockSpec((bh, wp), lambda hb, f, *_: (hb, 0),
                          memory_space=pltpu.VMEM),
         ],
@@ -639,17 +1025,24 @@ def _absdiff_step_impl(props: DiPsProperties, h: int, w: int, s: int,
         ],
     )
 
-    out, parts, new_baseline, new_heatmap = pl.pallas_call(
+    outs = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((b, c, hp_tot, wp), jnp.uint8),
             jax.ShapeDtypeStruct((b, n_hb, 8, 128), jnp.float32),
+            *prev_shapes,
             jax.ShapeDtypeStruct((3, hp_tot, wp), jnp.uint8),
             jax.ShapeDtypeStruct((hp_tot, wp), jnp.float32),
         ],
         interpret=jax.default_backend() == "cpu",
-    )(flags_i32, valid_i32, raw, baseline_raw, heatmap)
+    )(*scalars, raw, *([prev] if carry_prev else []), baseline_raw, heatmap)
+
+    if carry_prev:
+        out, parts, new_prev, new_baseline, new_heatmap = outs
+    else:
+        out, parts, new_baseline, new_heatmap = outs
+        new_prev = prev
 
     inv = jnp.float32(1.0 / (3 * h * w * 255))
     parts = parts[:, :, 0, :_PART].reshape(b, s, n_hb_per, _PART)
@@ -659,6 +1052,8 @@ def _absdiff_step_impl(props: DiPsProperties, h: int, w: int, s: int,
         parts[..., 2].max(axis=2) * jnp.float32(1 / 255.0),
         parts[..., 3].sum(axis=2),
     ], axis=-1).transpose(1, 0, 2)                       # (s, B, 4)
+    if ring:
+        return out, stats, new_prev, new_baseline, new_heatmap
     return out, stats, new_baseline, new_heatmap
 
 
@@ -688,3 +1083,36 @@ def absdiff_step_stacked(props: DiPsProperties, h: int, w: int, s: int,
     (see ``batch_step_stacked``); baseline_raw is u8 (3, s*Hp, Wp)."""
     return _absdiff_step_impl(props, h, w, s, raw, baseline_raw, snap_flags,
                               heatmap, valid)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1, 2),
+                   donate_argnums=(4, 5, 7))  # prev/base/heat carry
+def absdiff_step_ring(props: DiPsProperties, h: int, w: int,
+                      raw: jnp.ndarray, prev: jnp.ndarray,
+                      baseline_raw: jnp.ndarray, snap_flags: jnp.ndarray,
+                      heatmap: jnp.ndarray, valid: jnp.ndarray,
+                      seed: jnp.ndarray):
+    """Ring-protocol absdiff/threshold step: raw covers ONLY the B new
+    frames (no tail upload); PER_FRAME's previous raw frame is carried
+    device state ``prev`` (u8 (3, Hp, Wp), unused/passthrough in OVERALL).
+
+    Returns (out, stats (B, NUM_STATS), new prev, new baseline, new
+    heatmap)."""
+    out, stats, npv, nb, nh = _absdiff_step_impl(
+        props, h, w, 1, raw, baseline_raw, snap_flags[None], heatmap,
+        valid[None], prev=prev, seeds=seed[None], ring=True)
+    return out, stats[0], npv, nb, nh
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1, 2, 3),
+                   donate_argnums=(5, 6, 8))  # prev/base/heat carry
+def absdiff_step_ring_stacked(props: DiPsProperties, h: int, w: int, s: int,
+                              raw: jnp.ndarray, prev: jnp.ndarray,
+                              baseline_raw: jnp.ndarray,
+                              snap_flags: jnp.ndarray, heatmap: jnp.ndarray,
+                              valid: jnp.ndarray, seeds: jnp.ndarray):
+    """Stacked-stream ring-protocol absdiff step (per-stream seeds (s,),
+    flags/valid (s, B); prev/baseline u8 (3, s*Hp, Wp))."""
+    return _absdiff_step_impl(props, h, w, s, raw, baseline_raw, snap_flags,
+                              heatmap, valid, prev=prev, seeds=seeds,
+                              ring=True)

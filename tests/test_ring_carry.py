@@ -1,0 +1,165 @@
+"""Ring-carry mode: the filtered temporal ring as device state.
+
+The ring-carry kernels (ops/pallas_fused.batch_step_ring / absdiff_step_ring)
+must be bit-identical to the tail protocol (the oracle-pinned batch_step /
+absdiff_step) on every frame of a stream, for every batch split — including
+partial batches, whose padding replicas must NOT pollute the carried state.
+Checkpoints store the raw tail in both modes, so they round-trip between
+ring-carry and tail engines.
+"""
+
+import numpy as np
+import pytest
+
+from dips_tpu.models import DiPsEngine
+from dips_tpu.properties import (ChromaFilter, DiPsFilter, DiPsMethod,
+                                 DiPsProperties, OutputMode)
+from tests.conftest import make_clip
+
+H, W = 12, 140
+
+
+def run_engine(props, clip, batch, ring_carry, splits=None):
+    """Feed ``clip`` through an engine; ``splits`` optionally forces uneven
+    sub-batch sizes (exercising partial-batch padding)."""
+    eng = DiPsEngine(props, H, W, batch=batch, backend="pallas",
+                     ring_carry=ring_carry)
+    if splits is None:
+        out, stats = eng.process_frames(list(clip))
+        return out, stats, eng
+    outs, stats = [], []
+    i = 0
+    for n in splits:
+        o, s = eng.process_batch([clip[i + k] for k in range(n)])
+        outs.append(o)
+        stats.append(s)
+        i += n
+    assert i == len(clip)
+    return np.concatenate(outs), np.concatenate(stats), eng
+
+
+def assert_equal_runs(props, clip, batch, splits=None):
+    exp_out, exp_stats, exp_eng = run_engine(props, clip, batch, False,
+                                             splits)
+    got_out, got_stats, got_eng = run_engine(props, clip, batch, True,
+                                             splits)
+    np.testing.assert_array_equal(got_out, exp_out)
+    np.testing.assert_allclose(got_stats, exp_stats, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(got_eng._heatmap),
+                               np.asarray(exp_eng._heatmap), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(got_eng._baseline),
+                               np.asarray(exp_eng._baseline))
+
+
+CASES = [
+    DiPsProperties(method=DiPsMethod.OVERALL, output=OutputMode.COLORIZE,
+                   filter=DiPsFilter.UNFILTERED, window_size=3,
+                   temporal_size=2),
+    DiPsProperties(method=DiPsMethod.PER_FRAME, output=OutputMode.GRAYSCALE,
+                   filter=DiPsFilter.SIGMOID, window_size=5,
+                   temporal_size=3, chroma=ChromaFilter.RED),
+    DiPsProperties(method=DiPsMethod.OVERALL, output=OutputMode.COLORIZE,
+                   filter=DiPsFilter.UNFILTERED, window_size=1,
+                   temporal_size=4, refresh_markers=(5,)),
+    DiPsProperties(method=DiPsMethod.OVERALL, output=OutputMode.ABSDIFF,
+                   temporal_size=2, refresh_markers=(6,)),
+    DiPsProperties(method=DiPsMethod.PER_FRAME, output=OutputMode.ABSDIFF,
+                   temporal_size=4),
+    DiPsProperties(method=DiPsMethod.PER_FRAME, output=OutputMode.THRESHOLD,
+                   temporal_size=3, change_threshold=20),
+]
+
+
+@pytest.mark.parametrize("props", CASES)
+@pytest.mark.parametrize("batch", [4, 13])
+def test_ring_matches_tail(props, batch, clip):
+    clip13 = make_clip(n=13, h=H, w=W)
+    assert_equal_runs(props, clip13, batch)
+
+
+def test_partial_batches_do_not_pollute_state():
+    """Uneven sub-batches force padding replicas every dispatch; ring-carry
+    gates its state writes on the valid flags, so results must still match
+    the tail engine fed the same splits."""
+    clip = make_clip(n=11, h=H, w=W)
+    for props in (CASES[0], CASES[1], CASES[4]):
+        assert_equal_runs(props, clip, 4, splits=(1, 3, 2, 4, 1))
+
+
+def test_coprime_temporal_and_batch():
+    """T=9 with B=8: the tail kernel is forced to fpb=1; ring mode runs
+    8-frame steps.  Both must agree."""
+    props = DiPsProperties(method=DiPsMethod.OVERALL, window_size=3,
+                           temporal_size=9)
+    clip = make_clip(n=16, h=H, w=W)
+    assert_equal_runs(props, clip, 8)
+
+
+def test_ring_buffer_layout():
+    props = CASES[0]
+    ring_eng = DiPsEngine(props, H, W, batch=4, backend="pallas",
+                          ring_carry=True)
+    tail_eng = DiPsEngine(props, H, W, batch=4, backend="pallas",
+                          ring_carry=False)
+    assert ring_eng.tail_rows == 0
+    assert tail_eng.tail_rows == props.temporal_size
+    assert ring_eng.new_batch_buffer().shape[0] == 4
+    assert tail_eng.new_batch_buffer().shape[0] == 4 + props.temporal_size
+
+
+def test_ring_carry_requires_pallas():
+    with pytest.raises(ValueError):
+        DiPsEngine(CASES[0], H, W, backend="xla", ring_carry=True)
+    # auto: xla backend resolves ring_carry off
+    eng = DiPsEngine(CASES[0], H, W, backend="xla")
+    assert not eng.ring_carry
+
+
+@pytest.mark.parametrize("props", [CASES[1], CASES[2], CASES[4]])
+def test_checkpoint_roundtrip_across_modes(props, tmp_path):
+    """Save mid-stream from a tail engine, resume in a ring engine (and the
+    reverse); the continuation must equal an uninterrupted run."""
+    clip = make_clip(n=12, h=H, w=W)
+    ref_out, ref_stats, _ = run_engine(props, clip, 4, True)
+
+    for save_ring, load_ring in ((False, True), (True, False), (True, True)):
+        src = DiPsEngine(props, H, W, batch=4, backend="pallas",
+                         ring_carry=save_ring)
+        src.process_frames(list(clip[:8]))
+        path = str(tmp_path / f"ck_{save_ring}_{load_ring}.npz")
+        src.save(path)
+
+        dst = DiPsEngine(props, H, W, batch=4, backend="pallas",
+                         ring_carry=load_ring)
+        dst.load(path)
+        out2, stats2 = dst.process_frames(list(clip[8:]))
+        np.testing.assert_array_equal(out2, ref_out[8:])
+        np.testing.assert_allclose(stats2, ref_stats[8:], atol=1e-5)
+
+
+def test_snapshot_in_ring_mode():
+    """The forced SnapShot re-capture works identically in ring mode."""
+    props = CASES[0]
+    clip = make_clip(n=8, h=H, w=W)
+    outs = {}
+    for ring in (False, True):
+        eng = DiPsEngine(props, H, W, batch=4, backend="pallas",
+                         ring_carry=ring)
+        eng.process_frames(list(clip[:4]))
+        eng.snapshot()
+        out, _ = eng.process_frames(list(clip[4:]))
+        outs[ring] = out
+    np.testing.assert_array_equal(outs[True], outs[False])
+    # the forced capture renders frame 4 as gray (baseline re-capture)
+    assert np.array_equal(outs[True][0, ..., 0], outs[True][0, ..., 1])
+
+
+def test_reset_clears_ring_state():
+    props = CASES[1]
+    clip = make_clip(n=6, h=H, w=W)
+    eng = DiPsEngine(props, H, W, batch=3, backend="pallas", ring_carry=True)
+    first, first_stats = eng.process_frames(list(clip))
+    eng.reset()
+    again, again_stats = eng.process_frames(list(clip))
+    np.testing.assert_array_equal(first, again)
+    np.testing.assert_allclose(first_stats, again_stats)
