@@ -49,8 +49,11 @@ def bench_cpu_absdiff(frames, baseline, trials=3, seconds=1.5):
     return best
 
 
-def bench_device(props, h, w, batch, iters=(10, 60)):
-    """Sustained chip rate of one pipeline config (see module docstring)."""
+def bench_device(props, h, w, batch, iters=(10, 60), ring=False):
+    """Sustained chip rate of one pipeline config (see module docstring).
+    ``ring`` benches the ring-carry protocol (the streaming engine's
+    default on TPU): the filtered ring / previous frame carried as device
+    state, input = B new frames only."""
     import jax
     import jax.numpy as jnp
     from jax import lax
@@ -62,7 +65,9 @@ def bench_device(props, h, w, batch, iters=(10, 60)):
     hp, wp = pad_geometry(h, w)
     t = props.temporal_size
     rng = np.random.default_rng(0)
-    raw = jnp.asarray(rng.integers(0, 256, (t + batch, 3, hp, wp), np.uint8))
+    tail = 0 if ring else t
+    raw = jnp.asarray(
+        rng.integers(0, 256, (tail + batch, 3, hp, wp), np.uint8))
     if raw_mode:
         baseline = jnp.zeros((3, hp, wp), jnp.uint8)
     else:
@@ -71,27 +76,63 @@ def bench_device(props, h, w, batch, iters=(10, 60)):
     flags = jnp.zeros((batch,), bool).at[0].set(True)
     valid = jnp.ones((batch,), bool)
     if jax.default_backend() == "cpu":
+        if ring:
+            raise SystemExit("--ring requires the TPU (Pallas) backend")
         mod = reference  # the Pallas interpreter would be unfair on CPU
     else:
         mod = pallas_fused
-    step = (mod.absdiff_step if raw_mode else mod.batch_step).__wrapped__
+    if ring:
+        off = jnp.int32(0)
+        seed = jnp.int32(0)
+        if raw_mode:
+            rstep = pallas_fused.absdiff_step_ring.__wrapped__
+            prev0 = jnp.zeros((3, hp, wp), jnp.uint8)
+
+            def step(raw, state, flags):
+                prev, bl, hm = state
+                out, stats, prev, bl, hm = rstep(
+                    props, h, w, raw, prev, bl, flags, hm, valid, seed)
+                return out, stats, (prev, bl, hm)
+            state0 = (prev0, baseline, heatmap)
+        else:
+            rstep = pallas_fused.batch_step_ring.__wrapped__
+            ring0 = jnp.zeros((t, hp, wp), jnp.float32)
+            prev0 = jnp.zeros((hp, wp), jnp.float32)
+
+            def step(raw, state, flags):
+                rg, prev, bl, hm = state
+                out, stats, rg, prev, bl, hm = rstep(
+                    props, h, w, raw, rg, prev, bl, flags, hm, valid, off,
+                    seed)
+                return out, stats, (rg, prev, bl, hm)
+            state0 = (ring0, prev0, baseline, heatmap)
+    else:
+        tstep = (mod.absdiff_step if raw_mode else mod.batch_step).__wrapped__
+
+        def step(raw, state, flags):
+            bl, hm = state
+            out, stats, bl, hm = tstep(props, h, w, raw, bl, flags, hm,
+                                       valid)
+            return out, stats, (bl, hm)
+        state0 = (baseline, heatmap)
 
     @jax.jit
-    def loop(n, raw, baseline, flags, heatmap):
+    def loop(n, raw, state, flags):
         def body(_, carry):
-            bl, hm, acc = carry
-            out, stats, bl, hm = step(props, h, w, raw, bl, flags, hm, valid)
+            state, acc = carry
+            out, stats, state = step(raw, state, flags)
             # consume outputs so nothing is dead-code-eliminated
-            return bl, hm, acc + stats.sum() + out[0, 0, 0, 0].astype(jnp.float32)
-        return lax.fori_loop(0, n, body, (baseline, heatmap, jnp.float32(0)))
+            return state, acc + stats.sum() + out[0, 0, 0, 0].astype(
+                jnp.float32)
+        return lax.fori_loop(0, n, body, (state, jnp.float32(0)))
 
     t0 = time.time()
-    float(loop(2, raw, baseline, flags, heatmap)[2])
+    float(loop(2, raw, state0, flags)[1])
     log(f"  compile+warmup: {time.time() - t0:.1f}s")
     times = []
     for n in iters:
         t0 = time.time()
-        float(loop(n, raw, baseline, flags, heatmap)[2])
+        float(loop(n, raw, state0, flags)[1])
         times.append(time.time() - t0)
     n1, n2 = iters
     per_step = (times[1] - times[0]) / (n2 - n1)  # two-point fit
@@ -260,6 +301,12 @@ def main():
     ap.add_argument("--temporal", type=int, default=4)
     ap.add_argument("--approx-median", action="store_true",
                     help="bench the separable approximate spatial median")
+    ap.add_argument("--ring", action=argparse.BooleanOptionalAction,
+                    default=None,
+                    help="bench the ring-carry kernels (device-carried "
+                         "temporal ring, B-frame input).  Default: on for "
+                         "TPU — it is the engine's production protocol "
+                         "there — off on CPU (no Pallas)")
     ap.add_argument("--full-pipeline-headline", action="store_true",
                     help="report the median/colorize pipeline as the "
                          "headline instead of the absdiff parity mode")
@@ -321,6 +368,8 @@ def main():
 
     import jax
     log(f"backend: {jax.default_backend()}, devices: {jax.devices()}")
+    if args.ring is None:
+        args.ring = jax.default_backend() != "cpu"
 
     raw_props = DiPsProperties(output=OutputMode.ABSDIFF, method=method,
                                temporal_size=args.temporal)
@@ -328,9 +377,9 @@ def main():
                                 temporal_size=args.temporal,
                                 approx_median=args.approx_median)
     log("ABSDIFF parity mode (bit-exact vs cv2.absdiff):")
-    absdiff_fps = bench_device(raw_props, h, w, args.batch)
+    absdiff_fps = bench_device(raw_props, h, w, args.batch, ring=args.ring)
     log("full fused pipeline (median/sigmoid/colorize/stats/heatmap):")
-    full_fps = bench_device(full_props, h, w, args.batch)
+    full_fps = bench_device(full_props, h, w, args.batch, ring=args.ring)
 
     if args.full_pipeline_headline:
         value, metric = full_fps, f"{h}p_{name}_full_pipeline_fps_per_chip"

@@ -51,11 +51,14 @@ def run(n_devices: int) -> None:
     feeds = [[rng.integers(0, 256, (h, w, 3), np.uint8) for _ in range(2)]
              for _ in range(s)]
 
-    # 1. stream-axis data parallelism, XLA twin and fused Pallas kernel
+    # 1. stream-axis data parallelism: XLA twin + fused Pallas kernel in
+    # both step protocols (ring-carry = the TPU streaming default, tail =
+    # the sharded-path protocol)
     mesh = stream_mesh(n_devices)
-    for backend in ("xla", "pallas"):
+    for backend, ring in (("xla", None), ("pallas", False),
+                          ("pallas", True)):
         eng = MultiStreamEngine(props, h, w, n_streams=s, batch=2,
-                                mesh=mesh, backend=backend)
+                                mesh=mesh, backend=backend, ring_carry=ring)
         out, stats, gmean = eng.process_batch(feeds)
         assert out.shape == (s, 2, h, w, 3), (backend, out.shape)
         assert np.isfinite(stats).all() and np.isfinite(gmean), backend

@@ -61,13 +61,7 @@ def make_sharded_step(props: DiPsProperties, h: int, w: int, mesh: Mesh,
     if backend == "auto":
         backend = "pallas" if jax.default_backend() == "tpu" else "xla"
 
-    def _gmean(stats, valid):
-        # global mean over VALID slots only: padding-replicated frames and
-        # dead/failed streams (valid=False) must not pollute the aggregate
-        vw = valid.astype(jnp.float32)
-        total = jax.lax.psum(jnp.sum(stats[..., 1] * vw), axis_name="stream")
-        count = jax.lax.psum(jnp.sum(vw), axis_name="stream")
-        return total / jnp.maximum(count, 1.0)
+    _gmean = _gmean_impl
 
     if backend == "pallas":
         # stacked-stream mode: the shard's local streams fold along the row
@@ -121,6 +115,90 @@ def make_sharded_step(props: DiPsProperties, h: int, w: int, mesh: Mesh,
     return jax.jit(sharded, donate_argnums=(1, 3))
 
 
+def _gmean_impl(stats, valid):
+    """Global mean |diff| over VALID slots only (psum over ICI): padding
+    replicas and dead streams must not pollute the aggregate."""
+    vw = valid.astype(jnp.float32)
+    total = jax.lax.psum(jnp.sum(stats[..., 1] * vw), axis_name="stream")
+    count = jax.lax.psum(jnp.sum(vw), axis_name="stream")
+    return total / jnp.maximum(count, 1.0)
+
+
+def make_sharded_ring_step(props: DiPsProperties, h: int, w: int,
+                           mesh: Mesh):
+    """Ring-carry twin of :func:`make_sharded_step` (Pallas only).
+
+    Carried state (filtered ring / previous frame, baseline, heatmap) lives
+    on device per stream; the input is only the B new frames per stream.
+    Each shard folds its local streams along the row axis of ONE stacked
+    ring kernel instance with per-stream cursors/seeds.
+
+    Median modes map
+      raw (S, B, 3, Hp, Wp) u8, ring (S, T, Hp, Wp) f32, prev (S, Hp, Wp),
+      baseline (S, Hp, Wp), flags/valid (S, B), offsets/seeds (S,)
+    -> (out, stats, new ring, new prev, new baseline, new heatmap, gmean);
+    raw modes carry prev as (S, 3, Hp, Wp) u8 and have no ring/offsets.
+    """
+    raw_mode = props.output in _RAW_MODES
+
+    if raw_mode:
+        from ..ops import pallas_fused
+
+        def per_shard(raw, prev, baseline, flags, heatmap, valid, seeds):
+            s_l, b = raw.shape[0], raw.shape[1]
+            hp, wp = raw.shape[-2], raw.shape[-1]
+            raw_st = raw.transpose(1, 2, 0, 3, 4).reshape(b, 3, s_l * hp, wp)
+            pv_st = prev.transpose(1, 0, 2, 3).reshape(3, s_l * hp, wp)
+            bl_st = baseline.transpose(1, 0, 2, 3).reshape(3, s_l * hp, wp)
+            hm_st = heatmap.reshape(s_l * hp, wp)
+            out, stats, npv, nb, nh = pallas_fused._absdiff_step_impl(
+                props, h, w, s_l, raw_st, bl_st, flags, hm_st, valid,
+                prev=pv_st, seeds=seeds, ring=True)
+            c = out.shape[1]
+            out = out.reshape(b, c, s_l, hp, wp).transpose(2, 0, 1, 3, 4)
+            npv = npv.reshape(3, s_l, hp, wp).transpose(1, 0, 2, 3)
+            nb = nb.reshape(3, s_l, hp, wp).transpose(1, 0, 2, 3)
+            nh = nh.reshape(s_l, hp, wp)
+            return out, stats, npv, nb, nh, _gmean_impl(stats, valid)
+
+        sharded = jax.shard_map(
+            per_shard, mesh=mesh,
+            in_specs=(P("stream"),) * 7,
+            out_specs=(P("stream"),) * 5 + (P(),),
+            check_vma=False)
+        return jax.jit(sharded, donate_argnums=(1, 2, 4))
+
+    from ..ops import pallas_fused
+
+    def per_shard(raw, ring, prev, baseline, flags, heatmap, valid,
+                  offsets, seeds):
+        s_l, b = raw.shape[0], raw.shape[1]
+        t = ring.shape[1]
+        hp, wp = raw.shape[-2], raw.shape[-1]
+        raw_st = raw.transpose(1, 2, 0, 3, 4).reshape(b, 3, s_l * hp, wp)
+        ring_st = ring.transpose(1, 0, 2, 3).reshape(t, s_l * hp, wp)
+        pv_st = prev.reshape(s_l * hp, wp)
+        bl_st = baseline.reshape(s_l * hp, wp)
+        hm_st = heatmap.reshape(s_l * hp, wp)
+        out, stats, nr, npv, nb, nh = pallas_fused._batch_step_ring_impl(
+            props, h, w, s_l, raw_st, ring_st, pv_st, bl_st, flags, hm_st,
+            valid, offsets, seeds)
+        c = out.shape[1]
+        out = out.reshape(b, c, s_l, hp, wp).transpose(2, 0, 1, 3, 4)
+        nr = nr.reshape(t, s_l, hp, wp).transpose(1, 0, 2, 3)
+        npv = npv.reshape(s_l, hp, wp)
+        nb = nb.reshape(s_l, hp, wp)
+        nh = nh.reshape(s_l, hp, wp)
+        return out, stats, nr, npv, nb, nh, _gmean_impl(stats, valid)
+
+    sharded = jax.shard_map(
+        per_shard, mesh=mesh,
+        in_specs=(P("stream"),) * 9,
+        out_specs=(P("stream"),) * 6 + (P(),),
+        check_vma=False)
+    return jax.jit(sharded, donate_argnums=(1, 2, 3, 5))
+
+
 class MultiStreamEngine:
     """Batch runner over S parallel streams with per-stream failure isolation.
 
@@ -132,7 +210,8 @@ class MultiStreamEngine:
 
     def __init__(self, props: DiPsProperties, height: int, width: int,
                  n_streams: int, batch: int = 8,
-                 mesh: Optional[Mesh] = None, backend: str = "auto"):
+                 mesh: Optional[Mesh] = None, backend: str = "auto",
+                 ring_carry: Optional[bool] = None):
         self.props = props
         self._raw_mode = props.output in _RAW_MODES
         self.height, self.width = int(height), int(width)
@@ -149,6 +228,10 @@ class MultiStreamEngine:
                     "backend='pallas' is not available on a 2-D "
                     "(stream x rows) mesh; use backend='auto'/'xla' or a "
                     "1-D stream mesh")
+            if ring_carry:
+                raise ValueError(
+                    "ring_carry is not available on a 2-D (stream x rows) "
+                    "mesh (XLA body)")
             from .grid2d import make_grid_step
             n_shard = self.mesh.shape["stream"]
             rows_ax = self.mesh.shape["rows"]
@@ -157,14 +240,28 @@ class MultiStreamEngine:
                     f"rows axis {rows_ax} must divide the padded height "
                     f"{self.hp}")
             self._step = make_grid_step(props, height, width, self.mesh)
+            resolved = "xla"
         else:
             n_shard = self.mesh.devices.size
-            self._step = make_sharded_step(props, height, width, self.mesh,
-                                           backend)
+            resolved = backend
+            if resolved == "auto":
+                resolved = ("pallas" if jax.default_backend() == "tpu"
+                            else "xla")
+            if ring_carry is None:
+                ring_carry = resolved == "pallas"
+            if ring_carry and resolved != "pallas":
+                raise ValueError("ring_carry requires the pallas backend")
+            if ring_carry:
+                self._step = make_sharded_ring_step(props, height, width,
+                                                    self.mesh)
+            else:
+                self._step = make_sharded_step(props, height, width,
+                                               self.mesh, backend)
         if n_streams % n_shard:
             raise ValueError(
                 f"n_streams={n_streams} must be a multiple of the stream "
                 f"axis size {n_shard}")
+        self.ring_carry = bool(ring_carry) and resolved == "pallas"
         self.n_streams = int(n_streams)
         self.reset()
 
@@ -179,6 +276,19 @@ class MultiStreamEngine:
                                        jnp.float32)
         self._heatmap = jnp.zeros((self.n_streams, self.hp, self.wp),
                                   jnp.float32)
+        self._ring = self._prev = None
+        self._ring_offs = [0] * self.n_streams
+        self._ring_seeded = [False] * self.n_streams
+        if self.ring_carry:
+            t = self.props.temporal_size
+            if self._raw_mode:
+                self._prev = jnp.zeros(
+                    (self.n_streams, 3, self.hp, self.wp), jnp.uint8)
+            else:
+                self._ring = jnp.zeros(
+                    (self.n_streams, t, self.hp, self.wp), jnp.float32)
+                self._prev = jnp.zeros((self.n_streams, self.hp, self.wp),
+                                       jnp.float32)
         self.failed: dict[int, StreamError] = {}
 
     @property
@@ -202,6 +312,12 @@ class MultiStreamEngine:
         self._tails[stream] = None
         self._baseline = self._baseline.at[stream].set(0)
         self._heatmap = self._heatmap.at[stream].set(0)
+        self._ring_offs[stream] = 0
+        self._ring_seeded[stream] = False
+        if self._ring is not None:
+            self._ring = self._ring.at[stream].set(0)
+        if self._prev is not None:
+            self._prev = self._prev.at[stream].set(0)
 
     def heatmaps(self) -> np.ndarray:
         """(S, H, W) accumulated |diff| heatmaps, cropped."""
@@ -237,6 +353,43 @@ class MultiStreamEngine:
             int(si): StreamError(int(si),
                                  RuntimeError("restored from checkpoint"))
             for si in state.get("failed", ())}
+        if self.ring_carry:
+            self._rebuild_ring_state()
+
+    def _rebuild_ring_state(self) -> None:
+        """Reconstruct carried device ring/prev state from the raw tails
+        (checkpoints store tails, so they stay portable across modes and
+        backends; mirrors DiPsEngine._rebuild_ring_state).  Streams without
+        a tail keep zero state and re-seed on their first real frame."""
+        t = self.props.temporal_size
+        s = self.n_streams
+        self._ring_offs = [0] * s
+        if self._raw_mode:
+            self._prev = jnp.zeros((s, 3, self.hp, self.wp), jnp.uint8)
+        else:
+            self._ring = jnp.zeros((s, t, self.hp, self.wp), jnp.float32)
+            self._prev = jnp.zeros((s, self.hp, self.wp), jnp.float32)
+        has = [tl is not None for tl in self._tails]
+        self._ring_seeded = list(has)
+        if not any(has):
+            return
+        buf = np.zeros((s, t, 3, self.hp, self.wp), np.uint8)
+        for si, tl in enumerate(self._tails):
+            if tl is not None:
+                buf[si] = np.stack(tl)
+        flags = jnp.zeros((s, t), bool)
+        valid = jnp.asarray(np.tile(np.asarray(has)[:, None], (1, t)))
+        seeds = jnp.asarray(np.asarray(has, np.int32))
+        scratch_hm = jnp.zeros((s, self.hp, self.wp), jnp.float32)
+        if self._raw_mode:
+            _, _, self._prev, self._baseline, _, _ = self._step(
+                jnp.asarray(buf), self._prev, self._baseline, flags,
+                scratch_hm, valid, seeds)
+        else:
+            offsets = jnp.zeros((s,), jnp.int32)
+            _, _, self._ring, self._prev, self._baseline, _, _ = self._step(
+                jnp.asarray(buf), self._ring, self._prev, self._baseline,
+                flags, scratch_hm, valid, offsets, seeds)
 
     def save(self, path: str) -> None:
         s = self.state_dict()
@@ -290,10 +443,13 @@ class MultiStreamEngine:
         if n > self.batch:
             raise ValueError(f"{n} frames > batch {self.batch}")
         t, b = self.props.temporal_size, self.batch
+        tr = 0 if self.ring_carry else t
 
-        buf = np.zeros((s, t + b, 3, self.hp, self.wp), np.uint8)
+        buf = np.zeros((s, tr + b, 3, self.hp, self.wp), np.uint8)
         flags = np.zeros((s, b), np.bool_)
         valid = np.zeros((s, b), np.bool_)
+        offsets = np.asarray(self._ring_offs, np.int32)
+        seeds = np.zeros((s,), np.int32)
         for si, frames in enumerate(frames_per_stream):
             if si in self.failed:
                 continue  # dead stream: don't planarize work we discard
@@ -305,9 +461,11 @@ class MultiStreamEngine:
             if planar:
                 if self._tails[si] is None:
                     self._tails[si] = [planar[0]] * t
-                buf[si, :t] = np.stack(self._tails[si])
+                    seeds[si] = 1
+                if tr:
+                    buf[si, :t] = np.stack(self._tails[si])
                 for i in range(b):
-                    buf[si, t + i] = planar[min(i, len(planar) - 1)]
+                    buf[si, tr + i] = planar[min(i, len(planar) - 1)]
                 valid[si, :len(planar)] = True
                 # markers fire on each stream's OWN cursor, so staggered
                 # starts and stalled streams stay correct
@@ -317,10 +475,28 @@ class MultiStreamEngine:
                                     (cursor + i) in self.props.refresh_markers)
                 self._tails[si] = (self._tails[si] + planar)[-t:]
                 self.frame_cursors[si] = cursor + len(planar)
+                self._ring_offs[si] = (self._ring_offs[si]
+                                       + len(planar)) % t
+                self._ring_seeded[si] = True
 
-        out, stats, self._baseline, self._heatmap, gmean = self._step(
-            jnp.asarray(buf), self._baseline, jnp.asarray(flags),
-            self._heatmap, jnp.asarray(valid))
+        if self.ring_carry:
+            if self._raw_mode:
+                (out, stats, self._prev, self._baseline, self._heatmap,
+                 gmean) = self._step(
+                    jnp.asarray(buf), self._prev, self._baseline,
+                    jnp.asarray(flags), self._heatmap, jnp.asarray(valid),
+                    jnp.asarray(seeds))
+            else:
+                (out, stats, self._ring, self._prev, self._baseline,
+                 self._heatmap, gmean) = self._step(
+                    jnp.asarray(buf), self._ring, self._prev,
+                    self._baseline, jnp.asarray(flags), self._heatmap,
+                    jnp.asarray(valid), jnp.asarray(offsets),
+                    jnp.asarray(seeds))
+        else:
+            out, stats, self._baseline, self._heatmap, gmean = self._step(
+                jnp.asarray(buf), self._baseline, jnp.asarray(flags),
+                self._heatmap, jnp.asarray(valid))
 
         out = np.asarray(out[:, :n, :, :self.height, :self.width])
         out = np.moveaxis(out, 2, -1)

@@ -123,14 +123,24 @@ def run(backend: str = "pallas", quick: bool = False,
     if verbose:
         print(f"backend: {jax.default_backend()}, devices: {jax.devices()}")
     cases = CASES[:3] if quick else CASES
+    # pallas ships two step protocols: ring-carry (the streaming default on
+    # TPU) and the tail protocol (sharded paths) — the gate covers both
+    modes = ((True, False) if backend == "pallas" and not quick
+             else (None,))
     for name, props, exact in cases:
+      for ring in modes:
         t0 = time.time()
+        if ring is not None:
+            name_m = f"{name} [{'ring' if ring else 'tail'}]"
+        else:
+            name_m = name
         try:
             o = DiPsOracle(props)
             exp_out, exp_stats = o.run(frames)
             if exp_out.ndim == 3:
                 exp_out = exp_out[..., None]
-            eng = DiPsEngine(props, h, w, batch=4, backend=backend)
+            eng = DiPsEngine(props, h, w, batch=4, backend=backend,
+                             ring_carry=ring)
             got_out, got_stats = eng.process_frames(list(frames))
             diff = np.abs(got_out.astype(np.int16) - exp_out.astype(np.int16))
             raw = props.output in (OutputMode.ABSDIFF, OutputMode.THRESHOLD)
@@ -153,11 +163,11 @@ def run(backend: str = "pallas", quick: bool = False,
             assert cnt_err <= cnt_tol, f"changed_count off by {cnt_err}"
             np.testing.assert_allclose(eng.heatmap(), o.heatmap, atol=1e-3)
             if verbose:
-                print(f"  PASS {name:<40s} ({time.time() - t0:.1f}s)")
+                print(f"  PASS {name_m:<40s} ({time.time() - t0:.1f}s)")
         except Exception as e:
             failures += 1
             if verbose:
-                print(f"  FAIL {name:<40s} {e}")
+                print(f"  FAIL {name_m:<40s} {e}")
     if backend == "pallas" and not quick:
         failures += _run_stacked(verbose)
     if verbose:

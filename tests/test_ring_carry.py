@@ -163,3 +163,113 @@ def test_reset_clears_ring_state():
     again, again_stats = eng.process_frames(list(clip))
     np.testing.assert_array_equal(first, again)
     np.testing.assert_allclose(first_stats, again_stats)
+
+
+# ---------------------------------------------------------------------------
+# MultiStreamEngine ring-carry (stacked ring kernels under shard_map)
+# ---------------------------------------------------------------------------
+
+def _ms_feeds(n_streams, n_frames, start=0):
+    clips = [make_clip(n=start + n_frames, h=H, w=W, seed=s)
+             for s in range(n_streams)]
+    return clips
+
+
+@pytest.mark.parametrize("props", [CASES[0], CASES[1], CASES[4]])
+def test_multistream_ring_matches_xla(props):
+    from dips_tpu.parallel import MultiStreamEngine
+    clips = _ms_feeds(8, 6)
+    res = {}
+    for ring in (False, True):
+        ms = MultiStreamEngine(props, H, W, n_streams=8, batch=3,
+                               backend="pallas", ring_carry=ring)
+        assert ms.ring_carry == ring
+        outs, stats = [], []
+        for i in range(0, 6, 3):
+            o, st, g = ms.process_batch(
+                [[c[i + k] for k in range(3)] for c in clips])
+            outs.append(o)
+            stats.append(st)
+        res[ring] = (np.concatenate(outs, axis=1),
+                     np.concatenate(stats, axis=1), ms.heatmaps())
+    np.testing.assert_array_equal(res[True][0], res[False][0])
+    np.testing.assert_allclose(res[True][1], res[False][1], atol=1e-5)
+    np.testing.assert_allclose(res[True][2], res[False][2], atol=1e-4)
+
+
+def test_multistream_ring_staggered_and_recovery():
+    """Staggered starts (a stream joins late), a mid-run bad frame
+    (isolation), reset_stream restart — ring state must track each stream's
+    own cursor and never leak across streams."""
+    from dips_tpu.parallel import MultiStreamEngine
+    props = CASES[0]
+    clips = _ms_feeds(8, 9)
+
+    def drive(ring):
+        ms = MultiStreamEngine(props, H, W, n_streams=8, batch=3,
+                               backend="pallas", ring_carry=ring)
+        recs = [[] for _ in range(8)]
+        # batch 1: stream 3 missing (late start), others feed 3 frames
+        feeds = [[c[k] for k in range(3)] for c in clips]
+        feeds[3] = []
+        o, st, _ = ms.process_batch(feeds)
+        for si in range(8):
+            if si != 3:
+                recs[si].append(o[si, :3])
+        # batch 2: stream 3 joins from ITS frame 0; stream 5 sends garbage
+        feeds = [[c[3 + k] for k in range(3)] for c in clips]
+        feeds[3] = [clips[3][k] for k in range(3)]
+        feeds[5] = [np.zeros((2, 2, 3), np.uint8)]
+        o, st, _ = ms.process_batch(feeds)
+        assert 5 in ms.failed
+        for si in range(8):
+            if si != 5:
+                recs[si].append(o[si, :3])
+        # batch 3: stream 5 restarted fresh
+        ms.reset_stream(5)
+        feeds = [[c[6 + k] for k in range(3)] for c in clips]
+        feeds[3] = [clips[3][3 + k] for k in range(3)]
+        feeds[5] = [clips[5][k] for k in range(3)]
+        o, st, _ = ms.process_batch(feeds)
+        for si in range(8):
+            recs[si].append(o[si, :3])
+        return [np.concatenate(r) for r in recs]
+
+    got = drive(True)
+    exp = drive(False)
+    for si in range(8):
+        np.testing.assert_array_equal(got[si], exp[si], err_msg=f"s{si}")
+
+    # cross-check stream 3 and restarted stream 5 against single-stream runs
+    for si, n in ((3, 6), (5, 3)):
+        single = DiPsEngine(props, H, W, batch=3, backend="pallas",
+                            ring_carry=True)
+        sout, _ = single.process_frames(list(clips[si][:n]))
+        np.testing.assert_array_equal(got[si][-n:], sout)
+
+
+def test_multistream_ring_checkpoint_roundtrip(tmp_path):
+    from dips_tpu.parallel import MultiStreamEngine
+    props = CASES[1]
+    clips = _ms_feeds(8, 6)
+
+    def feeds(i, n):
+        return [[c[i + k] for k in range(n)] for c in clips]
+
+    ref = MultiStreamEngine(props, H, W, n_streams=8, batch=3,
+                            backend="pallas", ring_carry=True)
+    ref.process_batch(feeds(0, 3))
+    ro, rs, _ = ref.process_batch(feeds(3, 3))
+
+    for save_ring, load_ring in ((True, False), (False, True), (True, True)):
+        src = MultiStreamEngine(props, H, W, n_streams=8, batch=3,
+                                backend="pallas", ring_carry=save_ring)
+        src.process_batch(feeds(0, 3))
+        path = str(tmp_path / f"ms_{save_ring}_{load_ring}.npz")
+        src.save(path)
+        dst = MultiStreamEngine(props, H, W, n_streams=8, batch=3,
+                                backend="pallas", ring_carry=load_ring)
+        dst.load(path)
+        o2, s2, _ = dst.process_batch(feeds(3, 3))
+        np.testing.assert_array_equal(o2, ro)
+        np.testing.assert_allclose(s2, rs, atol=1e-5)
