@@ -50,8 +50,10 @@ def test_fuzzed_config_parity(seed):
 
     raw = props.output in (OutputMode.ABSDIFF, OutputMode.THRESHOLD)
     exact = raw or props.filter == DiPsFilter.UNFILTERED
-    for backend in ("xla", "pallas"):
-        eng = DiPsEngine(props, h, w, batch=batch, backend=backend)
+    for backend, ring in (("xla", None), ("pallas", False),
+                          ("pallas", True)):
+        eng = DiPsEngine(props, h, w, batch=batch, backend=backend,
+                         ring_carry=ring)
         got_out, got_stats = eng.process_frames(list(frames))
         if raw:
             np.testing.assert_array_equal(got_out, exp_out, err_msg=str(props))
