@@ -33,6 +33,12 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
+def _timed(fn):
+    t0 = time.time()
+    fn()
+    return time.time() - t0
+
+
 def bench_cpu_absdiff(frames, baseline, trials=3, seconds=1.5):
     import cv2
     dst = np.empty_like(baseline)
@@ -129,13 +135,21 @@ def bench_device(props, h, w, batch, iters=(10, 60), ring=False):
     t0 = time.time()
     float(loop(2, raw, state0, flags)[1])
     log(f"  compile+warmup: {time.time() - t0:.1f}s")
-    times = []
-    for n in iters:
-        t0 = time.time()
-        float(loop(n, raw, state0, flags)[1])
-        times.append(time.time() - t0)
     n1, n2 = iters
-    per_step = (times[1] - times[0]) / (n2 - n1)  # two-point fit
+    per_step = -1.0
+    while per_step <= 0:
+        times = []
+        for n in (n1, n2):
+            # min of 3: the tunnel's dispatch-RPC noise is purely additive,
+            # and at tiny geometries it can exceed the loop delta, flipping
+            # a single-shot two-point fit negative
+            times.append(min(
+                _timed(lambda: float(loop(n, raw, state0, flags)[1]))
+                for _ in range(3)))
+        per_step = (times[1] - times[0]) / (n2 - n1)  # two-point fit
+        if per_step <= 0:
+            n1, n2 = n1 * 4, n2 * 4
+            log(f"  non-positive fit, escalating to iters=({n1}, {n2})")
     fps = batch / per_step
     log(f"  {per_step / batch * 1e3:.4f} ms/frame -> {fps:.0f} fps/chip")
     return fps
@@ -232,25 +246,31 @@ def bench_multistream(s, h, w, batch, temporal=4):
     props = DiPsProperties(output=OutputMode.ABSDIFF, temporal_size=t)
     rng = np.random.default_rng(0)
     raw = jnp.asarray(
-        rng.integers(0, 256, (s, t + batch, 3, hp, wp), np.uint8))
+        rng.integers(0, 256, (s, batch, 3, hp, wp), np.uint8))
     baseline = jnp.zeros((s, 3, hp, wp), jnp.uint8)
     heatmap = jnp.zeros((s, hp, wp), jnp.float32)
     flags = jnp.zeros((s, batch), bool).at[:, 0].set(True)
     valid = jnp.ones((s, batch), bool)
+    seeds = jnp.zeros((s,), jnp.int32)
     on_cpu = jax.default_backend() == "cpu"
 
     def step(raw, bl, hm):
         if on_cpu:  # portable twin (interpret would be unfair on CPU)
+            tail = jnp.concatenate([raw[:, :1]] * t, axis=1)
             out, stats, nb, nh = jax.vmap(
                 lambda r, b2, f, h2, v: reference.absdiff_step.__wrapped__(
-                    props, h, w, r, b2, f, h2, v))(raw, bl, flags, hm, valid)
+                    props, h, w, r, b2, f, h2, v))(
+                    jnp.concatenate([tail, raw], axis=1), bl, flags, hm,
+                    valid)
             return out, stats, nb, nh
-        tb = raw.shape[1]
-        raw_st = raw.transpose(1, 2, 0, 3, 4).reshape(tb, 3, s * hp, wp)
+        # ring protocol (the MultiStreamEngine production path): raw covers
+        # only the B new frames; OVERALL carries no prev state
+        b = raw.shape[1]
+        raw_st = raw.transpose(1, 2, 0, 3, 4).reshape(b, 3, s * hp, wp)
         bl_st = bl.transpose(1, 0, 2, 3).reshape(3, s * hp, wp)
-        out, stats, nb, nh = pallas_fused._absdiff_step_impl(
+        out, stats, _, nb, nh = pallas_fused._absdiff_step_impl(
             props, h, w, s, raw_st, bl_st, flags, hm.reshape(s * hp, wp),
-            valid)
+            valid, prev=bl_st, seeds=seeds, ring=True)
         return (out, stats, nb.reshape(3, s, hp, wp).transpose(1, 0, 2, 3),
                 nh.reshape(s, hp, wp))
 
@@ -267,12 +287,16 @@ def bench_multistream(s, h, w, batch, temporal=4):
     t0 = time.time()
     float(loop(2, raw, baseline, heatmap)[2])
     log(f"  compile+warmup: {time.time() - t0:.1f}s")
-    times = []
-    for n in (5, 25):
-        t0 = time.time()
-        float(loop(n, raw, baseline, heatmap)[2])
-        times.append(time.time() - t0)
-    per_step = (times[1] - times[0]) / 20
+    n1, n2 = 5, 25
+    per_step = -1.0
+    while per_step <= 0:
+        times = [min(_timed(lambda: float(loop(n, raw, baseline,
+                                               heatmap)[2]))
+                     for _ in range(3)) for n in (n1, n2)]
+        per_step = (times[1] - times[0]) / (n2 - n1)
+        if per_step <= 0:
+            n1, n2 = n1 * 4, n2 * 4
+            log(f"  non-positive fit, escalating to iters=({n1}, {n2})")
     agg = s * batch / per_step
     log(f"  {s} x {w}x{h} stacked: {agg:.0f} fps aggregate "
         f"({agg / s:.0f} fps/stream)")
