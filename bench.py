@@ -191,10 +191,13 @@ def bench_cpu_e2e(path):
     return n / dt if dt > 0 else 0.0
 
 
-def bench_e2e(h, w, n_frames, batch, decode_workers):
+def bench_e2e(h, w, n_frames, batch, decode_workers, mode="absdiff"):
     """Measured end-to-end decode-to-diff-map fps through the real streaming
-    pipeline (file decode -> planarize -> device absdiff parity kernel ->
-    host diff maps), with per-stage shares from StageTimers."""
+    pipeline (file decode -> planarize -> device parity kernel -> host diff
+    maps), with per-stage shares from StageTimers.  ``mode``:
+    "absdiff" (3-channel maps), "threshold" (1-channel masks) or
+    "threshold-packed" (masks bit-packed on device before D2H —
+    the transfer-efficient wire format, ops/wire.py)."""
     import tempfile
     import jax
     from dips_tpu.app import DiPsJob, stream_dips
@@ -210,12 +213,15 @@ def bench_e2e(h, w, n_frames, batch, decode_workers):
     log(f"  CPU e2e baseline (decode + cv2.absdiff): {cpu_fps:.0f} fps")
 
     backend = "xla" if jax.default_backend() == "cpu" else "pallas"
-    props = DiPsProperties(output=OutputMode.ABSDIFF, temporal_size=4)
+    out_mode = (OutputMode.ABSDIFF if mode == "absdiff"
+                else OutputMode.THRESHOLD)
+    props = DiPsProperties(output=out_mode, temporal_size=4)
 
     def run(profile):
         job = DiPsJob(properties=props, video_path=path, batch=batch,
                       backend=backend, video_backend="opencv",
-                      decode_workers=decode_workers, profile=profile)
+                      decode_workers=decode_workers, profile=profile,
+                      packed_wire=(mode == "threshold-packed"))
         t0 = time.time()
         n = sum(1 for _ in stream_dips(job))
         return n, time.time() - t0, job.timers
@@ -223,7 +229,7 @@ def bench_e2e(h, w, n_frames, batch, decode_workers):
     run(False)  # warm-up: compile + page the file into cache
     n, dt, timers = run(True)
     fps = n / dt
-    log(f"  e2e: {n} frames in {dt:.2f}s -> {fps:.0f} fps "
+    log(f"  e2e[{mode}]: {n} frames in {dt:.2f}s -> {fps:.0f} fps "
         f"({decode_workers} decode worker(s))")
     for name, row in timers.summary().items():
         log(f"    {name:<12} {row}")
@@ -339,6 +345,10 @@ def main():
                          "real clip (file decode included) instead of the "
                          "device-resident kernel rate")
     ap.add_argument("--e2e-frames", type=int, default=150)
+    ap.add_argument("--e2e-mode", default="absdiff",
+                    choices=["absdiff", "threshold", "threshold-packed"],
+                    help="e2e output mode; threshold-packed bit-packs the "
+                         "masks on device before D2H (8x less transfer)")
     ap.add_argument("--decode-workers", type=int, default=1)
     ap.add_argument("--streams", type=int, metavar="S",
                     help="bench the stacked multi-stream aggregate for S "
@@ -366,9 +376,12 @@ def main():
 
     if args.e2e:
         fps, cpu_fps = bench_e2e(args.height, args.width, args.e2e_frames,
-                                 args.batch, args.decode_workers)
+                                 args.batch, args.decode_workers,
+                                 mode=args.e2e_mode)
+        suffix = "" if args.e2e_mode == "absdiff" else f"_{args.e2e_mode}"
         print(json.dumps({
-            "metric": f"{args.height}p_e2e_decode_to_diffmap_fps",
+            "metric": (f"{args.height}p_e2e_decode_to_diffmap"
+                       f"{suffix.replace('-', '_')}_fps"),
             "value": round(fps, 1),
             "unit": "frames/s",
             "vs_baseline": round(fps / cpu_fps, 2) if cpu_fps else 0.0,

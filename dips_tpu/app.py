@@ -92,6 +92,9 @@ class DiPsJob:
     #: dev harness's serialized tunnel, overlapping transfers contend and
     #: MEASURABLY hurt (1080p e2e 2.1 -> 0.6 fps), so overlap is opt-in.
     pipeline_depth: int = 1
+    #: THRESHOLD only: bit-pack masks on the device before the D2H copy
+    #: (8x less device->host transfer; ops/wire.py).  Output is unchanged.
+    packed_wire: bool = False
 
     # builder parity ------------------------------------------------------
     def with_video_path(self, p: str) -> "DiPsJob":
@@ -201,7 +204,8 @@ def stream_dips(job: DiPsJob) -> Iterator[Tuple[int, np.ndarray, np.ndarray,
     from .io.gstreamer import open_video
     reader = open_video(job.video_path, job.video_backend)
     engine = DiPsEngine(job.properties, reader.height, reader.width,
-                        batch=job.batch, backend=job.backend)
+                        batch=job.batch, backend=job.backend,
+                        packed_wire=job.packed_wire)
     hp, wp = engine.hp, engine.wp
     timers = StageTimers() if job.profile else None
     job.timers = timers

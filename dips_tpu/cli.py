@@ -91,6 +91,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="2 = keep one device batch in flight (overlap "
                         "transfers with compute; helps on PCIe hosts, "
                         "hurts on serialized links)")
+    p.add_argument("--packed-wire", action="store_true",
+                   help="THRESHOLD output only: bit-pack masks on the "
+                        "device before download (8x less D2H transfer)")
     p.add_argument("--stats-json", metavar="PATH",
                    help="write per-frame statistics to a JSON file")
     p.add_argument("--profile", action="store_true",
@@ -256,6 +259,7 @@ def main(argv: Optional[List[str]] = None) -> int:
                       retime_vfr=args.retime_vfr,
                       decode_workers=args.decode_workers,
                       pipeline_depth=args.pipeline_depth,
+                      packed_wire=args.packed_wire,
                       profile=args.profile, denoise_radius=args.denoise)
         from .utils.profiling import trace
         with trace(args.trace_dir):

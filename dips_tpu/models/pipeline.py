@@ -60,12 +60,16 @@ class DiPsEngine:
         plane) as device state instead of re-uploading/re-filtering a
         T-frame raw tail every batch (see module docstring).  Default None
         = auto: on for the Pallas backend, off for XLA.
+      packed_wire: THRESHOLD mode only — bit-pack the binary masks on the
+        device before the D2H copy (8x less transfer; see ops/wire.py) and
+        unpack on the host, so the public output is unchanged.
     """
 
     def __init__(self, props: DiPsProperties, height: int, width: int,
                  batch: int = 8, backend: str = "auto",
                  device: Optional[jax.Device] = None,
-                 ring_carry: Optional[bool] = None):
+                 ring_carry: Optional[bool] = None,
+                 packed_wire: bool = False):
         if height <= 0 or width <= 0:
             raise ValueError(f"bad geometry {height}x{width}")
         if batch < 1:
@@ -83,6 +87,9 @@ class DiPsEngine:
         if ring_carry and self.backend != "pallas":
             raise ValueError("ring_carry requires the pallas backend")
         self.ring_carry = bool(ring_carry)
+        if packed_wire and props.output != OutputMode.THRESHOLD:
+            raise ValueError("packed_wire requires THRESHOLD output")
+        self.packed_wire = bool(packed_wire)
         #: optional StageTimers: when set, dispatch/collect split their
         #: time into h2d (host->device upload), dispatch (async kernel
         #: launch) and d2h (device sync + download + interleave) stages.
@@ -259,6 +266,9 @@ class DiPsEngine:
                     self.props, self.height, self.width,
                     raw_dev, self._baseline, jnp.asarray(flags),
                     self._heatmap, jnp.asarray(valid))
+            if self.packed_wire:
+                from ..ops import wire
+                out = wire.pack_mask(out)
         self.frame_index += n
         return out, stats, n
 
@@ -267,6 +277,9 @@ class DiPsEngine:
         out, stats, n = handle
         with self._stage("d2h"):
             out_np = np.asarray(out[:n])
+            if self.packed_wire:
+                from ..ops import wire
+                out_np = wire.unpack_mask(out_np)
             if self.props.out_channels == 3:
                 hwc = np.empty((n, self.height, self.width, 3), np.uint8)
                 for i in range(n):

@@ -87,15 +87,30 @@ def _recv(sock: socket.socket) -> Optional[Tuple[dict, bytes]]:
     return header, payload
 
 
+def _encode_maps(outs: np.ndarray, header: dict, eng) -> Tuple[bytes, bool]:
+    """Encode diff maps for the TCP payload.  When the client asks for
+    ``"packed": true`` and the engine emits THRESHOLD masks, bit-pack along
+    the row axis (8x fewer payload bytes; ops/wire.py bit order) — the
+    response header's ``shape`` stays the *unpacked* shape so the client
+    can crop after unpacking."""
+    from .properties import OutputMode
+    if header.get("packed") and eng.props.output == OutputMode.THRESHOLD:
+        from .ops.wire import pack_mask_host
+        return pack_mask_host(outs[..., 0]).tobytes(), True
+    return outs.tobytes(), False
+
+
 class DiPsServer:
     """Serves up to ``max_sessions`` concurrent clients on a TCP port, each
     with its own engine (private streaming state on the shared chip)."""
 
     def __init__(self, props: DiPsProperties, height: int, width: int,
                  port: int = 0, host: str = "127.0.0.1", batch: int = 1,
-                 backend: str = "auto", max_sessions: int = 1):
+                 backend: str = "auto", max_sessions: int = 1,
+                 packed_wire: bool = False):
         self._mk_engine = lambda: DiPsEngine(props, height, width,
-                                             batch=batch, backend=backend)
+                                             batch=batch, backend=backend,
+                                             packed_wire=packed_wire)
         #: the default session engine (kept for embedding/back-compat)
         self.engine = self._mk_engine()
         self.max_sessions = max(1, int(max_sessions))
@@ -192,8 +207,8 @@ class DiPsServer:
                     shape = tuple(header["shape"])
                     frame = np.frombuffer(payload, np.uint8).reshape(shape)
                     outs, stats = eng.process_batch([frame])
-                    body = outs[0].tobytes()
-                    _send(client, {"ok": True,
+                    body, packed = _encode_maps(outs[0], header, eng)
+                    _send(client, {"ok": True, "packed": packed,
                                    "stats": [float(v) for v in stats[0]],
                                    "shape": list(outs[0].shape),
                                    "payload_len": len(body)}, body)
@@ -201,8 +216,8 @@ class DiPsServer:
                     shape = tuple(header["shape"])
                     frames = np.frombuffer(payload, np.uint8).reshape(shape)
                     outs, stats = eng.process_frames(list(frames))
-                    body = outs.tobytes()
-                    _send(client, {"ok": True,
+                    body, packed = _encode_maps(outs, header, eng)
+                    _send(client, {"ok": True, "packed": packed,
                                    "stats": [[float(v) for v in row]
                                              for row in stats],
                                    "shape": list(outs.shape),
@@ -265,28 +280,49 @@ class DiPsClient:
         h, _ = self._rpc({"cmd": "hello"})
         return h
 
-    def process(self, frame: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
-        h, body = self._rpc({"cmd": "process", "shape": list(frame.shape)},
+    @staticmethod
+    def _decode_maps(h: dict, body: bytes) -> np.ndarray:
+        shape = tuple(h["shape"])
+        if h.get("packed"):  # bit-packed THRESHOLD masks (ops/wire.py)
+            hh, w = shape[-3], shape[-2]
+            rows = np.frombuffer(body, np.uint8).reshape(
+                *shape[:-3], (hh + 7) // 8, w)
+            bits = np.unpackbits(rows, axis=-2, count=hh, bitorder="little")
+            return (bits * np.uint8(255))[..., None]
+        return np.frombuffer(body, np.uint8).reshape(shape)
+
+    def process(self, frame: np.ndarray, packed: bool = False
+                ) -> Tuple[np.ndarray, np.ndarray]:
+        """One-frame round trip.  ``packed=True`` asks the server to
+        bit-pack THRESHOLD masks on the wire (8x smaller payload; ignored —
+        and flagged off in the response — for other output modes)."""
+        h, body = self._rpc({"cmd": "process", "shape": list(frame.shape),
+                             "packed": packed},
                             np.ascontiguousarray(frame).tobytes())
         if not h.get("ok"):
             raise RuntimeError(h.get("error"))
-        out = np.frombuffer(body, np.uint8).reshape(h["shape"])
-        return out, np.asarray(h["stats"], np.float32)
+        return self._decode_maps(h, body), np.asarray(h["stats"], np.float32)
 
-    def process_many(self, frames: np.ndarray
+    def process_many(self, frames: np.ndarray, packed: bool = False
                      ) -> Tuple[np.ndarray, np.ndarray]:
         """Batched round trip: (N, H, W, 3) uint8 -> ((N, H, W, C) maps,
         (N, NUM_STATS) stats) in one request."""
         frames = np.ascontiguousarray(frames, np.uint8)
         h, body = self._rpc({"cmd": "process_batch",
-                             "shape": list(frames.shape)}, frames.tobytes())
+                             "shape": list(frames.shape),
+                             "packed": packed}, frames.tobytes())
         if not h.get("ok"):
             raise RuntimeError(h.get("error"))
-        out = np.frombuffer(body, np.uint8).reshape(h["shape"])
-        return out, np.asarray(h["stats"], np.float32)
+        return self._decode_maps(h, body), np.asarray(h["stats"], np.float32)
 
     def snapshot(self) -> None:
         h, _ = self._rpc({"cmd": "snapshot"})
+        if not h.get("ok"):
+            raise RuntimeError(h.get("error"))
+
+    def reset(self) -> None:
+        """Clear the session's streaming state (cursor, ring, baseline)."""
+        h, _ = self._rpc({"cmd": "reset"})
         if not h.get("ok"):
             raise RuntimeError(h.get("error"))
 
@@ -326,11 +362,15 @@ def main(argv=None) -> int:
     ap.add_argument("--sessions", type=int, default=1,
                     help="max concurrent client sessions (each gets its "
                          "own engine state)")
+    ap.add_argument("--packed-wire", action="store_true",
+                    help="THRESHOLD only: bit-pack masks on the device "
+                         "before the D2H copy (8x less transfer)")
     args = ap.parse_args(argv)
     props = props_from_args(args)
     server = DiPsServer(props, args.height, args.width, port=args.port,
                         host=args.host, batch=args.batch,
-                        backend=args.backend, max_sessions=args.sessions)
+                        backend=args.backend, max_sessions=args.sessions,
+                        packed_wire=args.packed_wire)
     print(f"dips server on {args.host}:{server.port}", flush=True)
     try:
         server.serve_forever()
