@@ -211,8 +211,12 @@ class MultiStreamEngine:
     def __init__(self, props: DiPsProperties, height: int, width: int,
                  n_streams: int, batch: int = 8,
                  mesh: Optional[Mesh] = None, backend: str = "auto",
-                 ring_carry: Optional[bool] = None):
+                 ring_carry: Optional[bool] = None,
+                 packed_wire: bool = False):
         self.props = props
+        if packed_wire and props.output != OutputMode.THRESHOLD:
+            raise ValueError("packed_wire requires THRESHOLD output")
+        self.packed_wire = bool(packed_wire)
         self._raw_mode = props.output in _RAW_MODES
         self.height, self.width = int(height), int(width)
         self.hp, self.wp = reference.pad_geometry(height, width)
@@ -498,6 +502,15 @@ class MultiStreamEngine:
                 jnp.asarray(buf), self._baseline, jnp.asarray(flags),
                 self._heatmap, jnp.asarray(valid))
 
-        out = np.asarray(out[:, :n, :, :self.height, :self.width])
+        if self.packed_wire:
+            # bit-pack masks on device before the download (ops/wire.py:
+            # 8 rows -> one byte-plane row, minor dim stays 128-aligned),
+            # unpack + crop on the host
+            from ..ops import wire
+            packed = np.asarray(wire.pack_mask(out[:, :n]))
+            out = wire.unpack_mask(packed)[
+                :, :, :, :self.height, :self.width]
+        else:
+            out = np.asarray(out[:, :n, :, :self.height, :self.width])
         out = np.moveaxis(out, 2, -1)
         return out, np.asarray(stats[:, :n]), float(gmean)

@@ -97,6 +97,26 @@ def test_stream_dips_packed_wire(tmp_path):
     np.testing.assert_array_equal(np.stack(plain), np.stack(packed))
 
 
+def test_multistream_packed_wire():
+    from dips_tpu.parallel import MultiStreamEngine, stream_mesh
+    props = DiPsProperties(output=OutputMode.THRESHOLD, temporal_size=2)
+    mesh = stream_mesh(4)
+    feeds = [[f for f in make_clip(n=4, h=16, w=24, seed=10 + s)]
+             for s in range(4)]
+    plain = MultiStreamEngine(props, 16, 24, n_streams=4, batch=4, mesh=mesh)
+    packed = MultiStreamEngine(props, 16, 24, n_streams=4, batch=4,
+                               mesh=mesh, packed_wire=True)
+    out_a, st_a, gm_a = plain.process_batch(feeds)
+    out_b, st_b, gm_b = packed.process_batch(feeds)
+    np.testing.assert_array_equal(out_a, out_b)
+    np.testing.assert_allclose(st_a, st_b, atol=1e-6)
+    assert gm_a == gm_b
+
+    with pytest.raises(ValueError, match="THRESHOLD"):
+        MultiStreamEngine(DiPsProperties(), 16, 24, n_streams=4,
+                          packed_wire=True)
+
+
 def test_serve_packed_ignored_for_colorize():
     srv = DiPsServer(DiPsProperties(temporal_size=2), 24, 40, port=0,
                      batch=1)
