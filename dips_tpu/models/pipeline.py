@@ -163,14 +163,17 @@ class DiPsEngine:
     _force_snapshot = False
 
     # -- core ---------------------------------------------------------------
-    def process_batch(self, frames: Sequence[np.ndarray]
+    def process_batch(self, frames: Sequence[np.ndarray],
+                      packed: bool = False
                       ) -> Tuple[np.ndarray, np.ndarray]:
         """Process up to ``batch`` frames.
 
         Args: frames: list of uint8 (H, W, 3) RGB frames.
+          packed: return device-packed padded masks (see :meth:`collect`).
         Returns: (outputs uint8 (n, H, W, C), stats f32 (n, NUM_STATS)).
         """
-        return self.process_planar([self._planarize(f) for f in frames])
+        return self.process_planar([self._planarize(f) for f in frames],
+                                   packed=packed)
 
     def new_batch_buffer(self) -> np.ndarray:
         """Allocate a (tail_rows+B, 3, Hp, Wp) uint8 batch buffer.  Fill
@@ -181,14 +184,15 @@ class DiPsEngine:
         return np.empty((self.tail_rows + self.batch, 3, self.hp, self.wp),
                         np.uint8)
 
-    def process_buffer(self, buf: np.ndarray, n: int
+    def process_buffer(self, buf: np.ndarray, n: int, packed: bool = False
                        ) -> Tuple[np.ndarray, np.ndarray]:
         """Process ``n`` frames already written at
         ``buf[tail_rows:tail_rows+n]`` (padded planar layout); the engine
         fills the tail rows and padding."""
-        return self.collect(self.dispatch_async(buf, n))
+        return self.collect(self.dispatch_async(buf, n), packed=packed)
 
-    def process_planar(self, planar: Sequence[np.ndarray]
+    def process_planar(self, planar: Sequence[np.ndarray],
+                       packed: bool = False
                        ) -> Tuple[np.ndarray, np.ndarray]:
         """Process frames already in padded planar (3, Hp, Wp) uint8
         layout."""
@@ -203,7 +207,7 @@ class DiPsEngine:
         tr = self.tail_rows
         for i in range(n):
             buf[tr + i] = planar[i]
-        return self.process_buffer(buf, n)
+        return self.process_buffer(buf, n, packed=packed)
 
     def _stage(self, name):
         import contextlib
@@ -272,11 +276,21 @@ class DiPsEngine:
         self.frame_index += n
         return out, stats, n
 
-    def collect(self, handle) -> Tuple[np.ndarray, np.ndarray]:
-        """Materialise a :meth:`dispatch_async` handle on the host."""
+    def collect(self, handle, packed: bool = False
+                ) -> Tuple[np.ndarray, np.ndarray]:
+        """Materialise a :meth:`dispatch_async` handle on the host.
+
+        ``packed=True`` (packed_wire engines only) skips the host unpack
+        and returns the device-packed padded masks (n, 1, Hp//8, Wp)
+        verbatim — for consumers that forward the packed bytes (the serve
+        daemon's packed transport) without a pointless unpack/repack."""
         out, stats, n = handle
+        if packed and not self.packed_wire:
+            raise ValueError("packed collect requires packed_wire=True")
         with self._stage("d2h"):
             out_np = np.asarray(out[:n])
+            if packed:
+                return out_np, np.asarray(stats[:n])
             if self.packed_wire:
                 from ..ops import wire
                 out_np = wire.unpack_mask(out_np)
@@ -293,7 +307,8 @@ class DiPsEngine:
         return out_np, stats_np
 
 
-    def process_frames(self, frames: Sequence[np.ndarray]
+    def process_frames(self, frames: Sequence[np.ndarray],
+                       packed: bool = False
                        ) -> Tuple[np.ndarray, np.ndarray]:
         """Process an arbitrary number of frames, batching internally."""
         if not frames:
@@ -303,7 +318,8 @@ class DiPsEngine:
         outs: List[np.ndarray] = []
         stats: List[np.ndarray] = []
         for i in range(0, len(frames), self.batch):
-            o, s = self.process_batch(frames[i:i + self.batch])
+            o, s = self.process_batch(frames[i:i + self.batch],
+                                      packed=packed)
             outs.append(o)
             stats.append(s)
         return np.concatenate(outs), np.concatenate(stats)

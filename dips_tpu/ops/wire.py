@@ -43,13 +43,21 @@ def pack_mask(out: jax.Array) -> jax.Array:
 
 def unpack_mask(packed: np.ndarray) -> np.ndarray:
     """Packed uint8 (..., H // 8, W) -> uint8 {0, 255} mask (..., H, W)."""
-    bits = np.unpackbits(np.ascontiguousarray(packed), axis=-2,
-                         bitorder="little")
-    return bits * np.uint8(255)
+    return unpack_mask_host(packed, packed.shape[-2] * 8)
 
 
 def pack_mask_host(out: np.ndarray) -> np.ndarray:
     """Host-side twin of :func:`pack_mask` (numpy, for TCP payloads).
     Unlike the device twin it accepts any H — numpy zero-pads the row axis
-    to a byte boundary; unpack with ``count=H`` to crop."""
+    to a byte boundary; invert with :func:`unpack_mask_host`."""
     return np.packbits(out > 0, axis=-2, bitorder="little")
+
+
+def unpack_mask_host(packed: np.ndarray, h: int) -> np.ndarray:
+    """Packed uint8 (..., ceil(h/8), W) -> uint8 {0, 255} mask (..., h, W).
+
+    The single owner of the wire bit-order contract for consumers that
+    need the crop (``h`` need not be a multiple of 8)."""
+    bits = np.unpackbits(np.ascontiguousarray(packed), axis=-2, count=h,
+                         bitorder="little")
+    return bits * np.uint8(255)

@@ -282,7 +282,6 @@ class MultiStreamEngine:
                                   jnp.float32)
         self._ring = self._prev = None
         self._ring_offs = [0] * self.n_streams
-        self._ring_seeded = [False] * self.n_streams
         if self.ring_carry:
             t = self.props.temporal_size
             if self._raw_mode:
@@ -317,7 +316,6 @@ class MultiStreamEngine:
         self._baseline = self._baseline.at[stream].set(0)
         self._heatmap = self._heatmap.at[stream].set(0)
         self._ring_offs[stream] = 0
-        self._ring_seeded[stream] = False
         if self._ring is not None:
             self._ring = self._ring.at[stream].set(0)
         if self._prev is not None:
@@ -374,7 +372,6 @@ class MultiStreamEngine:
             self._ring = jnp.zeros((s, t, self.hp, self.wp), jnp.float32)
             self._prev = jnp.zeros((s, self.hp, self.wp), jnp.float32)
         has = [tl is not None for tl in self._tails]
-        self._ring_seeded = list(has)
         if not any(has):
             return
         buf = np.zeros((s, t, 3, self.hp, self.wp), np.uint8)
@@ -481,7 +478,6 @@ class MultiStreamEngine:
                 self.frame_cursors[si] = cursor + len(planar)
                 self._ring_offs[si] = (self._ring_offs[si]
                                        + len(planar)) % t
-                self._ring_seeded[si] = True
 
         if self.ring_carry:
             if self._raw_mode:

@@ -87,17 +87,35 @@ def _recv(sock: socket.socket) -> Optional[Tuple[dict, bytes]]:
     return header, payload
 
 
-def _encode_maps(outs: np.ndarray, header: dict, eng) -> Tuple[bytes, bool]:
-    """Encode diff maps for the TCP payload.  When the client asks for
-    ``"packed": true`` and the engine emits THRESHOLD masks, bit-pack along
-    the row axis (8x fewer payload bytes; ops/wire.py bit order) — the
-    response header's ``shape`` stays the *unpacked* shape so the client
-    can crop after unpacking."""
+def _process_reply(eng, frames, header: dict) -> Tuple[dict, bytes]:
+    """Run frames through the engine and build the (header, payload) reply.
+
+    When the client asks for ``"packed": true`` and the engine emits
+    THRESHOLD masks, the payload is bit-packed along the row axis (8x
+    fewer bytes; ops/wire.py bit order) and the response header's
+    ``shape`` stays the *unpacked* shape.  On a ``packed_wire`` engine
+    the device-packed padded planes are forwarded VERBATIM (header gains
+    ``"padded": [Hp, Wp]``) — no host unpack/repack on the serving path.
+    """
     from .properties import OutputMode
-    if header.get("packed") and eng.props.output == OutputMode.THRESHOLD:
-        from .ops.wire import pack_mask_host
-        return pack_mask_host(outs[..., 0]).tobytes(), True
-    return outs.tobytes(), False
+    want = bool(header.get("packed")
+                and eng.props.output == OutputMode.THRESHOLD)
+    if want and eng.packed_wire:
+        outs, stats = eng.process_frames(list(frames), packed=True)
+        body = outs.tobytes()  # (N, 1, Hp//8, Wp) device-packed planes
+        hdr = {"ok": True, "packed": True, "padded": [eng.hp, eng.wp],
+               "shape": [len(frames), eng.height, eng.width, 1]}
+    else:
+        outs, stats = eng.process_frames(list(frames))
+        if want:
+            from .ops.wire import pack_mask_host
+            body = pack_mask_host(outs[..., 0]).tobytes()
+        else:
+            body = outs.tobytes()
+        hdr = {"ok": True, "packed": want, "shape": list(outs.shape)}
+    hdr["payload_len"] = len(body)
+    hdr["stats"] = [[float(v) for v in row] for row in stats]
+    return hdr, body
 
 
 class DiPsServer:
@@ -206,22 +224,15 @@ class DiPsServer:
                 elif cmd == "process":
                     shape = tuple(header["shape"])
                     frame = np.frombuffer(payload, np.uint8).reshape(shape)
-                    outs, stats = eng.process_batch([frame])
-                    body, packed = _encode_maps(outs[0], header, eng)
-                    _send(client, {"ok": True, "packed": packed,
-                                   "stats": [float(v) for v in stats[0]],
-                                   "shape": list(outs[0].shape),
-                                   "payload_len": len(body)}, body)
+                    hdr, body = _process_reply(eng, [frame], header)
+                    hdr["stats"] = hdr["stats"][0]
+                    hdr["shape"] = hdr["shape"][1:]  # per-frame shape
+                    _send(client, hdr, body)
                 elif cmd == "process_batch":
                     shape = tuple(header["shape"])
                     frames = np.frombuffer(payload, np.uint8).reshape(shape)
-                    outs, stats = eng.process_frames(list(frames))
-                    body, packed = _encode_maps(outs, header, eng)
-                    _send(client, {"ok": True, "packed": packed,
-                                   "stats": [[float(v) for v in row]
-                                             for row in stats],
-                                   "shape": list(outs.shape),
-                                   "payload_len": len(body)}, body)
+                    hdr, body = _process_reply(eng, frames, header)
+                    _send(client, hdr, body)
                 elif cmd == "snapshot":
                     eng.snapshot()
                     _send(client, {"ok": True})
@@ -284,11 +295,17 @@ class DiPsClient:
     def _decode_maps(h: dict, body: bytes) -> np.ndarray:
         shape = tuple(h["shape"])
         if h.get("packed"):  # bit-packed THRESHOLD masks (ops/wire.py)
+            from .ops import wire
             hh, w = shape[-3], shape[-2]
+            if h.get("padded"):  # device-packed padded planes, verbatim
+                hp, wp = h["padded"]
+                rows = np.frombuffer(body, np.uint8).reshape(
+                    *shape[:-3], 1, hp // 8, wp)
+                mask = wire.unpack_mask_host(rows, hh)[..., :w]
+                return np.moveaxis(mask, -3, -1)
             rows = np.frombuffer(body, np.uint8).reshape(
                 *shape[:-3], (hh + 7) // 8, w)
-            bits = np.unpackbits(rows, axis=-2, count=hh, bitorder="little")
-            return (bits * np.uint8(255))[..., None]
+            return wire.unpack_mask_host(rows, hh)[..., None]
         return np.frombuffer(body, np.uint8).reshape(shape)
 
     def process(self, frame: np.ndarray, packed: bool = False

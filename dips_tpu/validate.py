@@ -128,6 +128,12 @@ def run(backend: str = "pallas", quick: bool = False,
     modes = ((True, False) if backend == "pallas" and not quick
              else (None,))
     for name, props, exact in cases:
+      # the numpy oracle dominates each case's wall time and is protocol-
+      # independent — run it once per case, not once per step protocol
+      o = DiPsOracle(props)
+      exp_out, exp_stats = o.run(frames)
+      if exp_out.ndim == 3:
+          exp_out = exp_out[..., None]
       for ring in modes:
         t0 = time.time()
         if ring is not None:
@@ -135,10 +141,6 @@ def run(backend: str = "pallas", quick: bool = False,
         else:
             name_m = name
         try:
-            o = DiPsOracle(props)
-            exp_out, exp_stats = o.run(frames)
-            if exp_out.ndim == 3:
-                exp_out = exp_out[..., None]
             eng = DiPsEngine(props, h, w, batch=4, backend=backend,
                              ring_carry=ring)
             got_out, got_stats = eng.process_frames(list(frames))

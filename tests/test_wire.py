@@ -69,14 +69,36 @@ def test_serve_packed_payload(threshold_server):
     np.testing.assert_array_equal(outs_packed, exp_out)
     np.testing.assert_allclose(stats_packed, exp_stats, atol=1e-6)
 
-    # single-frame path too (width 40 is not a multiple of 8: the host
-    # packer pads the last byte and the client crops on unpack); the pooled
-    # engine keeps the first session's state, so reset it first
+    # single-frame path too; the pooled engine keeps the first session's
+    # state, so reset it first
     b = DiPsClient(threshold_server.port)
     b.reset()
     o1, _ = b.process(clip[0], packed=True)
     np.testing.assert_array_equal(o1, exp_out[0])
     b.close()
+
+
+@pytest.mark.parametrize("packed_wire", [False, True])
+def test_serve_packed_h_not_multiple_of_8(packed_wire):
+    """H=25: the host packer zero-pads the row axis to a byte boundary and
+    the client crops with count=H (packed_wire=False), or the device-packed
+    padded planes (Hp=32) arrive verbatim and the client crops (True)."""
+    props = DiPsProperties(output=OutputMode.THRESHOLD, temporal_size=2)
+    srv = DiPsServer(props, 25, 40, port=0, batch=2,
+                     packed_wire=packed_wire)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        clip = make_clip(n=4, h=25, w=40, seed=8)
+        cli = DiPsClient(srv.port)
+        outs, stats = cli.process_many(clip, packed=True)
+        cli.close()
+        eng = DiPsEngine(props, 25, 40, batch=2)
+        exp_out, exp_stats = eng.process_frames(list(clip))
+        np.testing.assert_array_equal(outs, exp_out)
+        np.testing.assert_allclose(stats, exp_stats, atol=1e-6)
+    finally:
+        srv.shutdown()
 
 
 def test_stream_dips_packed_wire(tmp_path):
@@ -115,6 +137,25 @@ def test_multistream_packed_wire():
     with pytest.raises(ValueError, match="THRESHOLD"):
         MultiStreamEngine(DiPsProperties(), 16, 24, n_streams=4,
                           packed_wire=True)
+
+
+def test_process_reply_forwards_device_packed():
+    """A packed_wire engine + packed request must forward the device-packed
+    padded planes verbatim (no host unpack/repack on the serving path)."""
+    from dips_tpu.serve import _process_reply
+    props = DiPsProperties(output=OutputMode.THRESHOLD, temporal_size=2)
+    eng = DiPsEngine(props, 24, 40, batch=2, packed_wire=True)
+    frame = make_clip(n=1, h=24, w=40, seed=9)[0]
+    hdr, body = _process_reply(eng, [frame], {"packed": True})
+    assert hdr["padded"] == [eng.hp, eng.wp]
+    assert len(body) == (eng.hp // 8) * eng.wp  # padded plane, not H*W
+
+
+def test_collect_packed_requires_packed_wire():
+    props = DiPsProperties(output=OutputMode.THRESHOLD, temporal_size=2)
+    eng = DiPsEngine(props, 24, 40, batch=2)
+    with pytest.raises(ValueError, match="packed_wire"):
+        eng.process_batch([make_clip(n=1, h=24, w=40)[0]], packed=True)
 
 
 def test_serve_packed_ignored_for_colorize():
