@@ -61,6 +61,20 @@ def main():
     cli2.close()
     cli.close()
     server.shutdown()
+
+    # low-bandwidth mask transport: THRESHOLD + --packed-wire + packed=True
+    # requests move 8x fewer bytes device->host AND server->client
+    from dips_tpu import OutputMode
+    srv2 = DiPsServer(DiPsProperties(output=OutputMode.THRESHOLD,
+                                     temporal_size=2),
+                      h, w, port=0, batch=8, packed_wire=True)
+    threading.Thread(target=srv2.serve_forever, daemon=True).start()
+    cli3 = DiPsClient(srv2.port)
+    masks, _ = cli3.process_many(frames[:8], packed=True)
+    print(f"packed transport: {masks.shape} masks "
+          f"({int((masks > 0).sum())} changed px), 1/8 the wire bytes")
+    cli3.close()
+    srv2.shutdown()
     print("done")
 
 
