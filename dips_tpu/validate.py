@@ -114,6 +114,76 @@ def _run_stacked(verbose: bool) -> int:
         return 1
 
 
+def soak(n_frames: int = 512, verbose: bool = True) -> int:
+    """On-device streaming soak: run ``n_frames`` through BOTH step
+    protocols (ring-carry vs tail) with refresh markers and a mid-stream
+    checkpoint/restore, asserting batch-by-batch equality.
+
+    The CPU fuzz suite covers this logic on the interpreter; this gate
+    exercises the compiled Mosaic kernels' carried-state path at length on
+    the real device (ring slot rotation across many wraps, marker
+    re-captures, donation reuse) where interpreter coverage can't reach.
+    """
+    import jax
+    t0 = time.time()
+    h, w, batch = 48, 180, 16
+    props = DiPsProperties(window_size=3, temporal_size=4,
+                           refresh_markers=(37, 201, 202, 450))
+    backend = "pallas" if jax.default_backend() == "tpu" else "xla"
+    ring_eng = DiPsEngine(props, h, w, batch=batch, backend=backend,
+                          ring_carry=backend == "pallas")
+    tail_eng = DiPsEngine(props, h, w, batch=batch, backend=backend,
+                          ring_carry=False)
+    r = np.random.default_rng(0)
+    base = r.integers(0, 256, (h, w, 3), np.uint8)
+    ckpt = None
+    # last batch boundary at-or-before the midpoint (always hit)
+    ckpt_at = max(0, (n_frames // 2 // batch - 1) * batch)
+    try:
+        for start in range(0, n_frames, batch):
+            n = min(batch, n_frames - start)
+            frames = []
+            for i in range(n):
+                f = base.copy()
+                y, x = (start + i) * 3 % (h - 6), (start + i) * 7 % (w - 6)
+                f[y:y + 6, x:x + 6] = r.integers(0, 256, 3, np.uint8)
+                frames.append(f)
+            o_r, s_r = ring_eng.process_batch(frames)
+            o_t, s_t = tail_eng.process_batch(frames)
+            d = np.abs(o_r.astype(np.int16) - o_t.astype(np.int16))
+            assert d.max() <= 1, (
+                f"protocol divergence {d.max()} at frame {start}")
+            np.testing.assert_allclose(s_r, s_t, atol=1e-4, rtol=1e-3)
+            if start == ckpt_at:
+                ckpt = ring_eng.state_dict()
+        # rewind the ring engine to mid-stream and replay one batch: the
+        # rebuilt carried state must still track the tail engine's history
+        assert ckpt is not None
+        ring_eng.load_state_dict(ckpt)
+        replay = ring_eng.frame_index
+        frames = []
+        for i in range(batch):
+            f = base.copy()
+            y, x = (replay + i) * 3 % (h - 6), (replay + i) * 7 % (w - 6)
+            f[y:y + 6, x:x + 6] = 0  # divergent content is fine: both
+            frames.append(f)         # engines see the same frames
+        fresh = DiPsEngine(props, h, w, batch=batch, backend=backend,
+                           ring_carry=backend == "pallas")
+        fresh.load_state_dict(ckpt)
+        o_a, s_a = ring_eng.process_batch(frames)
+        o_b, s_b = fresh.process_batch(frames)
+        np.testing.assert_array_equal(o_a, o_b)
+        np.testing.assert_allclose(s_a, s_b, atol=1e-6)
+        if verbose:
+            print(f"  PASS soak {n_frames}f ring-vs-tail + ckpt replay "
+                  f"({time.time() - t0:.1f}s)")
+        return 0
+    except Exception as e:
+        if verbose:
+            print(f"  FAIL soak: {e}")
+        return 1
+
+
 def run(backend: str = "pallas", quick: bool = False,
         verbose: bool = True) -> int:
     import jax
@@ -185,7 +255,14 @@ def main(argv=None) -> int:
                     choices=["pallas", "xla"])
     ap.add_argument("--quick", action="store_true",
                     help="3 cases instead of 6 (fewer compiles)")
+    ap.add_argument("--soak", type=int, nargs="?", const=512, default=None,
+                    metavar="N",
+                    help="streaming soak: N frames (default 512) through "
+                         "both step protocols with markers + mid-stream "
+                         "checkpoint replay, asserting equality")
     args = ap.parse_args(argv)
+    if args.soak is not None:
+        return soak(args.soak)
     return run(args.backend, args.quick)
 
 

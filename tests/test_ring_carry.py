@@ -273,3 +273,9 @@ def test_multistream_ring_checkpoint_roundtrip(tmp_path):
         o2, s2, _ = dst.process_batch(feeds(3, 3))
         np.testing.assert_array_equal(o2, ro)
         np.testing.assert_allclose(s2, rs, atol=1e-5)
+
+
+def test_validate_soak_smoke():
+    """The --soak acceptance gate passes on this backend (small N)."""
+    from dips_tpu import validate
+    assert validate.soak(48, verbose=False) == 0
