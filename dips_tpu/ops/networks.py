@@ -189,6 +189,77 @@ def _validate_merge(ops: Sequence[Comparator], a: List[int], b: List[int],
                     f"merge network failed for runs {len(a)},{len(b)}")
 
 
+def _merge_tree_shapes(k: int):
+    """All binary merge-tree shapes over k identical leaves (None = leaf)."""
+    if k == 1:
+        yield None
+        return
+    for left in range(1, k // 2 + 1):
+        for a in _merge_tree_shapes(left):
+            for b in _merge_tree_shapes(k - left):
+                yield (a, b)
+
+
+def _build_median_plan(w: int, shape, validate: bool
+                       ) -> Tuple[Tuple[PrunedOp, ...], int]:
+    """Build the pruned merge plan for one merge-tree ``shape``.
+
+    Each internal node Batcher-merges its children's sorted runs, then
+    applies rank-bounded truncation: position r of a subtree run that has
+    already dropped ``dr`` provably-below-median wires has exactly r + dr
+    subtree elements below it and q = n - cnt wires of unknown order
+    outside the subtree; it can be the global median (rank n//2) only if
+    r + dr <= target <= r + dr + q.  Below-band drops are provably below
+    the median (counted in dr); above-band drops are provably above and
+    simply forgotten.
+    """
+    n = w * w
+    target = n // 2
+    cols = iter(range(w))
+    ops: List[Comparator] = []
+
+    def build(s):
+        if s is None:
+            dx = next(cols)
+            return [dx * w + j for j in range(w)], w, 0
+        a, ca, da = build(s[0])
+        b, cb, db = build(s[1])
+        start = len(ops)
+        m = _merge_runs(a, b, ops)
+        if validate:
+            _validate_merge(ops[start:], a, b, m)
+        cnt, dr = ca + cb, da + db
+        q = n - cnt
+        lo = max(0, target - dr - q)
+        hi = min(len(m) - 1, target - dr)
+        return m[lo:hi + 1], cnt, dr + lo
+
+    merged, cnt, dropped = build(shape)
+    assert cnt == n and len(merged) == 1 and dropped == target
+    return prune_ops(ops, (merged[0],)), merged[0]
+
+
+def _plan_units(pruned: Sequence[PrunedOp]) -> int:
+    """VPU cost model: one unit per emitted min or max."""
+    return sum(int(nm) + int(nx) for _, _, nm, nx in pruned)
+
+
+# Merge-tree shapes chosen by ON-CHIP measurement across the op-count
+# Pareto set (v5e, 1080p full pipeline, bench.py --window W): op count
+# alone does not predict Mosaic's scheduling quality — the fully balanced
+# w=7 tree has the fewest units (312) but measured 1,635 fps vs the
+# left-deep chain's 2,034, while this 320-unit hybrid (balanced interior,
+# single-column top spine) measured 2,285 fps.  w=5: balanced 98-unit tree
+# measured 4,821 fps vs left-deep 4,367.  (None = a column leaf.)
+_MEASURED_SHAPES = {
+    # w=3 has one 16-unit plan either way, but the ((c0,c1),c2) wire order
+    # measured 11.4k fps vs 10.1k for (c0,(c1,c2)) — keep the faster order
+    3: ((None, None), None),
+    5: (None, ((None, None), (None, None))),
+    7: (None, (None, ((None, None), (None, (None, None))))),
+}
+
+
 @functools.lru_cache(maxsize=None)
 def column_median_plan(w: int) -> Tuple[Tuple[Comparator, ...],
                                         Tuple[PrunedOp, ...], int]:
@@ -201,35 +272,22 @@ def column_median_plan(w: int) -> Tuple[Tuple[Comparator, ...],
         j-th smallest of the column at horizontal offset dx) computing the
         median into ``target_wire``.
 
-    Every constituent merge is validated exhaustively on 0-1 inputs at
-    construction time.
+    The merge-tree SHAPE comes from ``_MEASURED_SHAPES`` (on-chip-measured
+    winners over the op-count Pareto set; see the table there) and falls
+    back to an exhaustive search over all binary trees for the fewest
+    min/max units after rank truncation + backward pruning.  Every
+    constituent merge of the chosen plan is validated exhaustively on 0-1
+    inputs (complete by the 0-1 principle).
     """
-    runs = [[dx * w + j for j in range(w)] for dx in range(w)]
-    ops: List[Comparator] = []
-    n = w * w
-    target = n // 2
-    merged = runs[0]
-    dropped_below = 0
-    for k, nxt in enumerate(runs[1:], start=1):
-        start = len(ops)
-        prev = merged  # sorted by induction
-        merged = _merge_runs(prev, nxt, ops)
-        _validate_merge(ops[start:], prev, nxt, merged)
-        # Rank-bounded truncation: position r in the merged run has exactly
-        # r + dropped_below elements provably below it and q yet-unmerged
-        # wires of unknown order; it can be the global median (rank n//2)
-        # only if  r + dropped_below <= target <= r + dropped_below + q.
-        # Everything outside that band is discarded (below-band drops are
-        # provably below the median and counted in dropped_below; above-band
-        # drops are provably above and can simply be forgotten).
-        q = (w - 1 - k) * w  # wires in runs not merged yet
-        lo = max(0, target - dropped_below - q)
-        hi = min(len(merged) - 1, target - dropped_below)
-        merged = merged[lo:hi + 1]
-        dropped_below += lo
-    assert len(merged) == 1 and dropped_below == target
-    out_wire = merged[0]
-    pruned = prune_ops(ops, (out_wire,))
+    if w in _MEASURED_SHAPES:
+        best_shape = _MEASURED_SHAPES[w]
+    else:
+        ranked = sorted(
+            ((_plan_units(_build_median_plan(w, s, validate=False)[0]), i,
+              s) for i, s in enumerate(_merge_tree_shapes(w))),
+            key=lambda r: r[:2])
+        best_shape = ranked[0][2]
+    pruned, out_wire = _build_median_plan(w, best_shape, validate=True)
     return tuple((i, j) for i, j in sorting_network(w)), pruned, out_wire
 
 
