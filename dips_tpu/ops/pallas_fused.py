@@ -64,6 +64,7 @@ _PART = 4
 # drown in per-step overhead; blocks past ~800KB pipeline poorly.
 _VMEM_BUDGET = 14 * 1024 * 1024        # median/emphasis kernel
 _VMEM_BUDGET_RAW = 10 * 1024 * 1024    # integer absdiff/threshold kernel
+_VMEM_HARD = 16 * 1024 * 1024          # Mosaic's scoped-vmem hard limit
 _RAW_TARGET_BLOCK_BYTES = 500 * 1024   # absdiff input-block sweet spot
 _RAW_MIN_ROWS = 16                     # below this, step overhead dominates
 
@@ -507,36 +508,61 @@ def batch_step_stacked(props: DiPsProperties, h: int, w: int, s: int,
 # ---------------------------------------------------------------------------
 
 
-def _ring_frames_per_step(b: int) -> int:
-    """Largest divisor of B that is <= 8 (no T constraint in ring mode)."""
+def _ring_frames_per_step(b: int, hp: int = 0, wp: int = 0) -> int:
+    """Frames per grid step for the RAW (absdiff/threshold) ring kernel.
+
+    Measured on v5e (bench.py, absdiff parity): at 480p a 4-frame block
+    (thicker row slabs, fewer DMA segments) runs 202k fps vs 134k for the
+    8-frame block; 720p ties (61.3k vs 61.1k); 1080p mildly prefers 8
+    (36.7k vs 35.2k).  So target 4 frames for sub-720p-and-smaller
+    geometries, 8 otherwise; always a divisor of B.
+    """
+    target = 4 if hp * wp and hp * wp <= 720 * 1280 else 8
     f = 1
-    for d in range(2, min(b, 8) + 1):
+    for d in range(2, min(b, target) + 1):
         if b % d == 0:
             f = d
     return f
 
 
-def _pick_block_rows_ring(hp: int, wp: int, window: int, t: int, c: int,
-                          fpb: int, per_frame: bool) -> int:
-    """Ring-mode row-block picker: like :func:`_pick_block_rows` but the
-    ring lives in the (single-buffered) in/out blocks instead of scratch,
-    and the prev plane is carried only in PER_FRAME mode."""
+def _ring_geometry(hp: int, wp: int, window: int, t: int, c: int, b: int,
+                   per_frame: bool) -> Tuple[int, int]:
+    """(fpb, bh) for the median ring kernel: the largest feasible frames-
+    per-step (measured fastest when it fits), with row blocks sized by a
+    VMEM ledger that counts Mosaic's double-buffering of every
+    grid-varying block INCLUDING the bh-independent halo blocks — the
+    term the old ledger missed, which made 4K w3 t4 fpb=8 overflow scoped
+    VMEM by 48 KB even at bh=8 (halo cost alone is ~3 MB there; fpb is
+    the only lever that shrinks it)."""
     taps = max(window * window, 1)
-    bytes_per_row = wp * (4 * taps           # live network planes
-                          + 4 * t * 2        # ring in + working out block
-                          + (4 * 2 if per_frame else 0)  # prev in/out
-                          + 4 * 2 * 2        # base/heat in blocks
-                          + 4 * 2 * 2        # base/heat working out blocks
-                          + 4 + 4            # mask + strip scratch
-                          + 1 * 3 * fpb * 2  # u8 input block, dbl-buffered
-                          + 1 * c * fpb * 2)  # u8 output block, dbl-buffered
-    max_rows = max(_VMEM_BUDGET // bytes_per_row, 8)
-    best = 8
-    for d in range(1, hp // 8 + 1):
-        bh = 8 * d
-        if hp % bh == 0 and bh <= max_rows:
-            best = bh
-    return min(best, hp)
+    # Calibrated on silicon against Mosaic's reported scoped usage.  Two
+    # pinned data points: 4K w3 t4 fpb=8 bh=8 OOMs (scoped 16.05 MB;
+    # ledger 10.5 + width term 2.0 = 12.6 MB > budget -> drops to the
+    # measured-working fpb=4) while 480p w3 t4 fpb=8 bh=48 runs (measured
+    # 65k fps; 10.8 + 0.5 = 11.3 MB <= budget).  The 512*wp term stands
+    # in for Mosaic's width-scaled compiler temporaries — the reason a
+    # single per-row scalar cannot separate those two configs.
+    budget = 12_000_000 - 512 * wp
+    fpb = min(b, 8)
+    while True:
+        while b % fpb:
+            fpb -= 1
+        halo = wp * fpb * 3 * 8 * 2 * 2  # 2 halo blocks, dbl-buffered
+        bytes_per_row = wp * (
+            4 * taps                       # live network planes
+            + 4 * t * 4                    # ring in (dbl) + working (dbl)
+            + (4 * 4 if per_frame else 0)  # prev in/working (dbl)
+            + 4 * 2 * 4                    # base+heat in/working (dbl)
+            + 4 + 4                        # mask + strip scratch
+            + (3 + c) * fpb * 2)           # u8 io blocks (dbl)
+        max_rows = (budget - halo) // bytes_per_row
+        bhs = [8 * d for d in range(1, hp // 8 + 1)
+               if hp % (8 * d) == 0 and 8 * d <= max_rows]
+        if bhs:
+            return fpb, max(bhs)
+        if fpb == 1:
+            return 1, 8  # tiny-geometry fallback; let Mosaic arbitrate
+        fpb -= 1
 
 
 def _make_ring_kernel(props: DiPsProperties, h: int, w: int, t: int, b: int,
@@ -653,9 +679,8 @@ def _batch_step_ring_impl(props: DiPsProperties, h: int, w: int, s: int,
     hp = hp_tot // s
     c = props.out_channels
     overall = props.method == DiPsMethod.OVERALL
-    fpb = _ring_frames_per_step(b)
-    bh = _pick_block_rows_ring(hp, wp, props.window_size, t, c, fpb,
-                               not overall)
+    fpb, bh = _ring_geometry(hp, wp, props.window_size, t, c, b,
+                             not overall)
     n_hb_per = hp // bh
     n_hb = s * n_hb_per
     n8_per = hp // 8
@@ -948,7 +973,7 @@ def _absdiff_step_impl(props: DiPsProperties, h: int, w: int, s: int,
     hp = hp_tot // s
     c = 1 if props.output == OutputMode.THRESHOLD else 3
     if ring:
-        fpb = _ring_frames_per_step(b)
+        fpb = _ring_frames_per_step(b, hp, wp)
     else:
         fpb = _frames_per_step(t, b)
         assert t % fpb == 0 and b % fpb == 0, (t, b, fpb)
