@@ -525,44 +525,49 @@ def _ring_frames_per_step(b: int, hp: int = 0, wp: int = 0) -> int:
     return f
 
 
+# Per-window caps on the row-block PLANE SIZE (wp * bh), measured on v5e
+# through the bench path (jit of a fori_loop over the step; t=4, c=3,
+# b=64).  Analytic scoped-VMEM ledgers repeatedly failed here — Mosaic's
+# real footprint is not linear in any (bh, wp, taps) model we tried (w5
+# schedules far tighter than its 20-wire nominal peak liveness, w7
+# spills close to its 35-wire peak, and identical configs report ~2 MB
+# more scoped VMEM under bare AOT .compile() than under the bench path).
+# Silicon pins, RUNS vs OOM (reported scoped MB); wp is the PADDED width
+# (480p=896, 720p=1408, 1080p=2048, 4K=3968):
+#   w3: 896*48 ok, 1408*40 ok (25.5k fps), 2048*24 ok (11.5k fps)
+#   w5: 896*48 ok (25.1k), 2048*24 ok (4.8k) | 1408*40 OOM 16.01
+#   w7: 896*40 ok (10.9k), 1408*24 ok (4.6k), 2048*8 ok (2.3k)
+#       | 896*48 OOM 16.18, 2048*24 OOM 19.14
+# Each cap sits between its window's largest passing and smallest
+# failing product.  w1 reuses w3's cap (strictly fewer live planes).
+_RING_BH_PRODUCT_CAPS = {1: 56_320, 3: 56_320, 5: 52_000, 7: 39_000}
+
+
 def _ring_geometry(hp: int, wp: int, window: int, t: int, c: int, b: int,
                    per_frame: bool) -> Tuple[int, int]:
-    """(fpb, bh) for the median ring kernel: the largest feasible frames-
-    per-step (measured fastest when it fits), with row blocks sized by a
-    VMEM ledger that counts Mosaic's double-buffering of every
-    grid-varying block INCLUDING the bh-independent halo blocks — the
-    term the old ledger missed, which made 4K w3 t4 fpb=8 overflow scoped
-    VMEM by 48 KB even at bh=8 (halo cost alone is ~3 MB there; fpb is
-    the only lever that shrinks it)."""
-    taps = max(window * window, 1)
-    # Calibrated on silicon against Mosaic's reported scoped usage.  Two
-    # pinned data points: 4K w3 t4 fpb=8 bh=8 OOMs (scoped 16.05 MB;
-    # ledger 10.5 + width term 2.0 = 12.6 MB > budget -> drops to the
-    # measured-working fpb=4) while 480p w3 t4 fpb=8 bh=48 runs (measured
-    # 65k fps; 10.8 + 0.5 = 11.3 MB <= budget).  The 512*wp term stands
-    # in for Mosaic's width-scaled compiler temporaries — the reason a
-    # single per-row scalar cannot separate those two configs.
-    budget = 12_000_000 - 512 * wp
+    """(fpb, bh) for the median ring kernel.
+
+    bh: the largest divisor-of-hp row block whose plane size wp*bh stays
+    under the window's measured product cap (table above), derated for
+    temporal rings larger than the measured t=4 (ring blocks scale with
+    t).  fpb: 8-frame steps (measured fastest), except 4 on 4K-class
+    widths — the double-buffered 8-row halo input blocks cost 96*fpb*wp
+    bytes regardless of bh, and at wp >= ~4000 that alone made fpb=8
+    overflow scoped VMEM by 48 KB at the minimum block height (4K w3
+    fpb=8 bh=8 OOMs at a reported 16.05 MB; fpb=4 runs for w3/w5/w7).
+    """
+    cap = _RING_BH_PRODUCT_CAPS[window]
+    if t > 4:  # ring in+working blocks are 12*t bytes/row-col at t=4 pins
+        cap = cap * (48 + 12 * 4) // (48 + 12 * t)
     fpb = min(b, 8)
-    while True:
-        while b % fpb:
-            fpb -= 1
-        halo = wp * fpb * 3 * 8 * 2 * 2  # 2 halo blocks, dbl-buffered
-        bytes_per_row = wp * (
-            4 * taps                       # live network planes
-            + 4 * t * 4                    # ring in (dbl) + working (dbl)
-            + (4 * 4 if per_frame else 0)  # prev in/working (dbl)
-            + 4 * 2 * 4                    # base+heat in/working (dbl)
-            + 4 + 4                        # mask + strip scratch
-            + (3 + c) * fpb * 2)           # u8 io blocks (dbl)
-        max_rows = (budget - halo) // bytes_per_row
-        bhs = [8 * d for d in range(1, hp // 8 + 1)
-               if hp % (8 * d) == 0 and 8 * d <= max_rows]
-        if bhs:
-            return fpb, max(bhs)
-        if fpb == 1:
-            return 1, 8  # tiny-geometry fallback; let Mosaic arbitrate
+    if wp >= 3000:
+        fpb = min(fpb, 4)
+    while b % fpb:
         fpb -= 1
+    max_rows = max(cap // wp, 8)
+    bhs = [8 * d for d in range(1, hp // 8 + 1)
+           if hp % (8 * d) == 0 and 8 * d <= max_rows]
+    return fpb, (max(bhs) if bhs else 8)
 
 
 def _make_ring_kernel(props: DiPsProperties, h: int, w: int, t: int, b: int,
