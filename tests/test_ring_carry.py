@@ -279,3 +279,28 @@ def test_validate_soak_smoke():
     """The --soak acceptance gate passes on this backend (small N)."""
     from dips_tpu import validate
     assert validate.soak(48, verbose=False) == 0
+
+
+def test_ring_geometry_silicon_pins():
+    """The (fpb, bh) picker must reproduce the silicon-pinned choices for
+    every preset geometry (see _RING_BH_PRODUCT_CAPS provenance): the
+    known-good blocks stay, the measured-OOM holes stay excluded."""
+    from dips_tpu.ops.pallas_fused import _ring_geometry
+    from dips_tpu.ops.reference import pad_geometry
+    expect = {
+        (480, 854): {3: (8, 48), 5: (8, 48), 7: (8, 40)},
+        (720, 1280): {3: (8, 40), 5: (8, 24), 7: (8, 24)},
+        (1080, 1920): {3: (8, 24), 5: (8, 24), 7: (8, 8)},
+        (2160, 3840): {3: (4, 8), 5: (4, 8), 7: (4, 8)},
+    }
+    for (h, w), per_win in expect.items():
+        hp, wp = pad_geometry(h, w)
+        for win, want in per_win.items():
+            got = _ring_geometry(hp, wp, win, 4, 3, 64, False)
+            assert got == want, (h, w, win, got, want)
+    # t derating: a 16-deep ring at 1080p must shrink the block
+    assert _ring_geometry(1080, 2048, 3, 16, 3, 64, False)[1] <= 8
+    # fpb always divides b
+    for b in (1, 2, 3, 5, 6, 12, 64):
+        fpb, _ = _ring_geometry(480, 896, 3, 4, 3, b, False)
+        assert b % fpb == 0, (b, fpb)
