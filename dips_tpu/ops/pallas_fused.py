@@ -513,11 +513,12 @@ def _ring_frames_per_step(b: int, hp: int = 0, wp: int = 0) -> int:
 
     Measured on v5e (bench.py, absdiff parity): at 480p a 4-frame block
     (thicker row slabs, fewer DMA segments) runs 202k fps vs 134k for the
-    8-frame block; 720p ties (61.3k vs 61.1k); 1080p mildly prefers 8
-    (36.7k vs 35.2k).  So target 4 frames for sub-720p-and-smaller
-    geometries, 8 otherwise; always a divisor of B.
+    8-frame block; 720p very nearly ties with 4 slightly ahead (61.3k vs
+    61.1k); 1080p mildly prefers 8 (36.7k vs 35.2k).  So target 4 frames
+    up to and including 720p's padded geometry (720*1408 ~ 1.01 Mpx), 8
+    for larger; always a divisor of B.
     """
-    target = 4 if hp * wp and hp * wp <= 720 * 1280 else 8
+    target = 4 if hp * wp and hp * wp <= 1_100_000 else 8
     f = 1
     for d in range(2, min(b, target) + 1):
         if b % d == 0:
@@ -540,6 +541,9 @@ def _ring_frames_per_step(b: int, hp: int = 0, wp: int = 0) -> int:
 #       | 896*48 OOM 16.18, 2048*24 OOM 19.14
 # Each cap sits between its window's largest passing and smallest
 # failing product.  w1 reuses w3's cap (strictly fewer live planes).
+# PER_FRAME (two extra prev-plane blocks) fits in the margin at every
+# cap edge — verified on silicon: pf w3 1408*40 ok (25.7k), pf w3
+# 2048*24 ok (12.0k), pf w5 2048*24 ok (5.0k), pf w7 896*40 ok (11.1k).
 _RING_BH_PRODUCT_CAPS = {1: 56_320, 3: 56_320, 5: 52_000, 7: 39_000}
 
 

@@ -129,10 +129,13 @@ def soak(n_frames: int = 512, verbose: bool = True) -> int:
     h, w, batch = 48, 180, 16
     props = DiPsProperties(window_size=3, temporal_size=4,
                            refresh_markers=(37, 201, 202, 450))
-    backend = "pallas" if jax.default_backend() == "tpu" else "xla"
-    ring_eng = DiPsEngine(props, h, w, batch=batch, backend=backend,
-                          ring_carry=backend == "pallas")
-    tail_eng = DiPsEngine(props, h, w, batch=batch, backend=backend,
+    # ring engine always runs the Pallas ring-carry path (interpret on
+    # CPU hosts — slower, but the gate must exercise the carried-state
+    # code, not diff an engine against itself); the tail engine is the
+    # portable XLA protocol
+    ring_eng = DiPsEngine(props, h, w, batch=batch, backend="pallas",
+                          ring_carry=True)
+    tail_eng = DiPsEngine(props, h, w, batch=batch, backend="xla",
                           ring_carry=False)
     r = np.random.default_rng(0)
     base = r.integers(0, 256, (h, w, 3), np.uint8)
@@ -156,8 +159,12 @@ def soak(n_frames: int = 512, verbose: bool = True) -> int:
             np.testing.assert_allclose(s_r, s_t, atol=1e-4, rtol=1e-3)
             if start == ckpt_at:
                 ckpt = ring_eng.state_dict()
-        # rewind the ring engine to mid-stream and replay one batch: the
-        # rebuilt carried state must still track the tail engine's history
+        # rewind the ring engine to mid-stream and replay one batch
+        # against a TAIL engine loaded from the same checkpoint: the
+        # rebuilt carried ring state must reproduce the portable
+        # protocol's history, so a broken _rebuild_ring_state cannot
+        # cancel out (both engines rebuilding identically-wrong state
+        # would pass a ring-vs-ring comparison)
         assert ckpt is not None
         ring_eng.load_state_dict(ckpt)
         replay = ring_eng.frame_index
@@ -167,13 +174,14 @@ def soak(n_frames: int = 512, verbose: bool = True) -> int:
             y, x = (replay + i) * 3 % (h - 6), (replay + i) * 7 % (w - 6)
             f[y:y + 6, x:x + 6] = 0  # divergent content is fine: both
             frames.append(f)         # engines see the same frames
-        fresh = DiPsEngine(props, h, w, batch=batch, backend=backend,
-                           ring_carry=backend == "pallas")
-        fresh.load_state_dict(ckpt)
+        fresh_tail = DiPsEngine(props, h, w, batch=batch, backend="xla",
+                                ring_carry=False)
+        fresh_tail.load_state_dict(ckpt)
         o_a, s_a = ring_eng.process_batch(frames)
-        o_b, s_b = fresh.process_batch(frames)
-        np.testing.assert_array_equal(o_a, o_b)
-        np.testing.assert_allclose(s_a, s_b, atol=1e-6)
+        o_b, s_b = fresh_tail.process_batch(frames)
+        d = np.abs(o_a.astype(np.int16) - o_b.astype(np.int16))
+        assert d.max() <= 1, f"ckpt replay divergence {d.max()}"
+        np.testing.assert_allclose(s_a, s_b, atol=1e-4, rtol=1e-3)
         if verbose:
             print(f"  PASS soak {n_frames}f ring-vs-tail + ckpt replay "
                   f"({time.time() - t0:.1f}s)")
