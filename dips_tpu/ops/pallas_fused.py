@@ -548,7 +548,8 @@ _RING_BH_PRODUCT_CAPS = {1: 56_320, 3: 56_320, 5: 52_000, 7: 39_000}
 
 
 def _ring_geometry(hp: int, wp: int, window: int, t: int, c: int, b: int,
-                   per_frame: bool) -> Tuple[int, int]:
+                   per_frame: bool, approx: bool = False
+                   ) -> Tuple[int, int]:
     """(fpb, bh) for the median ring kernel.
 
     bh: the largest divisor-of-hp row block whose plane size wp*bh stays
@@ -560,7 +561,11 @@ def _ring_geometry(hp: int, wp: int, window: int, t: int, c: int, b: int,
     overflow scoped VMEM by 48 KB at the minimum block height (4K w3
     fpb=8 bh=8 OOMs at a reported 16.05 MB; fpb=4 runs for w3/w5/w7).
     """
-    cap = _RING_BH_PRODUCT_CAPS[window]
+    # the separable approximate median keeps ~w3-level live planes (two
+    # pruned median-of-w networks instead of the w*w merge) — verified on
+    # silicon at every w3-cap edge: approx-w7 896*48 ok (50.5k fps),
+    # 1408*40 ok (20.9k), 2048*24 ok (9.3k, +30% over the exact-w7 cap)
+    cap = _RING_BH_PRODUCT_CAPS[3 if approx else window]
     if t > 4:  # ring in+working blocks are 12*t bytes/row-col at t=4 pins
         cap = cap * (48 + 12 * 4) // (48 + 12 * t)
     fpb = min(b, 8)
@@ -689,7 +694,7 @@ def _batch_step_ring_impl(props: DiPsProperties, h: int, w: int, s: int,
     c = props.out_channels
     overall = props.method == DiPsMethod.OVERALL
     fpb, bh = _ring_geometry(hp, wp, props.window_size, t, c, b,
-                             not overall)
+                             not overall, approx=props.approx_median)
     n_hb_per = hp // bh
     n_hb = s * n_hb_per
     n8_per = hp // 8
