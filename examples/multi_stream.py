@@ -5,6 +5,11 @@ Run with virtual devices:
   python examples/multi_stream.py --cpu
 """
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import argparse
 
 import numpy as np

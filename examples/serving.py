@@ -6,6 +6,11 @@ Run on CPU:
   python examples/serving.py --cpu
 """
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import argparse
 import tempfile
 import threading

@@ -4,6 +4,11 @@ Run: python examples/single_video.py [--backend pallas]
 Produces demo_in.avi, demo_out.avi, demo_heatmap.png and prints stats.
 """
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import argparse
 
 import numpy as np
