@@ -304,3 +304,18 @@ def test_ring_geometry_silicon_pins():
     for b in (1, 2, 3, 5, 6, 12, 64):
         fpb, _ = _ring_geometry(480, 896, 3, 4, 3, b, False)
         assert b % fpb == 0, (b, fpb)
+
+
+def test_raw_ring_fpb_rule():
+    """Raw (absdiff) ring kernel frame-per-step targets: 4-frame blocks up
+    to 720p's padded geometry, 8 above (measured DMA-shape rule)."""
+    from dips_tpu.ops.pallas_fused import _ring_frames_per_step
+    from dips_tpu.ops.reference import pad_geometry
+    for (h, w), want in (((480, 854), 4), ((720, 1280), 4),
+                         ((1080, 1920), 8), ((2160, 3840), 8)):
+        hp, wp = pad_geometry(h, w)
+        assert _ring_frames_per_step(64, hp, wp) == want, (h, w)
+    # always a divisor of b
+    for b in (1, 3, 5, 6, 10, 64):
+        f = _ring_frames_per_step(b, 480, 896)
+        assert b % f == 0
