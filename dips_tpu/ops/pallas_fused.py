@@ -564,7 +564,8 @@ def _ring_geometry(hp: int, wp: int, window: int, t: int, c: int, b: int,
     # the separable approximate median keeps ~w3-level live planes (two
     # pruned median-of-w networks instead of the w*w merge) — verified on
     # silicon at every w3-cap edge: approx-w7 896*48 ok (50.5k fps),
-    # 1408*40 ok (20.9k), 2048*24 ok (9.3k, +30% over the exact-w7 cap)
+    # 1408*40 ok (20.9k), 2048*24 ok (9.3k, +30% over the exact-w7 cap);
+    # PER_FRAME fits too: pf approx-w7 896*48 ok (52.5k), 2048*24 (9.9k)
     cap = _RING_BH_PRODUCT_CAPS[3 if approx else window]
     if t > 4:  # ring in+working blocks are 12*t bytes/row-col at t=4 pins
         cap = cap * (48 + 12 * 4) // (48 + 12 * t)
