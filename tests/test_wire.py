@@ -158,6 +158,23 @@ def test_collect_packed_requires_packed_wire():
         eng.process_batch([make_clip(n=1, h=24, w=40)[0]], packed=True)
 
 
+def test_packed_wire_fuzz_geometries():
+    """packed_wire must be output-transparent for arbitrary geometries
+    (odd heights/widths exercise the pad-then-crop path)."""
+    rng = np.random.default_rng(11)
+    props = DiPsProperties(output=OutputMode.THRESHOLD, temporal_size=2)
+    for _ in range(6):
+        h = int(rng.integers(9, 70))
+        w = int(rng.integers(17, 150))
+        clip = [rng.integers(0, 256, (h, w, 3), np.uint8) for _ in range(4)]
+        a = DiPsEngine(props, h, w, batch=3)
+        b = DiPsEngine(props, h, w, batch=3, packed_wire=True)
+        oa, sa = a.process_frames(clip)
+        ob, sb = b.process_frames(clip)
+        np.testing.assert_array_equal(oa, ob, err_msg=f"{h}x{w}")
+        np.testing.assert_allclose(sa, sb, atol=1e-6)
+
+
 def test_serve_packed_ignored_for_colorize():
     srv = DiPsServer(DiPsProperties(temporal_size=2), 24, 40, port=0,
                      batch=1)
