@@ -311,3 +311,19 @@ def test_streaming_soak_with_all_features(tmp_path):
     assert idxs == list(range(300))
     # refresh-marker frames re-capture: zero changed pixels
     assert marker_counts == {100: 0.0, 200: 0.0}
+
+
+def test_cli_packed_wire(video, tmp_path, capsys):
+    """--packed-wire plumbs through the CLI to the engine; output video is
+    identical to the plain run (wire format is transparent)."""
+    path, frames = video
+    outs = []
+    for flag in ([], ["--packed-wire"]):
+        out = str(tmp_path / f"pw_{bool(flag)}.avi")
+        rc = cli_main(["--input", path, "--output", out,
+                       "--output-mode=threshold", "--temporal=2",
+                       "--batch=4"] + flag)
+        assert rc == 0
+        with VideoReader(out) as r:
+            outs.append(np.stack(list(r)))
+    np.testing.assert_array_equal(outs[0], outs[1])
