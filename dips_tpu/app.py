@@ -95,6 +95,12 @@ class DiPsJob:
     #: THRESHOLD only: bit-pack masks on the device before the D2H copy
     #: (8x less device->host transfer; ops/wire.py).  Output is unchanged.
     packed_wire: bool = False
+    #: yield the decoded RGB input frame from :func:`stream_dips` (the
+    #: second tuple element).  Rebuilding HWC from the planar batch costs a
+    #: full host pass per frame (~7 ms at 1080p), so it is skipped — the
+    #: element is None — unless requested.  None = auto: on exactly when
+    #: ``frame_callback`` is set (the callback receives the input frame).
+    yield_inputs: Optional[bool] = None
 
     # builder parity ------------------------------------------------------
     def with_video_path(self, p: str) -> "DiPsJob":
@@ -194,10 +200,15 @@ class _RingChain:
             r.close()
 
 
-def stream_dips(job: DiPsJob) -> Iterator[Tuple[int, np.ndarray, np.ndarray,
-                                                np.ndarray]]:
+def stream_dips(job: DiPsJob) -> Iterator[Tuple[int, Optional[np.ndarray],
+                                                np.ndarray, np.ndarray]]:
     """Core streaming loop: yields (frame_index, input, output, stats) while
-    a decode thread keeps the device fed (bounded ring = backpressure)."""
+    a decode thread keeps the device fed (bounded ring = backpressure).
+
+    ``input`` is the decoded RGB frame when ``job.yield_inputs`` resolves
+    true (explicitly, or automatically because a ``frame_callback`` is
+    set), else None — reassembling HWC from the planar device layout is a
+    full host pass per frame that the main encode path never reads."""
     if not job.video_path:
         raise VideoPathError("no video path set (DiPsJob.with_video_path)")
     import collections
@@ -257,6 +268,8 @@ def stream_dips(job: DiPsJob) -> Iterator[Tuple[int, np.ndarray, np.ndarray,
     idx = 0
     h, w = engine.height, engine.width
     t = engine.tail_rows  # buffer offset of new frames (0 in ring-carry)
+    want_inputs = (job.yield_inputs if job.yield_inputs is not None
+                   else job.frame_callback is not None)
 
     def emit(pending):
         """Collect a dispatched batch and yield its frames."""
@@ -275,7 +288,10 @@ def stream_dips(job: DiPsJob) -> Iterator[Tuple[int, np.ndarray, np.ndarray,
         for i in range(len(batch)):
             out = outs[i]
             job.frame_pts.append(pts_batch[i])
-            inp = native.interleave(batch[i], h, w)  # RGB view for hooks
+            # RGB input for hooks/consumers — a full host pass, built only
+            # when something reads it
+            inp = (native.interleave(batch[i], h, w) if want_inputs
+                   else None)
             if job.frame_callback is not None:
                 try:
                     replacement = job.frame_callback(idx, inp, out, stats[i])

@@ -117,9 +117,12 @@ def run_gui() -> int:
         def work():  # run off the UI thread (ref: smol::spawn, main.rs:98)
             try:
                 stats = perform_dips(job)
-                status.configure(text=f"done: {stats.shape[0]} frames → {out}")
+                text = f"done: {stats.shape[0]} frames → {out}"
             except Exception as e:
-                status.configure(text=f"failed: {e}")
+                text = f"failed: {e}"
+            # Tk widgets are NOT thread-safe: marshal the update back onto
+            # the mainloop thread (root.after is the documented safe entry)
+            root.after(0, lambda: status.configure(text=text))
 
         threading.Thread(target=work, daemon=True).start()
 

@@ -30,7 +30,9 @@ def subsample_video(input_path: str, output_path: str, keep_every: int = 10,
     fps = max(n_kept / target_seconds, 1.0)
     with VideoReader(input_path) as r, \
             VideoWriter(output_path, fps, w, h, encoding) as wr:
-        for i, f in enumerate(r):
+        # straight BGR-to-BGR transcode: skip the per-frame BGR->RGB->BGR
+        # round trip (two full-frame conversions that cancel out)
+        for i, f in enumerate(r.iter_bgr()):
             if i % keep_every == 0:
-                wr.write(f)
+                wr.write_bgr(f)
         return wr.frames_written

@@ -138,8 +138,11 @@ class CfrRetimer:
 
     def feed(self, frame, pts: Optional[float]) -> list:
         """Frames to write now: gap slots hold the PREVIOUS frame (it was
-        the one on screen), then the current frame lands on its own slot;
-        a burst (two source frames in one output slot) drops the older."""
+        the one on screen), then the current frame lands on its own slot.
+        A burst (two source frames mapping to one output slot) keeps the
+        OLDER frame in the slot it already occupies; the newer frame is
+        not written this call but becomes the gap-filler for subsequent
+        slots (it is what's on screen from now on)."""
         if pts is None:
             self._prev = frame
             self.written += 1
@@ -211,6 +214,12 @@ class VideoWriter:
                 frame_rgb.reshape(frame_rgb.shape[0], frame_rgb.shape[1]),
                 cv2.COLOR_GRAY2RGB)
         self._w.write(cv2.cvtColor(frame_rgb, cv2.COLOR_RGB2BGR))
+        self.frames_written += 1
+
+    def write_bgr(self, frame_bgr: np.ndarray) -> None:
+        """Write a frame already in cv2's native BGR order (skips the RGB
+        swap — for BGR-to-BGR transcode paths like io/subsample.py)."""
+        self._w.write(frame_bgr)
         self.frames_written += 1
 
     def close(self) -> None:

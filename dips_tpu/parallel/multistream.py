@@ -507,6 +507,10 @@ class MultiStreamEngine:
             out = wire.unpack_mask(packed)[
                 :, :, :, :self.height, :self.width]
         else:
-            out = np.asarray(out[:, :n, :, :self.height, :self.width])
+            # download the PADDED array and crop on the host: slicing the
+            # minor dims on device would make the D2H minor dim the true
+            # width (rarely 128-aligned), the pathological transfer shape
+            # ops/wire.py documents (~2000x slower on the dev tunnel)
+            out = np.asarray(out[:, :n])[:, :, :, :self.height, :self.width]
         out = np.moveaxis(out, 2, -1)
         return out, np.asarray(stats[:, :n]), float(gmean)

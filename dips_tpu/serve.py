@@ -25,7 +25,15 @@ Header commands:
 
 Each connection gets its OWN engine (private baseline/ring/heatmap state),
 so up to ``max_sessions`` clients — e.g. N cameras — stream concurrently
-against one chip; JAX serialises their dispatches.  Start with
+against one chip; JAX serialises their dispatches.
+
+Reconnect/resume semantics: a client may tag its requests with a
+``"session": <token>`` field (``DiPsClient(session=...)``); on reconnect
+the same token resumes that session's streaming state (cursor, baseline,
+ring).  Untagged clients get FRESH state on a multi-session server — a
+pooled engine is reset before reuse, so one camera's baseline can never
+leak into another's stream — except on a single-session server, where the
+lone anonymous engine unambiguously resumes (back-compat).  Start with
 ``python -m dips_tpu.serve --port 7807 --height H --width W [options]``.
 """
 
@@ -133,9 +141,16 @@ class DiPsServer:
         self.engine = self._mk_engine()
         self.max_sessions = max(1, int(max_sessions))
         self._sessions = threading.Semaphore(self.max_sessions)
-        # engines return to the pool when a session ends, so a reconnecting
-        # client resumes the streaming state (the single-session behaviour)
+        # Engine pool.  Anonymous engines return here when a session ends;
+        # on a SINGLE-session server the lone engine unambiguously resumes
+        # a reconnecting client, on a multi-session server pooled engines
+        # are reset before reuse (no cross-client state leaks).  Clients
+        # that want resume on a multi-session server tag requests with a
+        # "session" token; those engines park in _named keyed by token.
         self._pool: list = [self.engine]
+        self._named: dict = {}   # session token -> parked engine
+        #: parked named sessions beyond this are evicted oldest-first
+        self.max_named_sessions = 8 * self.max_sessions
         self._pool_lock = threading.Lock()
         self._threads: list = []
         self._sock = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
@@ -167,31 +182,61 @@ class DiPsServer:
                 except OSError:
                     pass
                 continue
-            with self._pool_lock:
-                eng = self._pool.pop() if self._pool else self._mk_engine()
-            th = threading.Thread(target=self._session, args=(client, addr,
-                                                              eng),
+            th = threading.Thread(target=self._session, args=(client, addr),
                                   daemon=True)
+            self._threads = [t for t in self._threads if t.is_alive()]
             self._threads.append(th)
             th.start()
         for th in self._threads:
             th.join(timeout=5.0)
 
-    def _session(self, client: socket.socket, addr, eng) -> None:
+    def _bind_engine(self, token):
+        """Engine for a session, bound lazily at its FIRST request (the
+        request carries the optional session token).  Named tokens resume
+        their parked engine; anonymous sessions reuse a pooled engine —
+        reset unless this is a single-session server, where resume is
+        unambiguous and historical behaviour."""
+        with self._pool_lock:
+            if token is not None and token in self._named:
+                eng = self._named.pop(token)
+            elif self._pool:
+                eng = self._pool.pop()
+                if token is not None or self.max_sessions > 1:
+                    eng.reset()  # never hand one client another's state
+            else:
+                eng = self._mk_engine()
+        eng.session_token = token
+        return eng
+
+    def _release_engine(self, eng) -> None:
+        with self._pool_lock:
+            token = getattr(eng, "session_token", None)
+            if token is not None:
+                self._named[token] = eng
+                while len(self._named) > self.max_named_sessions:
+                    self._named.pop(next(iter(self._named)))
+            else:
+                self._pool.append(eng)
+
+    def _session(self, client: socket.socket, addr) -> None:
+        eng = None
         try:
             with client:
                 log.info("client %s", addr)
                 try:
-                    self._serve_client(client, eng)
+                    eng = self._serve_client(client)
                 except Exception:
                     # one bad/broken client must never kill the daemon
                     log.exception("client %s dropped", addr)
         finally:
-            with self._pool_lock:
-                self._pool.append(eng)
+            if eng is not None:
+                self._release_engine(eng)
             self._sessions.release()
 
-    def _serve_client(self, client: socket.socket, eng) -> None:
+    def _serve_client(self, client: socket.socket):
+        """Serve one connection; returns the bound engine (or None if the
+        client never issued a request) so _session can park it."""
+        eng = None
         # periodic timeout so shutdown() can interrupt an idle connection
         client.settimeout(0.5)
         while not self._stop.is_set():
@@ -205,11 +250,15 @@ class DiPsServer:
                     _send(client, {"ok": False, "error": str(e)})
                 except OSError:
                     pass
-                return
+                return eng
             if msg is None:
-                return
+                return eng
             header, payload = msg
             cmd = header.get("cmd")
+            if eng is None:  # first request binds the session's engine
+                token = header.get("session")
+                eng = self._bind_engine(
+                    str(token) if token is not None else None)
             try:
                 if cmd == "hello":
                     _send(client, {
@@ -253,7 +302,7 @@ class DiPsServer:
                     _send(client, {"ok": True})
                 elif cmd == "close":
                     _send(client, {"ok": True})
-                    return
+                    return eng
                 else:
                     _send(client, {"ok": False,
                                    "error": f"unknown cmd {cmd!r}"})
@@ -262,7 +311,8 @@ class DiPsServer:
                 try:
                     _send(client, {"ok": False, "error": str(e)})
                 except OSError:
-                    return  # client gone mid-error: drop the connection
+                    return eng  # client gone mid-error: drop the connection
+        return eng
 
     def shutdown(self) -> None:
         self._stop.set()
@@ -273,12 +323,21 @@ class DiPsServer:
 
 
 class DiPsClient:
-    """Minimal client for :class:`DiPsServer`."""
+    """Minimal client for :class:`DiPsServer`.
 
-    def __init__(self, port: int, host: str = "127.0.0.1"):
+    ``session``: optional stable token (e.g. a camera id).  Requests carry
+    it, and the server parks/resumes that session's streaming state across
+    reconnects; without it, a multi-session server hands out fresh state
+    per connection."""
+
+    def __init__(self, port: int, host: str = "127.0.0.1",
+                 session: Optional[str] = None):
+        self.session = session
         self._sock = socket.create_connection((host, port))
 
     def _rpc(self, header: dict, payload: bytes = b"") -> Tuple[dict, bytes]:
+        if self.session is not None:
+            header = dict(header, session=self.session)
         if payload:
             header = dict(header, payload_len=len(payload))
         _send(self._sock, header, payload)

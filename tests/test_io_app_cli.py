@@ -82,6 +82,27 @@ def test_frame_callback_hook(video, tmp_path):
     assert np.all(outs[0] == 7)
 
 
+def test_yield_inputs_lazy_by_default(video):
+    """The input element is None unless requested (a callback requests it
+    implicitly) — the HWC rebuild is skipped on the hot encode path."""
+    path, frames = video
+    job = DiPsJob().with_video_path(path)
+    assert all(inp is None for _, inp, _, _ in stream_dips(job))
+
+    import dataclasses
+    job_want = dataclasses.replace(job, yield_inputs=True)
+    inps = [inp for _, inp, _, _ in stream_dips(job_want)]
+    assert all(isinstance(i, np.ndarray) for i in inps)
+    with VideoReader(path) as r:  # inputs = the decoded frames, exactly
+        np.testing.assert_array_equal(np.stack(inps), np.stack(list(r)))
+
+    def cb(idx, inp, out, stats):  # callback implies inputs
+        assert isinstance(inp, np.ndarray)
+        return None
+
+    list(stream_dips(job.with_frame_callback(cb)))
+
+
 def test_run_dips_on_file_with_markers(video, tmp_path):
     path, frames = video
     out = str(tmp_path / "o.avi")

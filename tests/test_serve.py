@@ -234,3 +234,54 @@ def test_protocol_fuzz_random_garbage(server):
     cli = DiPsClient(server.port)  # still alive
     assert cli.hello()["ok"]
     cli.close()
+
+
+def test_multisession_anonymous_reconnect_gets_fresh_state():
+    """On a multi-session server an untagged reconnect must NOT inherit a
+    previous client's streaming state (baseline/cursor isolation)."""
+    props = DiPsProperties(window_size=1, temporal_size=1,
+                           filter=DiPsFilter.UNFILTERED)
+    srv = DiPsServer(props, 10, 20, port=0, batch=1, max_sessions=2)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        clip = make_clip(n=2, h=10, w=20, seed=1)
+        a = DiPsClient(srv.port)
+        a.process(clip[0])
+        assert a.hello()["frame_index"] == 1
+        a.close()
+        b = DiPsClient(srv.port)  # must not resume A's engine
+        assert b.hello()["frame_index"] == 0
+        # frame 0 of a fresh stream re-captures the baseline: zero diff
+        _, s = b.process(clip[1])
+        assert s[1] == 0
+        b.close()
+    finally:
+        srv.shutdown()
+
+
+def test_named_session_resumes_across_reconnects():
+    """A session token parks and resumes its engine on a multi-session
+    server; a different token still gets fresh state."""
+    props = DiPsProperties(window_size=3, temporal_size=2,
+                           filter=DiPsFilter.UNFILTERED)
+    srv = DiPsServer(props, 24, 40, port=0, batch=1, max_sessions=2)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        clip = make_clip(n=4, h=24, w=40, seed=11)
+        a1 = DiPsClient(srv.port, session="cam-A")
+        outs = [a1.process(f)[0] for f in clip[:2]]
+        a1.close()
+        other = DiPsClient(srv.port, session="cam-B")
+        assert other.hello()["frame_index"] == 0
+        other.close()
+        a2 = DiPsClient(srv.port, session="cam-A")
+        assert a2.hello()["frame_index"] == 2  # resumed
+        outs += [a2.process(f)[0] for f in clip[2:]]
+        a2.close()
+        eng = DiPsEngine(props, 24, 40, batch=1)
+        exp, _ = eng.process_frames(list(clip))
+        np.testing.assert_array_equal(np.stack(outs), exp)
+    finally:
+        srv.shutdown()
