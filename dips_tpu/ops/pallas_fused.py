@@ -47,7 +47,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..properties import (ChromaFilter, DiPsMethod, DiPsProperties,
                           OutputMode)
-from . import networks
+from . import networks, tuning
 from .reference import emphasize
 
 # Per-(frame, row-block) raw-diff partials: sum, sum_abs, max_abs, count.
@@ -157,8 +157,13 @@ def _emit_median_frame(props: DiPsProperties, i: int, m, si, cur,
     ``gate_state`` (ring-carry mode) suppresses carried-state writes
     (baseline capture, prev update) for invalid padding frames: ring-carry
     state persists across batches, so padding replicas must not touch it.
-    The tail kernel keeps its historical ungated semantics (state is rebuilt
-    from the raw tail every batch, so padding writes are inert there).
+    The tail kernel stays ungated, which is safe under two invariants its
+    callers uphold: the temporal ring/prev state is rebuilt from the raw
+    tail every batch (padding writes to them are inert), and the host
+    NEVER sets a capture flag on an invalid frame (pipeline.py builds
+    flags only for the n real frames) — the carried OVERALL baseline
+    crosses batches even in the tail protocol, so a flagged padding
+    replica WOULD corrupt it.
     """
     overall = props.method == DiPsMethod.OVERALL
     colorize = props.output == OutputMode.COLORIZE
@@ -546,11 +551,22 @@ def _ring_frames_per_step(b: int, hp: int = 0, wp: int = 0) -> int:
 # 2048*24 ok (12.0k), pf w5 2048*24 ok (5.0k), pf w7 896*40 ok (11.1k).
 _RING_BH_PRODUCT_CAPS = {1: 56_320, 3: 56_320, 5: 52_000, 7: 39_000}
 
+# Probe hooks for ops/autotune.py ONLY: when set, the pickers return these
+# verbatim.  Autotune builds a FRESH jit closure per probe (a module-level
+# override would otherwise be invisible to jax's jit cache, which keys on
+# the static args, not on this variable).
+_RING_GEOMETRY_OVERRIDE: "Tuple[int, int] | None" = None   # (fpb, bh)
+_RAW_BH_OVERRIDE: "int | None" = None                      # bh
 
-def _ring_geometry(hp: int, wp: int, window: int, t: int, c: int, b: int,
-                   per_frame: bool, approx: bool = False
-                   ) -> Tuple[int, int]:
+
+def _ring_geometry(hp: int, wp: int, window: int, t: int, b: int,
+                   approx: bool = False) -> Tuple[int, int]:
     """(fpb, bh) for the median ring kernel.
+
+    Deliberately independent of the output-channel count and of
+    OVERALL/PER_FRAME: the caps were pinned with c=3 and re-verified at
+    every cap edge under PER_FRAME's two extra prev-plane blocks
+    (BASELINE.md "window matrix"), so neither knob moves the geometry.
 
     bh: the largest divisor-of-hp row block whose plane size wp*bh stays
     under the window's measured product cap (table above), derated for
@@ -561,12 +577,18 @@ def _ring_geometry(hp: int, wp: int, window: int, t: int, c: int, b: int,
     overflow scoped VMEM by 48 KB at the minimum block height (4K w3
     fpb=8 bh=8 OOMs at a reported 16.05 MB; fpb=4 runs for w3/w5/w7).
     """
+    if _RING_GEOMETRY_OVERRIDE is not None:  # autotune probe (see above)
+        return _RING_GEOMETRY_OVERRIDE
     # the separable approximate median keeps ~w3-level live planes (two
     # pruned median-of-w networks instead of the w*w merge) — verified on
     # silicon at every w3-cap edge: approx-w7 896*48 ok (50.5k fps),
     # 1408*40 ok (20.9k), 2048*24 ok (9.3k, +30% over the exact-w7 cap);
     # PER_FRAME fits too: pf approx-w7 896*48 ok (52.5k), 2048*24 (9.9k)
-    cap = _RING_BH_PRODUCT_CAPS[3 if approx else window]
+    win_key = 3 if approx else window
+    # a measured per-device-kind cap (python -m dips_tpu.autotune)
+    # overrides the baked-in v5e pin
+    cap = (tuning.ring_product_cap(win_key)
+           or _RING_BH_PRODUCT_CAPS[win_key])
     if t > 4:  # ring in+working blocks are 12*t bytes/row-col at t=4 pins
         cap = cap * (48 + 12 * 4) // (48 + 12 * t)
     fpb = min(b, 8)
@@ -694,8 +716,8 @@ def _batch_step_ring_impl(props: DiPsProperties, h: int, w: int, s: int,
     hp = hp_tot // s
     c = props.out_channels
     overall = props.method == DiPsMethod.OVERALL
-    fpb, bh = _ring_geometry(hp, wp, props.window_size, t, c, b,
-                             not overall, approx=props.approx_median)
+    fpb, bh = _ring_geometry(hp, wp, props.window_size, t, b,
+                             approx=props.approx_median)
     n_hb_per = hp // bh
     n_hb = s * n_hb_per
     n8_per = hp // 8
@@ -829,9 +851,11 @@ def batch_step_ring_stacked(props: DiPsProperties, h: int, w: int, s: int,
 # parity surface, BASELINE.json metric) — pure integer math, one HBM pass.
 # ---------------------------------------------------------------------------
 
-def _make_raw_kernel(props: DiPsProperties, h: int, w: int, t: int, b: int,
-                     bh: int, wp: int, fpb: int, s: int = 1,
-                     n_hb_per: int = 1, ring: bool = False):
+def _make_raw_kernel(props: DiPsProperties, t: int, b: int,
+                     fpb: int, n_hb_per: int = 1, ring: bool = False):
+    # Needs no geometry: the raw kernel has no stencil (no validity mask,
+    # no halos), so only the grid/step split (t, b, fpb) and the
+    # stream-of-row-block divisor (n_hb_per) shape the body.
     overall = props.method == DiPsMethod.OVERALL
     threshold_mode = props.output == OutputMode.THRESHOLD
     thr = props.change_threshold
@@ -975,6 +999,27 @@ def _make_raw_kernel(props: DiPsProperties, h: int, w: int, t: int, b: int,
     return kernel
 
 
+def _raw_block_rows(hp: int, wp: int, fpb: int, c: int) -> int:
+    """Row-block height for the raw (absdiff/threshold) kernel: the divisor
+    of Hp (>= the row floor where possible) whose input block
+    (3 x F x bh x Wp bytes) is nearest the measured DMA sweet spot (ties:
+    larger block); a per-device-kind measured target
+    (python -m dips_tpu.autotune) overrides the baked-in v5e pin."""
+    if _RAW_BH_OVERRIDE is not None:  # autotune probe (see above)
+        return _RAW_BH_OVERRIDE
+    # per-row VMEM: cur in + out (u8, F-deep, dbl-buffered), 2 u8 base
+    # scratch + base in/out, heat f32 scratch + in/out, i32 temps ~6 planes
+    bytes_per_row = wp * (3 * fpb * 2 + c * fpb * 2 + 3 * 4 + 4 * 5 + 4 * 6)
+    max_rows = max(_VMEM_BUDGET_RAW // bytes_per_row, 8)
+    in_row_bytes = 3 * fpb * wp
+    target_bytes = tuning.raw_target_bytes() or _RAW_TARGET_BLOCK_BYTES
+    cands = [8 * d for d in range(1, hp // 8 + 1)
+             if hp % (8 * d) == 0 and 8 * d <= max_rows]
+    pool = [cd for cd in cands if cd >= _RAW_MIN_ROWS] or cands or [8]
+    return min(pool, key=lambda cd: (abs(cd * in_row_bytes - target_bytes),
+                                     -cd))
+
+
 def _absdiff_step_impl(props: DiPsProperties, h: int, w: int, s: int,
                        raw, baseline_raw, flags2d, heatmap, valid2d,
                        prev=None, seeds=None, ring: bool = False):
@@ -992,26 +1037,13 @@ def _absdiff_step_impl(props: DiPsProperties, h: int, w: int, s: int,
     else:
         fpb = _frames_per_step(t, b)
         assert t % fpb == 0 and b % fpb == 0, (t, b, fpb)
-    # per-row VMEM: cur in + out (u8, F-deep, dbl-buffered), 2 u8 base
-    # scratch + base in/out, heat f32 scratch + in/out, i32 temps ~6 planes
-    bytes_per_row = wp * (3 * fpb * 2 + c * fpb * 2 + 3 * 4 + 4 * 5 + 4 * 6)
-    max_rows = max(_VMEM_BUDGET_RAW // bytes_per_row, 8)
-    # divisor of the per-stream Hp (>= the row floor where possible) whose
-    # input block (3 x F x bh x Wp bytes) is nearest the measured DMA sweet
-    # spot (ties: larger block)
-    in_row_bytes = 3 * fpb * wp
-    cands = [8 * d for d in range(1, hp // 8 + 1)
-             if hp % (8 * d) == 0 and 8 * d <= max_rows]
-    pool = [cd for cd in cands if cd >= _RAW_MIN_ROWS] or cands or [8]
-    bh = min(pool, key=lambda cd: (abs(cd * in_row_bytes
-                                       - _RAW_TARGET_BLOCK_BYTES), -cd))
+    bh = _raw_block_rows(hp, wp, fpb, c)
     n_hb_per = hp // bh
     n_hb = s * n_hb_per
 
     flags_i32 = flags2d.astype(jnp.int32)
     valid_i32 = valid2d.astype(jnp.int32)
-    kernel = _make_raw_kernel(props, h, w, t, b, bh, wp, fpb, s, n_hb_per,
-                              ring)
+    kernel = _make_raw_kernel(props, t, b, fpb, n_hb_per, ring)
     carry_prev = ring and props.method != DiPsMethod.OVERALL
 
     # OVERALL skips the tail entirely (see _make_raw_kernel): the grid's

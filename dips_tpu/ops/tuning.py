@@ -1,0 +1,137 @@
+"""Persisted per-device-kind kernel tuning store.
+
+The Pallas kernels' block geometries are set by measured device behaviour,
+not analytic models (BASELINE.md "silicon-pinned block-geometry
+methodology"): per-window VMEM product caps for the median ring kernel and
+a DMA-sweet-spot input-block size for the raw absdiff kernel.  The baked-in
+constants in ``ops/pallas_fused.py`` are the TPU v5e measurements; on a
+different TPU generation (other VMEM size / DMA engine behaviour) run
+
+    python -m dips_tpu.autotune
+
+once to measure this device and persist the results here.  The geometry
+pickers consult this store first and fall back to the v5e pins, so the
+cache file is an override, never a requirement.
+
+Cache location: ``$DIPS_TPU_AUTOTUNE_CACHE`` or
+``~/.cache/dips_tpu/autotune.json``.  Schema (one entry per device kind)::
+
+    {"TPU v6 lite": {
+        "ring_caps": {"3": 56320, "5": 52000, "7": 39000},
+        "raw_target_bytes": 512000,
+        "meta": {...provenance...}}}
+
+This module is import-cycle free (no jax/pallas imports at module level):
+``pallas_fused`` reads through it at trace time.
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import os
+from typing import Optional
+
+log = logging.getLogger("dips_tpu.tuning")
+
+_ENV = "DIPS_TPU_AUTOTUNE_CACHE"
+_cache: Optional[dict] = None          # parsed file, loaded once
+_cache_path_loaded: Optional[str] = None
+
+
+def cache_path() -> str:
+    return os.environ.get(
+        _ENV, os.path.expanduser("~/.cache/dips_tpu/autotune.json"))
+
+
+def _load() -> dict:
+    """Parsed cache file ({} when absent/corrupt), reloaded if the
+    configured path changed (tests point the env var at tmp files)."""
+    global _cache, _cache_path_loaded
+    path = cache_path()
+    if _cache is not None and path == _cache_path_loaded:
+        return _cache
+    data: dict = {}
+    try:
+        with open(path) as f:
+            data = json.load(f)
+        if not isinstance(data, dict):
+            raise ValueError("autotune cache root must be an object")
+    except FileNotFoundError:
+        pass
+    except Exception as e:  # corrupt cache must never break the pipeline
+        log.warning("ignoring unreadable autotune cache %s: %s", path, e)
+        data = {}
+    _cache = data
+    _cache_path_loaded = path
+    return data
+
+
+def invalidate() -> None:
+    """Drop the in-memory copy (after a save, or in tests)."""
+    global _cache, _cache_path_loaded
+    _cache = None
+    _cache_path_loaded = None
+
+
+def _device_kind() -> Optional[str]:
+    """Current accelerator kind, or None off-TPU / before backend init.
+
+    Only consulted on the pallas path, so jax is already imported; still,
+    any backend error degrades to 'no override' rather than failing."""
+    try:
+        import jax
+        if jax.default_backend() != "tpu":
+            return None
+        return jax.devices()[0].device_kind
+    except Exception:
+        return None
+
+
+def device_entry(kind: Optional[str] = None) -> dict:
+    kind = kind if kind is not None else _device_kind()
+    if kind is None:
+        return {}
+    return _load().get(kind, {})
+
+
+def ring_product_cap(window: int,
+                     kind: Optional[str] = None) -> Optional[int]:
+    """Measured wp*bh product cap for the median ring kernel at this
+    window on this device kind, or None (use the baked-in pin)."""
+    caps = device_entry(kind).get("ring_caps", {})
+    v = caps.get(str(window))
+    return int(v) if v else None
+
+
+def raw_target_bytes(kind: Optional[str] = None) -> Optional[int]:
+    """Measured DMA-sweet-spot input-block size for the raw absdiff
+    kernel on this device kind, or None (use the baked-in pin)."""
+    v = device_entry(kind).get("raw_target_bytes")
+    return int(v) if v else None
+
+
+def save(kind: str, ring_caps: Optional[dict] = None,
+         raw_target: Optional[int] = None,
+         meta: Optional[dict] = None) -> str:
+    """Merge measurements for ``kind`` into the cache file; returns the
+    path written.  Partial updates keep the other family's entries."""
+    path = cache_path()
+    data = _load().copy()
+    entry = dict(data.get(kind, {}))
+    if ring_caps:
+        merged = dict(entry.get("ring_caps", {}))
+        merged.update({str(k): int(v) for k, v in ring_caps.items()})
+        entry["ring_caps"] = merged
+    if raw_target:
+        entry["raw_target_bytes"] = int(raw_target)
+    if meta:
+        entry["meta"] = meta
+    data[kind] = entry
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(data, f, indent=1, sort_keys=True)
+    os.replace(tmp, path)
+    invalidate()
+    return path

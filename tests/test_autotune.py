@@ -1,0 +1,168 @@
+"""Autotuner + tuning store: search logic, persistence, picker overrides.
+
+The real probes need a TPU (they measure Mosaic VMEM edges and DMA
+timings); here the measurement is faked and the search/persistence logic —
+the part that must be correct on every device — is exercised on CPU.
+"""
+
+import json
+
+import pytest
+
+from dips_tpu import autotune
+from dips_tpu.autotune import ProbeOOM, find_largest_fitting
+from dips_tpu.ops import tuning
+
+
+@pytest.fixture()
+def cache(tmp_path, monkeypatch):
+    path = str(tmp_path / "autotune.json")
+    monkeypatch.setenv("DIPS_TPU_AUTOTUNE_CACHE", path)
+    tuning.invalidate()
+    yield path
+    tuning.invalidate()
+
+
+# -- tuning store -----------------------------------------------------------
+
+def test_store_roundtrip(cache):
+    tuning.save("TPU vX", ring_caps={3: 111_000, 7: 30_000},
+                raw_target=640_000, meta={"tool": "test"})
+    assert tuning.ring_product_cap(3, kind="TPU vX") == 111_000
+    assert tuning.ring_product_cap(5, kind="TPU vX") is None
+    assert tuning.raw_target_bytes(kind="TPU vX") == 640_000
+    assert tuning.ring_product_cap(3, kind="other") is None
+    # partial update merges, never clobbers
+    tuning.save("TPU vX", ring_caps={5: 52_000})
+    assert tuning.ring_product_cap(3, kind="TPU vX") == 111_000
+    assert tuning.ring_product_cap(5, kind="TPU vX") == 52_000
+    assert tuning.raw_target_bytes(kind="TPU vX") == 640_000
+    with open(cache) as f:
+        assert "meta" in json.load(f)["TPU vX"]
+
+
+def test_store_corrupt_file_is_ignored(cache):
+    with open(cache, "w") as f:
+        f.write("{not json")
+    tuning.invalidate()
+    assert tuning.ring_product_cap(3, kind="TPU vX") is None
+    tuning.save("TPU vX", ring_caps={3: 1})  # and save still works
+    assert tuning.ring_product_cap(3, kind="TPU vX") == 1
+
+
+def test_store_no_device_kind_means_no_override(cache):
+    """Off-TPU (this CPU test run) the store must never activate."""
+    tuning.save("TPU vX", ring_caps={3: 1})
+    assert tuning.ring_product_cap(3) is None  # kind=None on CPU
+    assert tuning.raw_target_bytes() is None
+
+
+# -- search logic -----------------------------------------------------------
+
+def test_find_largest_fitting_walks_from_prior():
+    cands = [8, 16, 24, 32, 40, 48]
+    calls = []
+
+    def fits(x):
+        calls.append(x)
+        return x <= 24
+
+    # prior already at the edge: probes 24 (pass) and 32 (fail) only
+    assert find_largest_fitting(cands, 24, fits) == 24
+    assert calls == [24, 32]
+    # prior too high: descends to the edge
+    assert find_largest_fitting(cands, 48, lambda x: x <= 16) == 16
+    # prior too low: climbs to the top candidate
+    assert find_largest_fitting(cands, 8, lambda x: True) == 48
+    # nothing fits
+    assert find_largest_fitting(cands, 24, lambda x: False) is None
+    assert find_largest_fitting([], 24, lambda x: True) is None
+
+
+def test_probe_ring_caps_with_fake_measure():
+    """The probe finds each window's OOM edge and reports wp*bh caps."""
+    edges = {3: 24, 5: 16, 7: 8}  # max fitting bh per window
+
+    def factory(win, h, w, t, b):
+        def measure(fpb, bh):
+            assert fpb in (4, 8) and b % fpb == 0
+            if bh > edges[win]:
+                raise ProbeOOM(f"bh={bh}")
+            return 0.001 * bh
+        return measure, 48, 2048  # hp, wp
+
+    res = autotune.probe_ring_caps(windows=(3, 5, 7), h=48, w=1920, b=64,
+                                   measure_factory=factory)
+    assert {w_: r["cap"] for w_, r in res.items()} == {
+        3: 24 * 2048, 5: 16 * 2048, 7: 8 * 2048}
+    assert res[3]["fps"] == pytest.approx(64 / 0.024)
+
+
+def test_probe_ring_caps_skips_impossible_window():
+    def factory(win, h, w, t, b):
+        def measure(fpb, bh):
+            raise ProbeOOM("always")
+        return measure, 48, 2048
+
+    assert autotune.probe_ring_caps(windows=(7,), h=48, w=1920,
+                                    measure_factory=factory) == {}
+
+
+def test_probe_raw_target_picks_fastest():
+    # fastest at bh=16; bh=40 OOMs (must be skipped, not fatal)
+    times = {8: 0.004, 16: 0.002, 24: 0.003, 32: 0.005}
+
+    def factory(h, w, t, b):
+        def measure(bh):
+            if bh not in times:
+                raise ProbeOOM(f"bh={bh}")
+            return times[bh]
+        return measure, 48, 2048
+
+    res = autotune.probe_raw_target(h=48, w=1920, b=64, max_probes=6,
+                                    measure_factory=factory)
+    assert res["bh"] == 16
+    fpb = 8  # hp*wp = 48*2048 < 1.1M -> 4... (rule lives in pallas_fused)
+    from dips_tpu.ops.pallas_fused import _ring_frames_per_step
+    fpb = _ring_frames_per_step(64, 48, 2048)
+    assert res["target_bytes"] == 16 * 3 * fpb * 2048
+    assert res["fps"] == pytest.approx(64 / 0.002)
+
+
+# -- picker integration ------------------------------------------------------
+
+def test_ring_geometry_honors_measured_cap(cache, monkeypatch):
+    from dips_tpu.ops import pallas_fused
+    monkeypatch.setattr(tuning, "_device_kind", lambda: "TPU vTEST")
+    base = pallas_fused._ring_geometry(1080, 2048, 3, 4, 64)
+    assert base == (8, 24)  # the baked-in v5e pin
+    tuning.save("TPU vTEST", ring_caps={3: 2048 * 72})
+    assert pallas_fused._ring_geometry(1080, 2048, 3, 4, 64) == (8, 72)
+    tuning.save("TPU vTEST", ring_caps={3: 2048 * 8})
+    assert pallas_fused._ring_geometry(1080, 2048, 3, 4, 64) == (8, 8)
+
+
+def test_raw_block_rows_honors_measured_target(cache, monkeypatch):
+    # hp=960 admits bh in {8,16,24,32} under the VMEM budget, so the
+    # target actually has freedom (1080p's divisor ladder only has {8,24})
+    from dips_tpu.ops import pallas_fused
+    monkeypatch.setattr(tuning, "_device_kind", lambda: "TPU vTEST")
+    fpb = 8
+    base = pallas_fused._raw_block_rows(960, 2048, fpb, 3)
+    assert base == 16  # nearest the baked-in ~500KB target
+    tuning.save("TPU vTEST", raw_target=2 * 1024 * 1024)
+    assert pallas_fused._raw_block_rows(960, 2048, fpb, 3) == 32
+
+
+def test_geometry_overrides_are_scoped(monkeypatch):
+    """The probe hooks force exactly what they are told and restore."""
+    from dips_tpu.ops import pallas_fused
+    monkeypatch.setattr(pallas_fused, "_RING_GEOMETRY_OVERRIDE", (4, 16))
+    assert pallas_fused._ring_geometry(1080, 2048, 7, 4, 64) == (4, 16)
+    monkeypatch.setattr(pallas_fused, "_RAW_BH_OVERRIDE", 40)
+    assert pallas_fused._raw_block_rows(1080, 2048, 8, 3) == 40
+
+
+def test_autotune_cli_refuses_cpu(capsys):
+    assert autotune.main([]) == 1
+    assert "needs a TPU" in capsys.readouterr().err

@@ -296,13 +296,13 @@ def test_ring_geometry_silicon_pins():
     for (h, w), per_win in expect.items():
         hp, wp = pad_geometry(h, w)
         for win, want in per_win.items():
-            got = _ring_geometry(hp, wp, win, 4, 3, 64, False)
+            got = _ring_geometry(hp, wp, win, 4, 64)
             assert got == want, (h, w, win, got, want)
     # t derating: a 16-deep ring at 1080p must shrink the block
-    assert _ring_geometry(1080, 2048, 3, 16, 3, 64, False)[1] <= 8
+    assert _ring_geometry(1080, 2048, 3, 16, 64)[1] <= 8
     # fpb always divides b
     for b in (1, 2, 3, 5, 6, 12, 64):
-        fpb, _ = _ring_geometry(480, 896, 3, 4, 3, b, False)
+        fpb, _ = _ring_geometry(480, 896, 3, 4, b)
         assert b % fpb == 0, (b, fpb)
 
 
