@@ -33,8 +33,6 @@ import sys
 import time
 from typing import Callable, Iterable, Optional, Tuple
 
-import numpy as np
-
 from .ops import tuning
 from .ops.reference import pad_geometry
 from .properties import DiPsMethod, DiPsProperties, OutputMode
@@ -118,8 +116,11 @@ def _ring_measure_factory(window: int, h: int, w: int, t: int, b: int,
                            method=DiPsMethod.OVERALL,
                            output=OutputMode.COLORIZE, approx_median=approx)
     hp, wp = pad_geometry(h, w)
-    rng = np.random.default_rng(0)
-    raw = jnp.asarray(rng.integers(0, 256, (b, 3, hp, wp), np.uint8))
+    # zero frames: the kernels are data-independent (fixed selection
+    # networks), so timing is content-blind — and a compressible upload
+    # matters on relayed dev links (a 1080p b=64 random batch is ~400 MB,
+    # tens of minutes at degraded tunnel bandwidth)
+    raw = jnp.zeros((b, 3, hp, wp), jnp.uint8)
     flags = jnp.zeros((1, b), bool).at[0, 0].set(True)
     valid = jnp.ones((1, b), bool)
     off = jnp.zeros((1,), jnp.int32)
@@ -173,8 +174,7 @@ def _raw_measure_factory(h: int, w: int, t: int, b: int):
     props = DiPsProperties(output=OutputMode.ABSDIFF, temporal_size=t,
                            method=DiPsMethod.OVERALL)
     hp, wp = pad_geometry(h, w)
-    rng = np.random.default_rng(0)
-    raw = jnp.asarray(rng.integers(0, 256, (b, 3, hp, wp), np.uint8))
+    raw = jnp.zeros((b, 3, hp, wp), jnp.uint8)  # see _ring_measure_factory
     flags = jnp.zeros((1, b), bool).at[0, 0].set(True)
     valid = jnp.ones((1, b), bool)
     seeds = jnp.zeros((1,), jnp.int32)

@@ -115,13 +115,21 @@ def save(kind: str, ring_caps: Optional[dict] = None,
          raw_target: Optional[int] = None,
          meta: Optional[dict] = None) -> str:
     """Merge measurements for ``kind`` into the cache file; returns the
-    path written.  Partial updates keep the other family's entries."""
+    path written.  Partial updates keep the other family's entries.
+
+    Ring caps merge by MAX: a cap is "largest wp*bh plane observed to
+    compile", and any passing compile is a valid lower bound of the true
+    VMEM edge — so probing several geometries (whose divisor ladders are
+    coarse in different places) accumulates the least-conservative safe
+    cap.  The raw target is a timed optimum (not monotone-safe): the last
+    run wins, so run autotune at the geometry you deploy."""
     path = cache_path()
     data = _load().copy()
     entry = dict(data.get(kind, {}))
     if ring_caps:
         merged = dict(entry.get("ring_caps", {}))
-        merged.update({str(k): int(v) for k, v in ring_caps.items()})
+        for k, v in ring_caps.items():
+            merged[str(k)] = max(int(v), int(merged.get(str(k), 0)))
         entry["ring_caps"] = merged
     if raw_target:
         entry["raw_target_bytes"] = int(raw_target)

@@ -37,6 +37,11 @@ def test_store_roundtrip(cache):
     assert tuning.ring_product_cap(3, kind="TPU vX") == 111_000
     assert tuning.ring_product_cap(5, kind="TPU vX") == 52_000
     assert tuning.raw_target_bytes(kind="TPU vX") == 640_000
+    # ring caps merge by MAX (every passing compile is a valid lower bound
+    # of the true edge; a coarser divisor ladder must not shrink the cap)
+    tuning.save("TPU vX", ring_caps={3: 90_000, 5: 60_000})
+    assert tuning.ring_product_cap(3, kind="TPU vX") == 111_000
+    assert tuning.ring_product_cap(5, kind="TPU vX") == 60_000
     with open(cache) as f:
         assert "meta" in json.load(f)["TPU vX"]
 
@@ -138,7 +143,12 @@ def test_ring_geometry_honors_measured_cap(cache, monkeypatch):
     assert base == (8, 24)  # the baked-in v5e pin
     tuning.save("TPU vTEST", ring_caps={3: 2048 * 72})
     assert pallas_fused._ring_geometry(1080, 2048, 3, 4, 64) == (8, 72)
+    # max-merge: a later smaller measurement cannot shrink the cap...
     tuning.save("TPU vTEST", ring_caps={3: 2048 * 8})
+    assert pallas_fused._ring_geometry(1080, 2048, 3, 4, 64) == (8, 72)
+    # ...but a genuinely small-cap device (fresh kind) is honored
+    monkeypatch.setattr(tuning, "_device_kind", lambda: "TPU vSMALL")
+    tuning.save("TPU vSMALL", ring_caps={3: 2048 * 8})
     assert pallas_fused._ring_geometry(1080, 2048, 3, 4, 64) == (8, 8)
 
 
