@@ -26,6 +26,155 @@
 #include <mutex>
 #include <new>
 
+#if defined(__x86_64__) || defined(__i386__)
+#define FP_X86 1
+#include <immintrin.h>
+
+static bool fp_have_ssse3() {
+    static const bool v = __builtin_cpu_supports("ssse3");
+    return v;
+}
+
+// --- SSSE3 row kernels -----------------------------------------------------
+//
+// The layout transforms are pure byte gathers with stride 3/4, which the
+// scalar loops pay for one byte at a time; pshufb does a 16-byte gather per
+// instruction.  Each kernel handles 16 pixels per iteration and leaves the
+// (w % 16) tail to the scalar path.  Channel-swap (BGR<->RGB) is handled by
+// the callers swapping plane POINTERS, so the shuffle masks are fixed.
+
+// 48 interleaved bytes (16 px, stride 3) -> one 16-byte vector per channel.
+// Channel c of pixel p lives at byte 3p+c; per 16-byte source vector that
+// is the lattice {x : (16k + x) % 3 == c} used in the masks below.
+__attribute__((target("ssse3")))
+static void fp_deint3_row(const uint8_t* row, int64_t w,
+                          uint8_t* p0, uint8_t* p1, uint8_t* p2) {
+    const __m128i m00 = _mm_setr_epi8(0, 3, 6, 9, 12, 15, -1, -1, -1, -1,
+                                      -1, -1, -1, -1, -1, -1);
+    const __m128i m01 = _mm_setr_epi8(-1, -1, -1, -1, -1, -1, 2, 5, 8, 11,
+                                      14, -1, -1, -1, -1, -1);
+    const __m128i m02 = _mm_setr_epi8(-1, -1, -1, -1, -1, -1, -1, -1, -1,
+                                      -1, -1, 1, 4, 7, 10, 13);
+    const __m128i m10 = _mm_setr_epi8(1, 4, 7, 10, 13, -1, -1, -1, -1, -1,
+                                      -1, -1, -1, -1, -1, -1);
+    const __m128i m11 = _mm_setr_epi8(-1, -1, -1, -1, -1, 0, 3, 6, 9, 12,
+                                      15, -1, -1, -1, -1, -1);
+    const __m128i m12 = _mm_setr_epi8(-1, -1, -1, -1, -1, -1, -1, -1, -1,
+                                      -1, -1, 2, 5, 8, 11, 14);
+    const __m128i m20 = _mm_setr_epi8(2, 5, 8, 11, 14, -1, -1, -1, -1, -1,
+                                      -1, -1, -1, -1, -1, -1);
+    const __m128i m21 = _mm_setr_epi8(-1, -1, -1, -1, -1, 1, 4, 7, 10, 13,
+                                      -1, -1, -1, -1, -1, -1);
+    const __m128i m22 = _mm_setr_epi8(-1, -1, -1, -1, -1, -1, -1, -1, -1,
+                                      -1, 0, 3, 6, 9, 12, 15);
+    int64_t x = 0;
+    for (; x + 16 <= w; x += 16) {
+        const uint8_t* s = row + 3 * x;
+        const __m128i v0 = _mm_loadu_si128((const __m128i*)(s));
+        const __m128i v1 = _mm_loadu_si128((const __m128i*)(s + 16));
+        const __m128i v2 = _mm_loadu_si128((const __m128i*)(s + 32));
+        _mm_storeu_si128(
+            (__m128i*)(p0 + x),
+            _mm_or_si128(_mm_or_si128(_mm_shuffle_epi8(v0, m00),
+                                      _mm_shuffle_epi8(v1, m01)),
+                         _mm_shuffle_epi8(v2, m02)));
+        _mm_storeu_si128(
+            (__m128i*)(p1 + x),
+            _mm_or_si128(_mm_or_si128(_mm_shuffle_epi8(v0, m10),
+                                      _mm_shuffle_epi8(v1, m11)),
+                         _mm_shuffle_epi8(v2, m12)));
+        _mm_storeu_si128(
+            (__m128i*)(p2 + x),
+            _mm_or_si128(_mm_or_si128(_mm_shuffle_epi8(v0, m20),
+                                      _mm_shuffle_epi8(v1, m21)),
+                         _mm_shuffle_epi8(v2, m22)));
+    }
+    for (; x < w; ++x) {
+        const uint8_t* px = row + 3 * x;
+        p0[x] = px[0];
+        p1[x] = px[1];
+        p2[x] = px[2];
+    }
+}
+
+// 64 interleaved bytes (16 px, stride 4) -> one 16-byte vector per channel
+// (alpha dropped).  Vector k holds pixels 4k..4k+3; channel c sits at
+// bytes c, c+4, c+8, c+12 and lands at output bytes 4k..4k+3.
+__attribute__((target("ssse3")))
+static void fp_deint4_row(const uint8_t* row, int64_t w,
+                          uint8_t* p0, uint8_t* p1, uint8_t* p2) {
+    __m128i m[3][4];
+    for (int c = 0; c < 3; ++c) {
+        for (int k = 0; k < 4; ++k) {
+            alignas(16) int8_t e[16];
+            for (int j = 0; j < 16; ++j) {
+                e[j] = (j >= 4 * k && j < 4 * k + 4)
+                           ? (int8_t)(c + 4 * (j - 4 * k)) : -1;
+            }
+            m[c][k] = _mm_load_si128((const __m128i*)e);
+        }
+    }
+    int64_t x = 0;
+    for (; x + 16 <= w; x += 16) {
+        const uint8_t* s = row + 4 * x;
+        __m128i v[4];
+        for (int k = 0; k < 4; ++k) {
+            v[k] = _mm_loadu_si128((const __m128i*)(s + 16 * k));
+        }
+        uint8_t* outs[3] = {p0 + x, p1 + x, p2 + x};
+        for (int c = 0; c < 3; ++c) {
+            __m128i acc = _mm_shuffle_epi8(v[0], m[c][0]);
+            for (int k = 1; k < 4; ++k) {
+                acc = _mm_or_si128(acc, _mm_shuffle_epi8(v[k], m[c][k]));
+            }
+            _mm_storeu_si128((__m128i*)outs[c], acc);
+        }
+    }
+    for (; x < w; ++x) {
+        const uint8_t* px = row + 4 * x;
+        p0[x] = px[0];
+        p1[x] = px[1];
+        p2[x] = px[2];
+    }
+}
+
+// Three 16-byte channel vectors -> 48 interleaved bytes (16 px, stride 3):
+// the exact inverse lattice of fp_deint3_row.
+__attribute__((target("ssse3")))
+static void fp_int3_row(const uint8_t* p0, const uint8_t* p1,
+                        const uint8_t* p2, int64_t w, uint8_t* row) {
+    __m128i m[3][3];  // [output vector][source channel]
+    for (int o = 0; o < 3; ++o) {
+        for (int c = 0; c < 3; ++c) {
+            alignas(16) int8_t e[16];
+            for (int j = 0; j < 16; ++j) {
+                const int k = 16 * o + j;  // global interleaved byte
+                e[j] = (k % 3 == c) ? (int8_t)(k / 3) : -1;
+            }
+            m[o][c] = _mm_load_si128((const __m128i*)e);
+        }
+    }
+    int64_t x = 0;
+    for (; x + 16 <= w; x += 16) {
+        const __m128i r = _mm_loadu_si128((const __m128i*)(p0 + x));
+        const __m128i g = _mm_loadu_si128((const __m128i*)(p1 + x));
+        const __m128i b = _mm_loadu_si128((const __m128i*)(p2 + x));
+        for (int o = 0; o < 3; ++o) {
+            const __m128i out = _mm_or_si128(
+                _mm_or_si128(_mm_shuffle_epi8(r, m[o][0]),
+                             _mm_shuffle_epi8(g, m[o][1])),
+                _mm_shuffle_epi8(b, m[o][2]));
+            _mm_storeu_si128((__m128i*)(row + 3 * x + 16 * o), out);
+        }
+    }
+    for (; x < w; ++x) {
+        row[3 * x] = p0[x];
+        row[3 * x + 1] = p1[x];
+        row[3 * x + 2] = p2[x];
+    }
+}
+#endif  // FP_X86
+
 extern "C" {
 
 // HWC uint8 (h, w, c_in) -> planar uint8 (3, hp, wp), zero-padded.
@@ -53,6 +202,24 @@ void fp_planarize(const uint8_t* src, int64_t h, int64_t w, int64_t c_in,
     }
     const int r_off = swap_rb ? 2 : 0;
     const int b_off = swap_rb ? 0 : 2;
+#ifdef FP_X86
+    if (fp_have_ssse3() && (c_in == 3 || c_in == 4)) {
+        // the kernels gather source channels 0/1/2 in order; channel swap
+        // is a destination-plane swap
+        for (int64_t y = 0; y < h; ++y) {
+            const uint8_t* row = src + y * row_stride;
+            uint8_t* p0 = dst + (swap_rb ? 2 * plane : 0) + y * wp;
+            uint8_t* p1 = dst + plane + y * wp;
+            uint8_t* p2 = dst + (swap_rb ? 0 : 2 * plane) + y * wp;
+            if (c_in == 3) {
+                fp_deint3_row(row, w, p0, p1, p2);
+            } else {
+                fp_deint4_row(row, w, p0, p1, p2);
+            }
+        }
+        return;
+    }
+#endif
     for (int64_t y = 0; y < h; ++y) {
         const uint8_t* row = src + y * row_stride;
         uint8_t* pr = dst + y * wp;
@@ -77,6 +244,19 @@ void fp_interleave(const uint8_t* src, int64_t c, int64_t hp, int64_t wp,
     const uint8_t* sb = (c >= 3) ? src + 2 * plane : src;
     const int o0 = swap_rb ? 2 : 0;
     const int o2 = swap_rb ? 0 : 2;
+#ifdef FP_X86
+    if (fp_have_ssse3()) {
+        // the kernel emits (ch0, ch1, ch2) per pixel; channel swap is a
+        // source-plane swap (gray broadcast: all three sources coincide)
+        const uint8_t* s0 = swap_rb ? sb : sr;
+        const uint8_t* s2 = swap_rb ? sr : sb;
+        for (int64_t y = 0; y < h; ++y) {
+            fp_int3_row(s0 + y * wp, sg + y * wp, s2 + y * wp, w,
+                        dst + y * w * 3);
+        }
+        return;
+    }
+#endif
     for (int64_t y = 0; y < h; ++y) {
         const uint8_t* r = sr + y * wp;
         const uint8_t* g = sg + y * wp;

@@ -46,6 +46,25 @@ def test_interleave_gray_broadcast(rng):
     np.testing.assert_array_equal(got, np.moveaxis(exp, 0, -1))
 
 
+@pytest.mark.parametrize("w", [1, 15, 16, 17, 32, 33, 47, 48, 49])
+def test_layout_simd_tail_sweep(w, rng):
+    """Widths straddling the 16-pixel SIMD block boundary: the vector body
+    and the scalar tail must agree with the numpy reference at every split
+    (also exercised on non-x86 hosts, where the whole row is the tail)."""
+    h, hp, wp = 5, 8, 128
+    for cin in (3, 4):
+        frame = rng.integers(0, 256, (h, w, cin), np.uint8)
+        for swap in (False, True):
+            got = native.planarize(frame, hp, wp, swap_rb=swap)
+            np.testing.assert_array_equal(
+                got, _ref_planarize(frame, hp, wp, swap))
+    planes = rng.integers(0, 256, (3, hp, wp), np.uint8)
+    for swap in (False, True):
+        got = native.interleave(planes, h, w, swap_rb=swap)
+        exp = np.moveaxis(planes[:, :h, :w], 0, -1)
+        np.testing.assert_array_equal(got, exp[..., ::-1] if swap else exp)
+
+
 def test_planarize_roundtrip(rng):
     frame = rng.integers(0, 256, (24, 130, 3), np.uint8)
     planes = native.planarize(frame, 24, 256)
