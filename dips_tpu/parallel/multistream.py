@@ -266,6 +266,7 @@ class MultiStreamEngine:
                 f"n_streams={n_streams} must be a multiple of the stream "
                 f"axis size {n_shard}")
         self.ring_carry = bool(ring_carry) and resolved == "pallas"
+        self.backend = resolved
         self.n_streams = int(n_streams)
         self.reset()
 
@@ -292,7 +293,17 @@ class MultiStreamEngine:
                     (self.n_streams, t, self.hp, self.wp), jnp.float32)
                 self._prev = jnp.zeros((self.n_streams, self.hp, self.wp),
                                        jnp.float32)
+        self._snap_pending = [False] * self.n_streams
         self.failed: dict[int, StreamError] = {}
+
+    def snapshot(self, stream: Optional[int] = None) -> None:
+        """Force baseline re-capture on the next processed frame — for one
+        stream, or all of them (the multi-stream GUI-SnapShot analogue;
+        mirrors ``DiPsEngine.snapshot``)."""
+        if stream is None:
+            self._snap_pending = [True] * self.n_streams
+        else:
+            self._snap_pending[stream] = True
 
     @property
     def frame_index(self) -> int:
@@ -312,6 +323,7 @@ class MultiStreamEngine:
         baseline/heatmap rows zeroed.  Sibling streams are untouched."""
         self.failed.pop(stream, None)
         self.frame_cursors[stream] = 0
+        self._snap_pending[stream] = False
         self._tails[stream] = None
         self._baseline = self._baseline.at[stream].set(0)
         self._heatmap = self._heatmap.at[stream].set(0)
@@ -474,6 +486,9 @@ class MultiStreamEngine:
                 for i in range(len(planar)):
                     flags[si, i] = (cursor + i == 0 or
                                     (cursor + i) in self.props.refresh_markers)
+                if self._snap_pending[si]:
+                    flags[si, 0] = True
+                    self._snap_pending[si] = False
                 self._tails[si] = (self._tails[si] + planar)[-t:]
                 self.frame_cursors[si] = cursor + len(planar)
                 self._ring_offs[si] = (self._ring_offs[si]

@@ -45,6 +45,7 @@ import logging
 import socket
 import struct
 import threading
+import time
 from typing import Optional, Tuple
 
 import numpy as np
@@ -126,19 +127,225 @@ def _process_reply(eng, frames, header: dict) -> Tuple[dict, bytes]:
     return hdr, body
 
 
+class StreamCoalescer:
+    """Shares ONE stacked-stream device step across serving sessions.
+
+    Per-session ``DiPsEngine``\\ s dispatch one kernel per request; at many
+    cameras the per-dispatch overhead dominates.  This dispatcher instead
+    binds each session to a stream slot of a single
+    :class:`~dips_tpu.parallel.MultiStreamEngine` and folds concurrently
+    pending requests into ONE stacked kernel launch (the measured 2x
+    aggregate-throughput path, BASELINE.md multi-stream table) — per-slot
+    baseline/ring/cursor state stays private, idle slots ride along masked
+    invalid.  Requests wait at most ``window_ms`` for co-tenants before the
+    batch dispatches.
+    """
+
+    def __init__(self, props: DiPsProperties, height: int, width: int,
+                 n_streams: int, batch: int = 1, backend: str = "auto",
+                 window_ms: float = 2.0):
+        from .parallel import MultiStreamEngine
+        from jax.sharding import Mesh
+        import jax
+        # serving shares one chip: a 1-device mesh regardless of how many
+        # slots (multi-chip serving would shard slots over a larger mesh)
+        mesh = Mesh(np.asarray(jax.devices()[:1]), ("stream",))
+        self.engine = MultiStreamEngine(props, height, width,
+                                        n_streams=n_streams, batch=batch,
+                                        mesh=mesh, backend=backend)
+        self.n_streams = int(n_streams)
+        self.window_s = window_ms / 1e3
+        self._cv = threading.Condition()
+        self._elock = threading.Lock()  # serialises engine state access
+        self._free = list(range(n_streams - 1, -1, -1))
+        self._bound: set = set()
+        self._pending: dict = {}   # slot -> frames awaiting dispatch
+        self._results: dict = {}   # slot -> (outs, stats) | Exception
+        self._stopped = False
+        self._thread = threading.Thread(target=self._run, daemon=True)
+        self._thread.start()
+
+    def bind(self) -> int:
+        with self._cv:
+            if not self._free:
+                raise RuntimeError("no free stream slots")
+            slot = self._free.pop()
+            self._bound.add(slot)
+            return slot
+
+    def rebind(self, slot: int) -> None:
+        """Resume a parked (named-session) slot."""
+        with self._cv:
+            self._bound.add(slot)
+
+    def release(self, slot: int, park: bool = False) -> None:
+        """End a session.  ``park`` keeps the slot's state for a named-token
+        resume (the slot stays allocated); otherwise the slot is reset and
+        returned to the free list."""
+        with self._cv:
+            self._bound.discard(slot)
+            if not park:
+                with self._elock:
+                    self.engine.reset_stream(slot)
+                self._free.append(slot)
+
+    def submit(self, slot: int, frames) -> Tuple[np.ndarray, np.ndarray]:
+        """Block until ``frames`` (<= engine.batch) have been dispatched in
+        a coalesced batch; returns this slot's (maps, stats)."""
+        with self._cv:
+            while slot in self._pending and not self._stopped:
+                self._cv.wait(0.1)  # one outstanding request per slot
+            if self._stopped:
+                raise RuntimeError("coalescer shut down")
+            self._pending[slot] = list(frames)
+            self._cv.notify_all()
+            while slot not in self._results and not self._stopped:
+                self._cv.wait(0.1)
+            res = self._results.pop(slot, None)
+        if res is None:
+            raise RuntimeError("coalescer shut down")
+        if isinstance(res, Exception):
+            raise res
+        return res
+
+    def _run(self) -> None:
+        while True:
+            with self._cv:
+                while not self._pending and not self._stopped:
+                    self._cv.wait(0.2)
+                if self._stopped:
+                    self._cv.notify_all()
+                    return
+                # brief window for the other live sessions' frames to land
+                deadline = time.monotonic() + self.window_s
+                while (len(self._pending) < len(self._bound)
+                       and not self._stopped):
+                    left = deadline - time.monotonic()
+                    if left <= 0:
+                        break
+                    self._cv.wait(left)
+                batch, self._pending = self._pending, {}
+            results: dict = {}
+            try:
+                feeds = [batch.get(si, []) for si in range(self.n_streams)]
+                with self._elock:
+                    outs, stats, _ = self.engine.process_batch(feeds)
+                    for si, frames in batch.items():
+                        err = self.engine.failed.get(si)
+                        if err is not None:
+                            # per-request isolation: surface the error to
+                            # this client, let the session keep streaming
+                            self.engine.revive(si)
+                            results[si] = RuntimeError(str(err))
+                        else:
+                            k = len(frames)
+                            results[si] = (outs[si, :k], stats[si, :k])
+            except Exception as e:  # whole-batch failure -> every waiter
+                results = {si: RuntimeError(str(e)) for si in batch}
+            with self._cv:
+                self._results.update(results)
+                self._cv.notify_all()
+
+    def snapshot(self, slot: int) -> None:
+        with self._elock:
+            self.engine.snapshot(slot)
+
+    def reset_slot(self, slot: int) -> None:
+        with self._elock:
+            self.engine.reset_stream(slot)
+
+    def heatmap(self, slot: int) -> np.ndarray:
+        with self._elock:
+            return self.engine.heatmaps()[slot]
+
+    def shutdown(self) -> None:
+        with self._cv:
+            self._stopped = True
+            self._cv.notify_all()
+        self._thread.join(timeout=5.0)
+
+
+class _CoalescedSession:
+    """Engine-shaped adapter binding one serving session to one coalescer
+    stream slot (duck-types the ``DiPsEngine`` surface ``_serve_client``
+    uses)."""
+
+    packed_wire = False  # host-side packing still applies ("packed": true)
+
+    def __init__(self, co: StreamCoalescer, slot: int):
+        self._co = co
+        self.slot = slot
+        eng = co.engine
+        self.props = eng.props
+        self.height, self.width = eng.height, eng.width
+        self.batch, self.backend = eng.batch, eng.backend
+
+    @property
+    def frame_index(self) -> int:
+        return self._co.engine.frame_cursors[self.slot]
+
+    def process_frames(self, frames, packed: bool = False):
+        if not len(frames):
+            from .ops.oracle import NUM_STATS
+            return (np.zeros((0, self.height, self.width,
+                              self.props.out_channels), np.uint8),
+                    np.zeros((0, NUM_STATS), np.float32))
+        outs, stats = [], []
+        b = self._co.engine.batch
+        for i in range(0, len(frames), b):
+            o, s = self._co.submit(self.slot, frames[i:i + b])
+            outs.append(o)
+            stats.append(s)
+        return np.concatenate(outs), np.concatenate(stats)
+
+    def snapshot(self) -> None:
+        self._co.snapshot(self.slot)
+
+    def reset(self) -> None:
+        self._co.reset_slot(self.slot)
+
+    def heatmap(self) -> np.ndarray:
+        return self._co.heatmap(self.slot)
+
+    def save(self, path: str) -> None:
+        raise RuntimeError("save/load is per-server in coalesced mode "
+                           "(sessions share one engine); use a dedicated "
+                           "server for checkpointed sessions")
+
+    load = save
+
+
 class DiPsServer:
     """Serves up to ``max_sessions`` concurrent clients on a TCP port, each
-    with its own engine (private streaming state on the shared chip)."""
+    with its own engine (private streaming state on the shared chip).
+
+    ``coalesce=N`` switches to the shared stacked-stream dispatcher: N
+    session slots on ONE :class:`StreamCoalescer` (see its docstring);
+    sessions then deny ``save``/``load`` but keep every other command."""
 
     def __init__(self, props: DiPsProperties, height: int, width: int,
                  port: int = 0, host: str = "127.0.0.1", batch: int = 1,
                  backend: str = "auto", max_sessions: int = 1,
-                 packed_wire: bool = False):
-        self._mk_engine = lambda: DiPsEngine(props, height, width,
-                                             batch=batch, backend=backend,
-                                             packed_wire=packed_wire)
-        #: the default session engine (kept for embedding/back-compat)
-        self.engine = self._mk_engine()
+                 packed_wire: bool = False, coalesce: int = 0,
+                 coalesce_window_ms: float = 2.0):
+        self._coalescer: Optional[StreamCoalescer] = None
+        if coalesce > 0:
+            if packed_wire:
+                raise ValueError("packed_wire (device packing) is not "
+                                 "available with coalesce; clients can "
+                                 "still request host-packed masks")
+            self._coalescer = StreamCoalescer(
+                props, height, width, n_streams=coalesce, batch=batch,
+                backend=backend, window_ms=coalesce_window_ms)
+            self.engine = None  # sessions share the coalescer's engine
+            max_sessions = max(int(max_sessions), coalesce)
+        else:
+            self._mk_engine = lambda: DiPsEngine(props, height, width,
+                                                 batch=batch,
+                                                 backend=backend,
+                                                 packed_wire=packed_wire)
+            #: the default session engine (kept for embedding/back-compat)
+            self.engine = self._mk_engine()
         self.max_sessions = max(1, int(max_sessions))
         self._sessions = threading.Semaphore(self.max_sessions)
         # Engine pool.  Anonymous engines return here when a session ends;
@@ -147,7 +354,7 @@ class DiPsServer:
         # are reset before reuse (no cross-client state leaks).  Clients
         # that want resume on a multi-session server tag requests with a
         # "session" token; those engines park in _named keyed by token.
-        self._pool: list = [self.engine]
+        self._pool: list = [] if self.engine is None else [self.engine]
         self._named: dict = {}   # session token -> parked engine
         #: parked named sessions beyond this are evicted oldest-first
         self.max_named_sessions = 8 * self.max_sessions
@@ -196,6 +403,26 @@ class DiPsServer:
         their parked engine; anonymous sessions reuse a pooled engine —
         reset unless this is a single-session server, where resume is
         unambiguous and historical behaviour."""
+        if self._coalescer is not None:
+            with self._pool_lock:
+                if token is not None and token in self._named:
+                    sess = self._named.pop(token)
+                    self._coalescer.rebind(sess.slot)
+                else:
+                    try:
+                        sess = _CoalescedSession(self._coalescer,
+                                                 self._coalescer.bind())
+                    except RuntimeError:
+                        if not self._named:
+                            raise
+                        # every slot is held by a parked named session:
+                        # evict the oldest to serve the live client
+                        old = self._named.pop(next(iter(self._named)))
+                        self._coalescer.release(old.slot)
+                        sess = _CoalescedSession(self._coalescer,
+                                                 self._coalescer.bind())
+            sess.session_token = token
+            return sess
         with self._pool_lock:
             if token is not None and token in self._named:
                 eng = self._named.pop(token)
@@ -209,6 +436,18 @@ class DiPsServer:
         return eng
 
     def _release_engine(self, eng) -> None:
+        if self._coalescer is not None:
+            with self._pool_lock:
+                token = getattr(eng, "session_token", None)
+                if token is not None:
+                    self._named[token] = eng
+                    self._coalescer.release(eng.slot, park=True)
+                    while len(self._named) > self.max_named_sessions:
+                        old = self._named.pop(next(iter(self._named)))
+                        self._coalescer.release(old.slot)  # reset + free
+                else:
+                    self._coalescer.release(eng.slot)
+            return
         with self._pool_lock:
             token = getattr(eng, "session_token", None)
             if token is not None:
@@ -269,6 +508,7 @@ class DiPsServer:
                             "batch": eng.batch, "backend": eng.backend,
                             "method": eng.props.method.name,
                             "output": eng.props.output.name,
+                            "coalesced": isinstance(eng, _CoalescedSession),
                         }})
                 elif cmd == "process":
                     shape = tuple(header["shape"])
@@ -316,6 +556,8 @@ class DiPsServer:
 
     def shutdown(self) -> None:
         self._stop.set()
+        if self._coalescer is not None:
+            self._coalescer.shutdown()
         try:
             self._sock.close()
         except OSError:
@@ -441,12 +683,20 @@ def main(argv=None) -> int:
     ap.add_argument("--packed-wire", action="store_true",
                     help="THRESHOLD only: bit-pack masks on the device "
                          "before the D2H copy (8x less transfer)")
+    ap.add_argument("--coalesce", type=int, default=0, metavar="N",
+                    help="share ONE stacked-stream kernel across N session "
+                         "slots (concurrent requests fold into one device "
+                         "dispatch; the many-camera deployment shape)")
+    ap.add_argument("--coalesce-window-ms", type=float, default=2.0,
+                    help="how long a request waits for co-tenant frames "
+                         "before dispatching anyway")
     args = ap.parse_args(argv)
     props = props_from_args(args)
     server = DiPsServer(props, args.height, args.width, port=args.port,
                         host=args.host, batch=args.batch,
                         backend=args.backend, max_sessions=args.sessions,
-                        packed_wire=args.packed_wire)
+                        packed_wire=args.packed_wire, coalesce=args.coalesce,
+                        coalesce_window_ms=args.coalesce_window_ms)
     print(f"dips server on {args.host}:{server.port}", flush=True)
     try:
         server.serve_forever()

@@ -422,3 +422,24 @@ def test_grid_mesh_rejects_explicit_pallas():
     with pytest.raises(ValueError, match="pallas"):
         MultiStreamEngine(DiPsProperties(), 32, 40, n_streams=2, batch=2,
                           mesh=grid_mesh(2, 4), backend="pallas")
+
+
+def test_per_stream_snapshot():
+    """snapshot(stream) re-captures only that stream's baseline on its next
+    frame; snapshot() re-captures all (the serving SnapShot surface)."""
+    props = DiPsProperties(window_size=1, temporal_size=1,
+                           filter=DiPsFilter.UNFILTERED)
+    h, w = 8, 16
+    clips = [make_clip(n=3, h=h, w=w, seed=70 + s) for s in range(8)]
+    ms = MultiStreamEngine(props, h, w, n_streams=8, batch=1)
+    for k in range(2):
+        ms.process_batch([[c[k]] for c in clips])
+    ms.snapshot(2)
+    _, stats, _ = ms.process_batch([[c[2]] for c in clips])
+    # stream 2 diffed against a just-re-captured baseline -> zero change;
+    # its siblings kept their frame-0 baseline -> nonzero vs frame 2
+    assert stats[2, 0, 1] == 0
+    assert all(stats[s, 0, 1] > 0 for s in range(8) if s != 2)
+    ms.snapshot()
+    _, stats, _ = ms.process_batch([[c[2]] for c in clips])
+    assert np.all(stats[:, 0, 1] == 0)

@@ -57,7 +57,7 @@ def test_serve_snapshot_and_heatmap(server):
     cli.close()
 
 
-def test_serve_error_isolation(server):
+def test_serve_bad_geometry_isolation(server):
     cli = DiPsClient(server.port)
     with pytest.raises(RuntimeError):
         cli.process(np.zeros((3, 3, 3), np.uint8))  # wrong geometry
@@ -283,5 +283,141 @@ def test_named_session_resumes_across_reconnects():
         eng = DiPsEngine(props, 24, 40, batch=1)
         exp, _ = eng.process_frames(list(clip))
         np.testing.assert_array_equal(np.stack(outs), exp)
+    finally:
+        srv.shutdown()
+
+
+# -- coalesced serving: N sessions share one stacked-stream engine ----------
+
+def _coalesced_server(n_slots, h=16, w=24, **kw):
+    props = DiPsProperties(window_size=3, temporal_size=2,
+                           filter=DiPsFilter.UNFILTERED)
+    srv = DiPsServer(props, h, w, port=0, batch=2, coalesce=n_slots, **kw)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    return srv, props
+
+
+def test_coalesced_sessions_match_dedicated_engines():
+    """3 concurrent clients on one coalescer must each get EXACTLY what a
+    dedicated single-stream engine computes on their frames (private
+    baseline/ring/cursor per slot, despite shared dispatches)."""
+    srv, props = _coalesced_server(3)
+    try:
+        clips = [make_clip(n=6, h=16, w=24, seed=20 + i) for i in range(3)]
+        results = [None] * 3
+
+        def run(i):
+            cli = DiPsClient(srv.port)
+            assert cli.hello()["config"]["coalesced"] is True
+            outs, stats = [], []
+            for f in clips[i]:
+                o, s = cli.process(f)
+                outs.append(o)
+                stats.append(s)
+            cli.close()
+            results[i] = (np.stack(outs), np.stack(stats))
+
+        ts = [threading.Thread(target=run, args=(i,)) for i in range(3)]
+        for t in ts:
+            t.start()
+        for t in ts:
+            t.join(timeout=60)
+        for i in range(3):
+            assert results[i] is not None, f"client {i} did not finish"
+            eng = DiPsEngine(props, 16, 24, batch=1)
+            exp_out, exp_stats = eng.process_frames(list(clips[i]))
+            np.testing.assert_array_equal(results[i][0], exp_out)
+            np.testing.assert_allclose(results[i][1], exp_stats, atol=1e-6)
+    finally:
+        srv.shutdown()
+
+
+def test_coalesced_batched_requests_and_snapshot():
+    srv, props = _coalesced_server(2)
+    try:
+        clip = make_clip(n=6, h=16, w=24, seed=31)
+        cli = DiPsClient(srv.port)
+        outs, stats = cli.process_many(clip[:4])  # spans two device batches
+        assert outs.shape == (4, 16, 24, 3)
+        cli.snapshot()
+        _, s = cli.process(clip[4])
+        assert s[1] == 0  # forced re-capture -> zero diff
+        hm = cli.heatmap()
+        assert hm.shape == (16, 24) and hm.max() > 0
+        cli.close()
+    finally:
+        srv.shutdown()
+
+
+def test_coalesced_save_load_rejected_other_cmds_survive():
+    srv, _ = _coalesced_server(2)
+    try:
+        cli = DiPsClient(srv.port)
+        with pytest.raises(RuntimeError, match="coalesced"):
+            cli.save("/tmp/nope.npz")
+        out, _ = cli.process(make_clip(n=1, h=16, w=24)[0])
+        assert out.shape == (16, 24, 3)
+        cli.reset()
+        assert cli.hello()["frame_index"] == 0
+        cli.close()
+    finally:
+        srv.shutdown()
+
+
+def test_coalesced_named_session_resumes_anonymous_does_not():
+    srv, props = _coalesced_server(2)
+    try:
+        clip = make_clip(n=4, h=16, w=24, seed=40)
+        a1 = DiPsClient(srv.port, session="cam-A")
+        outs = [a1.process(f)[0] for f in clip[:2]]
+        a1.close()
+        anon = DiPsClient(srv.port)  # fresh slot, not cam-A's state
+        assert anon.hello()["frame_index"] == 0
+        anon.close()
+        a2 = DiPsClient(srv.port, session="cam-A")
+        assert a2.hello()["frame_index"] == 2  # resumed slot
+        outs += [a2.process(f)[0] for f in clip[2:]]
+        a2.close()
+        eng = DiPsEngine(props, 16, 24, batch=1)
+        exp, _ = eng.process_frames(list(clip))
+        np.testing.assert_array_equal(np.stack(outs), exp)
+    finally:
+        srv.shutdown()
+
+
+def test_coalesced_slot_exhaustion_evicts_oldest_parked():
+    """All slots parked under named tokens: a new client evicts the oldest
+    parked session instead of being refused."""
+    srv, _ = _coalesced_server(2)
+    try:
+        clip = make_clip(n=3, h=16, w=24, seed=50)
+        for name in ("cam-A", "cam-B"):
+            c = DiPsClient(srv.port, session=name)
+            c.process(clip[0])
+            c.close()
+        c = DiPsClient(srv.port, session="cam-C")  # evicts cam-A
+        assert c.hello()["frame_index"] == 0
+        c.process(clip[1])
+        c.close()
+        b = DiPsClient(srv.port, session="cam-B")  # survived
+        assert b.hello()["frame_index"] == 1
+        b.close()
+        a = DiPsClient(srv.port, session="cam-A")  # evicted -> fresh
+        assert a.hello()["frame_index"] == 0
+        a.close()
+    finally:
+        srv.shutdown()
+
+
+def test_coalesced_bad_frame_isolated_per_request():
+    srv, _ = _coalesced_server(2)
+    try:
+        cli = DiPsClient(srv.port)
+        with pytest.raises(RuntimeError):
+            cli.process(np.zeros((3, 3, 3), np.uint8))
+        out, _ = cli.process(make_clip(n=1, h=16, w=24)[0])
+        assert out.shape == (16, 24, 3)
+        cli.close()
     finally:
         srv.shutdown()
