@@ -80,6 +80,26 @@ def main():
           f"({int((masks > 0).sum())} changed px), 1/8 the wire bytes")
     cli3.close()
     srv2.shutdown()
+
+    # many-camera shape: --coalesce folds concurrent sessions' requests
+    # into ONE stacked-stream device dispatch (per-slot state stays private)
+    srv3 = DiPsServer(DiPsProperties(window_size=3, temporal_size=2),
+                      h, w, port=0, batch=1, coalesce=3)
+    threading.Thread(target=srv3.serve_forever, daemon=True).start()
+    cams = [rng.integers(0, 256, (4, h, w, 3), np.uint8) for _ in range(3)]
+    results = [None] * 3
+
+    def camera(i):
+        c = DiPsClient(srv3.port, session=f"cam-{i}")
+        results[i] = [c.process(f)[1][1] for f in cams[i]]
+        c.close()
+
+    threads = [threading.Thread(target=camera, args=(i,)) for i in range(3)]
+    [t.start() for t in threads]
+    [t.join() for t in threads]
+    print("coalesced sessions mean|diff| streams:",
+          [np.round(r, 4).tolist()[:2] for r in results])
+    srv3.shutdown()
     print("done")
 
 
