@@ -577,6 +577,12 @@ class DiPsClient:
         self.session = session
         self._sock = socket.create_connection((host, port))
 
+    def __enter__(self) -> "DiPsClient":
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.close()
+
     def _rpc(self, header: dict, payload: bytes = b"") -> Tuple[dict, bytes]:
         if self.session is not None:
             header = dict(header, session=self.session)

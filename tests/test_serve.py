@@ -421,3 +421,45 @@ def test_coalesced_bad_frame_isolated_per_request():
         cli.close()
     finally:
         srv.shutdown()
+
+
+def test_coalesced_concurrent_stress_random_ops():
+    """4 clients fire interleaved random command mixes at one coalescer;
+    nothing deadlocks, every reply is sane, and the daemon finishes all
+    sessions (races in the dispatcher would hang or cross wires here)."""
+    srv, _ = _coalesced_server(4, h=8, w=16)
+    try:
+        rng = np.random.default_rng(0)
+        clip = make_clip(n=8, h=8, w=16, seed=60)
+        errors = []
+
+        def run(i):
+            try:
+                with DiPsClient(srv.port, session=f"s{i}") as cli:
+                    r = np.random.default_rng(i)
+                    for _ in range(12):
+                        op = r.integers(0, 10)
+                        if op < 6:
+                            o, s = cli.process(clip[r.integers(0, 8)])
+                            assert o.shape == (8, 16, 3)
+                            assert np.isfinite(s).all()
+                        elif op < 8:
+                            o, s = cli.process_many(
+                                clip[:int(r.integers(1, 5))])
+                            assert np.isfinite(s).all()
+                        elif op == 8:
+                            cli.snapshot()
+                        else:
+                            cli.reset()
+            except Exception as e:  # surface thread failures to pytest
+                errors.append((i, repr(e)))
+
+        ts = [threading.Thread(target=run, args=(i,)) for i in range(4)]
+        for t in ts:
+            t.start()
+        for t in ts:
+            t.join(timeout=90)
+        assert not errors, errors
+        assert not any(t.is_alive() for t in ts), "stress run deadlocked"
+    finally:
+        srv.shutdown()
