@@ -143,13 +143,12 @@ class StreamCoalescer:
 
     def __init__(self, props: DiPsProperties, height: int, width: int,
                  n_streams: int, batch: int = 1, backend: str = "auto",
-                 window_ms: float = 2.0):
-        from .parallel import MultiStreamEngine
-        from jax.sharding import Mesh
-        import jax
-        # serving shares one chip: a 1-device mesh regardless of how many
-        # slots (multi-chip serving would shard slots over a larger mesh)
-        mesh = Mesh(np.asarray(jax.devices()[:1]), ("stream",))
+                 window_ms: float = 2.0, n_devices: int = 1):
+        from .parallel import MultiStreamEngine, stream_mesh
+        # slots shard over the first n_devices chips (ICI-order mesh);
+        # the default 1-device mesh serves a whole camera fleet from one
+        # chip, a pod slice scales the same daemon out
+        mesh = stream_mesh(max(1, int(n_devices)))
         self.engine = MultiStreamEngine(props, height, width,
                                         n_streams=n_streams, batch=batch,
                                         mesh=mesh, backend=backend)
@@ -327,7 +326,7 @@ class DiPsServer:
                  port: int = 0, host: str = "127.0.0.1", batch: int = 1,
                  backend: str = "auto", max_sessions: int = 1,
                  packed_wire: bool = False, coalesce: int = 0,
-                 coalesce_window_ms: float = 2.0):
+                 coalesce_window_ms: float = 2.0, coalesce_devices: int = 1):
         self._coalescer: Optional[StreamCoalescer] = None
         if coalesce > 0:
             if packed_wire:
@@ -336,7 +335,8 @@ class DiPsServer:
                                  "still request host-packed masks")
             self._coalescer = StreamCoalescer(
                 props, height, width, n_streams=coalesce, batch=batch,
-                backend=backend, window_ms=coalesce_window_ms)
+                backend=backend, window_ms=coalesce_window_ms,
+                n_devices=coalesce_devices)
             self.engine = None  # sessions share the coalescer's engine
             max_sessions = max(int(max_sessions), coalesce)
         else:
@@ -696,13 +696,17 @@ def main(argv=None) -> int:
     ap.add_argument("--coalesce-window-ms", type=float, default=2.0,
                     help="how long a request waits for co-tenant frames "
                          "before dispatching anyway")
+    ap.add_argument("--coalesce-devices", type=int, default=1, metavar="D",
+                    help="shard the coalesced stream slots over the first "
+                         "D chips of the mesh (N must divide by D)")
     args = ap.parse_args(argv)
     props = props_from_args(args)
     server = DiPsServer(props, args.height, args.width, port=args.port,
                         host=args.host, batch=args.batch,
                         backend=args.backend, max_sessions=args.sessions,
                         packed_wire=args.packed_wire, coalesce=args.coalesce,
-                        coalesce_window_ms=args.coalesce_window_ms)
+                        coalesce_window_ms=args.coalesce_window_ms,
+                        coalesce_devices=args.coalesce_devices)
     print(f"dips server on {args.host}:{server.port}", flush=True)
     try:
         server.serve_forever()

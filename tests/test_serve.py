@@ -463,3 +463,39 @@ def test_coalesced_concurrent_stress_random_ops():
         assert not any(t.is_alive() for t in ts), "stress run deadlocked"
     finally:
         srv.shutdown()
+
+
+def test_coalesced_slots_shard_over_mesh():
+    """coalesce_devices=4: 8 session slots shard over a 4-device virtual
+    mesh; a client on each shard still gets exactly the dedicated-engine
+    result (the multi-chip camera-fleet deployment shape)."""
+    props = DiPsProperties(window_size=3, temporal_size=2,
+                           filter=DiPsFilter.UNFILTERED)
+    srv = DiPsServer(props, 16, 24, port=0, batch=2, coalesce=8,
+                     coalesce_devices=4)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        assert srv._coalescer.engine.mesh.devices.size == 4
+        clips = [make_clip(n=4, h=16, w=24, seed=80 + i) for i in range(8)]
+        results = [None] * 8
+
+        def run(i):
+            with DiPsClient(srv.port) as cli:
+                results[i] = np.stack(
+                    [cli.process(f)[0] for f in clips[i]])
+
+        ts = [threading.Thread(target=run, args=(i,)) for i in range(8)]
+        for th in ts:
+            th.start()
+        for th in ts:
+            th.join(timeout=90)
+        # slot assignment order is nondeterministic under concurrency, so
+        # match each result to the clip its client streamed
+        for i in range(8):
+            assert results[i] is not None
+            eng = DiPsEngine(props, 16, 24, batch=1)
+            exp, _ = eng.process_frames(list(clips[i]))
+            np.testing.assert_array_equal(results[i], exp)
+    finally:
+        srv.shutdown()
