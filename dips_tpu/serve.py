@@ -22,6 +22,10 @@ Header commands:
   {"cmd": "save", "path": P}            -> {"ok"}   (checkpoint to disk)
   {"cmd": "load", "path": P}            -> {"ok", "frame_index"}
   {"cmd": "reset"} / {"cmd": "close"}
+  {"cmd": "metrics"}                    -> {"ok", "uptime_s", "connections",
+        "requests", "frames", "request_errors", "rejected",
+        "active_sessions", "parked_sessions", "max_sessions", "coalesced",
+        "frame_index"}   (daemon observability counters)
 
 Each connection gets its OWN engine (private baseline/ring/heatmap state),
 so up to ``max_sessions`` clients — e.g. N cameras — stream concurrently
@@ -366,6 +370,29 @@ class DiPsServer:
         self._sock.listen(self.max_sessions)
         self.port = self._sock.getsockname()[1]
         self._stop = threading.Event()
+        self._started = time.monotonic()
+        # observability counters (served by the "metrics" command);
+        # guarded by _metrics_lock, incremented on the session threads
+        self._metrics_lock = threading.Lock()
+        self._counters = {"connections": 0, "requests": 0, "frames": 0,
+                          "request_errors": 0, "rejected": 0,
+                          "active_sessions": 0}
+
+    def _count(self, key: str, n: int = 1) -> None:
+        with self._metrics_lock:
+            self._counters[key] += n
+
+    def metrics(self) -> dict:
+        """Daemon-level counters + live session/parked state (the `metrics`
+        wire command returns exactly this)."""
+        with self._metrics_lock:
+            c = dict(self._counters)
+        with self._pool_lock:
+            c["parked_sessions"] = len(self._named)
+        c["max_sessions"] = self.max_sessions
+        c["uptime_s"] = round(time.monotonic() - self._started, 3)
+        c["coalesced"] = self._coalescer is not None
+        return c
 
     def serve_forever(self) -> None:
         log.info("serving on port %d (max %d sessions)", self.port,
@@ -380,6 +407,7 @@ class DiPsServer:
                 break
             # brief grace so a just-closed session's slot can free up
             if not self._sessions.acquire(timeout=1.0):
+                self._count("rejected")
                 log.warning("rejecting %s: %d sessions busy", addr,
                             self.max_sessions)
                 try:
@@ -459,6 +487,8 @@ class DiPsServer:
 
     def _session(self, client: socket.socket, addr) -> None:
         eng = None
+        self._count("connections")
+        self._count("active_sessions")
         try:
             with client:
                 log.info("client %s", addr)
@@ -470,6 +500,7 @@ class DiPsServer:
         finally:
             if eng is not None:
                 self._release_engine(eng)
+            self._count("active_sessions", -1)
             self._sessions.release()
 
     def _serve_client(self, client: socket.socket):
@@ -498,8 +529,17 @@ class DiPsServer:
                 token = header.get("session")
                 eng = self._bind_engine(
                     str(token) if token is not None else None)
+            self._count("requests")
             try:
-                if cmd == "hello":
+                if cmd in ("process", "process_batch"):
+                    n_frames = (1 if cmd == "process"
+                                else int(header["shape"][0]))
+                    self._count("frames", n_frames)
+                if cmd == "metrics":
+                    m = self.metrics()
+                    m["frame_index"] = eng.frame_index
+                    _send(client, dict(m, ok=True))
+                elif cmd == "hello":
                     _send(client, {
                         "ok": True,
                         "frame_index": eng.frame_index,
@@ -547,6 +587,7 @@ class DiPsServer:
                     _send(client, {"ok": False,
                                    "error": f"unknown cmd {cmd!r}"})
             except Exception as e:  # per-request isolation
+                self._count("request_errors")
                 log.exception("request failed")
                 try:
                     _send(client, {"ok": False, "error": str(e)})
@@ -596,6 +637,14 @@ class DiPsClient:
 
     def hello(self) -> dict:
         h, _ = self._rpc({"cmd": "hello"})
+        return h
+
+    def metrics(self) -> dict:
+        """Daemon counters: uptime, connections/requests/frames served,
+        errors, active/parked sessions."""
+        h, _ = self._rpc({"cmd": "metrics"})
+        if not h.get("ok"):
+            raise RuntimeError(h.get("error"))
         return h
 
     @staticmethod
@@ -708,6 +757,15 @@ def main(argv=None) -> int:
                         coalesce_window_ms=args.coalesce_window_ms,
                         coalesce_devices=args.coalesce_devices)
     print(f"dips server on {args.host}:{server.port}", flush=True)
+    # graceful daemon shutdown on SIGTERM (systemd/k8s stop), not just ^C
+    import signal
+
+    def _term(signum, frame):
+        server.shutdown()
+    try:
+        signal.signal(signal.SIGTERM, _term)
+    except ValueError:
+        pass  # non-main thread (embedded use): ^C/shutdown() still work
     try:
         server.serve_forever()
     except KeyboardInterrupt:

@@ -499,3 +499,17 @@ def test_coalesced_slots_shard_over_mesh():
             np.testing.assert_array_equal(results[i], exp)
     finally:
         srv.shutdown()
+
+
+def test_metrics_command(server):
+    clip = make_clip(n=3, h=24, w=40, seed=90)
+    with DiPsClient(server.port) as cli:
+        cli.process(clip[0])
+        cli.process_many(clip[1:])
+        with pytest.raises(RuntimeError):
+            cli.load("/nonexistent/nope.npz")
+        m = cli.metrics()
+    assert m["frames"] == 3 and m["requests"] >= 4
+    assert m["request_errors"] == 1 and m["active_sessions"] == 1
+    assert m["connections"] == 1 and m["uptime_s"] >= 0
+    assert m["coalesced"] is False and m["frame_index"] == 3
