@@ -404,6 +404,76 @@ class MultiStreamEngine:
                 jnp.asarray(buf), self._ring, self._prev, self._baseline,
                 flags, scratch_hm, valid, offsets, seeds)
 
+    # -- per-stream checkpointing (DiPsEngine-compatible format) ------------
+    def stream_state_dict(self, stream: int) -> dict:
+        """One slot's streaming state, in ``DiPsEngine.state_dict`` form —
+        a slot checkpoint restores into a single-stream engine and vice
+        versa (the serve daemon uses this to park/restore coalesced
+        sessions to disk)."""
+        tl = self._tails[stream]
+        return {
+            "frame_index": self.frame_cursors[stream],
+            "baseline": np.asarray(self._baseline[stream]),
+            "heatmap": np.asarray(self._heatmap[stream]),
+            "tail": np.stack(tl) if tl is not None else None,
+        }
+
+    def load_stream_state(self, stream: int, state: dict) -> None:
+        """Restore ONE slot from a ``DiPsEngine``-format state dict; sibling
+        slots keep their live state (their device ring is rebuilt bit-exactly
+        from the raw tails the engine already carries for checkpointing)."""
+        bl = np.asarray(state["baseline"])
+        expect = ((3, self.hp, self.wp) if self._raw_mode
+                  else (self.hp, self.wp))
+        if bl.shape != expect:
+            raise ValueError(
+                f"checkpoint baseline shape {bl.shape} != engine's "
+                f"expected per-stream {expect}")
+        t = self.props.temporal_size
+        tail = state.get("tail")
+        if tail is not None:
+            tl = [np.asarray(f) for f in tail][-t:]
+            if len(tl) < t:  # short tail: replicate the oldest (seeding rule)
+                tl = [tl[0]] * (t - len(tl)) + tl
+            if tl[0].shape != (3, self.hp, self.wp):
+                raise ValueError(
+                    f"checkpoint tail frame shape {tl[0].shape} != "
+                    f"{(3, self.hp, self.wp)}")
+            self._tails[stream] = tl
+        else:
+            self._tails[stream] = None
+        self.failed.pop(stream, None)
+        self._snap_pending[stream] = False
+        self.frame_cursors[stream] = int(state["frame_index"])
+        self._baseline = self._baseline.at[stream].set(jnp.asarray(bl))
+        hm = state.get("heatmap")
+        if hm is not None:
+            self._heatmap = self._heatmap.at[stream].set(jnp.asarray(hm))
+        self._ring_offs[stream] = 0
+        if self.ring_carry:
+            self._rebuild_ring_state()
+
+    def save_stream(self, stream: int, path: str) -> None:
+        """Checkpoint one slot to disk — byte-compatible with
+        ``DiPsEngine.save`` (same npz keys), so sessions migrate between a
+        dedicated server and a coalesced slot."""
+        s = self.stream_state_dict(stream)
+        np.savez_compressed(
+            path, frame_index=s["frame_index"], baseline=s["baseline"],
+            heatmap=s["heatmap"],
+            tail=s["tail"] if s["tail"] is not None
+            else np.zeros((0,), np.uint8))
+
+    def load_stream(self, stream: int, path: str) -> None:
+        z = np.load(path)
+        tail = z["tail"]
+        self.load_stream_state(stream, {
+            "frame_index": int(z["frame_index"]),
+            "baseline": z["baseline"],
+            "heatmap": z["heatmap"],
+            "tail": tail if tail.size else None,
+        })
+
     def save(self, path: str) -> None:
         s = self.state_dict()
         t = self.props.temporal_size

@@ -261,6 +261,14 @@ class StreamCoalescer:
         with self._elock:
             return self.engine.heatmaps()[slot]
 
+    def save_slot(self, slot: int, path: str) -> None:
+        with self._elock:
+            self.engine.save_stream(slot, path)
+
+    def load_slot(self, slot: int, path: str) -> None:
+        with self._elock:
+            self.engine.load_stream(slot, path)
+
     def shutdown(self) -> None:
         with self._cv:
             self._stopped = True
@@ -311,11 +319,13 @@ class _CoalescedSession:
         return self._co.heatmap(self.slot)
 
     def save(self, path: str) -> None:
-        raise RuntimeError("save/load is per-server in coalesced mode "
-                           "(sessions share one engine); use a dedicated "
-                           "server for checkpointed sessions")
+        """Checkpoint THIS slot's streaming state — the file is
+        ``DiPsEngine.save``-compatible, so a session can migrate between a
+        dedicated server and a coalesced slot."""
+        self._co.save_slot(self.slot, path)
 
-    load = save
+    def load(self, path: str) -> None:
+        self._co.load_slot(self.slot, path)
 
 
 class DiPsServer:
@@ -324,7 +334,9 @@ class DiPsServer:
 
     ``coalesce=N`` switches to the shared stacked-stream dispatcher: N
     session slots on ONE :class:`StreamCoalescer` (see its docstring);
-    sessions then deny ``save``/``load`` but keep every other command."""
+    every command keeps working, including per-slot ``save``/``load``
+    (checkpoints are ``DiPsEngine``-format, so sessions migrate between
+    dedicated and coalesced servers)."""
 
     def __init__(self, props: DiPsProperties, height: int, width: int,
                  port: int = 0, host: str = "127.0.0.1", batch: int = 1,

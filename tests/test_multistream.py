@@ -443,3 +443,81 @@ def test_per_stream_snapshot():
     ms.snapshot()
     _, stats, _ = ms.process_batch([[c[2]] for c in clips])
     assert np.all(stats[:, 0, 1] == 0)
+
+
+@pytest.mark.parametrize("backend", ["pallas", "xla"])
+def test_per_stream_checkpoint_roundtrip(tmp_path, backend):
+    """save_stream/load_stream restore ONE slot mid-stream without touching
+    siblings: after a detour and a reload, the engine continues bit-identically
+    to a twin that never detoured (ring-carry pallas and XLA tail paths)."""
+    props = DiPsProperties(window_size=3, temporal_size=2,
+                           filter=DiPsFilter.UNFILTERED)
+    h, w = 12, 40
+    clips = [make_clip(n=6, h=h, w=w, seed=80 + s) for s in range(4)]
+    kw = dict(n_streams=4, batch=3, backend=backend, mesh=stream_mesh(4))
+    ctl = MultiStreamEngine(props, h, w, **kw)   # uninterrupted control
+    ms = MultiStreamEngine(props, h, w, **kw)
+    feeds1 = [list(c[:3]) for c in clips]
+    ctl.process_batch(feeds1)
+    ms.process_batch(feeds1)
+
+    path = str(tmp_path / "slot.npz")
+    ms.save_stream(2, path)
+    # stream 2 wanders onto other frames; siblings idle (empty feeds)
+    detour = make_clip(n=3, h=h, w=w, seed=99)
+    ms.process_batch([[], [], list(detour), []])
+    assert ms.frame_cursors[2] == 6
+    ms.load_stream(2, path)
+    assert ms.frame_cursors[2] == 3
+
+    feeds2 = [list(c[3:6]) for c in clips]
+    out_r, st_r, _ = ms.process_batch(feeds2)
+    out_c, st_c, _ = ctl.process_batch(feeds2)
+    np.testing.assert_array_equal(out_r, out_c)
+    np.testing.assert_allclose(st_r, st_c, atol=1e-6)
+
+    # geometry mismatch is rejected before any state is touched
+    with pytest.raises(ValueError):
+        MultiStreamEngine(props, 32, 40, **kw).load_stream(0, path)
+
+
+def test_slot_checkpoint_interops_with_single_engine(tmp_path):
+    """A DiPsEngine checkpoint restores into a MultiStreamEngine slot and
+    vice versa (same npz format): a serving session migrates between a
+    dedicated server and a coalesced slot without losing its stream."""
+    props = DiPsProperties(window_size=1, temporal_size=2,
+                           filter=DiPsFilter.UNFILTERED)
+    h, w = 8, 16
+    clip = make_clip(n=9, h=h, w=w, seed=7)
+    other = make_clip(n=9, h=h, w=w, seed=8)
+
+    # single-engine half, saved at frame 3
+    eng = DiPsEngine(props, h, w, batch=3)
+    eng.process_frames(list(clip[:3]))
+    p1 = str(tmp_path / "single.npz")
+    eng.save(p1)
+
+    # restores into slot 1 of a LIVE multi-stream engine (slot 0 mid-stream)
+    ms = MultiStreamEngine(props, h, w, n_streams=2, batch=3,
+                           mesh=stream_mesh(2))
+    ms.process_batch([list(other[:3]), list(other[:3])])
+    ms.load_stream(1, p1)
+    assert ms.frame_cursors == [3, 3]
+    out_ms, _, _ = ms.process_batch([list(other[3:6]), list(clip[3:6])])
+    out_eng, _ = eng.process_frames(list(clip[3:6]))
+    np.testing.assert_array_equal(out_ms[1], out_eng)
+    # slot 0's own stream was untouched by the slot-1 load
+    ctl = DiPsEngine(props, h, w, batch=3)
+    ctl.process_frames(list(other[:3]))
+    out_ctl, _ = ctl.process_frames(list(other[3:6]))
+    np.testing.assert_array_equal(out_ms[0], out_ctl)
+
+    # and back: slot checkpoint -> fresh single engine
+    p2 = str(tmp_path / "slot.npz")
+    ms.save_stream(1, p2)
+    eng2 = DiPsEngine(props, h, w, batch=3)
+    eng2.load(p2)
+    assert eng2.frame_index == 6
+    out_a, _ = eng2.process_frames(list(clip[6:9]))
+    out_b, _ = eng.process_frames(list(clip[6:9]))
+    np.testing.assert_array_equal(out_a, out_b)

@@ -350,19 +350,61 @@ def test_coalesced_batched_requests_and_snapshot():
         srv.shutdown()
 
 
-def test_coalesced_save_load_rejected_other_cmds_survive():
+def test_coalesced_save_load_roundtrip(tmp_path):
+    """Per-slot save/load on a coalesced server: a session rewinds to its
+    checkpoint and continues bit-identically while its co-tenant streams on
+    unaffected."""
+    srv, props = _coalesced_server(2)
+    try:
+        clip_a = make_clip(n=6, h=16, w=24, seed=60)
+        clip_b = make_clip(n=6, h=16, w=24, seed=61)
+        path = str(tmp_path / "slot.npz")
+        a = DiPsClient(srv.port, session="cam-A")
+        b = DiPsClient(srv.port, session="cam-B")
+        outs_a = [a.process(f)[0] for f in clip_a[:3]]
+        outs_b = [b.process(f)[0] for f in clip_b[:3]]
+        a.save(path)
+        a.process(clip_a[4])            # wander past the checkpoint...
+        assert a.load(path) == 3        # ...and rewind to it
+        outs_a += [a.process(f)[0] for f in clip_a[3:]]
+        outs_b += [b.process(f)[0] for f in clip_b[3:]]
+        a.close()
+        b.close()
+        for clip, outs in ((clip_a, outs_a), (clip_b, outs_b)):
+            eng = DiPsEngine(props, 16, 24, batch=1)
+            exp, _ = eng.process_frames(list(clip))
+            np.testing.assert_array_equal(np.stack(outs), exp)
+    finally:
+        srv.shutdown()
+
+
+def test_session_migrates_between_dedicated_and_coalesced(tmp_path):
+    """Checkpoints are DiPsEngine-format on both server kinds, so a camera
+    session saved on a dedicated server resumes inside a coalesced slot."""
+    props = DiPsProperties(window_size=3, temporal_size=2,
+                           filter=DiPsFilter.UNFILTERED)
+    clip = make_clip(n=6, h=16, w=24, seed=62)
+    path = str(tmp_path / "mig.npz")
+    ded = DiPsServer(props, 16, 24, port=0, batch=1)
+    threading.Thread(target=ded.serve_forever, daemon=True).start()
+    try:
+        cli = DiPsClient(ded.port)
+        outs = [cli.process(f)[0] for f in clip[:3]]
+        cli.save(path)
+        cli.close()
+    finally:
+        ded.shutdown()
     srv, _ = _coalesced_server(2)
     try:
-        cli = DiPsClient(srv.port)
-        with pytest.raises(RuntimeError, match="coalesced"):
-            cli.save("/tmp/nope.npz")
-        out, _ = cli.process(make_clip(n=1, h=16, w=24)[0])
-        assert out.shape == (16, 24, 3)
-        cli.reset()
-        assert cli.hello()["frame_index"] == 0
+        cli = DiPsClient(srv.port, session="cam-M")
+        assert cli.load(path) == 3
+        outs += [cli.process(f)[0] for f in clip[3:]]
         cli.close()
     finally:
         srv.shutdown()
+    eng = DiPsEngine(props, 16, 24, batch=1)
+    exp, _ = eng.process_frames(list(clip))
+    np.testing.assert_array_equal(np.stack(outs), exp)
 
 
 def test_coalesced_named_session_resumes_anonymous_does_not():
