@@ -25,7 +25,10 @@ Header commands:
   {"cmd": "metrics"}                    -> {"ok", "uptime_s", "connections",
         "requests", "frames", "request_errors", "rejected",
         "active_sessions", "parked_sessions", "max_sessions", "coalesced",
-        "frame_index"}   (daemon observability counters)
+        "latency_ms" (process-request service time: {count, p50, p90,
+        p99, max} over the last 1024 requests), "coalesce_dispatches" /
+        "coalesce_mean_fill" (coalesced servers: device dispatches and
+        mean frames folded per dispatch), "frame_index"}
 
 Each connection gets its OWN engine (private baseline/ring/heatmap state),
 so up to ``max_sessions`` clients — e.g. N cameras — stream concurrently
@@ -164,6 +167,10 @@ class StreamCoalescer:
         self._bound: set = set()
         self._pending: dict = {}   # slot -> frames awaiting dispatch
         self._results: dict = {}   # slot -> (outs, stats) | Exception
+        #: observability: device dispatches and total frames folded into
+        #: them (mean fill = how well requests coalesce; guarded by _cv)
+        self.dispatches = 0
+        self.frames_folded = 0
         self._stopped = False
         self._thread = threading.Thread(target=self._run, daemon=True)
         self._thread.start()
@@ -228,6 +235,8 @@ class StreamCoalescer:
                         break
                     self._cv.wait(left)
                 batch, self._pending = self._pending, {}
+                self.dispatches += 1
+                self.frames_folded += sum(len(f) for f in batch.values())
             results: dict = {}
             try:
                 feeds = [batch.get(si, []) for si in range(self.n_streams)]
@@ -389,21 +398,44 @@ class DiPsServer:
         self._counters = {"connections": 0, "requests": 0, "frames": 0,
                           "request_errors": 0, "rejected": 0,
                           "active_sessions": 0}
+        import collections
+        #: service time of the last 1024 process/process_batch requests
+        #: (seconds; includes any coalescer wait), for latency percentiles
+        self._latencies = collections.deque(maxlen=1024)
 
     def _count(self, key: str, n: int = 1) -> None:
         with self._metrics_lock:
             self._counters[key] += n
+
+    def _observe_latency(self, seconds: float) -> None:
+        with self._metrics_lock:
+            self._latencies.append(seconds)
 
     def metrics(self) -> dict:
         """Daemon-level counters + live session/parked state (the `metrics`
         wire command returns exactly this)."""
         with self._metrics_lock:
             c = dict(self._counters)
+            lats = sorted(self._latencies)
         with self._pool_lock:
             c["parked_sessions"] = len(self._named)
         c["max_sessions"] = self.max_sessions
         c["uptime_s"] = round(time.monotonic() - self._started, 3)
         c["coalesced"] = self._coalescer is not None
+        if lats:
+            def q(p):
+                return round(1e3 * lats[min(len(lats) - 1,
+                                            int(p * len(lats)))], 3)
+            c["latency_ms"] = {"count": len(lats), "p50": q(0.50),
+                               "p90": q(0.90), "p99": q(0.99),
+                               "max": round(1e3 * lats[-1], 3)}
+        if self._coalescer is not None:
+            co = self._coalescer
+            with co._cv:
+                c["coalesce_dispatches"] = co.dispatches
+                c["coalesce_mean_fill"] = round(
+                    co.frames_folded / co.dispatches, 3) if co.dispatches \
+                    else 0.0
         return c
 
     def serve_forever(self) -> None:
@@ -565,14 +597,18 @@ class DiPsServer:
                 elif cmd == "process":
                     shape = tuple(header["shape"])
                     frame = np.frombuffer(payload, np.uint8).reshape(shape)
+                    t0 = time.monotonic()
                     hdr, body = _process_reply(eng, [frame], header)
+                    self._observe_latency(time.monotonic() - t0)
                     hdr["stats"] = hdr["stats"][0]
                     hdr["shape"] = hdr["shape"][1:]  # per-frame shape
                     _send(client, hdr, body)
                 elif cmd == "process_batch":
                     shape = tuple(header["shape"])
                     frames = np.frombuffer(payload, np.uint8).reshape(shape)
+                    t0 = time.monotonic()
                     hdr, body = _process_reply(eng, frames, header)
+                    self._observe_latency(time.monotonic() - t0)
                     _send(client, hdr, body)
                 elif cmd == "snapshot":
                     eng.snapshot()

@@ -555,3 +555,24 @@ def test_metrics_command(server):
     assert m["request_errors"] == 1 and m["active_sessions"] == 1
     assert m["connections"] == 1 and m["uptime_s"] >= 0
     assert m["coalesced"] is False and m["frame_index"] == 3
+    lat = m["latency_ms"]
+    assert lat["count"] == 2  # one process + one process_batch sample
+    assert 0 <= lat["p50"] <= lat["p90"] <= lat["p99"] <= lat["max"]
+
+
+def test_metrics_coalesce_fill(tmp_path):
+    """Coalesced servers report device dispatches and mean request fill."""
+    srv, _ = _coalesced_server(2)
+    try:
+        clip = make_clip(n=4, h=16, w=24, seed=91)
+        with DiPsClient(srv.port) as cli:
+            for f in clip:
+                cli.process(f)
+            m = cli.metrics()
+        assert m["coalesced"] is True
+        assert m["coalesce_dispatches"] >= 1
+        # single client: each dispatch folded exactly its one frame
+        assert 1.0 <= m["coalesce_mean_fill"] <= 2.0
+        assert m["latency_ms"]["count"] == 4
+    finally:
+        srv.shutdown()
