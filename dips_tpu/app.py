@@ -95,6 +95,13 @@ class DiPsJob:
     #: THRESHOLD only: bit-pack masks on the device before the D2H copy
     #: (8x less device->host transfer; ops/wire.py).  Output is unchanged.
     packed_wire: bool = False
+    #: "planar" (default): decode workers planarize each frame on the host
+    #: (fused native pass) before upload.  "hwc": workers stage the RAW
+    #: decoded bytes and the transpose/pad/channel-swap runs ON DEVICE —
+    #: the host's per-frame work drops to a memcpy, at ~40 us/frame of
+    #: device time at 1080p (BASELINE.md).  The right trade when decode is
+    #: the wall and the chip has headroom (it usually does).
+    input_layout: str = "planar"
     #: yield the decoded RGB input frame from :func:`stream_dips` (the
     #: second tuple element).  Rebuilding HWC from the planar batch costs a
     #: full host pass per frame (~7 ms at 1080p), so it is skipped — the
@@ -127,7 +134,7 @@ def _decode_worker(reader: VideoReader, hp: int, wp: int,
                    ring: "native.FrameRing", stop: threading.Event,
                    errbox: list, pts_q, timers: Optional[StageTimers] = None,
                    stage: str = "decode", limit: Optional[int] = None,
-                   own_reader: bool = False) -> None:
+                   own_reader: bool = False, raw_hwc: bool = False) -> None:
     """Decode thread: fused BGR->planar conversion (native, single pass)
     staged into the bounded frame ring — the rebuild's analogue of the
     GStreamer streaming thread feeding appsink.  Per-frame PTS travel in a
@@ -152,15 +159,19 @@ def _decode_worker(reader: VideoReader, hp: int, wp: int,
             if item is None or stop.is_set():
                 return
             frame, pts = item
-            if timers:
+            if raw_hwc:
+                # hwc layout: stage the raw decoded bytes; the layout
+                # transform (and any BGR swap) runs on the device
+                payload = np.ascontiguousarray(frame)
+            elif timers:
                 with timers.stage(stage_pl):
-                    planar = native.planarize(frame, hp, wp,
-                                              swap_rb=not rgb_native)
+                    payload = native.planarize(frame, hp, wp,
+                                               swap_rb=not rgb_native)
             else:
-                planar = native.planarize(frame, hp, wp,
-                                          swap_rb=not rgb_native)
+                payload = native.planarize(frame, hp, wp,
+                                           swap_rb=not rgb_native)
             pts_q.append(pts)
-            if not ring.push(planar):
+            if not ring.push(payload):
                 return
             done += 1
     except Exception as e:  # pragma: no cover - decoder internals
@@ -214,10 +225,19 @@ def stream_dips(job: DiPsJob) -> Iterator[Tuple[int, Optional[np.ndarray],
     import collections
     from .io.gstreamer import open_video
     reader = open_video(job.video_path, job.video_backend)
+    if job.input_layout not in ("planar", "hwc"):
+        raise ValueError(f"unknown input_layout {job.input_layout!r}")
+    hwc_mode = job.input_layout == "hwc"
+    # readers that decode natively to RGB skip the device channel swap
+    rgb_native = getattr(reader, "native_rgb", False)
+    layout = ("planar" if not hwc_mode
+              else ("hwc" if rgb_native else "hwc_bgr"))
     engine = DiPsEngine(job.properties, reader.height, reader.width,
                         batch=job.batch, backend=job.backend,
-                        packed_wire=job.packed_wire)
+                        packed_wire=job.packed_wire, input_layout=layout)
     hp, wp = engine.hp, engine.wp
+    slot_bytes = (reader.height * reader.width * 3 if hwc_mode
+                  else 3 * hp * wp)
     timers = StageTimers() if job.profile else None
     job.timers = timers
     engine.timers = timers  # h2d / dispatch / d2h split inside "device"
@@ -239,7 +259,7 @@ def stream_dips(job: DiPsJob) -> Iterator[Tuple[int, Optional[np.ndarray],
         bounds = [(k * per, per if k < nw - 1 else total - (nw - 1) * per)
                   for k in range(nw)]
         rings = [native.FrameRing(slots=max(2, slots // nw),
-                                  slot_bytes=3 * hp * wp) for _ in range(nw)]
+                                  slot_bytes=slot_bytes) for _ in range(nw)]
         pts_qs = [collections.deque() for _ in range(nw)]
         workers = []
         for k, (start, count) in enumerate(bounds):
@@ -249,16 +269,17 @@ def stream_dips(job: DiPsJob) -> Iterator[Tuple[int, Optional[np.ndarray],
             workers.append(threading.Thread(
                 target=_decode_worker,
                 args=(rd, hp, wp, rings[k], stop, errbox, pts_qs[k], timers,
-                      f"decode{suffix}", count, True),
+                      f"decode{suffix}", count, True, hwc_mode),
                 daemon=True))
         source = _RingChain(rings, pts_qs)
         readers_to_close: list = []
     else:
-        ring = native.FrameRing(slots=slots, slot_bytes=3 * hp * wp)
+        ring = native.FrameRing(slots=slots, slot_bytes=slot_bytes)
         pts_q: collections.deque = collections.deque()
         workers = [threading.Thread(
             target=_decode_worker,
-            args=(reader, hp, wp, ring, stop, errbox, pts_q, timers),
+            args=(reader, hp, wp, ring, stop, errbox, pts_q, timers,
+                  "decode", None, False, hwc_mode),
             daemon=True)]
         source = _RingChain([ring], [pts_q])
         readers_to_close = [reader]
@@ -290,8 +311,13 @@ def stream_dips(job: DiPsJob) -> Iterator[Tuple[int, Optional[np.ndarray],
             job.frame_pts.append(pts_batch[i])
             # RGB input for hooks/consumers — a full host pass, built only
             # when something reads it
-            inp = (native.interleave(batch[i], h, w) if want_inputs
-                   else None)
+            if not want_inputs:
+                inp = None
+            elif hwc_mode:
+                inp = (batch[i] if rgb_native
+                       else np.ascontiguousarray(batch[i][:, :, ::-1]))
+            else:
+                inp = native.interleave(batch[i], h, w)
             if job.frame_callback is not None:
                 try:
                     replacement = job.frame_callback(idx, inp, out, stats[i])

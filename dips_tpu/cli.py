@@ -94,6 +94,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--packed-wire", action="store_true",
                    help="THRESHOLD output only: bit-pack masks on the "
                         "device before download (8x less D2H transfer)")
+    p.add_argument("--input-layout", choices=("planar", "hwc"),
+                   default="planar",
+                   help="'hwc': upload raw decoded frames and run the "
+                        "layout transform (+BGR swap) on the device - "
+                        "frees the host's per-frame planarize pass for "
+                        "decode")
     p.add_argument("--stats-json", metavar="PATH",
                    help="write per-frame statistics to a JSON file")
     p.add_argument("--profile", action="store_true",
@@ -260,6 +266,7 @@ def main(argv: Optional[List[str]] = None) -> int:
                       decode_workers=args.decode_workers,
                       pipeline_depth=args.pipeline_depth,
                       packed_wire=args.packed_wire,
+                      input_layout=args.input_layout,
                       profile=args.profile, denoise_radius=args.denoise)
         from .utils.profiling import trace
         with trace(args.trace_dir):

@@ -63,13 +63,29 @@ class DiPsEngine:
       packed_wire: THRESHOLD mode only — bit-pack the binary masks on the
         device before the D2H copy (8x less transfer; see ops/wire.py) and
         unpack on the host, so the public output is unchanged.
+      input_layout: "planar" (default) — the host planarizes each frame to
+        padded (3, Hp, Wp) before upload (the SSSE3 native path); or
+        "hwc" — raw (H, W, 3) RGB frames are uploaded as-is and the
+        transpose+pad runs ON DEVICE (one XLA op before the fused kernel).
+        "hwc" frees ~1 ms/frame of host CPU at 1080p for the decoders at
+        a measured ~20-40 us/frame of device time (BASELINE.md) — a ~22x
+        favourable exchange rate wherever decode is the wall, but a real
+        relative cost on the 27 us/frame absdiff kernel, so keep planar
+        when benchmarking peak kernel rates.  "hwc_bgr" additionally
+        folds cv2's BGR->RGB swap into the device transform (free), so
+        the decode path does NO per-frame host work beyond a memcpy.
+        The W*3 minor dim of every standard resolution is 128-aligned,
+        so the upload shape stays transfer-friendly.  Checkpoints remain
+        RGB-planar (only the T tail frames are planarized on the host,
+        once per batch).
     """
 
     def __init__(self, props: DiPsProperties, height: int, width: int,
                  batch: int = 8, backend: str = "auto",
                  device: Optional[jax.Device] = None,
                  ring_carry: Optional[bool] = None,
-                 packed_wire: bool = False):
+                 packed_wire: bool = False,
+                 input_layout: str = "planar"):
         if height <= 0 or width <= 0:
             raise ValueError(f"bad geometry {height}x{width}")
         if batch < 1:
@@ -90,6 +106,26 @@ class DiPsEngine:
         if packed_wire and props.output != OutputMode.THRESHOLD:
             raise ValueError("packed_wire requires THRESHOLD output")
         self.packed_wire = bool(packed_wire)
+        if input_layout not in ("planar", "hwc", "hwc_bgr"):
+            raise ValueError(f"unknown input_layout {input_layout!r}")
+        self.input_layout = "hwc" if input_layout.startswith("hwc") else \
+            input_layout
+        #: "hwc_bgr" accepts frames in cv2's native BGR order and folds the
+        #: channel swap into the device transpose (free) — the decode path
+        #: then does NO per-frame host work beyond a memcpy
+        self._swap_rb = input_layout == "hwc_bgr"
+        if self.input_layout == "hwc":
+            h_, w_, hp_, wp_ = self.height, self.width, self.hp, self.wp
+            swap = self._swap_rb
+
+            def _prep(x):  # (n, H, W, 3) u8 -> padded planar (n, 3, Hp, Wp)
+                x = jnp.transpose(x, (0, 3, 1, 2))
+                if swap:
+                    x = x[:, ::-1]
+                return jnp.pad(x, ((0, 0), (0, 0),
+                                   (0, hp_ - h_), (0, wp_ - w_)))
+
+            self._hwc_prep = jax.jit(_prep)
         #: optional StageTimers: when set, dispatch/collect split their
         #: time into h2d (host->device upload), dispatch (async kernel
         #: launch) and d2h (device sync + download + interleave) stages.
@@ -113,7 +149,10 @@ class DiPsEngine:
     @property
     def tail_rows(self) -> int:
         """Leading tail rows in a :meth:`new_batch_buffer` buffer (0 in
-        ring-carry mode — new frames go at ``buf[tail_rows + i]``)."""
+        ring-carry and hwc modes — new frames go at
+        ``buf[tail_rows + i]``)."""
+        if getattr(self, "input_layout", "planar") == "hwc":
+            return 0
         return 0 if self.ring_carry else self.props.temporal_size
 
     def reset(self) -> None:
@@ -172,15 +211,36 @@ class DiPsEngine:
           packed: return device-packed padded masks (see :meth:`collect`).
         Returns: (outputs uint8 (n, H, W, C), stats f32 (n, NUM_STATS)).
         """
+        if self.input_layout == "hwc":
+            n = len(frames)
+            if n == 0:
+                return (np.zeros((0, self.height, self.width,
+                                  self.props.out_channels), np.uint8),
+                        np.zeros((0, NUM_STATS), np.float32))
+            if n > self.batch:
+                raise ValueError(f"got {n} frames > batch {self.batch}")
+            buf = self.new_batch_buffer()
+            for i, f in enumerate(frames):
+                if f.shape != (self.height, self.width, 3):
+                    raise ValueError(
+                        f"frame shape {f.shape} != "
+                        f"{(self.height, self.width, 3)}")
+                buf[i] = f
+            return self.process_buffer(buf, n, packed=packed)
         return self.process_planar([self._planarize(f) for f in frames],
                                    packed=packed)
 
     def new_batch_buffer(self) -> np.ndarray:
-        """Allocate a (tail_rows+B, 3, Hp, Wp) uint8 batch buffer.  Fill
-        rows [tail_rows : tail_rows+n] with planarized frames (e.g. pop the
-        decode ring straight into ``buf[engine.tail_rows + i]``) and pass
-        to :meth:`process_buffer` — the zero-extra-copy streaming path.
-        (tail_rows is 0 in ring-carry mode, T otherwise.)"""
+        """Allocate the engine's batch buffer: planar layout —
+        (tail_rows+B, 3, Hp, Wp) uint8, fill rows
+        [tail_rows : tail_rows+n] with planarized frames (e.g. pop the
+        decode ring straight into ``buf[engine.tail_rows + i]``), the
+        zero-extra-copy streaming path (tail_rows is 0 in ring-carry mode,
+        T otherwise); hwc layout — (B, H, W, 3) uint8, fill rows [0:n]
+        with raw RGB frames (the device does the rest)."""
+        if self.input_layout == "hwc":
+            return np.empty((self.batch, self.height, self.width, 3),
+                            np.uint8)
         return np.empty((self.tail_rows + self.batch, 3, self.hp, self.wp),
                         np.uint8)
 
@@ -196,6 +256,10 @@ class DiPsEngine:
                        ) -> Tuple[np.ndarray, np.ndarray]:
         """Process frames already in padded planar (3, Hp, Wp) uint8
         layout."""
+        if self.input_layout == "hwc":
+            raise ValueError(
+                "process_planar on an input_layout='hwc' engine: feed raw "
+                "(H, W, 3) frames via process_batch/process_buffer instead")
         n = len(planar)
         if n == 0:
             return (np.zeros((0, self.height, self.width,
@@ -227,13 +291,29 @@ class DiPsEngine:
         tr = self.tail_rows
         if n < 1 or n > b:
             raise ValueError(f"n={n} outside 1..{b}")
-        if not self._tail:  # first batch: prefill ring with frame 0
-            self._tail.extend([buf[tr].copy()] * t)
-        if tr:
-            buf[:t] = np.stack(list(self._tail))
-        for i in range(n, b):
-            buf[tr + i] = buf[tr + n - 1]  # replicate last for padding
-        self._tail.extend(buf[tr + max(0, n - t):tr + n].copy())
+        hwc = self.input_layout == "hwc"
+        if hwc:
+            # raw (B, H, W, 3) buffer; transpose+pad (and any BGR swap)
+            # runs on device.  The checkpoint tail stays RGB-planar
+            # (portable): only the last min(t, n) frames pay a host
+            # planarize.
+            pl = lambda f: native.planarize(f, self.hp, self.wp,
+                                            swap_rb=self._swap_rb)
+            for i in range(n, b):
+                buf[i] = buf[n - 1]  # replicate last for padding
+            if not self._tail:  # first batch: prefill ring with frame 0
+                self._tail.extend([pl(buf[0])] * t)
+            tail_prev = (np.stack(list(self._tail))
+                         if not self.ring_carry else None)
+            self._tail.extend(pl(buf[i]) for i in range(max(0, n - t), n))
+        else:
+            if not self._tail:  # first batch: prefill ring with frame 0
+                self._tail.extend([buf[tr].copy()] * t)
+            if tr:
+                buf[:t] = np.stack(list(self._tail))
+            for i in range(n, b):
+                buf[tr + i] = buf[tr + n - 1]  # replicate last for padding
+            self._tail.extend(buf[tr + max(0, n - t):tr + n].copy())
 
         flags = np.zeros((b,), np.bool_)
         valid = np.zeros((b,), np.bool_)
@@ -247,6 +327,13 @@ class DiPsEngine:
         with self._stage("h2d"):
             raw_dev = jnp.asarray(buf)
         with self._stage("dispatch"):
+            if hwc:
+                raw_dev = self._hwc_prep(raw_dev)
+                if not self.ring_carry:
+                    # tail protocol: prepend the T planar tail frames on
+                    # device (the protocol re-uploads the tail by design)
+                    raw_dev = jnp.concatenate(
+                        [jnp.asarray(tail_prev), raw_dev], axis=0)
             if self.ring_carry:
                 from ..ops import pallas_fused
                 seed = jnp.int32(0 if self._seeded else 1)
@@ -410,10 +497,19 @@ class DiPsEngine:
             path, frame_index=state["frame_index"],
             baseline=state["baseline"], heatmap=state["heatmap"],
             tail=state["tail"] if state["tail"] is not None
-            else np.zeros((0,), np.uint8))
+            else np.zeros((0,), np.uint8),
+            # true geometry (padded arrays alone are ambiguous): lets a
+            # geometry-flexible consumer size an engine from the file
+            geometry=np.asarray([self.height, self.width], np.int64))
 
     def load(self, path: str) -> None:
         z = np.load(path)
+        if "geometry" in z.files:  # absent in pre-geometry checkpoints
+            gh, gw = (int(v) for v in z["geometry"])
+            if (gh, gw) != (self.height, self.width):
+                raise ValueError(
+                    f"checkpoint geometry {gh}x{gw} != engine "
+                    f"{self.height}x{self.width}")
         tail = z["tail"]
         self.load_state_dict({
             "frame_index": int(z["frame_index"]),

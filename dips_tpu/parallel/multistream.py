@@ -212,15 +212,33 @@ class MultiStreamEngine:
                  n_streams: int, batch: int = 8,
                  mesh: Optional[Mesh] = None, backend: str = "auto",
                  ring_carry: Optional[bool] = None,
-                 packed_wire: bool = False):
+                 packed_wire: bool = False,
+                 input_layout: str = "planar"):
         self.props = props
         if packed_wire and props.output != OutputMode.THRESHOLD:
             raise ValueError("packed_wire requires THRESHOLD output")
         self.packed_wire = bool(packed_wire)
+        if input_layout not in ("planar", "hwc", "hwc_bgr"):
+            raise ValueError(f"unknown input_layout {input_layout!r}")
+        self.input_layout = "hwc" if input_layout.startswith("hwc") else \
+            input_layout
+        self._swap_rb = input_layout == "hwc_bgr"
         self._raw_mode = props.output in _RAW_MODES
         self.height, self.width = int(height), int(width)
         self.hp, self.wp = reference.pad_geometry(height, width)
         self.batch = int(batch)
+        if self.input_layout == "hwc":
+            h_, w_, hp_, wp_ = self.height, self.width, self.hp, self.wp
+            swap = self._swap_rb
+
+            def _prep(x):  # (S, B, H, W, 3) u8 -> padded (S, B, 3, Hp, Wp)
+                x = jnp.transpose(x, (0, 1, 4, 2, 3))
+                if swap:
+                    x = x[:, :, ::-1]
+                return jnp.pad(x, ((0, 0), (0, 0), (0, 0),
+                                   (0, hp_ - h_), (0, wp_ - w_)))
+
+            self._hwc_prep = jax.jit(_prep)
         self.mesh = mesh if mesh is not None else stream_mesh()
         if "rows" in self.mesh.axis_names:
             # composite 2-D (stream x rows) grid: each device owns a
@@ -462,10 +480,17 @@ class MultiStreamEngine:
             path, frame_index=s["frame_index"], baseline=s["baseline"],
             heatmap=s["heatmap"],
             tail=s["tail"] if s["tail"] is not None
-            else np.zeros((0,), np.uint8))
+            else np.zeros((0,), np.uint8),
+            geometry=np.asarray([self.height, self.width], np.int64))
 
     def load_stream(self, stream: int, path: str) -> None:
         z = np.load(path)
+        if "geometry" in z.files:
+            gh, gw = (int(v) for v in z["geometry"])
+            if (gh, gw) != (self.height, self.width):
+                raise ValueError(
+                    f"checkpoint geometry {gh}x{gw} != engine "
+                    f"{self.height}x{self.width}")
         tail = z["tail"]
         self.load_stream_state(stream, {
             "frame_index": int(z["frame_index"]),
@@ -527,8 +552,16 @@ class MultiStreamEngine:
             raise ValueError(f"{n} frames > batch {self.batch}")
         t, b = self.props.temporal_size, self.batch
         tr = 0 if self.ring_carry else t
+        hwc = self.input_layout == "hwc"
 
-        buf = np.zeros((s, tr + b, 3, self.hp, self.wp), np.uint8)
+        if hwc:
+            # raw HWC frames; transpose+pad runs on device (one XLA op).
+            # Only the checkpoint tails pay a host planarize (<= t/stream).
+            buf = np.zeros((s, b, self.height, self.width, 3), np.uint8)
+            tails_prev = (np.zeros((s, t, 3, self.hp, self.wp), np.uint8)
+                          if tr else None)
+        else:
+            buf = np.zeros((s, tr + b, 3, self.hp, self.wp), np.uint8)
         flags = np.zeros((s, b), np.bool_)
         valid = np.zeros((s, b), np.bool_)
         offsets = np.asarray(self._ring_offs, np.int32)
@@ -537,50 +570,82 @@ class MultiStreamEngine:
             if si in self.failed:
                 continue  # dead stream: don't planarize work we discard
             try:
-                planar = [self._planarize(f) for f in frames]
+                if hwc:
+                    from .. import native
+                    pl = lambda f: native.planarize(
+                        f, self.hp, self.wp, swap_rb=self._swap_rb)
+                    for f in frames:
+                        if f.shape != (self.height, self.width, 3):
+                            raise ValueError(
+                                f"frame shape {f.shape} != "
+                                f"{(self.height, self.width, 3)}")
+                    # planar tail bookkeeping only (checkpoint format,
+                    # always RGB planes)
+                    planar = [pl(f) for f in frames[-t:]]
+                    if frames and len(frames) > t:
+                        first_pl = pl(frames[0])
+                    elif planar:
+                        first_pl = planar[0]
+                else:
+                    planar = [self._planarize(f) for f in frames]
+                    first_pl = planar[0] if planar else None
             except Exception as e:  # bad frame: isolate the stream
                 self.failed[si] = StreamError(si, e)
                 continue
-            if planar:
+            n_si = len(frames)
+            if n_si:
                 if self._tails[si] is None:
-                    self._tails[si] = [planar[0]] * t
+                    self._tails[si] = [first_pl] * t
                     seeds[si] = 1
                 if tr:
-                    buf[si, :t] = np.stack(self._tails[si])
+                    tp = np.stack(self._tails[si])
+                    if hwc:
+                        tails_prev[si] = tp
+                    else:
+                        buf[si, :t] = tp
                 for i in range(b):
-                    buf[si, tr + i] = planar[min(i, len(planar) - 1)]
-                valid[si, :len(planar)] = True
+                    if hwc:
+                        buf[si, i] = frames[min(i, n_si - 1)]
+                    else:
+                        buf[si, tr + i] = planar[min(i, n_si - 1)]
+                valid[si, :n_si] = True
                 # markers fire on each stream's OWN cursor, so staggered
                 # starts and stalled streams stay correct
                 cursor = self.frame_cursors[si]
-                for i in range(len(planar)):
+                for i in range(n_si):
                     flags[si, i] = (cursor + i == 0 or
                                     (cursor + i) in self.props.refresh_markers)
                 if self._snap_pending[si]:
                     flags[si, 0] = True
                     self._snap_pending[si] = False
                 self._tails[si] = (self._tails[si] + planar)[-t:]
-                self.frame_cursors[si] = cursor + len(planar)
-                self._ring_offs[si] = (self._ring_offs[si]
-                                       + len(planar)) % t
+                self.frame_cursors[si] = cursor + n_si
+                self._ring_offs[si] = (self._ring_offs[si] + n_si) % t
 
+        if hwc:
+            raw_dev = self._hwc_prep(jnp.asarray(buf))
+            if tr:  # tail protocol: prepend the planar tails on device
+                raw_dev = jnp.concatenate(
+                    [jnp.asarray(tails_prev), raw_dev], axis=1)
+        else:
+            raw_dev = jnp.asarray(buf)
         if self.ring_carry:
             if self._raw_mode:
                 (out, stats, self._prev, self._baseline, self._heatmap,
                  gmean) = self._step(
-                    jnp.asarray(buf), self._prev, self._baseline,
+                    raw_dev, self._prev, self._baseline,
                     jnp.asarray(flags), self._heatmap, jnp.asarray(valid),
                     jnp.asarray(seeds))
             else:
                 (out, stats, self._ring, self._prev, self._baseline,
                  self._heatmap, gmean) = self._step(
-                    jnp.asarray(buf), self._ring, self._prev,
+                    raw_dev, self._ring, self._prev,
                     self._baseline, jnp.asarray(flags), self._heatmap,
                     jnp.asarray(valid), jnp.asarray(offsets),
                     jnp.asarray(seeds))
         else:
             out, stats, self._baseline, self._heatmap, gmean = self._step(
-                jnp.asarray(buf), self._baseline, jnp.asarray(flags),
+                raw_dev, self._baseline, jnp.asarray(flags),
                 self._heatmap, jnp.asarray(valid))
 
         if self.packed_wire:

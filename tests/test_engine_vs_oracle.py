@@ -185,3 +185,104 @@ def test_checkpoint_mode_mismatch_rejected(tmp_path):
     med_eng = DiPsEngine(DiPsProperties(), 8, 16, batch=2)
     with pytest.raises(ValueError, match="baseline shape"):
         med_eng.load(p)
+
+
+@pytest.mark.parametrize("backend,ring",
+                         [("pallas", True), ("pallas", False),
+                          ("xla", False)])
+def test_hwc_input_layout_bit_exact(backend, ring):
+    """input_layout='hwc' (device-side transpose+pad) matches the host
+    planarize path bit-for-bit on every protocol, including partial
+    batches, refresh markers and a forced snapshot."""
+    props = DiPsProperties(window_size=3, temporal_size=2,
+                           filter=DiPsFilter.UNFILTERED,
+                           refresh_markers=(5,))
+    h, w = 20, 44
+    clip = make_clip(n=9, h=h, w=w, seed=31)
+    kw = dict(batch=4, backend=backend, ring_carry=ring)
+    ep = DiPsEngine(props, h, w, input_layout="planar", **kw)
+    eh = DiPsEngine(props, h, w, input_layout="hwc", **kw)
+    for lo, hi in ((0, 4), (4, 7), (7, 9)):  # full + two partial batches
+        op, sp = ep.process_batch(list(clip[lo:hi]))
+        oh, sh = eh.process_batch(list(clip[lo:hi]))
+        np.testing.assert_array_equal(oh, op)
+        np.testing.assert_allclose(sh, sp, atol=1e-6)
+    ep.snapshot()
+    eh.snapshot()
+    op, _ = ep.process_batch([clip[0]])
+    oh, _ = eh.process_batch([clip[0]])
+    np.testing.assert_array_equal(oh, op)
+
+
+def test_hwc_checkpoint_interops_with_planar(tmp_path):
+    """hwc engines keep planar-format checkpoints: save on hwc, resume on
+    a planar engine (and back) bit-identically."""
+    props = DiPsProperties(window_size=1, temporal_size=2,
+                           filter=DiPsFilter.UNFILTERED)
+    h, w = 16, 24
+    clip = make_clip(n=9, h=h, w=w, seed=32)
+    eh = DiPsEngine(props, h, w, batch=3, input_layout="hwc")
+    eh.process_frames(list(clip[:3]))
+    path = str(tmp_path / "hwc.npz")
+    eh.save(path)
+    ep = DiPsEngine(props, h, w, batch=3)
+    ep.load(path)
+    out_p, _ = ep.process_frames(list(clip[3:6]))
+    out_h, _ = eh.process_frames(list(clip[3:6]))
+    np.testing.assert_array_equal(out_p, out_h)
+    # and back onto an hwc engine
+    ep.save(path)
+    eh2 = DiPsEngine(props, h, w, batch=3, input_layout="hwc")
+    eh2.load(path)
+    out_a, _ = eh2.process_frames(list(clip[6:9]))
+    out_b, _ = ep.process_frames(list(clip[6:9]))
+    np.testing.assert_array_equal(out_a, out_b)
+
+
+def test_hwc_rejects_planar_entry_points():
+    props = DiPsProperties(window_size=1, temporal_size=1,
+                           filter=DiPsFilter.UNFILTERED)
+    eng = DiPsEngine(props, 16, 24, batch=2, input_layout="hwc")
+    assert eng.tail_rows == 0
+    assert eng.new_batch_buffer().shape == (2, 16, 24, 3)
+    with pytest.raises(ValueError, match="hwc"):
+        eng.process_planar([np.zeros((3, 16, 128), np.uint8)])
+    with pytest.raises(ValueError):
+        eng.process_batch([np.zeros((4, 4, 3), np.uint8)])
+    with pytest.raises(ValueError, match="input_layout"):
+        DiPsEngine(props, 16, 24, input_layout="chw")
+
+
+def test_hwc_bgr_layout_accepts_cv2_frames():
+    """input_layout='hwc_bgr' takes cv2's native BGR frames; the channel
+    swap folds into the device transpose and checkpoints stay RGB-planar."""
+    props = DiPsProperties(window_size=3, temporal_size=2,
+                           filter=DiPsFilter.UNFILTERED)
+    h, w = 16, 24
+    clip = make_clip(n=5, h=h, w=w, seed=33)
+    ep = DiPsEngine(props, h, w, batch=2)
+    eb = DiPsEngine(props, h, w, batch=2, input_layout="hwc_bgr")
+    op, sp = ep.process_frames(list(clip))
+    ob, sb = eb.process_frames([f[:, :, ::-1] for f in clip])  # BGR feed
+    np.testing.assert_array_equal(ob, op)
+    np.testing.assert_allclose(sb, sp, atol=1e-6)
+    # checkpoint tails are RGB planes either way
+    np.testing.assert_array_equal(eb.state_dict()["tail"],
+                                  ep.state_dict()["tail"])
+
+
+def test_checkpoint_geometry_recorded_and_validated(tmp_path):
+    """Checkpoints carry the TRUE geometry: loading into an engine of a
+    different resolution fails even when both pad to the same tile shape
+    (12x40 and 16x64 both pad to 16x128)."""
+    props = DiPsProperties(window_size=1, temporal_size=1,
+                           filter=DiPsFilter.UNFILTERED)
+    clip = make_clip(n=2, h=12, w=40, seed=34)
+    eng = DiPsEngine(props, 12, 40, batch=2)
+    eng.process_frames(list(clip))
+    path = str(tmp_path / "g.npz")
+    eng.save(path)
+    import numpy as _np
+    assert list(_np.load(path)["geometry"]) == [12, 40]
+    with pytest.raises(ValueError, match="geometry"):
+        DiPsEngine(props, 16, 64, batch=2).load(path)

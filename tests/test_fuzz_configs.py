@@ -52,9 +52,12 @@ def test_fuzzed_config_parity(seed):
     exact = raw or props.filter == DiPsFilter.UNFILTERED
     for backend, ring in (("xla", None), ("pallas", False),
                           ("pallas", True)):
+        layout = r.choice(["planar", "hwc", "hwc_bgr"])
         eng = DiPsEngine(props, h, w, batch=batch, backend=backend,
-                         ring_carry=ring)
-        got_out, got_stats = eng.process_frames(list(frames))
+                         ring_carry=ring, input_layout=layout)
+        feed = ([f[:, :, ::-1] for f in frames] if layout == "hwc_bgr"
+                else list(frames))
+        got_out, got_stats = eng.process_frames(feed)
         if raw:
             np.testing.assert_array_equal(got_out, exp_out, err_msg=str(props))
             np.testing.assert_allclose(got_stats, exp_stats, atol=1e-4,

@@ -348,3 +348,33 @@ def test_cli_packed_wire(video, tmp_path, capsys):
         with VideoReader(out) as r:
             outs.append(np.stack(list(r)))
     np.testing.assert_array_equal(outs[0], outs[1])
+
+
+def test_stream_dips_hwc_layout_matches_planar(video):
+    """input_layout='hwc' (raw decode bytes, device-side layout transform
+    + BGR swap) yields bit-identical outputs, stats AND input views."""
+    import dataclasses
+    path, _ = video
+    job = DiPsJob(properties=DiPsProperties(window_size=3, temporal_size=2),
+                  video_path=path, batch=4, yield_inputs=True)
+    ref = [(o.copy(), s.copy(), i.copy())
+           for _, i, o, s in stream_dips(job)]
+    job_h = dataclasses.replace(job, input_layout="hwc", decode_workers=2)
+    got = [(o.copy(), s.copy(), i.copy())
+           for _, i, o, s in stream_dips(job_h)]
+    assert len(got) == len(ref)
+    for (o1, s1, i1), (o2, s2, i2) in zip(ref, got):
+        np.testing.assert_array_equal(o2, o1)
+        np.testing.assert_allclose(s2, s1, atol=1e-6)
+        np.testing.assert_array_equal(i2, i1)
+
+
+def test_cli_input_layout_flag(video, tmp_path):
+    path, frames = video
+    from dips_tpu.cli import main as cli_main
+    out = str(tmp_path / "o.avi")
+    rc = cli_main(["--input", path, "--output", out, "--temporal=2",
+                   "--filter=none", "--input-layout", "hwc"])
+    assert rc == 0
+    with VideoReader(out) as r:
+        assert len(list(r)) == len(frames)

@@ -521,3 +521,43 @@ def test_slot_checkpoint_interops_with_single_engine(tmp_path):
     out_a, _ = eng2.process_frames(list(clip[6:9]))
     out_b, _ = eng.process_frames(list(clip[6:9]))
     np.testing.assert_array_equal(out_a, out_b)
+
+
+@pytest.mark.parametrize("backend", ["pallas", "xla"])
+def test_multistream_hwc_layout_bit_exact(backend):
+    """input_layout='hwc' (device-side planarize) matches the host-planar
+    multi-stream engine bit-for-bit on both step protocols, including
+    empty feeds, short feeds and a failed stream."""
+    props = DiPsProperties(window_size=3, temporal_size=2,
+                           filter=DiPsFilter.UNFILTERED)
+    h, w = 12, 40
+    clips = [make_clip(n=6, h=h, w=w, seed=100 + s) for s in range(8)]
+    kw = dict(n_streams=8, batch=3, backend=backend)
+    mp = MultiStreamEngine(props, h, w, input_layout="planar", **kw)
+    mh = MultiStreamEngine(props, h, w, input_layout="hwc", **kw)
+    feeds1 = [list(c[:3]) for c in clips]
+    feeds1[2] = feeds1[2][:1]                      # short feed
+    feeds1[5] = [np.zeros((4, 4, 3), np.uint8)]    # bad frame -> failed
+    for feeds in (feeds1,
+                  [list(c[3:6]) if s != 3 else []  # stream 3 idles
+                   for s, c in enumerate(clips)]):
+        op, sp, gp = mp.process_batch(feeds)
+        oh, sh, gh = mh.process_batch(feeds)
+        np.testing.assert_array_equal(oh, op)
+        np.testing.assert_allclose(sh, sp, atol=1e-6)
+        np.testing.assert_allclose(gh, gp, rtol=1e-6)
+    assert 5 in mh.failed and mh.frame_cursors == mp.frame_cursors
+
+
+def test_multistream_hwc_bgr_layout():
+    props = DiPsProperties(window_size=1, temporal_size=2,
+                           filter=DiPsFilter.UNFILTERED)
+    h, w = 8, 16
+    clips = [make_clip(n=3, h=h, w=w, seed=110 + s) for s in range(8)]
+    mp = MultiStreamEngine(props, h, w, n_streams=8, batch=3)
+    mb = MultiStreamEngine(props, h, w, n_streams=8, batch=3,
+                           input_layout="hwc_bgr")
+    op, sp, _ = mp.process_batch([list(c) for c in clips])
+    ob, sb, _ = mb.process_batch([[f[:, :, ::-1] for f in c] for c in clips])
+    np.testing.assert_array_equal(ob, op)
+    np.testing.assert_allclose(sb, sp, atol=1e-6)
