@@ -32,7 +32,11 @@ Header commands:
 
 Each connection gets its OWN engine (private baseline/ring/heatmap state),
 so up to ``max_sessions`` clients — e.g. N cameras — stream concurrently
-against one chip; JAX serialises their dispatches.
+against one chip; JAX serialises their dispatches.  Omitting height/width
+starts a geometry-FLEXIBLE daemon: each session's engine is sized from its
+first frame (or loaded checkpoint) and idle engines pool per geometry —
+one daemon serves a mixed-resolution camera fleet (coalesced mode still
+needs one fixed geometry: the sessions share a stacked kernel shape).
 
 Reconnect/resume semantics: a client may tag its requests with a
 ``"session": <token>`` field (``DiPsClient(session=...)``); on reconnect
@@ -150,7 +154,8 @@ class StreamCoalescer:
 
     def __init__(self, props: DiPsProperties, height: int, width: int,
                  n_streams: int, batch: int = 1, backend: str = "auto",
-                 window_ms: float = 2.0, n_devices: int = 1):
+                 window_ms: float = 2.0, n_devices: int = 1,
+                 input_layout: str = "planar"):
         from .parallel import MultiStreamEngine, stream_mesh
         # slots shard over the first n_devices chips (ICI-order mesh);
         # the default 1-device mesh serves a whole camera fleet from one
@@ -158,7 +163,8 @@ class StreamCoalescer:
         mesh = stream_mesh(max(1, int(n_devices)))
         self.engine = MultiStreamEngine(props, height, width,
                                         n_streams=n_streams, batch=batch,
-                                        mesh=mesh, backend=backend)
+                                        mesh=mesh, backend=backend,
+                                        input_layout=input_layout)
         self.n_streams = int(n_streams)
         self.window_s = window_ms / 1e3
         self._cv = threading.Condition()
@@ -347,12 +353,23 @@ class DiPsServer:
     (checkpoints are ``DiPsEngine``-format, so sessions migrate between
     dedicated and coalesced servers)."""
 
-    def __init__(self, props: DiPsProperties, height: int, width: int,
+    def __init__(self, props: DiPsProperties,
+                 height: Optional[int] = None, width: Optional[int] = None,
                  port: int = 0, host: str = "127.0.0.1", batch: int = 1,
                  backend: str = "auto", max_sessions: int = 1,
                  packed_wire: bool = False, coalesce: int = 0,
-                 coalesce_window_ms: float = 2.0, coalesce_devices: int = 1):
+                 coalesce_window_ms: float = 2.0, coalesce_devices: int = 1,
+                 input_layout: str = "planar"):
         self._coalescer: Optional[StreamCoalescer] = None
+        #: geometry-flexible daemon: no fixed height/width — each session's
+        #: engine is sized from its FIRST frame (or checkpoint), and idle
+        #: engines pool per geometry.  One daemon serves a mixed camera
+        #: fleet.  Coalesced mode needs one stacked kernel shape, so it
+        #: keeps requiring a fixed geometry.
+        self.flexible = height is None or width is None
+        if self.flexible and coalesce > 0:
+            raise ValueError("coalesce requires a fixed height/width "
+                             "(sessions share one stacked kernel shape)")
         if coalesce > 0:
             if packed_wire:
                 raise ValueError("packed_wire (device packing) is not "
@@ -361,14 +378,20 @@ class DiPsServer:
             self._coalescer = StreamCoalescer(
                 props, height, width, n_streams=coalesce, batch=batch,
                 backend=backend, window_ms=coalesce_window_ms,
-                n_devices=coalesce_devices)
+                n_devices=coalesce_devices, input_layout=input_layout)
             self.engine = None  # sessions share the coalescer's engine
             max_sessions = max(int(max_sessions), coalesce)
+        elif self.flexible:
+            self._mk_engine = lambda h, w: DiPsEngine(
+                props, h, w, batch=batch, backend=backend,
+                packed_wire=packed_wire, input_layout=input_layout)
+            self.engine = None
         else:
             self._mk_engine = lambda: DiPsEngine(props, height, width,
                                                  batch=batch,
                                                  backend=backend,
-                                                 packed_wire=packed_wire)
+                                                 packed_wire=packed_wire,
+                                                 input_layout=input_layout)
             #: the default session engine (kept for embedding/back-compat)
             self.engine = self._mk_engine()
         self.max_sessions = max(1, int(max_sessions))
@@ -379,7 +402,10 @@ class DiPsServer:
         # are reset before reuse (no cross-client state leaks).  Clients
         # that want resume on a multi-session server tag requests with a
         # "session" token; those engines park in _named keyed by token.
-        self._pool: list = [] if self.engine is None else [self.engine]
+        #: idle anonymous engines: a list in fixed mode, a per-geometry
+        #: dict {(h, w): [engines]} on a flexible daemon
+        self._pool = ({} if self.flexible
+                      else ([] if self.engine is None else [self.engine]))
         self._named: dict = {}   # session token -> parked engine
         #: parked named sessions beyond this are evicted oldest-first
         self.max_named_sessions = 8 * self.max_sessions
@@ -469,12 +495,14 @@ class DiPsServer:
         for th in self._threads:
             th.join(timeout=5.0)
 
-    def _bind_engine(self, token):
+    def _bind_engine(self, token, geometry=None):
         """Engine for a session, bound lazily at its FIRST request (the
         request carries the optional session token).  Named tokens resume
         their parked engine; anonymous sessions reuse a pooled engine —
         reset unless this is a single-session server, where resume is
-        unambiguous and historical behaviour."""
+        unambiguous and historical behaviour.  On a flexible daemon,
+        ``geometry`` (from the first frame or checkpoint) sizes a new
+        engine; pooling is per geometry."""
         if self._coalescer is not None:
             with self._pool_lock:
                 if token is not None and token in self._named:
@@ -498,6 +526,18 @@ class DiPsServer:
         with self._pool_lock:
             if token is not None and token in self._named:
                 eng = self._named.pop(token)
+            elif self.flexible:
+                if geometry is None:
+                    raise ValueError(
+                        "session has no geometry yet - send a frame or "
+                        "load a checkpoint first (flexible daemon)")
+                lst = self._pool.get(geometry)
+                if lst:
+                    eng = lst.pop()
+                    if token is not None or self.max_sessions > 1:
+                        eng.reset()
+                else:
+                    eng = self._mk_engine(*geometry)
             elif self._pool:
                 eng = self._pool.pop()
                 if token is not None or self.max_sessions > 1:
@@ -526,6 +566,9 @@ class DiPsServer:
                 self._named[token] = eng
                 while len(self._named) > self.max_named_sessions:
                     self._named.pop(next(iter(self._named)))
+            elif self.flexible:
+                self._pool.setdefault((eng.height, eng.width),
+                                      []).append(eng)
             else:
                 self._pool.append(eng)
 
@@ -571,8 +614,43 @@ class DiPsServer:
             cmd = header.get("cmd")
             if eng is None:  # first request binds the session's engine
                 token = header.get("session")
-                eng = self._bind_engine(
-                    str(token) if token is not None else None)
+                tok = str(token) if token is not None else None
+                geometry = None
+                if cmd in ("process", "process_batch"):
+                    shp = header.get("shape") or ()
+                    if len(shp) >= 3:
+                        geometry = (int(shp[-3]), int(shp[-2]))
+                elif cmd == "load" and self.flexible:
+                    z = np.load(str(header["path"]))
+                    if "geometry" in z.files:
+                        geometry = tuple(int(v) for v in z["geometry"])
+                if self.flexible and geometry is None:
+                    with self._pool_lock:
+                        parked = tok is not None and tok in self._named
+                    if not parked:
+                        # geometry-free commands answer without binding;
+                        # state commands need a frame/checkpoint first
+                        if cmd == "hello":
+                            _send(client, {
+                                "ok": True, "frame_index": 0,
+                                "config": {"height": None, "width": None,
+                                           "flexible": True,
+                                           "coalesced": False}})
+                            continue
+                        if cmd == "metrics":
+                            self._count("requests")
+                            _send(client, dict(self.metrics(), ok=True,
+                                               frame_index=0))
+                            continue
+                        if cmd == "close":
+                            _send(client, {"ok": True})
+                            return eng
+                try:
+                    eng = self._bind_engine(tok, geometry)
+                except Exception as e:
+                    self._count("request_errors")
+                    _send(client, {"ok": False, "error": str(e)})
+                    continue
             self._count("requests")
             try:
                 if cmd in ("process", "process_batch"):
@@ -778,8 +856,11 @@ def main(argv=None) -> int:
                                  conflict_handler="resolve")
     ap.add_argument("--port", type=int, default=7807)
     ap.add_argument("--host", default="127.0.0.1")
-    ap.add_argument("--height", type=int, required=True)
-    ap.add_argument("--width", type=int, required=True)
+    ap.add_argument("--height", type=int, default=None,
+                    help="fixed frame height; omit BOTH -h/-w for a "
+                         "geometry-flexible daemon (each session sized "
+                         "from its first frame; mixed camera fleets)")
+    ap.add_argument("--width", type=int, default=None)
     ap.add_argument("--sessions", type=int, default=1,
                     help="max concurrent client sessions (each gets its "
                          "own engine state)")
@@ -796,6 +877,11 @@ def main(argv=None) -> int:
     ap.add_argument("--coalesce-devices", type=int, default=1, metavar="D",
                     help="shard the coalesced stream slots over the first "
                          "D chips of the mesh (N must divide by D)")
+    ap.add_argument("--input-layout", choices=("planar", "hwc"),
+                    default="planar",
+                    help="'hwc': upload raw frames and planarize ON DEVICE "
+                         "(frees host CPU per frame; recommended for TPU "
+                         "serving - wire frames are already HWC)")
     args = ap.parse_args(argv)
     props = props_from_args(args)
     server = DiPsServer(props, args.height, args.width, port=args.port,
@@ -803,7 +889,8 @@ def main(argv=None) -> int:
                         backend=args.backend, max_sessions=args.sessions,
                         packed_wire=args.packed_wire, coalesce=args.coalesce,
                         coalesce_window_ms=args.coalesce_window_ms,
-                        coalesce_devices=args.coalesce_devices)
+                        coalesce_devices=args.coalesce_devices,
+                        input_layout=args.input_layout)
     print(f"dips server on {args.host}:{server.port}", flush=True)
     # graceful daemon shutdown on SIGTERM (systemd/k8s stop), not just ^C
     import signal

@@ -82,9 +82,12 @@ def main():
     srv2.shutdown()
 
     # many-camera shape: --coalesce folds concurrent sessions' requests
-    # into ONE stacked-stream device dispatch (per-slot state stays private)
+    # into ONE stacked-stream device dispatch (per-slot state stays
+    # private); input_layout="hwc" planarizes the wire frames ON DEVICE
+    # instead of on the serving host
     srv3 = DiPsServer(DiPsProperties(window_size=3, temporal_size=2),
-                      h, w, port=0, batch=1, coalesce=3)
+                      h, w, port=0, batch=1, coalesce=3,
+                      input_layout="hwc")
     threading.Thread(target=srv3.serve_forever, daemon=True).start()
     cams = [rng.integers(0, 256, (4, h, w, 3), np.uint8) for _ in range(3)]
     results = [None] * 3
@@ -92,6 +95,8 @@ def main():
     def camera(i):
         c = DiPsClient(srv3.port, session=f"cam-{i}")
         results[i] = [c.process(f)[1][1] for f in cams[i]]
+        if i == 0:  # each session can checkpoint ITS slot independently
+            c.save(ckpt)
         c.close()
 
     threads = [threading.Thread(target=camera, args=(i,)) for i in range(3)]
@@ -99,6 +104,12 @@ def main():
     [t.join() for t in threads]
     print("coalesced sessions mean|diff| streams:",
           [np.round(r, 4).tolist()[:2] for r in results])
+    with DiPsClient(srv3.port) as mon:
+        m = mon.metrics()
+        print(f"metrics: {m['frames']} frames in "
+              f"{m['coalesce_dispatches']} dispatches "
+              f"(mean fill {m['coalesce_mean_fill']}), request p50 "
+              f"{m['latency_ms']['p50']} ms")
     srv3.shutdown()
     print("done")
 

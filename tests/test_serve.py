@@ -576,3 +576,93 @@ def test_metrics_coalesce_fill(tmp_path):
         assert m["latency_ms"]["count"] == 4
     finally:
         srv.shutdown()
+
+
+def test_coalesced_hwc_input_layout_matches():
+    """A coalesced server with input_layout='hwc' (device-side planarize)
+    serves bit-identical results."""
+    srv, props = _coalesced_server(2, input_layout="hwc")
+    try:
+        clip = make_clip(n=4, h=16, w=24, seed=70)
+        with DiPsClient(srv.port) as cli:
+            outs = [cli.process(f)[0] for f in clip]
+        eng = DiPsEngine(props, 16, 24, batch=1)
+        exp, _ = eng.process_frames(list(clip))
+        np.testing.assert_array_equal(np.stack(outs), exp)
+    finally:
+        srv.shutdown()
+
+
+def _flexible_server(**kw):
+    props = DiPsProperties(window_size=3, temporal_size=2,
+                           filter=DiPsFilter.UNFILTERED)
+    srv = DiPsServer(props, port=0, batch=2, max_sessions=2, **kw)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    return srv, props
+
+
+def test_flexible_geometry_mixed_fleet():
+    """A daemon started WITHOUT height/width serves sessions of different
+    resolutions, each sized from its first frame and bit-exact vs a
+    dedicated engine."""
+    srv, props = _flexible_server()
+    try:
+        clip_a = make_clip(n=4, h=16, w=24, seed=80)
+        clip_b = make_clip(n=4, h=12, w=40, seed=81)
+        a = DiPsClient(srv.port, session="cam-A")
+        b = DiPsClient(srv.port, session="cam-B")
+        # geometry-free commands answer before any frame
+        info = a.hello()
+        assert info["ok"] and info["config"]["height"] is None
+        assert a.metrics()["ok"]
+        # state commands need a frame first -> clean error, session survives
+        with pytest.raises(RuntimeError, match="geometry"):
+            a.snapshot()
+        outs_a = [a.process(f)[0] for f in clip_a]
+        outs_b = [b.process(f)[0] for f in clip_b]
+        assert a.hello()["config"]["height"] == 16
+        a.close()
+        b.close()
+        for (h, w, clip, outs) in ((16, 24, clip_a, outs_a),
+                                   (12, 40, clip_b, outs_b)):
+            eng = DiPsEngine(props, h, w, batch=2)
+            exp, _ = eng.process_frames(list(clip))
+            np.testing.assert_array_equal(np.stack(outs), exp)
+    finally:
+        srv.shutdown()
+
+
+def test_flexible_named_resume_and_checkpoint_load(tmp_path):
+    """Flexible daemon: named sessions park/resume across reconnects, and a
+    brand-new session can bind its geometry from a checkpoint file."""
+    srv, props = _flexible_server()
+    path = str(tmp_path / "flex.npz")
+    try:
+        clip = make_clip(n=6, h=16, w=24, seed=82)
+        c1 = DiPsClient(srv.port, session="cam-R")
+        for f in clip[:3]:
+            c1.process(f)
+        c1.save(path)
+        c1.close()
+        c2 = DiPsClient(srv.port, session="cam-R")
+        assert c2.hello()["frame_index"] == 3  # parked state resumed
+        outs = [c2.process(f)[0] for f in clip[3:]]
+        c2.close()
+        eng = DiPsEngine(props, 16, 24, batch=2)
+        exp, _ = eng.process_frames(list(clip))
+        np.testing.assert_array_equal(np.stack(outs), exp[3:])
+
+        # fresh anonymous session binds geometry (and state) from the file
+        c3 = DiPsClient(srv.port)
+        assert c3.load(path) == 3
+        out3, _ = c3.process(clip[3])
+        np.testing.assert_array_equal(out3, exp[3])
+        c3.close()
+    finally:
+        srv.shutdown()
+
+
+def test_flexible_rejects_coalesce():
+    props = DiPsProperties()
+    with pytest.raises(ValueError, match="fixed height"):
+        DiPsServer(props, coalesce=2)
