@@ -621,9 +621,14 @@ class DiPsServer:
                     if len(shp) >= 3:
                         geometry = (int(shp[-3]), int(shp[-2]))
                 elif cmd == "load" and self.flexible:
-                    z = np.load(str(header["path"]))
-                    if "geometry" in z.files:
-                        geometry = tuple(int(v) for v in z["geometry"])
+                    try:  # peek the checkpoint's geometry to size the engine
+                        z = np.load(str(header["path"]))
+                        if "geometry" in z.files:
+                            geometry = tuple(int(v) for v in z["geometry"])
+                    except Exception as e:
+                        self._count("request_errors")
+                        _send(client, {"ok": False, "error": str(e)})
+                        continue
                 if self.flexible and geometry is None:
                     with self._pool_lock:
                         parked = tok is not None and tok in self._named

@@ -666,3 +666,17 @@ def test_flexible_rejects_coalesce():
     props = DiPsProperties()
     with pytest.raises(ValueError, match="fixed height"):
         DiPsServer(props, coalesce=2)
+
+
+def test_flexible_bad_load_path_survives():
+    """A bad checkpoint path on a flexible daemon replies a clean error
+    (the geometry peek must not drop the connection)."""
+    srv, _ = _flexible_server()
+    try:
+        with DiPsClient(srv.port) as cli:
+            with pytest.raises(RuntimeError):
+                cli.load("/nonexistent/nope.npz")
+            out, _ = cli.process(make_clip(n=1, h=16, w=24)[0])
+            assert out.shape == (16, 24, 3)
+    finally:
+        srv.shutdown()
