@@ -448,6 +448,12 @@ class DiPsServer:
         c["max_sessions"] = self.max_sessions
         c["uptime_s"] = round(time.monotonic() - self._started, 3)
         c["coalesced"] = self._coalescer is not None
+        c["flexible"] = self.flexible
+        if self.flexible:
+            with self._pool_lock:
+                c["pooled_engines"] = {f"{h}x{w}": len(v)
+                                       for (h, w), v in self._pool.items()
+                                       if v}
         if lats:
             def q(p):
                 return round(1e3 * lats[min(len(lats) - 1,
@@ -712,8 +718,13 @@ class DiPsServer:
                     eng.reset()
                     _send(client, {"ok": True})
                 elif cmd == "close":
+                    # park BEFORE replying: when the client's close()
+                    # returns, a reconnect is guaranteed to find the
+                    # parked state (no release/rebind race)
+                    self._release_engine(eng)
+                    eng = None
                     _send(client, {"ok": True})
-                    return eng
+                    return None
                 else:
                     _send(client, {"ok": False,
                                    "error": f"unknown cmd {cmd!r}"})

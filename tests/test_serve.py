@@ -628,6 +628,9 @@ def test_flexible_geometry_mixed_fleet():
             eng = DiPsEngine(props, h, w, batch=2)
             exp, _ = eng.process_frames(list(clip))
             np.testing.assert_array_equal(np.stack(outs), exp)
+        with DiPsClient(srv.port) as mon:
+            m = mon.metrics()
+        assert m["flexible"] is True and m["parked_sessions"] == 2
     finally:
         srv.shutdown()
 
