@@ -28,7 +28,8 @@ Header commands:
         "latency_ms" (process-request service time: {count, p50, p90,
         p99, max} over the last 1024 requests), "coalesce_dispatches" /
         "coalesce_mean_fill" (coalesced servers: device dispatches and
-        mean frames folded per dispatch), "frame_index"}
+        mean frames folded per dispatch), "flexible" (+ per-geometry
+        "pooled_engines" on flexible daemons), "frame_index"}
 
 Each connection gets its OWN engine (private baseline/ring/heatmap state),
 so up to ``max_sessions`` clients — e.g. N cameras — stream concurrently
