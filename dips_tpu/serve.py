@@ -344,6 +344,64 @@ class _CoalescedSession:
         self._co.load_slot(self.slot, path)
 
 
+def _prometheus_text(m: dict) -> str:
+    """Render a metrics() dict in Prometheus exposition format."""
+    lines = []
+
+    def emit(name, value, kind="counter", labels=""):
+        lines.append(f"# TYPE dips_{name} {kind}")
+        lines.append(f"dips_{name}{labels} {value}")
+
+    for key, kind in (("connections", "counter"), ("requests", "counter"),
+                      ("frames", "counter"), ("request_errors", "counter"),
+                      ("rejected", "counter"),
+                      ("active_sessions", "gauge"),
+                      ("parked_sessions", "gauge"),
+                      ("max_sessions", "gauge"), ("uptime_s", "gauge")):
+        if key in m:
+            emit(key, m[key], kind)
+    if "latency_ms" in m:
+        lat = m["latency_ms"]
+        lines.append("# TYPE dips_request_latency_ms summary")
+        for q in ("p50", "p90", "p99"):
+            lines.append(
+                f'dips_request_latency_ms{{quantile="{q}"}} {lat[q]}')
+        lines.append(f"dips_request_latency_ms_count {lat['count']}")
+    if m.get("coalesced"):
+        emit("coalesce_dispatches", m.get("coalesce_dispatches", 0))
+        emit("coalesce_mean_fill", m.get("coalesce_mean_fill", 0.0),
+             "gauge")
+    for geom, cnt in (m.get("pooled_engines") or {}).items():
+        lines.append("# TYPE dips_pooled_engines gauge")
+        lines.append(f'dips_pooled_engines{{geometry="{geom}"}} {cnt}')
+    return "\n".join(lines) + "\n"
+
+
+def _start_metrics_http(server: "DiPsServer", port: int, host: str):
+    """Serve GET /metrics (Prometheus text format) for scraping."""
+    import http.server
+
+    class Handler(http.server.BaseHTTPRequestHandler):
+        def do_GET(self):
+            if self.path.rstrip("/") not in ("", "/metrics"):
+                self.send_error(404)
+                return
+            body = _prometheus_text(server.metrics()).encode()
+            self.send_response(200)
+            self.send_header("Content-Type",
+                             "text/plain; version=0.0.4; charset=utf-8")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, *a):  # quiet: scrapes are frequent
+            pass
+
+    httpd = http.server.ThreadingHTTPServer((host, port), Handler)
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    return httpd
+
+
 class DiPsServer:
     """Serves up to ``max_sessions`` concurrent clients on a TCP port, each
     with its own engine (private streaming state on the shared chip).
@@ -360,7 +418,8 @@ class DiPsServer:
                  backend: str = "auto", max_sessions: int = 1,
                  packed_wire: bool = False, coalesce: int = 0,
                  coalesce_window_ms: float = 2.0, coalesce_devices: int = 1,
-                 input_layout: str = "planar"):
+                 input_layout: str = "planar",
+                 metrics_port: Optional[int] = None):
         self._coalescer: Optional[StreamCoalescer] = None
         #: geometry-flexible daemon: no fixed height/width — each session's
         #: engine is sized from its FIRST frame (or checkpoint), and idle
@@ -425,6 +484,13 @@ class DiPsServer:
         self._counters = {"connections": 0, "requests": 0, "frames": 0,
                           "request_errors": 0, "rejected": 0,
                           "active_sessions": 0}
+        # optional Prometheus scrape endpoint (GET /metrics)
+        self._metrics_httpd = None
+        self.metrics_port: Optional[int] = None
+        if metrics_port is not None:
+            self._metrics_httpd = _start_metrics_http(self, metrics_port,
+                                                      host)
+            self.metrics_port = self._metrics_httpd.server_address[1]
         import collections
         #: service time of the last 1024 process/process_batch requests
         #: (seconds; includes any coalescer wait), for latency percentiles
@@ -742,6 +808,9 @@ class DiPsServer:
         self._stop.set()
         if self._coalescer is not None:
             self._coalescer.shutdown()
+        if self._metrics_httpd is not None:
+            self._metrics_httpd.shutdown()
+            self._metrics_httpd.server_close()
         try:
             self._sock.close()
         except OSError:
@@ -899,6 +968,9 @@ def main(argv=None) -> int:
                     help="'hwc': upload raw frames and planarize ON DEVICE "
                          "(frees host CPU per frame; recommended for TPU "
                          "serving - wire frames are already HWC)")
+    ap.add_argument("--metrics-port", type=int, default=None, metavar="P",
+                    help="also serve Prometheus metrics on http://HOST:P"
+                         "/metrics (0 = ephemeral port, printed at start)")
     args = ap.parse_args(argv)
     props = props_from_args(args)
     server = DiPsServer(props, args.height, args.width, port=args.port,
@@ -907,8 +979,12 @@ def main(argv=None) -> int:
                         packed_wire=args.packed_wire, coalesce=args.coalesce,
                         coalesce_window_ms=args.coalesce_window_ms,
                         coalesce_devices=args.coalesce_devices,
-                        input_layout=args.input_layout)
+                        input_layout=args.input_layout,
+                        metrics_port=args.metrics_port)
     print(f"dips server on {args.host}:{server.port}", flush=True)
+    if server.metrics_port is not None:
+        print(f"metrics on http://{args.host}:{server.metrics_port}/metrics",
+              flush=True)
     # graceful daemon shutdown on SIGTERM (systemd/k8s stop), not just ^C
     import signal
 

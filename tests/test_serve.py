@@ -683,3 +683,26 @@ def test_flexible_bad_load_path_survives():
             assert out.shape == (16, 24, 3)
     finally:
         srv.shutdown()
+
+
+def test_prometheus_metrics_endpoint():
+    """--metrics-port serves Prometheus text format over HTTP."""
+    import urllib.request
+    props = DiPsProperties(window_size=1, temporal_size=1,
+                           filter=DiPsFilter.UNFILTERED)
+    srv = DiPsServer(props, 16, 24, port=0, batch=1, metrics_port=0)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        assert srv.metrics_port
+        with DiPsClient(srv.port) as cli:
+            cli.process(make_clip(n=1, h=16, w=24)[0])
+        url = f"http://127.0.0.1:{srv.metrics_port}/metrics"
+        body = urllib.request.urlopen(url, timeout=10).read().decode()
+        assert "# TYPE dips_requests counter" in body
+        assert "dips_frames 1" in body
+        assert 'dips_request_latency_ms{quantile="p50"}' in body
+        with pytest.raises(Exception):  # non-metrics paths 404
+            urllib.request.urlopen(
+                f"http://127.0.0.1:{srv.metrics_port}/nope", timeout=10)
+    finally:
+        srv.shutdown()
