@@ -53,12 +53,15 @@ def run(n_devices: int) -> None:
 
     # 1. stream-axis data parallelism: XLA twin + fused Pallas kernel in
     # both step protocols (ring-carry = the TPU streaming default, tail =
-    # the sharded-path protocol)
+    # the sharded-path protocol), plus the device-side hwc input layout
     mesh = stream_mesh(n_devices)
-    for backend, ring in (("xla", None), ("pallas", False),
-                          ("pallas", True)):
+    for backend, ring, layout in (("xla", None, "planar"),
+                                  ("pallas", False, "planar"),
+                                  ("pallas", True, "planar"),
+                                  ("pallas", True, "hwc")):
         eng = MultiStreamEngine(props, h, w, n_streams=s, batch=2,
-                                mesh=mesh, backend=backend, ring_carry=ring)
+                                mesh=mesh, backend=backend, ring_carry=ring,
+                                input_layout=layout)
         out, stats, gmean = eng.process_batch(feeds)
         assert out.shape == (s, 2, h, w, 3), (backend, out.shape)
         assert np.isfinite(stats).all() and np.isfinite(gmean), backend
