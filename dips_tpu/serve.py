@@ -496,6 +496,45 @@ class DiPsServer:
         #: (seconds; includes any coalescer wait), for latency percentiles
         self._latencies = collections.deque(maxlen=1024)
 
+    #: named geometry shorthand accepted by warm_geometries / --warm
+    GEOMETRY_NAMES = {"480p": (480, 854), "720p": (720, 1280),
+                      "1080p": (1080, 1920), "4k": (2160, 3840)}
+
+    def warm_geometries(self, geometries) -> None:
+        """Pre-build (and jit-compile) pooled engines for the given
+        geometries so the FIRST camera of each resolution does not pay
+        the compile latency (cold TPU compiles can take minutes on a
+        busy compiler).  Each entry is "HxW" or a name ("480p", "720p",
+        "1080p", "4k").  Flexible daemons pool the warmed engines per
+        geometry; fixed daemons accept only their own geometry."""
+        for g in geometries:
+            key = str(g).strip().lower()
+            if key in self.GEOMETRY_NAMES:
+                h, w = self.GEOMETRY_NAMES[key]
+            else:
+                try:
+                    h, w = (int(v) for v in key.split("x"))
+                except ValueError:
+                    raise ValueError(
+                        f"bad geometry {g!r}: use HxW or one of "
+                        f"{sorted(self.GEOMETRY_NAMES)}")
+            if not self.flexible:
+                if (h, w) != (self.engine.height, self.engine.width):
+                    raise ValueError(
+                        f"warm geometry {h}x{w} != fixed server "
+                        f"{self.engine.height}x{self.engine.width}")
+                eng = self.engine
+            else:
+                eng = self._mk_engine(h, w)
+            # one dummy frame drives the jit compile; reset clears state
+            eng.process_frames(
+                [np.zeros((h, w, 3), np.uint8)])
+            eng.reset()
+            if self.flexible:
+                with self._pool_lock:
+                    self._pool.setdefault((h, w), []).append(eng)
+            log.info("warmed %dx%d", h, w)
+
     def _count(self, key: str, n: int = 1) -> None:
         with self._metrics_lock:
             self._counters[key] += n
@@ -971,6 +1010,11 @@ def main(argv=None) -> int:
     ap.add_argument("--metrics-port", type=int, default=None, metavar="P",
                     help="also serve Prometheus metrics on http://HOST:P"
                          "/metrics (0 = ephemeral port, printed at start)")
+    ap.add_argument("--warm", default=None, metavar="GEOMS",
+                    help="comma-separated geometries to pre-compile at "
+                         "startup (HxW or 480p/720p/1080p/4k) so the "
+                         "first camera of each resolution skips the jit "
+                         "compile latency")
     args = ap.parse_args(argv)
     props = props_from_args(args)
     server = DiPsServer(props, args.height, args.width, port=args.port,
@@ -981,6 +1025,8 @@ def main(argv=None) -> int:
                         coalesce_devices=args.coalesce_devices,
                         input_layout=args.input_layout,
                         metrics_port=args.metrics_port)
+    if args.warm:
+        server.warm_geometries(args.warm.split(","))
     print(f"dips server on {args.host}:{server.port}", flush=True)
     if server.metrics_port is not None:
         print(f"metrics on http://{args.host}:{server.metrics_port}/metrics",

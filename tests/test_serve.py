@@ -706,3 +706,32 @@ def test_prometheus_metrics_endpoint():
                 f"http://127.0.0.1:{srv.metrics_port}/nope", timeout=10)
     finally:
         srv.shutdown()
+
+
+def test_warm_geometries_prebuilds_pool():
+    """warm_geometries pre-compiles pooled engines so the first camera of
+    a resolution reuses one; bad specs and fixed-server mismatches fail
+    loudly."""
+    srv, props = _flexible_server()
+    try:
+        srv.warm_geometries(["16x24"])
+        with DiPsClient(srv.port) as mon:
+            assert mon.metrics()["pooled_engines"] == {"16x24": 1}
+        clip = make_clip(n=2, h=16, w=24, seed=95)
+        with DiPsClient(srv.port) as cli:
+            outs = [cli.process(f)[0] for f in clip]
+        eng = DiPsEngine(props, 16, 24, batch=2)
+        exp, _ = eng.process_frames(list(clip))
+        np.testing.assert_array_equal(np.stack(outs), exp)
+        with pytest.raises(ValueError, match="bad geometry"):
+            srv.warm_geometries(["16by24"])
+    finally:
+        srv.shutdown()
+    fixed = DiPsServer(DiPsProperties(window_size=1, temporal_size=1),
+                       16, 24, port=0)
+    try:
+        fixed.warm_geometries(["16x24"])  # matching: allowed
+        with pytest.raises(ValueError, match="fixed server"):
+            fixed.warm_geometries(["1080p"])
+    finally:
+        fixed.shutdown()
