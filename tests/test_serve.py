@@ -735,3 +735,50 @@ def test_warm_geometries_prebuilds_pool():
             fixed.warm_geometries(["1080p"])
     finally:
         fixed.shutdown()
+
+
+def test_flexible_concurrent_churn_stress(tmp_path):
+    """Mixed-geometry clients churn connect/process/save/load/close against
+    one flexible daemon; no deadlocks, no cross-geometry state leaks, every
+    named session's cursor stays consistent across its reconnect cycles."""
+    props = DiPsProperties(window_size=1, temporal_size=1,
+                           filter=DiPsFilter.UNFILTERED)
+    srv = DiPsServer(props, port=0, batch=2, max_sessions=4)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    geoms = [(16, 24), (8, 16), (12, 40)]
+    errors = []
+
+    def run(i):
+        h, w = geoms[i % len(geoms)]
+        clip = make_clip(n=6, h=h, w=w, seed=120 + i)
+        count = 0
+        try:
+            for cycle in range(3):  # reconnect churn
+                with DiPsClient(srv.port, session=f"cam{i}") as cli:
+                    assert cli.hello()["frame_index"] == count, (i, cycle)
+                    r = np.random.default_rng(100 + 10 * i + cycle)
+                    for _ in range(int(r.integers(1, 4))):
+                        o, s = cli.process(clip[count % 6])
+                        assert o.shape == (h, w, 3), (i, o.shape)
+                        assert np.isfinite(s).all()
+                        count += 1
+                    if cycle == 1:
+                        p = str(tmp_path / f"c{i}.npz")
+                        cli.save(p)
+                        assert cli.load(p) == count
+        except Exception as e:
+            errors.append((i, repr(e)))
+
+    ts = [threading.Thread(target=run, args=(i,)) for i in range(4)]
+    try:
+        for t in ts:
+            t.start()
+        for t in ts:
+            t.join(timeout=120)
+        assert not errors, errors
+        assert not any(t.is_alive() for t in ts), "churn deadlocked"
+        with DiPsClient(srv.port) as mon:
+            m = mon.metrics()
+        assert m["parked_sessions"] == 4 and m["request_errors"] == 0
+    finally:
+        srv.shutdown()
