@@ -114,6 +114,33 @@ def _run_stacked(verbose: bool) -> int:
         return 1
 
 
+def _run_hwc(frames, verbose: bool) -> int:
+    """Device-side input layout on silicon: an ``hwc_bgr`` engine (raw
+    bytes up, transpose+pad+BGR swap on device) must be BIT-EXACT vs the
+    host-planarize engine — the transform is pure layout, any deviation
+    is a lowering bug."""
+    h, w = frames.shape[1:3]
+    props = DiPsProperties(window_size=3, temporal_size=2,
+                           filter=DiPsFilter.UNFILTERED)
+    t0 = time.time()
+    try:
+        ep = DiPsEngine(props, h, w, batch=4, backend="pallas")
+        eh = DiPsEngine(props, h, w, batch=4, backend="pallas",
+                        input_layout="hwc_bgr")
+        op, sp = ep.process_frames(list(frames))
+        oh, sh = eh.process_frames([f[:, :, ::-1] for f in frames])
+        assert np.array_equal(oh, op), "hwc_bgr maps != planar maps"
+        np.testing.assert_allclose(sh, sp, atol=1e-6)
+        if verbose:
+            print(f"  PASS input-layout hwc_bgr (bit-exact)      "
+                  f"({time.time() - t0:.1f}s)")
+        return 0
+    except Exception as e:
+        if verbose:
+            print(f"  FAIL input-layout hwc_bgr                   {e}")
+        return 1
+
+
 def soak(n_frames: int = 512, verbose: bool = True) -> int:
     """On-device streaming soak: run ``n_frames`` through BOTH step
     protocols (ring-carry vs tail) with refresh markers and a mid-stream
@@ -250,6 +277,7 @@ def run(backend: str = "pallas", quick: bool = False,
                 print(f"  FAIL {name_m:<40s} {e}")
     if backend == "pallas" and not quick:
         failures += _run_stacked(verbose)
+        failures += _run_hwc(frames, verbose)
     if verbose:
         print("PASS: device numerics match the oracle" if not failures
               else f"FAIL: {failures} case(s) diverged")
