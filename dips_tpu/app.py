@@ -475,7 +475,7 @@ def run_dips_on_files(input_paths: Sequence[str], output_dir: str,
                       encoding: Encoding | str = Encoding.MJPG,
                       properties: Optional[DiPsProperties] = None,
                       batch: int = 8, backend: str = "auto",
-                      mesh=None) -> "np.ndarray":
+                      mesh=None, input_layout: str = "planar") -> "np.ndarray":
     """Batched multi-stream differencing over many videos (BASELINE
     configs[3]): decode S files in lockstep, run the sharded multi-stream
     step over the device mesh, write one diff video per input.
@@ -507,7 +507,8 @@ def run_dips_on_files(input_paths: Sequence[str], output_dir: str,
     s = len(readers)
     pad_streams = (-s) % n_dev  # stream axis wants a multiple of its size
     eng = MultiStreamEngine(props, h, w, n_streams=s + pad_streams,
-                            batch=batch, mesh=mesh, backend=backend)
+                            batch=batch, mesh=mesh, backend=backend,
+                            input_layout=input_layout)
 
     os.makedirs(output_dir, exist_ok=True)
     writers = [VideoWriter(

@@ -213,7 +213,8 @@ def main(argv: Optional[List[str]] = None) -> int:
             counts = run_dips_on_files(args.inputs, args.output_dir,
                                        args.encoding, props,
                                        batch=args.batch,
-                                       backend=args.backend, mesh=mesh)
+                                       backend=args.backend, mesh=mesh,
+                                       input_layout=args.input_layout)
         except (DiPsError, NotImplementedError) as e:
             print(f"error: {e}", file=sys.stderr)
             return 1

@@ -561,3 +561,30 @@ def test_multistream_hwc_bgr_layout():
     ob, sb, _ = mb.process_batch([[f[:, :, ::-1] for f in c] for c in clips])
     np.testing.assert_array_equal(ob, op)
     np.testing.assert_allclose(sb, sp, atol=1e-6)
+
+
+def test_run_dips_on_files_hwc_layout(tmp_path):
+    """--input-layout hwc flows through the multi-video batch path and
+    produces the same outputs as the planar default."""
+    from dips_tpu.app import run_dips_on_files
+    from dips_tpu.io import VideoReader, moving_square_clip, write_clip
+    paths = []
+    for i in range(2):
+        c = moving_square_clip(n=6, height=32, width=48, seed=i)
+        p = str(tmp_path / f"v{i}.avi")
+        write_clip(c, p, fps=10)
+        paths.append(p)
+    props = DiPsProperties(window_size=1, temporal_size=2,
+                           filter=DiPsFilter.UNFILTERED)
+    d1, d2 = str(tmp_path / "planar"), str(tmp_path / "hwc")
+    c1 = run_dips_on_files(paths, d1, properties=props, batch=3)
+    c2 = run_dips_on_files(paths, d2, properties=props, batch=3,
+                           input_layout="hwc")
+    assert list(c1) == list(c2) == [6, 6]
+    import os
+    for i in range(2):
+        f1 = os.path.join(d1, f"v{i}.dips.avi")
+        f2 = os.path.join(d2, f"v{i}.dips.avi")
+        with VideoReader(f1) as r1, VideoReader(f2) as r2:
+            for a, b in zip(r1, r2):
+                np.testing.assert_array_equal(a, b)
