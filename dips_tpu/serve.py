@@ -36,8 +36,10 @@ so up to ``max_sessions`` clients — e.g. N cameras — stream concurrently
 against one chip; JAX serialises their dispatches.  Omitting height/width
 starts a geometry-FLEXIBLE daemon: each session's engine is sized from its
 first frame (or loaded checkpoint) and idle engines pool per geometry —
-one daemon serves a mixed-resolution camera fleet (coalesced mode still
-needs one fixed geometry: the sessions share a stacked kernel shape).
+one daemon serves a mixed-resolution camera fleet.  With ``--coalesce N``
+a flexible daemon creates one stacked-stream coalescer PER GEOMETRY
+(lazily, or up front via ``--warm``), so mixed fleets still share device
+dispatches within each resolution.
 
 Reconnect/resume semantics: a client may tag its requests with a
 ``"session": <token>`` field (``DiPsClient(session=...)``); on reconnect
@@ -421,25 +423,29 @@ class DiPsServer:
                  input_layout: str = "planar",
                  metrics_port: Optional[int] = None):
         self._coalescer: Optional[StreamCoalescer] = None
+        self._coalesce_cfg: Optional[dict] = None
+        self._coalescers: dict = {}   # flexible mode: (h, w) -> coalescer
+        self._props = props
         #: geometry-flexible daemon: no fixed height/width — each session's
         #: engine is sized from its FIRST frame (or checkpoint), and idle
-        #: engines pool per geometry.  One daemon serves a mixed camera
-        #: fleet.  Coalesced mode needs one stacked kernel shape, so it
-        #: keeps requiring a fixed geometry.
+        #: engines/coalescers pool per geometry.  One daemon serves a
+        #: mixed camera fleet; with ``coalesce=N`` each geometry gets its
+        #: own lazily-created stacked-stream coalescer (a stacked kernel
+        #: shape is per geometry).
         self.flexible = height is None or width is None
-        if self.flexible and coalesce > 0:
-            raise ValueError("coalesce requires a fixed height/width "
-                             "(sessions share one stacked kernel shape)")
         if coalesce > 0:
             if packed_wire:
                 raise ValueError("packed_wire (device packing) is not "
                                  "available with coalesce; clients can "
                                  "still request host-packed masks")
-            self._coalescer = StreamCoalescer(
-                props, height, width, n_streams=coalesce, batch=batch,
-                backend=backend, window_ms=coalesce_window_ms,
-                n_devices=coalesce_devices, input_layout=input_layout)
-            self.engine = None  # sessions share the coalescer's engine
+            self._coalesce_cfg = dict(
+                n_streams=coalesce, batch=batch, backend=backend,
+                window_ms=coalesce_window_ms, n_devices=coalesce_devices,
+                input_layout=input_layout)
+            if not self.flexible:
+                self._coalescer = StreamCoalescer(props, height, width,
+                                                  **self._coalesce_cfg)
+            self.engine = None  # sessions share the coalescers' engines
             max_sessions = max(int(max_sessions), coalesce)
         elif self.flexible:
             self._mk_engine = lambda h, w: DiPsEngine(
@@ -518,6 +524,25 @@ class DiPsServer:
                     raise ValueError(
                         f"bad geometry {g!r}: use HxW or one of "
                         f"{sorted(self.GEOMETRY_NAMES)}")
+            if self._coalesce_cfg is not None:
+                # coalesced: create (or pick) the geometry's coalescer and
+                # drive one dummy frame through a slot to compile its step
+                if self._coalescer is not None:
+                    ce = self._coalescer.engine
+                    if (h, w) != (ce.height, ce.width):
+                        raise ValueError(
+                            f"warm geometry {h}x{w} != fixed server "
+                            f"{ce.height}x{ce.width}")
+                with self._pool_lock:
+                    co = self._co_for((h, w))
+                slot = co.bind()
+                try:
+                    co.submit(slot, [np.zeros((h, w, 3), np.uint8)])
+                    co.reset_slot(slot)
+                finally:
+                    co.release(slot)
+                log.info("warmed %dx%d", h, w)
+                continue
             if not self.flexible:
                 if (h, w) != (self.engine.height, self.engine.width):
                     raise ValueError(
@@ -553,9 +578,9 @@ class DiPsServer:
             c["parked_sessions"] = len(self._named)
         c["max_sessions"] = self.max_sessions
         c["uptime_s"] = round(time.monotonic() - self._started, 3)
-        c["coalesced"] = self._coalescer is not None
+        c["coalesced"] = self._coalesce_cfg is not None
         c["flexible"] = self.flexible
-        if self.flexible:
+        if self.flexible and self._coalesce_cfg is None:
             with self._pool_lock:
                 c["pooled_engines"] = {f"{h}x{w}": len(v)
                                        for (h, w), v in self._pool.items()
@@ -567,13 +592,18 @@ class DiPsServer:
             c["latency_ms"] = {"count": len(lats), "p50": q(0.50),
                                "p90": q(0.90), "p99": q(0.99),
                                "max": round(1e3 * lats[-1], 3)}
-        if self._coalescer is not None:
-            co = self._coalescer
-            with co._cv:
-                c["coalesce_dispatches"] = co.dispatches
-                c["coalesce_mean_fill"] = round(
-                    co.frames_folded / co.dispatches, 3) if co.dispatches \
-                    else 0.0
+        if self._coalesce_cfg is not None:
+            with self._pool_lock:
+                cos = ([self._coalescer] if self._coalescer is not None
+                       else list(self._coalescers.values()))
+            disp = folded = 0
+            for co in cos:
+                with co._cv:
+                    disp += co.dispatches
+                    folded += co.frames_folded
+            c["coalesce_dispatches"] = disp
+            c["coalesce_mean_fill"] = (round(folded / disp, 3) if disp
+                                       else 0.0)
         return c
 
     def serve_forever(self) -> None:
@@ -607,6 +637,23 @@ class DiPsServer:
         for th in self._threads:
             th.join(timeout=5.0)
 
+    def _co_for(self, geometry):
+        """The coalescer a new session of ``geometry`` binds to (call
+        under ``_pool_lock``): the daemon-wide one on a fixed server, a
+        lazily-created per-geometry one on a flexible server."""
+        if self._coalescer is not None:
+            return self._coalescer
+        if geometry is None:
+            raise ValueError(
+                "session has no geometry yet - send a frame or load a "
+                "checkpoint first (flexible daemon)")
+        co = self._coalescers.get(geometry)
+        if co is None:
+            co = StreamCoalescer(self._props, geometry[0], geometry[1],
+                                 **self._coalesce_cfg)
+            self._coalescers[geometry] = co
+        return co
+
     def _bind_engine(self, token, geometry=None):
         """Engine for a session, bound lazily at its FIRST request (the
         request carries the optional session token).  Named tokens resume
@@ -615,24 +662,25 @@ class DiPsServer:
         unambiguous and historical behaviour.  On a flexible daemon,
         ``geometry`` (from the first frame or checkpoint) sizes a new
         engine; pooling is per geometry."""
-        if self._coalescer is not None:
+        if self._coalesce_cfg is not None:
             with self._pool_lock:
                 if token is not None and token in self._named:
                     sess = self._named.pop(token)
-                    self._coalescer.rebind(sess.slot)
+                    sess._co.rebind(sess.slot)
                 else:
+                    co = self._co_for(geometry)
                     try:
-                        sess = _CoalescedSession(self._coalescer,
-                                                 self._coalescer.bind())
+                        sess = _CoalescedSession(co, co.bind())
                     except RuntimeError:
-                        if not self._named:
+                        # every slot held by a parked named session: evict
+                        # the oldest parked on THIS coalescer
+                        victims = [k for k, v in self._named.items()
+                                   if v._co is co]
+                        if not victims:
                             raise
-                        # every slot is held by a parked named session:
-                        # evict the oldest to serve the live client
-                        old = self._named.pop(next(iter(self._named)))
-                        self._coalescer.release(old.slot)
-                        sess = _CoalescedSession(self._coalescer,
-                                                 self._coalescer.bind())
+                        old = self._named.pop(victims[0])
+                        co.release(old.slot)
+                        sess = _CoalescedSession(co, co.bind())
             sess.session_token = token
             return sess
         with self._pool_lock:
@@ -660,17 +708,17 @@ class DiPsServer:
         return eng
 
     def _release_engine(self, eng) -> None:
-        if self._coalescer is not None:
+        if isinstance(eng, _CoalescedSession):
             with self._pool_lock:
                 token = getattr(eng, "session_token", None)
                 if token is not None:
                     self._named[token] = eng
-                    self._coalescer.release(eng.slot, park=True)
+                    eng._co.release(eng.slot, park=True)
                     while len(self._named) > self.max_named_sessions:
                         old = self._named.pop(next(iter(self._named)))
-                        self._coalescer.release(old.slot)  # reset + free
+                        old._co.release(old.slot)  # reset + free
                 else:
-                    self._coalescer.release(eng.slot)
+                    eng._co.release(eng.slot)
             return
         with self._pool_lock:
             token = getattr(eng, "session_token", None)
@@ -845,8 +893,11 @@ class DiPsServer:
 
     def shutdown(self) -> None:
         self._stop.set()
-        if self._coalescer is not None:
-            self._coalescer.shutdown()
+        with self._pool_lock:
+            cos = ([self._coalescer] if self._coalescer is not None
+                   else list(self._coalescers.values()))
+        for co in cos:
+            co.shutdown()
         if self._metrics_httpd is not None:
             self._metrics_httpd.shutdown()
             self._metrics_httpd.server_close()
@@ -984,7 +1035,9 @@ def main(argv=None) -> int:
     ap.add_argument("--height", type=int, default=None,
                     help="fixed frame height; omit BOTH -h/-w for a "
                          "geometry-flexible daemon (each session sized "
-                         "from its first frame; mixed camera fleets)")
+                         "from its first frame; mixed camera fleets; "
+                         "composes with --coalesce: one stacked "
+                         "dispatcher per geometry)")
     ap.add_argument("--width", type=int, default=None)
     ap.add_argument("--sessions", type=int, default=1,
                     help="max concurrent client sessions (each gets its "

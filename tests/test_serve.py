@@ -665,10 +665,49 @@ def test_flexible_named_resume_and_checkpoint_load(tmp_path):
         srv.shutdown()
 
 
-def test_flexible_rejects_coalesce():
-    props = DiPsProperties()
-    with pytest.raises(ValueError, match="fixed height"):
-        DiPsServer(props, coalesce=2)
+def test_flexible_coalesce_per_geometry():
+    """A flexible daemon with coalesce=N creates one stacked-stream
+    coalescer PER GEOMETRY lazily: mixed-resolution camera fleets still
+    share device dispatches within each resolution, with per-slot state
+    bit-exact vs dedicated engines."""
+    props = DiPsProperties(window_size=3, temporal_size=2,
+                           filter=DiPsFilter.UNFILTERED)
+    srv = DiPsServer(props, port=0, batch=2, coalesce=2, max_sessions=4)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        srv.warm_geometries(["16x24"])  # warm one bucket up front
+        geoms = [(16, 24), (16, 24), (12, 40), (12, 40)]
+        clips = [make_clip(n=4, h=h, w=w, seed=130 + i)
+                 for i, (h, w) in enumerate(geoms)]
+        results = [None] * 4
+        errors = []
+
+        def cam(i):
+            try:
+                with DiPsClient(srv.port, session=f"g{i}") as cli:
+                    results[i] = [cli.process(f)[0] for f in clips[i]]
+            except Exception as e:
+                errors.append((i, repr(e)))
+
+        ts = [threading.Thread(target=cam, args=(i,)) for i in range(4)]
+        for t in ts:
+            t.start()
+        for t in ts:
+            t.join(timeout=120)
+        assert not errors, errors
+        for i, (h, w) in enumerate(geoms):
+            eng = DiPsEngine(props, h, w, batch=2)
+            exp, _ = eng.process_frames(list(clips[i]))
+            np.testing.assert_array_equal(np.stack(results[i]), exp)
+        with DiPsClient(srv.port) as mon:
+            m = mon.metrics()
+        assert m["coalesced"] is True and m["flexible"] is True
+        assert m["coalesce_dispatches"] >= 1
+        # a named session resumes on ITS geometry's coalescer
+        with DiPsClient(srv.port, session="g0") as cli:
+            assert cli.hello()["frame_index"] == 4
+    finally:
+        srv.shutdown()
 
 
 def test_flexible_bad_load_path_survives():
