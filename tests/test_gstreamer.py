@@ -324,6 +324,35 @@ def test_perform_dips_through_gstreamer_backend(fake_gst, tmp_path):
     assert first.std() > 0
 
 
+def test_perform_dips_gstreamer_hwc_layout(fake_gst, tmp_path):
+    """Native-RGB reader + input_layout='hwc': raw RGB decode bytes are
+    staged and planarized ON DEVICE without a BGR swap (layout 'hwc', not
+    'hwc_bgr' — app.py picks by reader.native_rgb).  Output must match the
+    host-planarized path bit-for-bit; luminance weights R=0.299 vs B=0.114
+    mean a spurious swap would change every diff map."""
+    from dips_tpu.app import DiPsJob, perform_dips
+    from dips_tpu.properties import DiPsProperties
+
+    h, w = 8, 16
+    frames = _rgb_frames(5, h, w, seed=7)
+    pushed = {}
+    for layout in ("planar", "hwc"):
+        g = fake_gst(frames, w, h, num=20)
+        src_path = tmp_path / f"in_{layout}.avi"
+        src_path.write_bytes(b"x")
+        job = DiPsJob(
+            properties=DiPsProperties(window_size=1, temporal_size=1),
+            video_path=str(src_path),
+            output_path=str(tmp_path / f"out_{layout}.avi"),
+            batch=2, video_backend="gstreamer", input_layout=layout)
+        stats = perform_dips(job)
+        assert stats.shape[0] == 5
+        pushed[layout] = [bytes(b.data) for b in g.srcs[0].pushed]
+    assert len(pushed["hwc"]) == 5
+    for i, (a, b) in enumerate(zip(pushed["planar"], pushed["hwc"])):
+        assert a == b, f"frame {i} differs between planar and hwc layouts"
+
+
 def test_reader_handles_stride_padded_rows(fake_gst, tmp_path):
     """Code-review regression: videoconvert RGB rows are padded to 4-byte
     stride alignment — width not divisible by 4 must still decode."""
