@@ -294,7 +294,11 @@ def main(argv=None) -> int:
     ap.add_argument("--skip-raw", action="store_true")
     ap.add_argument("--dry-run", action="store_true",
                     help="measure and report, but do not write the cache")
+    from .utils.compilecache import (add_compile_cache_flag,
+                                     apply_compile_cache_flag)
+    add_compile_cache_flag(ap)
     args = ap.parse_args(argv)
+    apply_compile_cache_flag(args)
     logging.basicConfig(level=logging.INFO, stream=sys.stderr,
                         format="%(message)s")
 

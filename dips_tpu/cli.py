@@ -125,6 +125,8 @@ def build_parser() -> argparse.ArgumentParser:
                         "a video file")
     p.add_argument("--dat-geometry", default="273x640",
                    help="WIDTHxHEIGHT of raw dumps (default 273x640)")
+    from .utils.compilecache import add_compile_cache_flag
+    add_compile_cache_flag(p)
     return p
 
 
@@ -172,6 +174,8 @@ def _parse_encoding(name: str) -> Optional[Encoding]:
 
 def main(argv: Optional[List[str]] = None) -> int:
     args = build_parser().parse_args(argv)
+    from .utils.compilecache import apply_compile_cache_flag
+    apply_compile_cache_flag(args)
 
     if args.thumbnail:
         if not args.input:

@@ -1068,7 +1068,13 @@ def main(argv=None) -> int:
                          "startup (HxW or 480p/720p/1080p/4k) so the "
                          "first camera of each resolution skips the jit "
                          "compile latency")
+    from .utils.compilecache import (add_compile_cache_flag,
+                                     apply_compile_cache_flag)
+    add_compile_cache_flag(ap)
     args = ap.parse_args(argv)
+    cache_dir = apply_compile_cache_flag(args)
+    if cache_dir:
+        print(f"compile cache: {cache_dir}", flush=True)
     props = props_from_args(args)
     server = DiPsServer(props, args.height, args.width, port=args.port,
                         host=args.host, batch=args.batch,

@@ -80,3 +80,83 @@ def test_remaining_builder_aliases_and_spectrum():
     spec = np.asarray(fft_magnitude_spectrum(img))
     assert spec.shape == (16, 32) and np.isfinite(spec).all()
     assert spec.max() > spec.min()
+
+
+# ---------------------------------------------------------------------------
+# persistent compilation cache
+# ---------------------------------------------------------------------------
+
+@pytest.fixture
+def _cache_config_guard():
+    """Snapshot + restore the jax compilation-cache config so enabling the
+    cache inside a test cannot leak into the rest of the in-process suite
+    (the cache dir is a tmp_path that pytest deletes afterwards)."""
+    import jax
+
+    keys = ("jax_compilation_cache_dir",
+            "jax_persistent_cache_min_compile_time_secs",
+            "jax_persistent_cache_min_entry_size_bytes")
+    old = {k: getattr(jax.config, k) for k in keys}
+    yield
+    for k, v in old.items():
+        jax.config.update(k, v)
+
+
+def test_enable_compile_cache_writes_entries(tmp_path, _cache_config_guard):
+    import jax
+    import jax.numpy as jnp
+    from dips_tpu.utils.compilecache import enable_compile_cache
+
+    d = tmp_path / "xla-cache"
+    got = enable_compile_cache(str(d))
+    assert got == str(d) and d.is_dir()
+    assert jax.config.jax_compilation_cache_dir == str(d)
+
+    # a fresh jit lowers + compiles -> at least one persisted executable
+    f = jax.jit(lambda x: x * 3 - jnp.float32(1.5))
+    f(jnp.ones((8, 128), jnp.float32)).block_until_ready()
+    assert any(d.iterdir()), "no cache entries written"
+    # idempotent re-enable
+    assert enable_compile_cache(str(d)) == str(d)
+
+
+def test_compile_cache_flag_plumbing(tmp_path, monkeypatch,
+                                     _cache_config_guard):
+    import argparse
+
+    from dips_tpu.utils.compilecache import (add_compile_cache_flag,
+                                             apply_compile_cache_flag,
+                                             default_cache_dir)
+
+    ap = argparse.ArgumentParser()
+    add_compile_cache_flag(ap)
+
+    # flag absent + env unset -> disabled
+    monkeypatch.delenv("DIPS_COMPILE_CACHE", raising=False)
+    assert apply_compile_cache_flag(ap.parse_args([])) is None
+
+    # explicit dir
+    d = tmp_path / "explicit"
+    got = apply_compile_cache_flag(
+        ap.parse_args(["--compile-cache", str(d)]))
+    assert got == str(d) and d.is_dir()
+
+    # bare flag -> default dir (routed through env for the test)
+    envd = tmp_path / "from-env"
+    monkeypatch.setenv("DIPS_COMPILE_CACHE", str(envd))
+    assert default_cache_dir() == str(envd)
+    assert apply_compile_cache_flag(ap.parse_args(["--compile-cache"])) \
+        == str(envd)
+
+    # env-only opt-in (no CLI flag at all)
+    assert apply_compile_cache_flag(ap.parse_args([])) == str(envd)
+
+
+def test_cli_and_serve_accept_compile_cache_flag():
+    """The flag is installed on every frontend parser."""
+    from dips_tpu.cli import build_parser
+
+    args = build_parser().parse_args(["--input", "x.avi", "--compile-cache"])
+    assert args.compile_cache == ""
+    args = build_parser().parse_args(["--input", "x.avi"])
+    assert args.compile_cache is None
