@@ -54,6 +54,17 @@ def available() -> bool:
     return _load() is not None
 
 
+#: URI schemes routed through ``uridecodebin`` — network cameras / streams
+#: (rtsp, srt, udp/rtp, http(s) e.g. HLS) plus explicit file:// URIs.
+STREAM_SCHEMES = ("rtsp://", "rtsps://", "rtp://", "udp://", "srt://",
+                  "rtmp://", "http://", "https://", "file://")
+
+
+def is_stream_uri(path: str) -> bool:
+    """True when ``path`` is a media URI rather than a local file path."""
+    return path.startswith(STREAM_SCHEMES)
+
+
 def _parse_fps(caps_struct) -> Optional[float]:
     """framerate fraction from a caps structure; PyGObject returns
     (ok, numerator, denominator)."""
@@ -89,20 +100,32 @@ class GstVideoReader:
 
     def __init__(self, path: str):
         import os
-        if not os.path.exists(path):
+        uri = is_stream_uri(path)
+        if not uri and not os.path.exists(path):
             raise VideoPathError(f"input video not found: {path}")
         gst = _load()
         if gst is None:
             raise DecodeError(_gst_err or "GStreamer unavailable")
         # appsink caps mirror the reference: RGB, unthrottled (sync=false,
-        # ref frame_extractor.rs:147).  The location is set as an element
-        # property, NOT interpolated into the launch string — quotes in a
-        # filename must not be able to rewrite the pipeline.
-        self._pipeline = gst.parse_launch(
-            'filesrc name=src ! decodebin ! queue ! videoconvert '
-            '! video/x-raw,format=RGB ! appsink name=sink sync=false '
-            'max-buffers=8 drop=false')
-        self._pipeline.get_by_name("src").set_property("location", path)
+        # ref frame_extractor.rs:147).  The location/uri is set as an
+        # element property, NOT interpolated into the launch string —
+        # quotes in a filename must not be able to rewrite the pipeline.
+        # URIs (network cameras: rtsp/srt/http...) go through uridecodebin,
+        # which resolves the scheme-appropriate source + demux/decoder;
+        # for live sources drop stale frames instead of stalling the
+        # sender when the consumer falls behind.
+        if uri:
+            self._pipeline = gst.parse_launch(
+                'uridecodebin name=src ! queue ! videoconvert '
+                '! video/x-raw,format=RGB ! appsink name=sink sync=false '
+                'max-buffers=8 drop=true')
+            self._pipeline.get_by_name("src").set_property("uri", path)
+        else:
+            self._pipeline = gst.parse_launch(
+                'filesrc name=src ! decodebin ! queue ! videoconvert '
+                '! video/x-raw,format=RGB ! appsink name=sink sync=false '
+                'max-buffers=8 drop=false')
+            self._pipeline.get_by_name("src").set_property("location", path)
         self._sink = self._pipeline.get_by_name("sink")
         self._sink.set_property("emit-signals", False)
         self._gst = gst
@@ -306,7 +329,10 @@ class GstVideoWriter:
 def open_video(path: str, backend: str = "auto"):
     """Backend-selecting reader factory: 'opencv', 'gstreamer', or 'auto'
     (GStreamer when importable — it is the reference's primary ingest —
-    otherwise OpenCV, which is always present in this distribution)."""
+    otherwise OpenCV, which is always present in this distribution).
+    Media URIs (``rtsp://`` cameras, ``srt://``, HLS over http(s), ...)
+    decode through uridecodebin on the GStreamer backend; OpenCV falls
+    back to its FFmpeg network support for them."""
     from .video import VideoReader
     if backend == "gstreamer":
         return GstVideoReader(path)

@@ -30,7 +30,8 @@ class VideoReader:
     """
 
     def __init__(self, path: str):
-        if not os.path.exists(path):
+        from .gstreamer import is_stream_uri
+        if not is_stream_uri(path) and not os.path.exists(path):
             raise VideoPathError(f"input video not found: {path}")
         self._cap = cv2.VideoCapture(path)
         if not self._cap.isOpened():

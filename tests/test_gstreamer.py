@@ -402,3 +402,53 @@ def test_reader_rgb_native_iterator(fake_gst, tmp_path):
     assert len(got) == 2
     np.testing.assert_array_equal(got[0][0], frames[0])
     assert got[0][1] == pytest.approx(0.1)
+
+
+def test_uri_input_routes_through_uridecodebin(fake_gst, tmp_path):
+    """Network-stream ingest: rtsp:// (and friends) build a uridecodebin
+    graph with live-source frame dropping, set the uri as a PROPERTY (never
+    interpolated), and skip the local-file existence check."""
+    frames = _rgb_frames(2, 4, 8)
+    g = fake_gst(frames, 8, 4)
+    uri = 'rtsp://cam.local:8554/stream " ! fakesink'
+    r = GstVideoReader(uri)
+    assert "uridecodebin" in g.launches[0]
+    assert "drop=true" in g.launches[0]
+    assert uri not in g.launches[0]
+    src = r._pipeline.get_by_name("src")
+    assert src.props["uri"] == uri
+    assert r.width == 8 and r.height == 4 and r.frame_count == -1
+    np.testing.assert_array_equal(r.read(), frames[0])
+    r.close()
+
+
+def test_local_path_still_uses_filesrc(fake_gst, tmp_path):
+    frames = _rgb_frames(1, 4, 8)
+    g = fake_gst(frames, 8, 4)
+    p = tmp_path / "v.avi"
+    p.write_bytes(b"x")
+    r = GstVideoReader(str(p))
+    assert "filesrc" in g.launches[0] and "uridecodebin" not in g.launches[0]
+    r.close()
+
+
+def test_is_stream_uri():
+    from dips_tpu.io.gstreamer import is_stream_uri
+
+    for u in ("rtsp://h/s", "rtsps://h/s", "srt://h:1", "udp://0:5000",
+              "rtp://h", "rtmp://h/live", "http://h/a.m3u8",
+              "https://h/a.mp4", "file:///x.avi"):
+        assert is_stream_uri(u), u
+    for p in ("/data/x.avi", "x.avi", "C:/x.avi", "rtsp:/x", "httpx://h"):
+        assert not is_stream_uri(p), p
+
+
+def test_opencv_reader_accepts_uri_without_exists_check():
+    """URIs bypass the local-file existence gate on the OpenCV backend too
+    (cv2+FFmpeg handles network streams); a bogus URI surfaces as a decode
+    failure, not a 'file not found'."""
+    from dips_tpu.errors import DecodeError
+    from dips_tpu.io.video import VideoReader
+
+    with pytest.raises(DecodeError):
+        VideoReader("file:///nonexistent/dir/clip.avi")
