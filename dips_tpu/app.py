@@ -475,7 +475,8 @@ def run_dips_on_files(input_paths: Sequence[str], output_dir: str,
                       encoding: Encoding | str = Encoding.MJPG,
                       properties: Optional[DiPsProperties] = None,
                       batch: int = 8, backend: str = "auto",
-                      mesh=None, input_layout: str = "planar") -> "np.ndarray":
+                      mesh=None, input_layout: str = "planar",
+                      video_backend: str = "auto") -> "np.ndarray":
     """Batched multi-stream differencing over many videos (BASELINE
     configs[3]): decode S files in lockstep, run the sharded multi-stream
     step over the device mesh, write one diff video per input.
@@ -485,11 +486,12 @@ def run_dips_on_files(input_paths: Sequence[str], output_dir: str,
     and their outputs truncated.  Returns per-stream frame counts.
     """
     import os
+    from .io.gstreamer import open_video, open_writer
     from .parallel import MultiStreamEngine, stream_mesh
     props = properties or DiPsProperties()
     enc = Encoding[encoding.upper()] if isinstance(encoding, str) else encoding
 
-    readers = [VideoReader(p) for p in input_paths]
+    readers = [open_video(p, video_backend) for p in input_paths]
     h, w, fps = readers[0].height, readers[0].width, readers[0].fps
     for r in readers[1:]:
         if (r.height, r.width) != (h, w):
@@ -511,10 +513,10 @@ def run_dips_on_files(input_paths: Sequence[str], output_dir: str,
                             input_layout=input_layout)
 
     os.makedirs(output_dir, exist_ok=True)
-    writers = [VideoWriter(
+    writers = [open_writer(
         os.path.join(output_dir,
                      os.path.splitext(os.path.basename(p))[0] + ".dips.avi"),
-        fps, w, h, enc) for p in input_paths]
+        fps, w, h, enc, video_backend) for p in input_paths]
     counts = np.zeros(s, np.int64)
     done = [False] * s
     try:

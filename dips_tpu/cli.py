@@ -218,7 +218,8 @@ def main(argv: Optional[List[str]] = None) -> int:
                                        args.encoding, props,
                                        batch=args.batch,
                                        backend=args.backend, mesh=mesh,
-                                       input_layout=args.input_layout)
+                                       input_layout=args.input_layout,
+                                       video_backend=args.video_backend)
         except (DiPsError, NotImplementedError) as e:
             print(f"error: {e}", file=sys.stderr)
             return 1

@@ -452,3 +452,28 @@ def test_opencv_reader_accepts_uri_without_exists_check():
 
     with pytest.raises(DecodeError):
         VideoReader("file:///nonexistent/dir/clip.avi")
+
+
+def test_run_dips_on_files_honors_video_backend(fake_gst, tmp_path):
+    """The multi-video batch path routes readers AND writers through the
+    selected backend (it used to hardcode OpenCV, ignoring
+    --video-backend)."""
+    from dips_tpu.app import run_dips_on_files
+    from dips_tpu.properties import DiPsProperties
+
+    h, w = 8, 16
+    frames = _rgb_frames(4, h, w, seed=11)
+    g = fake_gst(frames, w, h, num=20)
+    paths = []
+    for name in ("a.avi", "b.avi"):
+        p = tmp_path / name
+        p.write_bytes(b"x")
+        paths.append(str(p))
+    counts = run_dips_on_files(
+        paths, str(tmp_path / "out"),
+        properties=DiPsProperties(window_size=1, temporal_size=1),
+        batch=2, video_backend="gstreamer")
+    assert list(counts) == [4, 4]
+    assert len(g.sinks) == 2 and len(g.srcs) == 2
+    for src in g.srcs:
+        assert len(src.pushed) == 4 and src.eos
