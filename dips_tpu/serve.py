@@ -80,13 +80,39 @@ def _send(sock: socket.socket, header: dict, payload: bytes = b"") -> None:
     sock.sendall(_LEN.pack(len(hdr)) + hdr + payload)
 
 
-def _recv_exact(sock: socket.socket, n: int) -> Optional[bytes]:
+#: a message that started arriving must finish within this long of zero
+#: forward progress (then the connection is declared broken) — the short
+#: idle poll timeout must never drop partially-read messages
+_PARTIAL_TIMEOUT_S = 30.0
+
+
+def _recv_exact(sock: socket.socket, n: int,
+                started: bool = False) -> Optional[bytes]:
+    """Read exactly ``n`` bytes.  ``socket.timeout`` propagates only while
+    IDLE (nothing consumed and ``started`` false, i.e. between messages, so
+    the server can poll its shutdown flag); mid-message stalls keep
+    waiting — dropping a partial read would desync the framing — until
+    ``_PARTIAL_TIMEOUT_S`` passes with no progress at all."""
     buf = bytearray()
+    deadline = None
     while len(buf) < n:
-        chunk = sock.recv(n - len(buf))
+        try:
+            chunk = sock.recv(n - len(buf))
+        except socket.timeout:
+            if not started and not buf:
+                raise
+            now = time.monotonic()
+            if deadline is None:
+                deadline = now + _PARTIAL_TIMEOUT_S
+            elif now > deadline:
+                raise ValueError(
+                    f"incomplete message: {len(buf)}/{n} bytes then "
+                    f"{_PARTIAL_TIMEOUT_S:g}s of silence")
+            continue
         if not chunk:
             return None
         buf.extend(chunk)
+        deadline = None  # forward progress restarts the stall clock
     return bytes(buf)
 
 
@@ -97,14 +123,14 @@ def _recv(sock: socket.socket) -> Optional[Tuple[dict, bytes]]:
     hdr_len = _LEN.unpack(raw_len)[0]
     if hdr_len > _MAX_HEADER:
         raise ValueError(f"header length {hdr_len} exceeds {_MAX_HEADER}")
-    hdr = _recv_exact(sock, hdr_len)
+    hdr = _recv_exact(sock, hdr_len, started=True)
     if hdr is None:
         return None
     header = json.loads(hdr)
     n = int(header.get("payload_len", 0))
     if not 0 <= n <= _MAX_PAYLOAD:
         raise ValueError(f"payload length {n} exceeds {_MAX_PAYLOAD}")
-    payload = _recv_exact(sock, n) if n else b""
+    payload = _recv_exact(sock, n, started=True) if n else b""
     if n and payload is None:
         return None
     return header, payload
@@ -373,9 +399,13 @@ def _prometheus_text(m: dict) -> str:
         emit("coalesce_dispatches", m.get("coalesce_dispatches", 0))
         emit("coalesce_mean_fill", m.get("coalesce_mean_fill", 0.0),
              "gauge")
-    for geom, cnt in (m.get("pooled_engines") or {}).items():
+    pooled = m.get("pooled_engines") or {}
+    if pooled:
+        # one TYPE line for the whole metric family — a repeated TYPE
+        # makes the Prometheus text parser reject the entire scrape
         lines.append("# TYPE dips_pooled_engines gauge")
-        lines.append(f'dips_pooled_engines{{geometry="{geom}"}} {cnt}')
+        for geom, cnt in pooled.items():
+            lines.append(f'dips_pooled_engines{{geometry="{geom}"}} {cnt}')
     return "\n".join(lines) + "\n"
 
 
@@ -475,6 +505,12 @@ class DiPsServer:
         self._named: dict = {}   # session token -> parked engine
         #: parked named sessions beyond this are evicted oldest-first
         self.max_named_sessions = 8 * self.max_sessions
+        #: flexible-daemon bounds on idle device state under geometry
+        #: churn: total idle pooled engines, and registered per-geometry
+        #: coalescers (idle ones beyond the cap are evicted; live ones
+        #: never are).  warm_geometries raises them as needed.
+        self.max_pooled_engines = max(8, self.max_sessions)
+        self.max_geometries = 8
         self._pool_lock = threading.Lock()
         self._threads: list = []
         self._sock = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
@@ -533,8 +569,10 @@ class DiPsServer:
                         raise ValueError(
                             f"warm geometry {h}x{w} != fixed server "
                             f"{ce.height}x{ce.width}")
-                with self._pool_lock:
-                    co = self._co_for((h, w))
+                # warming N geometries implies keeping N alive
+                self.max_geometries = max(self.max_geometries,
+                                          len(geometries))
+                co = self._co_for((h, w))
                 slot = co.bind()
                 try:
                     co.submit(slot, [np.zeros((h, w, 3), np.uint8)])
@@ -557,7 +595,9 @@ class DiPsServer:
             eng.reset()
             if self.flexible:
                 with self._pool_lock:
-                    self._pool.setdefault((h, w), []).append(eng)
+                    self.max_pooled_engines = max(self.max_pooled_engines,
+                                                  len(geometries))
+                    self._pool_idle_engine(eng)
             log.info("warmed %dx%d", h, w)
 
     def _count(self, key: str, n: int = 1) -> None:
@@ -638,21 +678,60 @@ class DiPsServer:
             th.join(timeout=5.0)
 
     def _co_for(self, geometry):
-        """The coalescer a new session of ``geometry`` binds to (call
-        under ``_pool_lock``): the daemon-wide one on a fixed server, a
-        lazily-created per-geometry one on a flexible server."""
+        """The coalescer a new session of ``geometry`` binds to: the
+        daemon-wide one on a fixed server, a lazily-created per-geometry
+        one on a flexible server.  Construction (an N-slot engine build +
+        jit compile) runs OUTSIDE ``_pool_lock`` so concurrent binds,
+        releases and metrics scrapes never stall behind it; a
+        construction race keeps the first registered instance."""
         if self._coalescer is not None:
             return self._coalescer
         if geometry is None:
             raise ValueError(
                 "session has no geometry yet - send a frame or load a "
                 "checkpoint first (flexible daemon)")
-        co = self._coalescers.get(geometry)
-        if co is None:
-            co = StreamCoalescer(self._props, geometry[0], geometry[1],
-                                 **self._coalesce_cfg)
-            self._coalescers[geometry] = co
+        with self._pool_lock:
+            co = self._coalescers.get(geometry)
+        if co is not None:
+            return co
+        built = StreamCoalescer(self._props, geometry[0], geometry[1],
+                                **self._coalesce_cfg)
+        with self._pool_lock:
+            co = self._coalescers.setdefault(geometry, built)
+            evicted = (self._evict_idle_coalescers(keep=geometry)
+                       if len(self._coalescers) > self.max_geometries
+                       else [])
+        if co is not built:
+            built.shutdown()  # lost the construction race
+        for victim in evicted:
+            victim.shutdown()
         return co
+
+    def _evict_idle_coalescers(self, keep) -> list:
+        """Drop registered coalescers beyond ``max_geometries`` that have
+        no bound slots, no queued work and no parked named sessions
+        (geometry churn must not accumulate device state without bound).
+        Call under ``_pool_lock``; returns the evicted instances for the
+        caller to shut down outside it.  Live geometries are never
+        evicted — the registry may exceed the cap while all are busy."""
+        evicted = []
+        parked = {id(v._co) for v in self._named.values()
+                  if isinstance(v, _CoalescedSession)}
+        for geom in list(self._coalescers):
+            if len(self._coalescers) <= self.max_geometries:
+                break
+            if geom == keep:
+                continue
+            co = self._coalescers[geom]
+            with co._cv:
+                busy = bool(co._bound) or bool(co._pending)
+            if busy or id(co) in parked:
+                continue
+            del self._coalescers[geom]
+            evicted.append(co)
+        if evicted:
+            log.info("evicted %d idle geometry coalescer(s)", len(evicted))
+        return evicted
 
     def _bind_engine(self, token, geometry=None):
         """Engine for a session, bound lazily at its FIRST request (the
@@ -667,25 +746,30 @@ class DiPsServer:
                 if token is not None and token in self._named:
                     sess = self._named.pop(token)
                     sess._co.rebind(sess.slot)
-                else:
-                    co = self._co_for(geometry)
-                    try:
-                        sess = _CoalescedSession(co, co.bind())
-                    except RuntimeError:
-                        # every slot held by a parked named session: evict
-                        # the oldest parked on THIS coalescer
-                        victims = [k for k, v in self._named.items()
-                                   if v._co is co]
-                        if not victims:
-                            raise
-                        old = self._named.pop(victims[0])
-                        co.release(old.slot)
-                        sess = _CoalescedSession(co, co.bind())
+                    sess.session_token = token
+                    return sess
+            co = self._co_for(geometry)  # may build, outside the lock
+            with self._pool_lock:
+                try:
+                    sess = _CoalescedSession(co, co.bind())
+                except RuntimeError:
+                    # every slot held by a parked named session: evict
+                    # the oldest parked on THIS coalescer
+                    victims = [k for k, v in self._named.items()
+                               if v._co is co]
+                    if not victims:
+                        raise
+                    old = self._named.pop(victims[0])
+                    co.release(old.slot)
+                    sess = _CoalescedSession(co, co.bind())
             sess.session_token = token
             return sess
+        eng = None
+        need_reset = token is not None or self.max_sessions > 1
         with self._pool_lock:
             if token is not None and token in self._named:
                 eng = self._named.pop(token)
+                need_reset = False  # resuming IS the point of the token
             elif self.flexible:
                 if geometry is None:
                     raise ValueError(
@@ -694,24 +778,30 @@ class DiPsServer:
                 lst = self._pool.get(geometry)
                 if lst:
                     eng = lst.pop()
-                    if token is not None or self.max_sessions > 1:
-                        eng.reset()
-                else:
-                    eng = self._mk_engine(*geometry)
             elif self._pool:
                 eng = self._pool.pop()
-                if token is not None or self.max_sessions > 1:
-                    eng.reset()  # never hand one client another's state
-            else:
-                eng = self._mk_engine()
+        if eng is None:
+            # construction (a jit compile on a new geometry) runs OUTSIDE
+            # the lock so concurrent sessions don't stall behind it
+            eng = (self._mk_engine(*geometry) if self.flexible
+                   else self._mk_engine())
+        elif need_reset:
+            eng.reset()  # never hand one client another's state
         eng.session_token = token
         return eng
 
     def _release_engine(self, eng) -> None:
+        token = getattr(eng, "session_token", None)
         if isinstance(eng, _CoalescedSession):
             with self._pool_lock:
-                token = getattr(eng, "session_token", None)
                 if token is not None:
+                    old = self._named.pop(token, None)
+                    if old is not None and old is not eng:
+                        # duplicate token (camera reconnected while the
+                        # old connection was still draining): the
+                        # superseded parked session's slot must be
+                        # freed, not leaked
+                        old._co.release(old.slot)
                     self._named[token] = eng
                     eng._co.release(eng.slot, park=True)
                     while len(self._named) > self.max_named_sessions:
@@ -721,38 +811,65 @@ class DiPsServer:
                     eng._co.release(eng.slot)
             return
         with self._pool_lock:
-            token = getattr(eng, "session_token", None)
             if token is not None:
+                old = self._named.pop(token, None)
                 self._named[token] = eng
+                if old is not None and old is not eng:
+                    self._pool_idle_engine(old)  # superseded duplicate
                 while len(self._named) > self.max_named_sessions:
-                    self._named.pop(next(iter(self._named)))
-            elif self.flexible:
-                self._pool.setdefault((eng.height, eng.width),
-                                      []).append(eng)
+                    self._pool_idle_engine(
+                        self._named.pop(next(iter(self._named))))
             else:
-                self._pool.append(eng)
+                self._pool_idle_engine(eng)
+
+    def _pool_idle_engine(self, eng) -> None:
+        """Return an idle engine to the anonymous pool (call under
+        ``_pool_lock``).  Flexible daemons cap total pooled engines —
+        geometry churn must not accumulate unbounded device state —
+        evicting from the deepest per-geometry pool first (dropping the
+        reference frees its device buffers)."""
+        if not self.flexible:
+            self._pool.append(eng)
+            return
+        self._pool.setdefault((eng.height, eng.width), []).append(eng)
+        total = sum(len(v) for v in self._pool.values())
+        dropped = 0
+        while total > self.max_pooled_engines:
+            geom = max(self._pool, key=lambda g: len(self._pool[g]))
+            self._pool[geom].pop(0)
+            if not self._pool[geom]:
+                del self._pool[geom]
+            total -= 1
+            dropped += 1
+        if dropped:
+            log.info("evicted %d idle pooled engine(s)", dropped)
 
     def _session(self, client: socket.socket, addr) -> None:
-        eng = None
+        # the engine binds INSIDE _serve_client; the holder hands it back
+        # even when the connection dies mid-request (ConnectionResetError
+        # etc.) — an abortive disconnect must park/pool the engine, never
+        # leak it (or its coalescer slot)
+        bound: list = []
         self._count("connections")
         self._count("active_sessions")
         try:
             with client:
                 log.info("client %s", addr)
                 try:
-                    eng = self._serve_client(client)
+                    self._serve_client(client, bound)
                 except Exception:
                     # one bad/broken client must never kill the daemon
                     log.exception("client %s dropped", addr)
         finally:
-            if eng is not None:
-                self._release_engine(eng)
+            if bound:
+                self._release_engine(bound[0])
             self._count("active_sessions", -1)
             self._sessions.release()
 
-    def _serve_client(self, client: socket.socket):
-        """Serve one connection; returns the bound engine (or None if the
-        client never issued a request) so _session can park it."""
+    def _serve_client(self, client: socket.socket, bound: list):
+        """Serve one connection.  The engine bound at the first request is
+        appended to ``bound`` so _session can park it on ANY exit path,
+        including a mid-request exception."""
         eng = None
         # periodic timeout so shutdown() can interrupt an idle connection
         client.settimeout(0.5)
@@ -767,9 +884,9 @@ class DiPsServer:
                     _send(client, {"ok": False, "error": str(e)})
                 except OSError:
                     pass
-                return eng
+                return
             if msg is None:
-                return eng
+                return
             header, payload = msg
             cmd = header.get("cmd")
             if eng is None:  # first request binds the session's engine
@@ -779,12 +896,19 @@ class DiPsServer:
                 if cmd in ("process", "process_batch"):
                     shp = header.get("shape") or ()
                     if len(shp) >= 3:
-                        geometry = (int(shp[-3]), int(shp[-2]))
+                        try:
+                            geometry = (int(shp[-3]), int(shp[-2]))
+                        except (TypeError, ValueError) as e:
+                            self._count("request_errors")
+                            _send(client, {"ok": False,
+                                           "error": f"bad shape: {e}"})
+                            continue
                 elif cmd == "load" and self.flexible:
                     try:  # peek the checkpoint's geometry to size the engine
-                        z = np.load(str(header["path"]))
-                        if "geometry" in z.files:
-                            geometry = tuple(int(v) for v in z["geometry"])
+                        with np.load(str(header["path"])) as z:
+                            if "geometry" in z.files:
+                                geometry = tuple(int(v)
+                                                 for v in z["geometry"])
                     except Exception as e:
                         self._count("request_errors")
                         _send(client, {"ok": False, "error": str(e)})
@@ -798,9 +922,11 @@ class DiPsServer:
                         if cmd == "hello":
                             _send(client, {
                                 "ok": True, "frame_index": 0,
-                                "config": {"height": None, "width": None,
-                                           "flexible": True,
-                                           "coalesced": False}})
+                                "config": {
+                                    "height": None, "width": None,
+                                    "flexible": True,
+                                    "coalesced":
+                                        self._coalesce_cfg is not None}})
                             continue
                         if cmd == "metrics":
                             self._count("requests")
@@ -809,9 +935,10 @@ class DiPsServer:
                             continue
                         if cmd == "close":
                             _send(client, {"ok": True})
-                            return eng
+                            return
                 try:
                     eng = self._bind_engine(tok, geometry)
+                    bound.append(eng)
                 except Exception as e:
                     self._count("request_errors")
                     _send(client, {"ok": False, "error": str(e)})
@@ -876,9 +1003,10 @@ class DiPsServer:
                     # returns, a reconnect is guaranteed to find the
                     # parked state (no release/rebind race)
                     self._release_engine(eng)
+                    bound.clear()
                     eng = None
                     _send(client, {"ok": True})
-                    return None
+                    return
                 else:
                     _send(client, {"ok": False,
                                    "error": f"unknown cmd {cmd!r}"})
@@ -888,8 +1016,7 @@ class DiPsServer:
                 try:
                     _send(client, {"ok": False, "error": str(e)})
                 except OSError:
-                    return eng  # client gone mid-error: drop the connection
-        return eng
+                    return  # client gone mid-error: drop the connection
 
     def shutdown(self) -> None:
         self._stop.set()
@@ -1063,6 +1190,11 @@ def main(argv=None) -> int:
     ap.add_argument("--metrics-port", type=int, default=None, metavar="P",
                     help="also serve Prometheus metrics on http://HOST:P"
                          "/metrics (0 = ephemeral port, printed at start)")
+    ap.add_argument("--max-geometries", type=int, default=None, metavar="G",
+                    help="flexible daemons: keep at most G idle per-"
+                         "geometry coalescers / pooled engines alive under "
+                         "geometry churn (default 8; live sessions are "
+                         "never evicted)")
     ap.add_argument("--warm", default=None, metavar="GEOMS",
                     help="comma-separated geometries to pre-compile at "
                          "startup (HxW or 480p/720p/1080p/4k) so the "
@@ -1084,6 +1216,10 @@ def main(argv=None) -> int:
                         coalesce_devices=args.coalesce_devices,
                         input_layout=args.input_layout,
                         metrics_port=args.metrics_port)
+    if args.max_geometries is not None:
+        server.max_geometries = max(1, args.max_geometries)
+        server.max_pooled_engines = max(server.max_pooled_engines,
+                                        server.max_geometries)
     if args.warm:
         server.warm_geometries(args.warm.split(","))
     print(f"dips server on {args.host}:{server.port}", flush=True)

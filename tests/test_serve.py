@@ -821,3 +821,158 @@ def test_flexible_concurrent_churn_stress(tmp_path):
         assert m["parked_sessions"] == 4 and m["request_errors"] == 0
     finally:
         srv.shutdown()
+
+
+# ---------------------------------------------------------------------------
+# session/slot lifecycle hardening (self-review round 2)
+# ---------------------------------------------------------------------------
+
+def test_abortive_disconnect_frees_coalescer_slot():
+    """A client killed mid-stream (RST, not a clean close) must not leak
+    its bound slot: the engine holder releases it on ANY exit path."""
+    import socket as socket_mod
+    import struct
+    import time
+
+    srv, props = _coalesced_server(1)  # ONE slot: a leak blocks everyone
+    try:
+        f = make_clip(n=1, h=16, w=24)[0]
+        for _ in range(3):  # repeat: each leaked slot would be fatal
+            c = DiPsClient(srv.port)
+            c.process(f)  # binds the only slot
+            # abortive close: SO_LINGER(on, 0) makes close() send RST, so
+            # the server's recv raises ConnectionResetError mid-session
+            c._sock.setsockopt(socket_mod.SOL_SOCKET, socket_mod.SO_LINGER,
+                               struct.pack("ii", 1, 0))
+            c._sock.close()
+            # the slot must come back for the next client
+            deadline = time.monotonic() + 5.0
+            while time.monotonic() < deadline:
+                with srv._pool_lock:
+                    co = srv._coalescer
+                with co._cv:
+                    if not co._bound:
+                        break
+                time.sleep(0.05)
+            else:
+                raise AssertionError("slot still bound after RST")
+    finally:
+        srv.shutdown()
+
+
+def test_slow_mid_message_does_not_desync_protocol():
+    """The 0.5s idle poll must not fire mid-message: a request trickling
+    in slower than the poll interval still parses and gets a reply."""
+    import socket as socket_mod
+    import json as json_mod
+    import struct
+
+    srv, props = _coalesced_server(1)
+    try:
+        f = make_clip(n=1, h=16, w=24)[0]
+        payload = np.ascontiguousarray(f).tobytes()
+        hdr = json_mod.dumps({"cmd": "process", "shape": list(f.shape),
+                              "payload_len": len(payload)}).encode()
+        msg = struct.pack("<I", len(hdr)) + hdr + payload
+        s = socket_mod.create_connection(("127.0.0.1", srv.port))
+        # drip the request in 3 chunks with >0.5s pauses
+        import time
+        third = len(msg) // 3
+        for chunk in (msg[:third], msg[third:2 * third], msg[2 * third:]):
+            s.sendall(chunk)
+            time.sleep(0.7)
+        raw = s.recv(4)
+        n = struct.unpack("<I", raw)[0]
+        buf = b""
+        while len(buf) < n:
+            buf += s.recv(n - len(buf))
+        reply = json_mod.loads(buf)
+        assert reply["ok"], reply
+        s.close()
+    finally:
+        srv.shutdown()
+
+
+def test_duplicate_token_park_releases_superseded_slot():
+    """Camera reconnects with its token while the old connection still
+    drains: when both park, the superseded slot must be freed (was: leaked
+    unreachably, exhausting the coalescer)."""
+    srv, props = _coalesced_server(2)
+    try:
+        a = srv._bind_engine("cam")        # slot for connection A
+        b = srv._bind_engine("cam")        # reconnect before A parks
+        srv._release_engine(a)             # A parks under "cam"
+        srv._release_engine(b)             # B supersedes A's parked slot
+        # both slots must now be obtainable (one free, one via eviction)
+        x = srv._bind_engine(None)
+        y = srv._bind_engine(None)
+        assert {x.slot, y.slot} == {0, 1}
+    finally:
+        srv.shutdown()
+
+
+def test_prometheus_single_type_line_per_family():
+    """Duplicate # TYPE lines make Prometheus reject the whole scrape."""
+    from dips_tpu.serve import _prometheus_text
+
+    text = _prometheus_text({
+        "connections": 1, "flexible": True,
+        "pooled_engines": {"16x24": 1, "32x48": 2}})
+    assert text.count("# TYPE dips_pooled_engines gauge") == 1
+    assert 'geometry="16x24"' in text and 'geometry="32x48"' in text
+
+
+def test_flexible_hello_reports_coalesced_before_bind():
+    srv, props = _flexible_server(coalesce=2)
+    try:
+        with DiPsClient(srv.port) as c:
+            assert c.hello()["config"]["coalesced"] is True
+    finally:
+        srv.shutdown()
+
+
+def test_bad_shape_strings_get_error_reply():
+    """Non-numeric shape entries on the first request must produce an
+    error reply, not a silent connection drop."""
+    srv, props = _flexible_server()
+    try:
+        c = DiPsClient(srv.port)
+        h, _ = c._rpc({"cmd": "process", "shape": ["a", "b", "c"]})
+        assert not h["ok"] and "bad shape" in h["error"]
+        # connection survives for a correct request
+        o, _ = c.process(make_clip(n=1, h=16, w=24)[0])
+        assert o.shape == (16, 24, 3)
+        c.close()
+    finally:
+        srv.shutdown()
+
+
+def test_geometry_churn_evicts_idle_state():
+    """Geometry churn must not accumulate unbounded engines/coalescers:
+    idle per-geometry state beyond the caps is evicted."""
+    # flexible NON-coalesced: pooled engines capped
+    srv, props = _flexible_server()
+    try:
+        srv.max_pooled_engines = 2
+        geoms = [(16, 24), (24, 24), (32, 24)]
+        for h, w in geoms:
+            with DiPsClient(srv.port) as c:
+                c.process(np.zeros((h, w, 3), np.uint8))
+        with srv._pool_lock:
+            total = sum(len(v) for v in srv._pool.values())
+        assert total <= 2
+    finally:
+        srv.shutdown()
+
+    # flexible coalesced: idle coalescers capped
+    srv, props = _flexible_server(coalesce=1)
+    try:
+        srv.max_geometries = 2
+        for h, w in geoms:
+            with DiPsClient(srv.port) as c:
+                c.process(np.zeros((h, w, 3), np.uint8))
+        with srv._pool_lock:
+            n = len(srv._coalescers)
+        assert n <= 2
+    finally:
+        srv.shutdown()
