@@ -108,6 +108,15 @@ class DiPsJob:
     #: element is None — unless requested.  None = auto: on exactly when
     #: ``frame_callback`` is set (the callback receives the input frame).
     yield_inputs: Optional[bool] = None
+    #: abort when the decoder delivers nothing for this long (seconds).
+    #: None = wait forever — the right setting for sparse/bursty live
+    #: sources (motion-triggered rtsp:// cameras) where silence is normal.
+    decode_stall_s: Optional[float] = 30.0
+    #: a pre-opened reader to use instead of opening ``video_path``
+    #: (stream_dips takes ownership and closes it).  Lets callers probe
+    #: fps/geometry without a second connect — network sources (rtsp/srt)
+    #: may reject or stall overlapping sessions.
+    reader: Optional[object] = None
 
     # builder parity ------------------------------------------------------
     def with_video_path(self, p: str) -> "DiPsJob":
@@ -224,17 +233,22 @@ def stream_dips(job: DiPsJob) -> Iterator[Tuple[int, Optional[np.ndarray],
         raise VideoPathError("no video path set (DiPsJob.with_video_path)")
     import collections
     from .io.gstreamer import open_video
-    reader = open_video(job.video_path, job.video_backend)
     if job.input_layout not in ("planar", "hwc"):
         raise ValueError(f"unknown input_layout {job.input_layout!r}")
     hwc_mode = job.input_layout == "hwc"
+    reader = (job.reader if job.reader is not None
+              else open_video(job.video_path, job.video_backend))
     # readers that decode natively to RGB skip the device channel swap
     rgb_native = getattr(reader, "native_rgb", False)
     layout = ("planar" if not hwc_mode
               else ("hwc" if rgb_native else "hwc_bgr"))
-    engine = DiPsEngine(job.properties, reader.height, reader.width,
-                        batch=job.batch, backend=job.backend,
-                        packed_wire=job.packed_wire, input_layout=layout)
+    try:
+        engine = DiPsEngine(job.properties, reader.height, reader.width,
+                            batch=job.batch, backend=job.backend,
+                            packed_wire=job.packed_wire, input_layout=layout)
+    except Exception:
+        reader.close()
+        raise
     hp, wp = engine.hp, engine.wp
     slot_bytes = (reader.height * reader.width * 3 if hwc_mode
                   else 3 * hp * wp)
@@ -342,15 +356,23 @@ def stream_dips(job: DiPsJob) -> Iterator[Tuple[int, Optional[np.ndarray],
             buf = engine.new_batch_buffer()
             n = 0
             pts_batch = []
+            patient = job.decode_stall_s is None
+            stall_ms = (30000 if patient
+                        else max(1, int(job.decode_stall_s * 1e3)))
             while n < job.batch:
-                rc = source.pop(buf[t + n], timeout_ms=30000)
+                rc = source.pop(buf[t + n], timeout_ms=stall_ms)
                 if rc == -1:
                     eos = True
                     break
                 if rc == -2:
                     if n:
                         break  # flush what we have
-                    raise DecodeError("decode stalled (ring timeout)")
+                    if patient:  # sparse live source: silence is normal
+                        if errbox:
+                            break
+                        continue
+                    raise DecodeError("decode stalled (ring timeout; "
+                                      "decode_stall_s=None waits forever)")
                 pts_batch.append(source.last_pts)
                 n += 1
             if errbox:
@@ -370,8 +392,6 @@ def stream_dips(job: DiPsJob) -> Iterator[Tuple[int, Optional[np.ndarray],
                 if not overlap:
                     yield from emit(pending)
                     pending = None
-            elif not eos:
-                break
         if pending is not None:
             yield from emit(pending)
     finally:
@@ -394,12 +414,19 @@ def perform_dips(job: DiPsJob) -> np.ndarray:
     if not job.video_path:
         raise VideoPathError("no video path set")
     from .io.gstreamer import open_video, open_writer
-    reader_probe = open_video(job.video_path, job.video_backend)
-    fps, w, h = reader_probe.fps, reader_probe.width, reader_probe.height
-    reader_probe.close()
+    # probe fps/geometry on the reader stream_dips will CONSUME — a
+    # second connect would double-session network sources (rtsp/srt)
+    reader = open_video(job.video_path, job.video_backend)
+    fps, w, h = reader.fps, reader.width, reader.height
+    caller_job = job
+    job = dataclasses.replace(job, reader=reader)
 
-    writer = open_writer(job.output_path, fps, w, h, job.encoding,
-                         job.video_backend)
+    try:
+        writer = open_writer(job.output_path, fps, w, h, job.encoding,
+                             job.video_backend)
+    except Exception:
+        reader.close()
+        raise
     from .io.gstreamer import GstVideoWriter
     from .io.video import CfrRetimer
     gst_writer = isinstance(writer, GstVideoWriter)
@@ -426,6 +453,10 @@ def perform_dips(job: DiPsJob) -> np.ndarray:
             stats_rows.append(stats)
             if idx % 100 == 0:
                 log.info("frame %d", idx)
+    # run artifacts land on the CALLER's job too (stream_dips populated
+    # the internal copy that carries the pre-opened reader)
+    caller_job.timers = job.timers
+    caller_job.frame_pts = job.frame_pts
     if job.timers:
         log.info("%s", job.timers)
     return (np.stack(stats_rows) if stats_rows
@@ -490,36 +521,49 @@ def run_dips_on_files(input_paths: Sequence[str], output_dir: str,
     from .parallel import MultiStreamEngine, stream_mesh
     props = properties or DiPsProperties()
     enc = Encoding[encoding.upper()] if isinstance(encoding, str) else encoding
+    if input_layout not in ("planar", "hwc"):
+        # frames from readers are always RGB — "hwc_bgr" (an engine-level
+        # layout for raw decoder bytes) would silently swap channels here
+        raise ValueError(f"unknown input_layout {input_layout!r}")
 
-    readers = [open_video(p, video_backend) for p in input_paths]
-    h, w, fps = readers[0].height, readers[0].width, readers[0].fps
-    for r in readers[1:]:
-        if (r.height, r.width) != (h, w):
-            raise VideoPathError(
-                f"{r.path}: geometry {r.width}x{r.height} != {w}x{h} "
-                f"(multi-stream batches require uniform geometry)")
-        if abs(r.fps - fps) > 0.51:  # the documented shared-fps contract
-            raise VideoPathError(
-                f"{r.path}: fps {r.fps:g} != {fps:g} (multi-stream outputs "
-                f"share one clock; retime or process separately)")
-
-    mesh = mesh if mesh is not None else stream_mesh()
-    n_dev = dict(zip(mesh.axis_names, mesh.devices.shape)).get(
-        "stream", mesh.devices.size)
-    s = len(readers)
-    pad_streams = (-s) % n_dev  # stream axis wants a multiple of its size
-    eng = MultiStreamEngine(props, h, w, n_streams=s + pad_streams,
-                            batch=batch, mesh=mesh, backend=backend,
-                            input_layout=input_layout)
-
-    os.makedirs(output_dir, exist_ok=True)
-    writers = [open_writer(
-        os.path.join(output_dir,
-                     os.path.splitext(os.path.basename(p))[0] + ".dips.avi"),
-        fps, w, h, enc, video_backend) for p in input_paths]
-    counts = np.zeros(s, np.int64)
-    done = [False] * s
+    readers: list = []
+    writers: list = []
     try:
+        for p in input_paths:
+            readers.append(open_video(p, video_backend))
+        h, w, fps = readers[0].height, readers[0].width, readers[0].fps
+        for r in readers[1:]:
+            if (r.height, r.width) != (h, w):
+                raise VideoPathError(
+                    f"{r.path}: geometry {r.width}x{r.height} != {w}x{h} "
+                    f"(multi-stream batches require uniform geometry)")
+            if abs(r.fps - fps) > 0.51:  # the documented shared-fps contract
+                raise VideoPathError(
+                    f"{r.path}: fps {r.fps:g} != {fps:g} (multi-stream "
+                    f"outputs share one clock; retime or process "
+                    f"separately)")
+
+        mesh = mesh if mesh is not None else stream_mesh()
+        n_dev = dict(zip(mesh.axis_names, mesh.devices.shape)).get(
+            "stream", mesh.devices.size)
+        s = len(readers)
+        pad_streams = (-s) % n_dev  # stream axis: a multiple of its size
+        eng = MultiStreamEngine(props, h, w, n_streams=s + pad_streams,
+                                batch=batch, mesh=mesh, backend=backend,
+                                input_layout=input_layout)
+
+        os.makedirs(output_dir, exist_ok=True)
+        # inputs sharing a basename (camA/clip.avi + camB/clip.avi) must
+        # not overwrite each other's output: disambiguate by stream index
+        stems = [os.path.splitext(os.path.basename(p))[0]
+                 for p in input_paths]
+        dup = {t for t in stems if stems.count(t) > 1}
+        for si, stem in enumerate(stems):
+            name = (f"{stem}.{si}" if stem in dup else stem) + ".dips.avi"
+            writers.append(open_writer(os.path.join(output_dir, name),
+                                       fps, w, h, enc, video_backend))
+        counts = np.zeros(s, np.int64)
+        done = [False] * s
         while not all(done):
             feeds = []
             for si in range(s + pad_streams):

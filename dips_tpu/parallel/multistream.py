@@ -61,8 +61,6 @@ def make_sharded_step(props: DiPsProperties, h: int, w: int, mesh: Mesh,
     if backend == "auto":
         backend = "pallas" if jax.default_backend() == "tpu" else "xla"
 
-    _gmean = _gmean_impl
-
     if backend == "pallas":
         # stacked-stream mode: the shard's local streams fold along the row
         # axis of ONE kernel instance instead of vmap dispatching one kernel
@@ -92,7 +90,7 @@ def make_sharded_step(props: DiPsProperties, h: int, w: int, mesh: Mesh,
             else:
                 nb = nb.reshape(s_l, hp, wp)
             nh = nh.reshape(s_l, hp, wp)
-            return out, stats, nb, nh, _gmean(stats, valid)
+            return out, stats, nb, nh, _gmean_impl(stats, valid)
     else:
         step = (reference.absdiff_step if raw_mode
                 else reference.batch_step).__wrapped__
@@ -101,7 +99,7 @@ def make_sharded_step(props: DiPsProperties, h: int, w: int, mesh: Mesh,
             out, stats, new_b, new_h = jax.vmap(
                 lambda r, b, f, hm, v: step(props, h, w, r, b, f, hm, v))(
                     raw, baseline, flags, heatmap, valid)
-            return out, stats, new_b, new_h, _gmean(stats, valid)
+            return out, stats, new_b, new_h, _gmean_impl(stats, valid)
 
     # check_vma=False: pallas_call out_shapes don't carry varying-mesh-axis
     # annotations; the specs below are the full contract.
@@ -385,8 +383,14 @@ class MultiStreamEngine:
             int(si): StreamError(int(si),
                                  RuntimeError("restored from checkpoint"))
             for si in state.get("failed", ())}
+        # a snapshot requested before the restore must not fire after it
+        # (it would re-capture every baseline and discard the checkpoint's);
+        # mirrors the per-stream load_stream_state
+        self._snap_pending = [False] * self.n_streams
         if self.ring_carry:
             self._rebuild_ring_state()
+        else:
+            self._ring_offs = [0] * self.n_streams
 
     def _rebuild_ring_state(self) -> None:
         """Reconstruct carried device ring/prev state from the raw tails

@@ -378,3 +378,111 @@ def test_cli_input_layout_flag(video, tmp_path):
     assert rc == 0
     with VideoReader(out) as r:
         assert len(list(r)) == len(frames)
+
+
+# ---------------------------------------------------------------------------
+# self-review round 2: app-layer lifecycle hardening
+# ---------------------------------------------------------------------------
+
+def test_run_dips_on_files_disambiguates_duplicate_basenames(tmp_path):
+    """camA/clip.avi + camB/clip.avi must not overwrite one output."""
+    import os
+
+    from dips_tpu.app import run_dips_on_files
+    from dips_tpu.io import moving_square_clip, write_clip
+
+    paths = []
+    for d in ("camA", "camB"):
+        os.makedirs(tmp_path / d)
+        p = str(tmp_path / d / "clip.avi")
+        write_clip(moving_square_clip(n=4, height=16, width=24), p, fps=20)
+        paths.append(p)
+    out = str(tmp_path / "out")
+    counts = run_dips_on_files(
+        paths, out,
+        properties=DiPsProperties(window_size=1, temporal_size=1),
+        batch=2)
+    assert list(counts) == [4, 4]
+    names = sorted(os.listdir(out))
+    assert names == ["clip.0.dips.avi", "clip.1.dips.avi"]
+
+
+def test_run_dips_on_files_closes_readers_on_setup_error(tmp_path, monkeypatch):
+    """A bad second input must close the already-opened first reader."""
+    from dips_tpu import app as app_mod
+    from dips_tpu.app import run_dips_on_files
+    from dips_tpu.errors import VideoPathError
+    from dips_tpu.io import moving_square_clip, write_clip
+    from dips_tpu.io import gstreamer as gst_mod
+
+    good = str(tmp_path / "good.avi")
+    write_clip(moving_square_clip(n=2, height=16, width=24), good, fps=20)
+
+    closed = []
+    real_open = gst_mod.open_video
+
+    def tracking_open(path, backend="auto"):
+        r = real_open(path, backend)
+        orig_close = r.close
+        r.close = lambda: (closed.append(path), orig_close())
+        return r
+
+    monkeypatch.setattr(gst_mod, "open_video", tracking_open)
+    with pytest.raises(VideoPathError):
+        run_dips_on_files([good, str(tmp_path / "missing.avi")],
+                          str(tmp_path / "out"))
+    assert closed == [good]
+
+    # hwc_bgr is an engine-level layout for raw decoder bytes; the reader
+    # frames here are RGB, so it must be rejected, not silently swapped
+    with pytest.raises(ValueError, match="input_layout"):
+        run_dips_on_files([good], str(tmp_path / "out2"),
+                          input_layout="hwc_bgr")
+
+
+class _TrickleReader:
+    """Fake pre-opened reader: first frame immediately, second after a
+    pause longer than the test's stall timeout."""
+
+    fps, width, height = 10.0, 16, 16
+    frame_count, native_rgb, last_pts = -1, False, None
+
+    def __init__(self, pause_s):
+        self.pause_s = pause_s
+        self.closed = False
+
+    def iter_bgr_timed(self):
+        import time
+        yield np.zeros((16, 16, 3), np.uint8), 0.0
+        time.sleep(self.pause_s)
+        yield np.full((16, 16, 3), 60, np.uint8), 0.1
+
+    def close(self):
+        self.closed = True
+
+
+def test_decode_stall_timeout_configurable():
+    """decode_stall_s bounds the ring wait; None waits out sparse live
+    sources instead of aborting (and job.reader supplies a pre-opened
+    reader, which stream_dips owns and closes)."""
+    from dips_tpu.app import DiPsJob, stream_dips
+    from dips_tpu.errors import DecodeError
+
+    props = DiPsProperties(window_size=1, temporal_size=1)
+    # impatient: a 0.2s stall cap trips on the 1.5s pause
+    rd = _TrickleReader(pause_s=1.5)
+    job = DiPsJob(properties=props, video_path="fake://", reader=rd,
+                  batch=1, decode_stall_s=0.2)
+    it = stream_dips(job)
+    next(it)  # first frame arrives
+    with pytest.raises(DecodeError, match="stalled"):
+        for _ in it:
+            pass
+    assert rd.closed
+
+    # patient: None waits through the same pause and gets both frames
+    rd2 = _TrickleReader(pause_s=1.5)
+    job2 = DiPsJob(properties=props, video_path="fake://", reader=rd2,
+                   batch=1, decode_stall_s=None)
+    got = [idx for idx, _i, _o, _s in stream_dips(job2)]
+    assert got == [0, 1] and rd2.closed

@@ -588,3 +588,27 @@ def test_run_dips_on_files_hwc_layout(tmp_path):
         with VideoReader(f1) as r1, VideoReader(f2) as r2:
             for a, b in zip(r1, r2):
                 np.testing.assert_array_equal(a, b)
+
+
+def test_load_cancels_pending_snapshot(tmp_path):
+    """Code-review regression: a snapshot requested BEFORE a full-state
+    restore must not fire after it (it would re-capture every baseline
+    and silently discard the checkpoint's)."""
+    props = DiPsProperties(window_size=1, temporal_size=1,
+                           filter=DiPsFilter.UNFILTERED)
+    h, w = 8, 16
+    clips = [make_clip(n=4, h=h, w=w, seed=s) for s in range(8)]
+    ms = MultiStreamEngine(props, h, w, n_streams=8, batch=2)
+    ms.process_batch([list(c[:2]) for c in clips])
+    path = str(tmp_path / "snap.npz")
+    ms.save(path)
+
+    ms2 = MultiStreamEngine(props, h, w, n_streams=8, batch=2)
+    ms2.process_batch([list(c[:2]) for c in clips])
+    ms2.snapshot()          # requested, then superseded by the restore
+    ms2.load(path)
+    out2, st2, _ = ms2.process_batch([list(c[2:4]) for c in clips])
+    out1, st1, _ = ms.process_batch([list(c[2:4]) for c in clips])
+    # identical to the uninterrupted engine: the snapshot did NOT fire
+    np.testing.assert_array_equal(out2, out1)
+    np.testing.assert_allclose(st2, st1, atol=1e-6)
