@@ -106,26 +106,12 @@ class DiPsEngine:
         if packed_wire and props.output != OutputMode.THRESHOLD:
             raise ValueError("packed_wire requires THRESHOLD output")
         self.packed_wire = bool(packed_wire)
-        if input_layout not in ("planar", "hwc", "hwc_bgr"):
-            raise ValueError(f"unknown input_layout {input_layout!r}")
-        self.input_layout = "hwc" if input_layout.startswith("hwc") else \
-            input_layout
         #: "hwc_bgr" accepts frames in cv2's native BGR order and folds the
         #: channel swap into the device transpose (free) — the decode path
         #: then does NO per-frame host work beyond a memcpy
-        self._swap_rb = input_layout == "hwc_bgr"
-        if self.input_layout == "hwc":
-            h_, w_, hp_, wp_ = self.height, self.width, self.hp, self.wp
-            swap = self._swap_rb
-
-            def _prep(x):  # (n, H, W, 3) u8 -> padded planar (n, 3, Hp, Wp)
-                x = jnp.transpose(x, (0, 3, 1, 2))
-                if swap:
-                    x = x[:, ::-1]
-                return jnp.pad(x, ((0, 0), (0, 0),
-                                   (0, hp_ - h_), (0, wp_ - w_)))
-
-            self._hwc_prep = jax.jit(_prep)
+        self.input_layout, self._swap_rb, self._hwc_prep = (
+            reference.make_layout_prep(input_layout, self.height,
+                                       self.width, self.hp, self.wp))
         #: optional StageTimers: when set, dispatch/collect split their
         #: time into h2d (host->device upload), dispatch (async kernel
         #: launch) and d2h (device sync + download + interleave) stages.
@@ -442,6 +428,10 @@ class DiPsEngine:
             self._tail.extend(list(state["tail"]))
         if "heatmap" in state and state["heatmap"] is not None:
             self._heatmap = jnp.asarray(state["heatmap"])
+        # a snapshot requested before the restore must not fire after it
+        # (it would re-capture the baseline and discard the checkpoint's);
+        # mirrors MultiStreamEngine.load_state_dict
+        self._force_snapshot = False
         if self.ring_carry:
             self._rebuild_ring_state()
 
@@ -486,8 +476,11 @@ class DiPsEngine:
 
     def heatmap(self) -> np.ndarray:
         """Accumulated per-pixel sum of |diff| so far, cropped to true
-        geometry (the intensity-change heatmap, BASELINE configs[2])."""
-        return np.asarray(self._heatmap[:self.height, :self.width])
+        geometry (the intensity-change heatmap, BASELINE configs[2]).
+        Download PADDED and crop on host: a device-side crop would make
+        the D2H minor dim the (rarely 128-aligned) true width — the
+        pathologically slow transfer shape (ops/wire.py)."""
+        return np.asarray(self._heatmap)[:self.height, :self.width]
 
     def save(self, path: str) -> None:
         """Persist streaming state so a long job can resume after a crash

@@ -83,15 +83,22 @@ def _frames_per_step(t: int, b: int) -> int:
 
 
 def _pick_block_rows(hp: int, wp: int, window: int, t: int, c: int,
-                     fpb: int) -> int:
+                     fpb: int, approx: bool = False) -> int:
     """Largest row-block (multiple of 8, divides Hp) that fits VMEM.
 
     Accounts for everything resident per grid step: the w*w live f32 tap
     planes of the selection network, the (T + base + prev + heat) f32
     scratch, the halo strip, and the double-buffered u8/f32 input/output
-    blocks Pallas pipelines (2x each, F frames per block).
+    blocks Pallas pipelines (2x each, F frames per block).  The two
+    8-row halo input blocks are bh-INDEPENDENT, so they debit the budget
+    up front instead of the per-row ledger (omitting them OOMed the ring
+    kernels at 4K — see _ring_geometry; analytic estimates run ~2 MB
+    under silicon, so the debit comes off the SOFT budget, not the hard
+    ceiling).  The separable approximate median keeps ~window-3-level
+    live planes regardless of ``window`` (the ring path models the same
+    via its w3 caps).
     """
-    taps = max(window * window, 1)
+    taps = max(9 if approx else window * window, 1)
     bytes_per_row = wp * (4 * taps           # live network planes
                           + 4 * t            # ring scratch
                           + 4 * 3            # base/prev/heat scratch
@@ -100,7 +107,8 @@ def _pick_block_rows(hp: int, wp: int, window: int, t: int, c: int,
                           + 1 * c * fpb * 2  # u8 output block, dbl-buffered
                           + 4 * 2 * 2        # base/heat inputs, dbl-buffered
                           + 4 * 2 * 2)       # base/heat outputs, dbl-buffered
-    max_rows = max(_VMEM_BUDGET // bytes_per_row, 8)
+    halo = 2 * 2 * 8 * 3 * fpb * wp          # two 8-row u8 halo blocks, 2x
+    max_rows = max((_VMEM_BUDGET - halo) // bytes_per_row, 8)
     best = 8
     for d in range(1, hp // 8 + 1):
         bh = 8 * d
@@ -365,7 +373,8 @@ def _batch_step_impl(props: DiPsProperties, h: int, w: int, s: int,
     c = props.out_channels
     fpb = _frames_per_step(t, b)
     assert t % fpb == 0 and b % fpb == 0, (t, b, fpb)
-    bh = _pick_block_rows(hp, wp, props.window_size, t, c, fpb)
+    bh = _pick_block_rows(hp, wp, props.window_size, t, c, fpb,
+                          approx=props.approx_median)
     n_hb_per = hp // bh
     n_hb = s * n_hb_per
     n8_per = hp // 8

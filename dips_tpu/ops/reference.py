@@ -60,6 +60,37 @@ def pad_geometry(h: int, w: int) -> Tuple[int, int]:
     return hp, wp
 
 
+def make_layout_prep(layout: str, height: int, width: int,
+                     hp: int, wp: int):
+    """Input-layout contract shared by the engines (DiPsEngine and
+    MultiStreamEngine must never drift apart on it).
+
+    Returns ``(normalized_layout, swap_rb, prep)``: ``normalized_layout``
+    is "planar" or "hwc"; ``swap_rb`` says the raw bytes are BGR
+    ("hwc_bgr" — cv2's native order, swapped for free inside the device
+    transpose); ``prep`` (None for planar) is a jitted device transform
+    taking uint8 HWC frames with ANY number of leading batch axes to
+    padded planar ``(..., 3, Hp, Wp)`` — transpose + optional channel
+    swap + (8, 128) pad fused into one XLA op (~40 us/frame @1080p,
+    BASELINE.md "device-side input layout")."""
+    if layout not in ("planar", "hwc", "hwc_bgr"):
+        raise ValueError(f"unknown input_layout {layout!r}")
+    norm = "hwc" if layout.startswith("hwc") else layout
+    swap = layout == "hwc_bgr"
+    if norm != "hwc":
+        return norm, swap, None
+
+    def _prep(x):
+        n = x.ndim - 3  # leading batch axes
+        x = jnp.transpose(x, tuple(range(n)) + (n + 2, n, n + 1))
+        if swap:
+            x = x[..., ::-1, :, :]
+        return jnp.pad(x, ((0, 0),) * (n + 1)
+                       + ((0, hp - height), (0, wp - width)))
+
+    return norm, swap, jax.jit(_prep)
+
+
 # ---------------------------------------------------------------------------
 # Stage functions (jnp mirrors of ops/oracle.py)
 # ---------------------------------------------------------------------------

@@ -216,27 +216,13 @@ class MultiStreamEngine:
         if packed_wire and props.output != OutputMode.THRESHOLD:
             raise ValueError("packed_wire requires THRESHOLD output")
         self.packed_wire = bool(packed_wire)
-        if input_layout not in ("planar", "hwc", "hwc_bgr"):
-            raise ValueError(f"unknown input_layout {input_layout!r}")
-        self.input_layout = "hwc" if input_layout.startswith("hwc") else \
-            input_layout
-        self._swap_rb = input_layout == "hwc_bgr"
         self._raw_mode = props.output in _RAW_MODES
         self.height, self.width = int(height), int(width)
         self.hp, self.wp = reference.pad_geometry(height, width)
         self.batch = int(batch)
-        if self.input_layout == "hwc":
-            h_, w_, hp_, wp_ = self.height, self.width, self.hp, self.wp
-            swap = self._swap_rb
-
-            def _prep(x):  # (S, B, H, W, 3) u8 -> padded (S, B, 3, Hp, Wp)
-                x = jnp.transpose(x, (0, 1, 4, 2, 3))
-                if swap:
-                    x = x[:, :, ::-1]
-                return jnp.pad(x, ((0, 0), (0, 0), (0, 0),
-                                   (0, hp_ - h_), (0, wp_ - w_)))
-
-            self._hwc_prep = jax.jit(_prep)
+        self.input_layout, self._swap_rb, self._hwc_prep = (
+            reference.make_layout_prep(input_layout, self.height,
+                                       self.width, self.hp, self.wp))
         self.mesh = mesh if mesh is not None else stream_mesh()
         if "rows" in self.mesh.axis_names:
             # composite 2-D (stream x rows) grid: each device owns a

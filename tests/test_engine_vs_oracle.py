@@ -123,6 +123,24 @@ def test_forced_snapshot(clip):
     assert stats[0, 1] == 0  # frame 4 became a capture -> zero diff
 
 
+def test_load_cancels_pending_snapshot(clip):
+    """Code-review regression (mirrors the MultiStreamEngine fix): a
+    snapshot requested before a checkpoint restore must not fire after it
+    and overwrite the restored baseline."""
+    props = DiPsProperties(window_size=3, filter=DiPsFilter.UNFILTERED)
+    eng = DiPsEngine(props, clip.shape[1], clip.shape[2], batch=4)
+    eng.process_frames(list(clip[:6]))
+    state = eng.state_dict()
+
+    eng2 = DiPsEngine(props, clip.shape[1], clip.shape[2], batch=4)
+    eng2.process_frames(list(clip[:2]))
+    eng2.snapshot()          # requested, then superseded by the restore
+    eng2.load_state_dict(state)
+    out_b, stats_b = eng2.process_frames(list(clip[6:]))
+    out_cont, stats_cont = eng.process_frames(list(clip[6:]))
+    np.testing.assert_array_equal(out_b, out_cont)
+    np.testing.assert_allclose(stats_b, stats_cont, atol=1e-6)
+
 def test_checkpoint_to_disk(clip, tmp_path):
     """Crash/preemption recovery: save to a file mid-stream, resume in a
     fresh engine, outputs must equal an uninterrupted run."""
