@@ -58,11 +58,23 @@ def available() -> bool:
 #: (rtsp, srt, udp/rtp, http(s) e.g. HLS) plus explicit file:// URIs.
 STREAM_SCHEMES = ("rtsp://", "rtsps://", "rtp://", "udp://", "srt://",
                   "rtmp://", "http://", "https://", "file://")
+#: schemes whose sources are LIVE (sender-paced): a slow consumer must
+#: drop stale frames rather than stall the sender.  Non-live URIs
+#: (file://, http(s) progressive/HLS VOD) keep every frame — decode
+#: blocks on the appsink queue instead (same as local files).
+LIVE_SCHEMES = ("rtsp://", "rtsps://", "rtp://", "udp://", "srt://",
+                "rtmp://")
 
 
 def is_stream_uri(path: str) -> bool:
-    """True when ``path`` is a media URI rather than a local file path."""
-    return path.startswith(STREAM_SCHEMES)
+    """True when ``path`` is a media URI rather than a local file path
+    (schemes are case-insensitive, RFC 3986)."""
+    return path.lower().startswith(STREAM_SCHEMES)
+
+
+def is_live_uri(path: str) -> bool:
+    """True for sender-paced (live) sources — see LIVE_SCHEMES."""
+    return path.lower().startswith(LIVE_SCHEMES)
 
 
 def _parse_fps(caps_struct) -> Optional[float]:
@@ -111,14 +123,16 @@ class GstVideoReader:
         # element property, NOT interpolated into the launch string —
         # quotes in a filename must not be able to rewrite the pipeline.
         # URIs (network cameras: rtsp/srt/http...) go through uridecodebin,
-        # which resolves the scheme-appropriate source + demux/decoder;
-        # for live sources drop stale frames instead of stalling the
-        # sender when the consumer falls behind.
+        # which resolves the scheme-appropriate source + demux/decoder.
+        # Only LIVE sources drop stale frames when the consumer falls
+        # behind (the sender can't be stalled); non-live URIs (file://,
+        # http VOD) must deliver every frame, like the filesrc branch.
         if uri:
+            drop = "true" if is_live_uri(path) else "false"
             self._pipeline = gst.parse_launch(
                 'uridecodebin name=src ! queue ! videoconvert '
                 '! video/x-raw,format=RGB ! appsink name=sink sync=false '
-                'max-buffers=8 drop=true')
+                f'max-buffers=8 drop={drop}')
             self._pipeline.get_by_name("src").set_property("uri", path)
         else:
             self._pipeline = gst.parse_launch(
@@ -146,16 +160,31 @@ class GstVideoReader:
             raise DecodeError(f"could not probe geometry of {path}")
 
     def _pull(self, signal: str, try_signal: str):
-        """Pull a sample with a timeout; a pipeline ERROR raises instead of
-        blocking forever (decodebin posts ERROR for undecodable inputs and
-        the sink then never prerolls)."""
+        """Pull a sample with a timeout.  A None result is disambiguated:
+        pipeline ERROR raises; real EOS returns None; a pull TIMEOUT with
+        the source still alive raises DecodeError instead of silently
+        finalizing the run as a successful end-of-stream (a stalled rtsp
+        camera must not truncate the output and report success)."""
         try:
             sample = self._sink.emit(try_signal, self._PULL_TIMEOUT_NS)
         except TypeError:  # sink without the try-pull action (old/fake)
             return self._sink.emit(signal)
         if sample is None:
             self._raise_on_bus_error()
+            if not self._sink_at_eos():
+                raise DecodeError(
+                    f"source stalled: no sample within "
+                    f"{self._PULL_TIMEOUT_NS / 1e9:g}s and no EOS")
         return sample
+
+    def _sink_at_eos(self) -> bool:
+        """Whether the appsink has seen end-of-stream (appsink 'eos'
+        property).  Sinks without the property report EOS — the legacy
+        interpretation of a None pull."""
+        try:
+            return bool(self._sink.get_property("eos"))
+        except Exception:
+            return True
 
     def _raise_on_bus_error(self) -> None:
         gst = self._gst
@@ -183,9 +212,14 @@ class GstVideoReader:
         self._apply_caps(sample.get_caps().get_structure(0))
         buf = sample.get_buffer()
         pts = getattr(buf, "pts", None)
-        # Gst.CLOCK_TIME_NONE is 2**64-1; treat it as unknown
+        # Gst.CLOCK_TIME_NONE is 2**64-1; treat it as unknown.  Unknown
+        # means last_pts = None for THIS frame — a stale previous value
+        # would read as a duplicate timestamp and make the CFR retimer
+        # drop the frame (None is the documented passthrough signal).
         if pts is not None and 0 <= pts < 2**63:
             self.last_pts = pts / 1e9
+        else:
+            self.last_pts = None
         ok, info = buf.map(gst.MapFlags.READ)
         if not ok:
             raise DecodeError("buffer map failed")
@@ -206,8 +240,8 @@ class GstVideoReader:
         return frame
 
     def read_timed(self):
-        """(frame, pts_seconds) — pts falls back to frame_index/fps when the
-        container carries none."""
+        """(frame, pts_seconds) — pts is None when the buffer carries no
+        timestamp (consumers treat None as constant-rate passthrough)."""
         f = self.read()
         if f is None:
             return None
@@ -302,22 +336,35 @@ class GstVideoWriter:
             duration = 1.0 / self.fps
         buf.pts = buf.dts = int(pts * 1e9)
         buf.duration = int(duration * 1e9)
-        self._src.emit("push-buffer", buf)
+        ret = self._src.emit("push-buffer", buf)
+        # surface pipeline failure at the write that hit it (a broken
+        # filesink flushes the pipeline; FlowReturn goes non-OK) — the
+        # OpenCV writer raises for the same condition
+        ok_ret = getattr(self._gst, "FlowReturn", None)
+        if ret is not None and ok_ret is not None and ret != ok_ret.OK:
+            raise EncodeError(f"appsrc push-buffer failed: {ret}")
         self.frames_written += 1
 
     def close(self) -> None:
         self._src.emit("end-of-stream")
         bus = self._pipeline.get_bus()
+        err = None
         if bus is not None:
             # wait for EOS to flush the muxer (5 s cap, like the reference's
-            # thumbnail bus timeout)
+            # thumbnail bus timeout); an ERROR arriving instead of EOS is a
+            # failed encode and must not pass silently
             try:
-                bus.timed_pop_filtered(
+                msg = bus.timed_pop_filtered(
                     5 * 10**9, self._gst.MessageType.EOS
                     | self._gst.MessageType.ERROR)
+                if (msg is not None and getattr(msg, "type", None)
+                        == self._gst.MessageType.ERROR):
+                    err = msg.parse_error()
             except Exception:
                 pass
         self._pipeline.set_state(self._gst.State.NULL)
+        if err is not None:
+            raise EncodeError(f"GStreamer encode failed: {err}")
 
     def __enter__(self):
         return self

@@ -85,6 +85,12 @@ def planarize(frame: np.ndarray, hp: int, wp: int,
     ``swap_rb=True`` converts BGR(A) input to RGB planes in the same pass.
     """
     h, w, c = frame.shape
+    if h > hp or w > wp:
+        # the native kernel writes y*wp+x for y<h unclamped — an oversized
+        # frame (e.g. a mid-stream caps change on a network source) must
+        # fail loudly here, not corrupt the heap
+        raise ValueError(f"frame {w}x{h} exceeds padded geometry "
+                         f"{wp}x{hp} (geometry changed mid-stream?)")
     if out is None:
         out = np.empty((3, hp, wp), np.uint8)
     if _lib is not None and frame.dtype == np.uint8:
@@ -107,6 +113,8 @@ def interleave(planes: np.ndarray, h: int, w: int,
     """Planar uint8 (c, hp, wp) -> HWC (h, w, 3) uint8, cropping padding;
     c == 1 broadcasts gray.  ``swap_rb=True`` emits BGR for cv2 encoders."""
     c, hp, wp = planes.shape
+    if h > hp or w > wp:
+        raise ValueError(f"crop {w}x{h} exceeds plane geometry {wp}x{hp}")
     if out is None:
         out = np.empty((h, w, 3), np.uint8)
     if _lib is not None and planes.dtype == np.uint8:
@@ -158,10 +166,16 @@ class FrameRing:
             self._closed = False
 
     def push(self, data: np.ndarray) -> bool:
-        """Blocking push of a uint8 buffer; False if the ring is closed."""
+        """Blocking push of a uint8 buffer; False if the ring is closed.
+        The payload must fit the slot exactly — a silent truncation (or a
+        stale slot tail) would hand the consumer a corrupted frame."""
         if data.dtype != np.uint8:
             raise TypeError(f"FrameRing carries uint8, got {data.dtype}")
         flat = data.reshape(-1)
+        if flat.size != self.slot_bytes:
+            raise ValueError(f"payload {flat.size} B != slot size "
+                             f"{self.slot_bytes} B (geometry changed "
+                             f"mid-stream?)")
         if self._native:
             return _lib.fp_ring_push(self._h, _u8p(flat), flat.nbytes) == 0
         n = min(flat.size, self.slot_bytes)

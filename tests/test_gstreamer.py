@@ -52,12 +52,18 @@ class FakeBuffer:
 
 
 class FakeSink:
-    def __init__(self, samples):
+    def __init__(self, samples, stalled=False):
         self.samples = list(samples)
         self.props = {}
+        self.stalled = stalled  # drained but NOT at EOS (live stall)
 
     def set_property(self, k, v):
         self.props[k] = v
+
+    def get_property(self, k):
+        if k == "eos":
+            return not self.samples and not self.stalled
+        return self.props.get(k)
 
     def emit(self, signal, *a):
         if signal in ("pull-preroll", "try-pull-preroll"):
@@ -76,13 +82,15 @@ class FakeElement:
 
 
 class FakeSrc:
-    def __init__(self):
+    def __init__(self, flow="OK"):
         self.pushed = []
         self.eos = False
+        self.flow = flow
 
     def emit(self, signal, *a):
         if signal == "push-buffer":
             self.pushed.append(a[0])
+            return getattr(FakeGst.FlowReturn, self.flow)
         elif signal == "end-of-stream":
             self.eos = True
 
@@ -93,22 +101,28 @@ class FakeError:
 
 
 class FakeBus:
-    def __init__(self, error=False):
+    def __init__(self, error=False, writer_error=False):
         self.error = error
+        self.writer_error = writer_error
 
     def timed_pop_filtered(self, timeout_ns, mask):
         if timeout_ns == 0:  # reader error probe: None = no pending error
             return FakeError() if self.error else None
-        return object()  # writer EOS wait: immediate
+        if self.writer_error:  # writer close: ERROR instead of EOS
+            msg = FakeError()
+            msg.type = FakeGst.MessageType.ERROR
+            return msg
+        msg = types.SimpleNamespace(type=FakeGst.MessageType.EOS)
+        return msg  # writer EOS wait: immediate
 
 
 class FakePipeline:
-    def __init__(self, elements, bus_error=False):
+    def __init__(self, elements, bus_error=False, writer_error=False):
         self.elements = dict(elements)
         self.elements.setdefault("src", FakeElement())
         self.elements.setdefault("out", FakeElement())
         self.states = []
-        self._bus = FakeBus(bus_error)
+        self._bus = FakeBus(bus_error, writer_error)
 
     def get_by_name(self, name):
         return self.elements.get(name)
@@ -130,6 +144,8 @@ class FakeGst:
     State = types.SimpleNamespace(PLAYING="PLAYING", NULL="NULL")
     MapFlags = types.SimpleNamespace(READ=1)
     MessageType = types.SimpleNamespace(EOS=1, ERROR=2)
+    FlowReturn = types.SimpleNamespace(OK="OK", ERROR="ERROR",
+                                       FLUSHING="FLUSHING")
 
     class Buffer:
         @staticmethod
@@ -137,11 +153,15 @@ class FakeGst:
             return FakeBuffer(data, pts=None)
 
     def __init__(self, frames=(), w=0, h=0, pts_list=None, num=24,
-                 row_pad=0, bus_error=False):
+                 row_pad=0, bus_error=False, stalled=False,
+                 writer_error=False, src_flow="OK"):
         self._frames, self._w, self._h, self._num = frames, w, h, num
         self._pts = pts_list or [None] * len(frames)
         self._row_pad = row_pad
         self._bus_error = bus_error
+        self._stalled = stalled
+        self._writer_error = writer_error
+        self._src_flow = src_flow
         self.sinks, self.srcs, self.launches = [], [], []
 
     def _payload(self, f):
@@ -162,12 +182,13 @@ class FakeGst:
                         FakeCapsStruct(self._w, self._h, num=self._num)),
                     get_buffer=lambda _f=f, _p=p: FakeBuffer(
                         self._payload(_f), _p))
-                 for f, p in zip(self._frames, self._pts)])
+                 for f, p in zip(self._frames, self._pts)],
+                stalled=self._stalled)
             self.sinks.append(sink)
             return FakePipeline({"sink": sink}, bus_error=self._bus_error)
-        src = FakeSrc()
+        src = FakeSrc(self._src_flow)
         self.srcs.append(src)
-        return FakePipeline({"src": src})
+        return FakePipeline({"src": src}, writer_error=self._writer_error)
 
 
 @pytest.fixture
@@ -477,3 +498,96 @@ def test_run_dips_on_files_honors_video_backend(fake_gst, tmp_path):
     assert len(g.sinks) == 2 and len(g.srcs) == 2
     for src in g.srcs:
         assert len(src.pushed) == 4 and src.eos
+
+
+# ---------------------------------------------------------------------------
+# self-review round 2: media-layer hardening
+# ---------------------------------------------------------------------------
+
+def test_nonlive_uri_keeps_every_frame(fake_gst, tmp_path):
+    """file:// (and http VOD) are NOT live: the appsink must block the
+    decoder (drop=false), never silently discard frames of a file."""
+    g = fake_gst(_rgb_frames(1, 4, 8), 8, 4)
+    r = GstVideoReader("file:///data/clip.mp4")
+    assert "drop=false" in g.launches[0]
+    r.close()
+    g2 = fake_gst(_rgb_frames(1, 4, 8), 8, 4)
+    r = GstVideoReader("rtsp://cam/live")
+    assert "drop=true" in g2.launches[0]  # live: drop stale, free the sender
+    r.close()
+
+
+def test_uri_schemes_case_insensitive():
+    from dips_tpu.io.gstreamer import is_live_uri, is_stream_uri
+
+    assert is_stream_uri("RTSP://cam/s") and is_live_uri("RTSP://cam/s")
+    assert is_stream_uri("File:///x.avi") and not is_live_uri("File:///x.avi")
+
+
+def test_stalled_live_source_raises_not_eos(fake_gst, tmp_path):
+    """A pull timeout with the source alive must raise, not report a
+    successful end-of-stream that silently truncates the run."""
+    frames = _rgb_frames(1, 4, 8)
+    fake_gst(frames, 8, 4, stalled=True)
+    r = GstVideoReader("rtsp://cam/live")
+    np.testing.assert_array_equal(r.read(), frames[0])
+    with pytest.raises(DecodeError, match="stalled"):
+        r.read()
+    r.close()
+
+
+def test_drained_file_still_reports_eos(fake_gst, tmp_path):
+    frames = _rgb_frames(2, 4, 8)
+    fake_gst(frames, 8, 4)
+    p = tmp_path / "v.avi"
+    p.write_bytes(b"x")
+    r = GstVideoReader(str(p))
+    assert r.read() is not None and r.read() is not None
+    assert r.read() is None  # drained + sink at EOS -> clean end
+    r.close()
+
+
+def test_missing_pts_resets_last_pts(fake_gst, tmp_path):
+    """A PTS-less buffer must yield last_pts=None, not the previous
+    frame's timestamp (a stale duplicate makes the CFR retimer drop it)."""
+    frames = _rgb_frames(2, 4, 8)
+    fake_gst(frames, 8, 4, pts_list=[int(1e8), None])
+    p = tmp_path / "v.avi"
+    p.write_bytes(b"x")
+    r = GstVideoReader(str(p))
+    _, pts0 = r.read_timed()
+    _, pts1 = r.read_timed()
+    assert pts0 == pytest.approx(0.1) and pts1 is None
+    r.close()
+
+
+def test_writer_surfaces_encode_errors(fake_gst, tmp_path):
+    """Push FlowReturn and close-time bus ERROR must raise EncodeError
+    (the OpenCV writer raises for the same conditions)."""
+    from dips_tpu.errors import EncodeError
+
+    fake_gst(src_flow="FLUSHING")
+    w = GstVideoWriter(str(tmp_path / "o.avi"), 10, 8, 4)
+    with pytest.raises(EncodeError, match="push-buffer"):
+        w.write(np.zeros((4, 8, 3), np.uint8))
+
+    fake_gst(writer_error=True)
+    w = GstVideoWriter(str(tmp_path / "o2.avi"), 10, 8, 4)
+    w.write(np.zeros((4, 8, 3), np.uint8))
+    with pytest.raises(EncodeError, match="encode failed"):
+        w.close()
+
+
+def test_native_layout_rejects_oversized_frames():
+    """Mid-stream geometry growth must fail loudly, not write out of
+    bounds through the native kernels or silently truncate ring slots."""
+    from dips_tpu import native
+
+    with pytest.raises(ValueError, match="exceeds padded"):
+        native.planarize(np.zeros((16, 200, 3), np.uint8), 16, 128)
+    with pytest.raises(ValueError, match="exceeds plane"):
+        native.interleave(np.zeros((3, 8, 128), np.uint8), 16, 64)
+    ring = native.FrameRing(slots=2, slot_bytes=64)
+    with pytest.raises(ValueError, match="slot size"):
+        ring.push(np.zeros(65, np.uint8))
+    ring.close()
