@@ -215,9 +215,19 @@ def probe_ring_caps(windows=(3, 5, 7), h: int = 1080, w: int = 1920,
                     measure_factory=_ring_measure_factory) -> dict:
     """Per-window wp*bh product caps on THIS device (largest geometry that
     compiles; ties broken by Mosaic, not by us).  Returns
-    {window: {"cap", "bh", "wp", "sec_per_step", "fps"}}."""
+    {window: {"cap", "bh", "wp", "sec_per_step", "fps"}}.
+
+    Stored caps use the t=4 convention _ring_geometry derates from
+    (cap * 96 // (48 + 12t)); measuring at a different ``t`` normalizes
+    the edge back, so runtime derating reproduces the measured fit
+    instead of double-derating.  Windows are clamped to the kernel's
+    odd 1..7 domain (the properties clamp) — an unclamped key would be
+    persisted under a cache entry the runtime never consults."""
     from .ops.pallas_fused import _RING_BH_PRODUCT_CAPS
+    from .properties import DiPsProperties
     results = {}
+    windows = sorted({DiPsProperties(window_size=win).window_size
+                      for win in windows})
     for win in windows:
         measure, hp, wp = measure_factory(win, h, w, t, b)
         fpb = 8 if wp < 3000 else 4
@@ -242,7 +252,8 @@ def probe_ring_caps(windows=(3, 5, 7), h: int = 1080, w: int = 1920,
                         h, w)
             continue
         sec = timings[best]
-        results[win] = {"cap": wp * best, "bh": best, "wp": wp,
+        cap_t4 = wp * best * (48 + 12 * t) // (48 + 12 * 4)
+        results[win] = {"cap": cap_t4, "bh": best, "wp": wp,
                         "sec_per_step": sec, "fps": b / sec}
     return results
 
@@ -303,9 +314,10 @@ def main(argv=None) -> int:
                         format="%(message)s")
 
     import jax
-    if jax.default_backend() == "cpu":
-        print("autotune needs a TPU (CPU interpret mode has no VMEM "
-              "limits to measure); the baked-in v5e pins remain in use",
+    if jax.default_backend() != "tpu":
+        print(f"autotune needs a TPU (backend is "
+              f"{jax.default_backend()!r}: CPU/GPU have no Mosaic VMEM "
+              f"limits to measure); the baked-in v5e pins remain in use",
               file=sys.stderr)
         return 1
     kind = jax.devices()[0].device_kind

@@ -186,7 +186,11 @@ def main(argv: Optional[List[str]] = None) -> int:
         print(f"thumbnail written: {args.thumbnail}")
         return 0
 
-    if args.subsample:
+    if args.subsample is not None:
+        if args.subsample < 1:
+            print(f"--subsample must be >= 1, got {args.subsample}",
+                  file=sys.stderr)
+            return 2
         if not (args.input and args.output):
             print("--subsample requires --input and --output", file=sys.stderr)
             return 2
@@ -203,6 +207,9 @@ def main(argv: Optional[List[str]] = None) -> int:
             return 2
         from .app import run_dips_on_files
         from .errors import DiPsError
+        enc = _parse_encoding(args.encoding)
+        if enc is None:
+            return 2
         mesh = None
         if args.mesh:
             from .parallel.grid2d import grid_mesh
@@ -212,15 +219,21 @@ def main(argv: Optional[List[str]] = None) -> int:
                 print(f"bad --mesh {args.mesh!r} (want SxR, e.g. 2x4)",
                       file=sys.stderr)
                 return 2
-            mesh = grid_mesh(s_ax, r_ax)
+            try:
+                mesh = grid_mesh(s_ax, r_ax)
+            except ValueError as e:  # e.g. more devices than the host has
+                print(f"error: {e}", file=sys.stderr)
+                return 1
         try:
             counts = run_dips_on_files(args.inputs, args.output_dir,
-                                       args.encoding, props,
+                                       enc, props,
                                        batch=args.batch,
                                        backend=args.backend, mesh=mesh,
                                        input_layout=args.input_layout,
                                        video_backend=args.video_backend)
-        except (DiPsError, NotImplementedError) as e:
+        except (DiPsError, NotImplementedError, ValueError) as e:
+            # ValueError: engine/mesh configuration (row slab < halo,
+            # pallas on a 2-D mesh, ...) — a user error, not a crash
             print(f"error: {e}", file=sys.stderr)
             return 1
         failed = [i for i, c in enumerate(counts) if c < 0]
@@ -255,7 +268,9 @@ def main(argv: Optional[List[str]] = None) -> int:
             show=args.live)  # --live with --dat-dir = preview while batching
     elif args.live:
         from .live import run_live
-        return run_live(props, batch=args.batch, backend=args.backend)
+        # the preview loop is strictly frame-at-a-time: a batch-N engine
+        # would compute N-1 replicated padding frames per preview frame
+        return run_live(props, backend=args.backend)
     else:
         if not (args.input and args.output):
             print("need --input and --output (see --help)", file=sys.stderr)

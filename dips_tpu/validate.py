@@ -290,7 +290,7 @@ def main(argv=None) -> int:
     ap.add_argument("--backend", default="pallas",
                     choices=["pallas", "xla"])
     ap.add_argument("--quick", action="store_true",
-                    help="3 cases instead of 6 (fewer compiles)")
+                    help=f"3 cases instead of {len(CASES)} (fewer compiles)")
     ap.add_argument("--soak", type=int, nargs="?", const=512, default=None,
                     metavar="N",
                     help="streaming soak: N frames (default 512) through "

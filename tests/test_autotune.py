@@ -176,3 +176,49 @@ def test_geometry_overrides_are_scoped(monkeypatch):
 def test_autotune_cli_refuses_cpu(capsys):
     assert autotune.main([]) == 1
     assert "needs a TPU" in capsys.readouterr().err
+
+
+def test_probe_ring_caps_normalizes_temporal_to_t4():
+    """Code-review regression: caps measured at t != 4 are stored in the
+    t=4 convention _ring_geometry derates from — otherwise the runtime
+    double-derates the measured edge."""
+    def factory(win, h, w, t, b):
+        def measure(fpb, bh):
+            if bh > 16:
+                raise ProbeOOM(f"bh={bh}")
+            return 0.001 * bh
+        return measure, 48, 2048
+
+    res8 = autotune.probe_ring_caps(windows=(3,), h=48, w=1920, t=8, b=64,
+                                    measure_factory=factory)
+    # measured edge 16*2048 at t=8 -> stored as t=4 units: * 144/96
+    assert res8[3]["cap"] == 16 * 2048 * 144 // 96
+    # runtime derate back to t=8 reproduces the measured product
+    assert res8[3]["cap"] * 96 // 144 == 16 * 2048
+
+
+def test_probe_ring_caps_clamps_window_keys():
+    """Even / out-of-range windows measure the clamped kernel; the cache
+    key must be the clamped window the runtime actually consults."""
+    seen = []
+
+    def factory(win, h, w, t, b):
+        seen.append(win)
+
+        def measure(fpb, bh):
+            if bh > 8:
+                raise ProbeOOM(f"bh={bh}")
+            return 0.001 * bh
+        return measure, 48, 2048
+
+    res = autotune.probe_ring_caps(windows=(9, 4, 3), h=48, w=1920, b=64,
+                                   measure_factory=factory)
+    assert sorted(res) == [3, 7] and seen == [3, 7]  # clamped + deduped
+
+
+def test_autotune_cli_refuses_gpu(capsys, monkeypatch):
+    import jax
+
+    monkeypatch.setattr(jax, "default_backend", lambda: "gpu")
+    assert autotune.main([]) == 1
+    assert "needs a TPU" in capsys.readouterr().err

@@ -486,3 +486,35 @@ def test_decode_stall_timeout_configurable():
                    batch=1, decode_stall_s=None)
     got = [idx for idx, _i, _o, _s in stream_dips(job2)]
     assert got == [0, 1] and rd2.closed
+
+
+def test_cli_subsample_zero_rejected(tmp_path, capsys):
+    from dips_tpu.cli import main as cli_main
+
+    rc = cli_main(["--input", "a.avi", "--output", "b.avi",
+                   "--subsample", "0"])
+    assert rc == 2
+    assert "subsample" in capsys.readouterr().err
+
+
+def test_cli_inputs_bad_encoding_friendly(tmp_path, capsys):
+    from dips_tpu.cli import main as cli_main
+
+    rc = cli_main(["--inputs", "a.avi", "b.avi",
+                   "--output-dir", str(tmp_path), "--encoding", "vp9"])
+    assert rc == 2
+    assert "unknown --encoding" in capsys.readouterr().err
+
+
+def test_cli_inputs_oversized_mesh_friendly(tmp_path, capsys):
+    """A mesh wanting more devices than the host has must print an error,
+    not a traceback."""
+    from dips_tpu.cli import main as cli_main
+    from dips_tpu.io import moving_square_clip, write_clip
+
+    p = str(tmp_path / "a.avi")
+    write_clip(moving_square_clip(n=2, height=16, width=24), p, fps=20)
+    rc = cli_main(["--inputs", p, "--output-dir", str(tmp_path / "o"),
+                   "--mesh", "8x8"])
+    assert rc == 1
+    assert "error:" in capsys.readouterr().err
