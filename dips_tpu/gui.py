@@ -23,6 +23,15 @@ import threading
 SENSITIVITY_MAX = 10.0  # ref: entry/src/main.rs:13
 
 
+def thumbnail_cache_valid(video_path: str, thumb_path: str) -> bool:
+    """A cached thumbnail is valid only if it is NEWER than the video —
+    re-recording over the same filename must refresh the preview."""
+    try:
+        return os.path.getmtime(thumb_path) >= os.path.getmtime(video_path)
+    except OSError:
+        return False
+
+
 def props_from_controls(colorize: bool, filt: str, chroma: str, method: str,
                         window: int, sensitivity: float):
     """Widget values -> DiPsProperties (factored out of the Tk callbacks so
@@ -92,7 +101,7 @@ def run_gui() -> int:
         # thumbnail preview, cached beside the input
         tpath = p + ".thumb.png"
         try:
-            if not os.path.exists(tpath):
+            if not thumbnail_cache_valid(p, tpath):
                 extract_thumbnail(p, tpath, height=120)
             img = tk.PhotoImage(file=tpath)
             thumb_label.configure(image=img, text="")
@@ -104,6 +113,9 @@ def run_gui() -> int:
         if not state["input"]:
             messagebox.showerror("DiPs", "Choose an input video first")
             return
+        if state.get("running"):
+            messagebox.showinfo("DiPs", "A run is already in progress")
+            return
         out = filedialog.asksaveasfilename(
             title="Output video", defaultextension=".avi")
         if not out:
@@ -112,6 +124,7 @@ def run_gui() -> int:
                                     method.get(), win.get(), sens.get())
         job = DiPsJob(properties=props, video_path=state["input"],
                       output_path=out)
+        state["running"] = True
         status.configure(text="running…")
 
         def work():  # run off the UI thread (ref: smol::spawn, main.rs:98)
@@ -120,9 +133,14 @@ def run_gui() -> int:
                 text = f"done: {stats.shape[0]} frames → {out}"
             except Exception as e:
                 text = f"failed: {e}"
+            state["running"] = False
             # Tk widgets are NOT thread-safe: marshal the update back onto
-            # the mainloop thread (root.after is the documented safe entry)
-            root.after(0, lambda: status.configure(text=text))
+            # the mainloop thread (root.after is the documented safe entry);
+            # the window may have been closed mid-job
+            try:
+                root.after(0, lambda: status.configure(text=text))
+            except RuntimeError:
+                pass
 
         threading.Thread(target=work, daemon=True).start()
 

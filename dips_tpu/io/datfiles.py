@@ -57,5 +57,16 @@ def read_dat_frame(path: str, width: int = DEFAULT_WIDTH,
 
 def read_dat_dir(data_dir: str, width: int = DEFAULT_WIDTH,
                  height: int = DEFAULT_HEIGHT) -> Iterator[np.ndarray]:
+    """Frames from every dump in the directory.  A 'D' file that is not a
+    dump (a stray Desktop.ini, or the run's own output landing in the
+    data dir) is skipped with a warning — one alien file must not abort
+    the whole batch (the reference likewise skips non-matching files)."""
+    import logging
+    log = logging.getLogger("dips_tpu.datfiles")
     for p in list_dat_files(data_dir):
-        yield read_dat_frame(p, width, height)
+        try:
+            frame = read_dat_frame(p, width, height)
+        except DecodeError as e:
+            log.warning("skipping non-dump file: %s", e)
+            continue
+        yield frame

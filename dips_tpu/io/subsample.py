@@ -15,6 +15,8 @@ def subsample_video(input_path: str, output_path: str, keep_every: int = 10,
     most ``target_seconds``.  Returns frames written."""
     if keep_every < 1:
         raise ValueError("keep_every must be >= 1")
+    if target_seconds <= 0:
+        raise ValueError("target_seconds must be > 0")
     # the writer needs fps (= kept count / target) up front, so count kept
     # frames from the container index; fall back to a counting pass when
     # the container has no reliable frame count — but never buffer the

@@ -190,7 +190,11 @@ def _validate_merge(ops: Sequence[Comparator], a: List[int], b: List[int],
 
 
 def _merge_tree_shapes(k: int):
-    """All binary merge-tree shapes over k identical leaves (None = leaf)."""
+    """Binary merge-tree shapes over k identical leaves (None = leaf),
+    up to mirror symmetry (left <= right splits only — comparator/unit
+    counts are mirror-invariant, so the cost-model ranking is complete;
+    mirror ORDERS can differ on silicon and are covered by the measured
+    `_MEASURED_SHAPES` pins, not this search)."""
     if k == 1:
         yield None
         return
@@ -288,7 +292,7 @@ def column_median_plan(w: int) -> Tuple[Tuple[Comparator, ...],
             key=lambda r: r[:2])
         best_shape = ranked[0][2]
     pruned, out_wire = _build_median_plan(w, best_shape, validate=True)
-    return tuple((i, j) for i, j in sorting_network(w)), pruned, out_wire
+    return sorting_network(w), pruned, out_wire
 
 
 def separable_median(vertical_taps: Sequence, shift, minimum, maximum):

@@ -92,7 +92,13 @@ def device_entry(kind: Optional[str] = None) -> dict:
     kind = kind if kind is not None else _device_kind()
     if kind is None:
         return {}
-    return _load().get(kind, {})
+    entry = _load().get(kind, {})
+    if not isinstance(entry, dict):
+        # wrong-typed (hand-edited) entries must degrade to "no override"
+        # like every other cache defect — these are read at TRACE time
+        log.warning("ignoring malformed autotune entry for %r", kind)
+        return {}
+    return entry
 
 
 def ring_product_cap(window: int,
@@ -100,15 +106,26 @@ def ring_product_cap(window: int,
     """Measured wp*bh product cap for the median ring kernel at this
     window on this device kind, or None (use the baked-in pin)."""
     caps = device_entry(kind).get("ring_caps", {})
+    if not isinstance(caps, dict):
+        return None
     v = caps.get(str(window))
-    return int(v) if v else None
+    try:
+        return int(v) if v else None
+    except (TypeError, ValueError):
+        log.warning("ignoring malformed ring cap %r for window %d", v,
+                    window)
+        return None
 
 
 def raw_target_bytes(kind: Optional[str] = None) -> Optional[int]:
     """Measured DMA-sweet-spot input-block size for the raw absdiff
     kernel on this device kind, or None (use the baked-in pin)."""
     v = device_entry(kind).get("raw_target_bytes")
-    return int(v) if v else None
+    try:
+        return int(v) if v else None
+    except (TypeError, ValueError):
+        log.warning("ignoring malformed raw_target_bytes %r", v)
+        return None
 
 
 def save(kind: str, ring_caps: Optional[dict] = None,
@@ -124,12 +141,19 @@ def save(kind: str, ring_caps: Optional[dict] = None,
     cap.  The raw target is a timed optimum (not monotone-safe): the last
     run wins, so run autotune at the geometry you deploy."""
     path = cache_path()
-    data = _load().copy()
-    entry = dict(data.get(kind, {}))
+    invalidate()        # re-read the FILE: another process (a concurrent
+    data = _load().copy()  # autotune run) may have written since we loaded
+    raw_entry = data.get(kind, {})
+    entry = dict(raw_entry) if isinstance(raw_entry, dict) else {}
     if ring_caps:
-        merged = dict(entry.get("ring_caps", {}))
+        prior = entry.get("ring_caps", {})
+        merged = dict(prior) if isinstance(prior, dict) else {}
         for k, v in ring_caps.items():
-            merged[str(k)] = max(int(v), int(merged.get(str(k), 0)))
+            try:
+                prev = int(merged.get(str(k), 0))
+            except (TypeError, ValueError):
+                prev = 0
+            merged[str(k)] = max(int(v), prev)
         entry["ring_caps"] = merged
     if raw_target:
         entry["raw_target_bytes"] = int(raw_target)

@@ -160,3 +160,87 @@ def test_cli_and_serve_accept_compile_cache_flag():
     assert args.compile_cache == ""
     args = build_parser().parse_args(["--input", "x.avi"])
     assert args.compile_cache is None
+
+
+def test_tuning_malformed_entries_degrade_to_no_override(tmp_path,
+                                                         monkeypatch):
+    """Wrong-typed (hand-edited) autotune cache entries must degrade to
+    'no override' at trace time, never crash the pipeline."""
+    import json
+
+    from dips_tpu.ops import tuning
+
+    path = tmp_path / "autotune.json"
+    path.write_text(json.dumps({
+        "ListKind": ["oops"],
+        "BadCaps": {"ring_caps": {"3": "oops"}, "raw_target_bytes": "x"},
+    }))
+    monkeypatch.setenv("DIPS_TPU_AUTOTUNE_CACHE", str(path))
+    tuning.invalidate()
+    assert tuning.device_entry("ListKind") == {}
+    assert tuning.ring_product_cap(3, kind="BadCaps") is None
+    assert tuning.raw_target_bytes(kind="BadCaps") is None
+    # save() merges OVER the malformed entries without crashing
+    tuning.save("BadCaps", ring_caps={3: 1000}, raw_target=2000)
+    assert tuning.ring_product_cap(3, kind="BadCaps") == 1000
+    assert tuning.raw_target_bytes(kind="BadCaps") == 2000
+
+
+def test_tuning_save_rereads_file(tmp_path, monkeypatch):
+    """save() must merge against the FILE, not a stale in-memory copy —
+    concurrent autotune runs accumulate, not clobber."""
+    import json
+
+    from dips_tpu.ops import tuning
+
+    path = tmp_path / "autotune.json"
+    monkeypatch.setenv("DIPS_TPU_AUTOTUNE_CACHE", str(path))
+    tuning.invalidate()
+    assert tuning.ring_product_cap(3, kind="K") is None  # loads (empty)
+    # another process writes an entry behind our back
+    path.write_text(json.dumps({"K": {"ring_caps": {"5": 7777}}}))
+    tuning.save("K", ring_caps={3: 1111})
+    data = json.loads(path.read_text())
+    assert data["K"]["ring_caps"] == {"3": 1111, "5": 7777}
+
+
+def test_gui_thumbnail_cache_freshness(tmp_path):
+    import os
+    import time
+
+    from dips_tpu.gui import thumbnail_cache_valid
+
+    video = tmp_path / "v.avi"
+    thumb = tmp_path / "v.avi.thumb.png"
+    video.write_bytes(b"x")
+    assert not thumbnail_cache_valid(str(video), str(thumb))  # no thumb
+    thumb.write_bytes(b"t")
+    assert thumbnail_cache_valid(str(video), str(thumb))
+    # re-record the video AFTER the thumbnail -> cache is stale
+    later = time.time() + 10
+    os.utime(video, (later, later))
+    assert not thumbnail_cache_valid(str(video), str(thumb))
+
+
+def test_dat_dir_skips_alien_d_files(tmp_path):
+    """A stray 'D' file that is not a dump must be skipped, not abort the
+    batch."""
+    import numpy as np
+
+    from dips_tpu.io.datfiles import read_dat_dir
+
+    w, h = 4, 6
+    for i in range(2):
+        rgba = np.full((h, w, 4), 10 * (i + 1), np.uint8)
+        (tmp_path / f"Dat_{i}.d").write_bytes(b"\0" * 4 + rgba.tobytes())
+    (tmp_path / "DESIGN.md").write_text("not a dump")
+    frames = list(read_dat_dir(str(tmp_path), width=w, height=h))
+    assert len(frames) == 2
+    assert frames[0][0, 0, 0] == 10 and frames[1][0, 0, 0] == 20
+
+
+def test_subsample_rejects_bad_target_seconds(tmp_path):
+    from dips_tpu.io.subsample import subsample_video
+
+    with pytest.raises(ValueError, match="target_seconds"):
+        subsample_video("in.avi", "out.avi", keep_every=2, target_seconds=0)
