@@ -296,7 +296,11 @@ def main(argv=None) -> int:
                     help="streaming soak: N frames (default 512) through "
                          "both step protocols with markers + mid-stream "
                          "checkpoint replay, asserting equality")
+    from .utils.compilecache import (add_compile_cache_flag,
+                                     apply_compile_cache_flag)
+    add_compile_cache_flag(ap)
     args = ap.parse_args(argv)
+    apply_compile_cache_flag(args)
     if args.soak is not None:
         return soak(args.soak)
     return run(args.backend, args.quick)
