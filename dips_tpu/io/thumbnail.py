@@ -30,6 +30,11 @@ def extract_thumbnail(input_path: str, output_path: str,
     interp = cv2.INTER_AREA if scale <= 1.0 else cv2.INTER_LINEAR
     thumb = cv2.resize(frame, (max(1, int(round(w * scale))), height),
                        interpolation=interp)
-    if not cv2.imwrite(output_path, cv2.cvtColor(thumb, cv2.COLOR_RGB2BGR)):
+    try:
+        ok = cv2.imwrite(output_path, cv2.cvtColor(thumb, cv2.COLOR_RGB2BGR))
+    except cv2.error as e:  # unknown extension RAISES rather than False
+        raise EncodeError(f"could not write thumbnail: {output_path} "
+                          f"({e})") from None
+    if not ok:
         raise EncodeError(f"could not write thumbnail: {output_path}")
     return thumb

@@ -243,6 +243,7 @@ class DiPsOracle:
         self._baseline: Optional[np.ndarray] = None   # (H, W) f32
         self._raw_baseline: Optional[np.ndarray] = None  # uint8 frame
         self._prev_raw: Optional[np.ndarray] = None
+        self._prev_filtered: Optional[np.ndarray] = None  # (H, W) f32
         #: accumulated per-pixel sum of |raw_diff| (the intensity-change
         #: heatmap, BASELINE configs[2])
         self.heatmap: Optional[np.ndarray] = None

@@ -314,12 +314,8 @@ def absdiff_step(props: DiPsProperties, h: int, w: int,
     prev_raw = raw[t - 1:-1]
 
     if props.method == DiPsMethod.OVERALL:
-        def capture(bl, xs):
-            f, flag = xs
-            bl = jnp.where(flag, f, bl)
-            return bl, bl
-        new_baseline, baselines = lax.scan(
-            capture, baseline_raw, (new, snap_flags))
+        new_baseline, baselines = capture_scan(baseline_raw, new,
+                                               snap_flags)
     else:
         new_baseline = baseline_raw
         baselines = prev_raw

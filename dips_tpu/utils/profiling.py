@@ -50,17 +50,19 @@ class StageTimers:
 
     def summary(self) -> Dict[str, dict]:
         out = {}
+        elapsed = self.elapsed  # one denominator: shares must reconcile
         for name, total in sorted(self.totals.items()):
             n = self.counts[name]
             out[name] = {
                 "total_s": round(total, 4),
                 "calls": n,
                 "mean_ms": round(total / n * 1e3, 3) if n else 0.0,
-                "share": round(total / self.elapsed, 3),
+                "share": round(total / elapsed, 3),
             }
         out["_overall"] = {"frames": self.frames,
-                           "elapsed_s": round(self.elapsed, 3),
-                           "fps": round(self.fps, 1)}
+                           "elapsed_s": round(elapsed, 3),
+                           "fps": round(self.frames / elapsed, 1)
+                           if elapsed else 0.0}
         return out
 
     def __str__(self) -> str:
