@@ -42,6 +42,21 @@ class DeviceError(DiPsError):
     acquisition panics, dips_alt/src/gpu_controller.rs:52)."""
 
 
+class ReplyLost(DiPsError):
+    """A reconnecting serving client found its in-flight frames WERE
+    processed by the server (the stream cursor advanced) but the reply
+    died with the connection.  The frames are accounted for — resending
+    would double-process them — so their outputs are irrecoverable; the
+    caller skips them and keeps streaming.
+    """
+
+    def __init__(self, n_frames: int):
+        self.n_frames = int(n_frames)
+        super().__init__(
+            f"{n_frames} frame(s) were processed but their reply was lost "
+            f"with the connection; outputs skipped, stream continues")
+
+
 class StreamError(DiPsError):
     """Wraps a failure of one stream inside a multi-stream batch.
 

@@ -64,6 +64,7 @@ from typing import Optional, Tuple
 
 import numpy as np
 
+from .errors import ReplyLost
 from .models import DiPsEngine
 from .properties import DiPsProperties
 
@@ -503,6 +504,10 @@ class DiPsServer:
         self._pool = ({} if self.flexible
                       else ([] if self.engine is None else [self.engine]))
         self._named: dict = {}   # session token -> parked engine
+        #: token -> live connection socket: a NEW connection with the same
+        #: token kicks the old holder (latest-wins, device-shadow style)
+        #: and waits for its state to park before resuming it
+        self._active: dict = {}
         #: parked named sessions beyond this are evicted oldest-first
         self.max_named_sessions = 8 * self.max_sessions
         #: flexible-daemon bounds on idle device state under geometry
@@ -733,6 +738,31 @@ class DiPsServer:
             log.info("evicted %d idle geometry coalescer(s)", len(evicted))
         return evicted
 
+    def _takeover_token(self, tok: str, client) -> None:
+        """Latest-wins token semantics: if ``tok`` is live on another
+        connection (a camera reconnecting before the server noticed the
+        old link died), shut the old connection down and wait briefly for
+        its session to PARK — binding before the park would hand this
+        connection a fresh engine and strand the real streaming state."""
+        with self._pool_lock:
+            old = self._active.get(tok)
+        if old is None or old is client:
+            return
+        log.info("session %r taken over by a new connection", tok)
+        try:
+            old.shutdown(socket.SHUT_RDWR)
+        except OSError:
+            pass
+        deadline = time.monotonic() + 5.0
+        while time.monotonic() < deadline:
+            with self._pool_lock:
+                if tok in self._named or self._active.get(tok) in (None,
+                                                                   client):
+                    return
+            time.sleep(0.01)
+        log.warning("session %r: previous holder did not park in time",
+                    tok)
+
     def _bind_engine(self, token, geometry=None):
         """Engine for a session, bound lazily at its FIRST request (the
         request carries the optional session token).  Named tokens resume
@@ -863,6 +893,10 @@ class DiPsServer:
         finally:
             if bound:
                 self._release_engine(bound[0])
+            with self._pool_lock:
+                for tok in [t for t, c in self._active.items()
+                            if c is client]:
+                    del self._active[tok]
             self._count("active_sessions", -1)
             self._sessions.release()
 
@@ -936,6 +970,8 @@ class DiPsServer:
                         if cmd == "close":
                             _send(client, {"ok": True})
                             return
+                if tok is not None:
+                    self._takeover_token(tok, client)
                 try:
                     eng = self._bind_engine(tok, geometry)
                     bound.append(eng)
@@ -943,6 +979,9 @@ class DiPsServer:
                     self._count("request_errors")
                     _send(client, {"ok": False, "error": str(e)})
                     continue
+                if tok is not None:
+                    with self._pool_lock:
+                        self._active[tok] = client
             self._count("requests")
             try:
                 if cmd in ("process", "process_batch"):
@@ -1151,6 +1190,144 @@ class DiPsClient:
         except ConnectionError:
             pass
         self._sock.close()
+
+
+class ResilientDiPsClient:
+    """Edge-camera client: :class:`DiPsClient` + automatic reconnection.
+
+    Built for flaky links (cellular cameras, WAN backhaul): a connection
+    failure mid-request reconnects with exponential backoff and resumes
+    the parked session — a ``session`` token is therefore REQUIRED
+    (resume is what makes reconnecting meaningful).
+
+    Streamed frames are accounted exactly-once against the server's
+    session cursor: after a reconnect, ``hello`` reveals whether the
+    in-flight frames were processed before the connection died.  If they
+    never arrived they are resent transparently; if they WERE processed
+    (the reply died on the wire) the client raises :class:`ReplyLost` —
+    resending would double-process them — records them in
+    ``dropped_replies``, and the next call continues the stream.  A
+    server that lost the session's state entirely (daemon restart)
+    resumes fresh with a warning.
+    """
+
+    def __init__(self, port: int, host: str = "127.0.0.1",
+                 session: str = "", retries: int = 5,
+                 backoff_s: float = 0.2, max_backoff_s: float = 5.0):
+        if not session:
+            raise ValueError("ResilientDiPsClient requires a session token "
+                             "(reconnects resume the parked session)")
+        self.port, self.host, self.session = int(port), host, str(session)
+        self.retries = int(retries)
+        self.backoff_s, self.max_backoff_s = backoff_s, max_backoff_s
+        #: frames whose processing is confirmed server-side
+        self._cursor = 0
+        #: frames processed by the server whose replies died on the wire
+        self.dropped_replies = 0
+        self._cli = DiPsClient(port, host, session=self.session)
+        self._cursor = int(self._cli.hello().get("frame_index", 0))
+
+    _NET_ERRORS = (ConnectionError, BrokenPipeError, OSError)
+
+    def _reconnect(self) -> int:
+        """New connection + resume; returns the server's session cursor."""
+        try:
+            self._cli._sock.close()
+        except OSError:
+            pass
+        delay = self.backoff_s
+        for _ in range(self.retries):
+            try:
+                self._cli = DiPsClient(self.port, self.host,
+                                       session=self.session)
+                return int(self._cli.hello().get("frame_index", 0))
+            except self._NET_ERRORS:
+                time.sleep(delay)
+                delay = min(delay * 2, self.max_backoff_s)
+        raise ConnectionError(
+            f"could not reconnect to {self.host}:{self.port} after "
+            f"{self.retries} attempts")
+
+    def process(self, frame: np.ndarray, packed: bool = False
+                ) -> Tuple[np.ndarray, np.ndarray]:
+        outs, stats = self.process_many(frame[None], packed=packed)
+        return outs[0], stats[0]
+
+    def process_many(self, frames: np.ndarray, packed: bool = False
+                     ) -> Tuple[np.ndarray, np.ndarray]:
+        frames = np.ascontiguousarray(frames, np.uint8)
+        n = len(frames)
+        attempts = 0
+        while True:
+            try:
+                outs, stats = self._cli.process_many(frames, packed=packed)
+                self._cursor += n
+                return outs, stats
+            except self._NET_ERRORS:
+                attempts += 1
+                if attempts > self.retries:
+                    raise
+                server_ci = self._reconnect()
+                if server_ci >= self._cursor + n:
+                    # the batch WAS processed; only the reply was lost
+                    self._cursor = server_ci
+                    self.dropped_replies += n
+                    raise ReplyLost(n)
+                if server_ci < self._cursor:
+                    log.warning(
+                        "session %r state lost server-side (cursor %d < "
+                        "confirmed %d): resuming fresh", self.session,
+                        server_ci, self._cursor)
+                self._cursor = server_ci
+                # not processed: loop resends the same frames
+
+    def _retry(self, fn):
+        """Run an IDEMPOTENT command, reconnecting on network failure."""
+        attempts = 0
+        while True:
+            try:
+                return fn(self._cli)
+            except self._NET_ERRORS:
+                attempts += 1
+                if attempts > self.retries:
+                    raise
+                self._cursor = self._reconnect()
+
+    def hello(self) -> dict:
+        return self._retry(lambda c: c.hello())
+
+    def metrics(self) -> dict:
+        return self._retry(lambda c: c.metrics())
+
+    def snapshot(self) -> None:
+        self._retry(lambda c: c.snapshot())
+
+    def heatmap(self) -> np.ndarray:
+        return self._retry(lambda c: c.heatmap())
+
+    def save(self, path: str) -> None:
+        self._retry(lambda c: c.save(path))
+
+    def load(self, path: str) -> int:
+        ci = self._retry(lambda c: c.load(path))
+        self._cursor = int(ci)
+        return int(ci)
+
+    def reset(self) -> None:
+        self._retry(lambda c: c.reset())
+        self._cursor = 0
+
+    def close(self) -> None:
+        try:
+            self._cli.close()
+        except self._NET_ERRORS:
+            pass
+
+    def __enter__(self) -> "ResilientDiPsClient":
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.close()
 
 
 def main(argv=None) -> int:

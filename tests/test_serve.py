@@ -976,3 +976,124 @@ def test_geometry_churn_evicts_idle_state():
         assert n <= 2
     finally:
         srv.shutdown()
+
+
+# ---------------------------------------------------------------------------
+# resilient client (auto-reconnect + exactly-once accounting)
+# ---------------------------------------------------------------------------
+
+def test_resilient_client_reconnects_and_resends():
+    """A connection killed BEFORE the request reaches the server: the
+    client reconnects, resumes the parked session, and resends — the
+    stream is bit-identical to an uninterrupted run."""
+    from dips_tpu.serve import ResilientDiPsClient
+
+    props = DiPsProperties(window_size=1, temporal_size=1,
+                           filter=DiPsFilter.UNFILTERED)
+    srv = DiPsServer(props, 16, 24, port=0, batch=2, max_sessions=2)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        clip = make_clip(n=6, h=16, w=24, seed=4)
+        c = ResilientDiPsClient(srv.port, session="cam", backoff_s=0.05)
+        outs = [c.process(f)[0] for f in clip[:2]]
+        c._cli._sock.close()  # dead link; request never sent
+        outs += [c.process(f)[0] for f in clip[2:4]]  # reconnect + resend
+        c._cli._sock.close()
+        o_batch, _ = c.process_many(np.stack(clip[4:6]))
+        outs += list(o_batch)
+        c.close()
+
+        eng = DiPsEngine(props, 16, 24, batch=2)
+        exp, _ = eng.process_frames(list(clip))
+        np.testing.assert_array_equal(np.stack(outs), exp)
+        assert c.dropped_replies == 0
+    finally:
+        srv.shutdown()
+
+
+def test_resilient_client_reply_lost_accounting():
+    """A request processed by the server whose reply died on the wire:
+    the client must NOT resend (double-processing) — it raises ReplyLost,
+    records the drop, and the stream continues correctly aligned."""
+    import time
+
+    from dips_tpu.errors import ReplyLost
+    from dips_tpu.serve import ResilientDiPsClient, _send
+
+    props = DiPsProperties(window_size=1, temporal_size=1,
+                           filter=DiPsFilter.UNFILTERED)
+    srv = DiPsServer(props, 16, 24, port=0, batch=2, max_sessions=2)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        clip = make_clip(n=4, h=16, w=24, seed=5)
+        c = ResilientDiPsClient(srv.port, session="cam", backoff_s=0.05)
+        c.process(clip[0])
+        # send frame 1 manually, then kill the connection before reading
+        # the reply: the server processes it and parks the session
+        payload = np.ascontiguousarray(clip[1]).tobytes()
+        _send(c._cli._sock, {"cmd": "process",
+                             "shape": list(clip[1].shape),
+                             "session": "cam",
+                             "payload_len": len(payload)}, payload)
+        deadline = time.monotonic() + 5.0
+        while time.monotonic() < deadline:  # wait for the server cursor
+            with srv._pool_lock:
+                parked = "cam" in srv._named
+            if parked:
+                break
+            time.sleep(0.02)
+        c._cli._sock.close()
+        time.sleep(0.1)
+        with pytest.raises(ReplyLost):
+            c.process(clip[1])
+        assert c.dropped_replies == 1
+        # the NEXT frame continues the stream exactly-once: server cursor
+        # is 2 (frames 0 and 1), so frame 2 lands at index 2
+        c.process(clip[2])
+        assert c.hello()["frame_index"] == 3
+        c.close()
+    finally:
+        srv.shutdown()
+
+
+def test_resilient_client_survives_server_restart():
+    """Daemon restart (session state gone): the client resumes fresh with
+    a warning instead of erroring forever."""
+    import time
+
+    from dips_tpu.serve import ResilientDiPsClient
+
+    props = DiPsProperties(window_size=1, temporal_size=1,
+                           filter=DiPsFilter.UNFILTERED)
+    srv = DiPsServer(props, 16, 24, port=0, batch=2, max_sessions=2)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    port = srv.port
+    clip = make_clip(n=4, h=16, w=24, seed=6)
+    c = ResilientDiPsClient(port, session="cam", retries=8, backoff_s=0.1)
+    c.process_many(np.stack(clip[:2]))
+    srv.shutdown()
+    srv2 = None
+    for _ in range(50):  # the old listener can take a moment to release
+        time.sleep(0.1)
+        try:
+            srv2 = DiPsServer(props, 16, 24, port=port, batch=2,
+                              max_sessions=2)
+            break
+        except OSError:
+            continue
+    assert srv2 is not None, "could not rebind the port"
+    threading.Thread(target=srv2.serve_forever, daemon=True).start()
+    try:
+        out, _ = c.process_many(np.stack(clip[2:4]))  # fresh resume
+        assert out.shape == (2, 16, 24, 3)
+        assert c.hello()["frame_index"] == 2  # new server: only these 2
+        c.close()
+    finally:
+        srv2.shutdown()
+
+
+def test_resilient_client_requires_session():
+    from dips_tpu.serve import ResilientDiPsClient
+
+    with pytest.raises(ValueError, match="session"):
+        ResilientDiPsClient(1234)
