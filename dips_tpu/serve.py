@@ -887,6 +887,10 @@ class DiPsServer:
                 log.info("client %s", addr)
                 try:
                     self._serve_client(client, bound)
+                except (ConnectionResetError, BrokenPipeError) as e:
+                    # routine for edge fleets (RST on cell links, token
+                    # takeover kicks): one line, not a traceback
+                    log.info("client %s link dropped (%s)", addr, e)
                 except Exception:
                     # one bad/broken client must never kill the daemon
                     log.exception("client %s dropped", addr)
@@ -948,6 +952,12 @@ class DiPsServer:
                         _send(client, {"ok": False, "error": str(e)})
                         continue
                 if self.flexible and geometry is None:
+                    if tok is not None:
+                        # a reconnect can race the old connection's park:
+                        # kick + wait BEFORE the parked check, or the
+                        # pre-bind hello below reports frame_index 0 and
+                        # the client wrongly concludes its state is gone
+                        self._takeover_token(tok, client)
                     with self._pool_lock:
                         parked = tok is not None and tok in self._named
                     if not parked:

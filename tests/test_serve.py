@@ -1097,3 +1097,27 @@ def test_resilient_client_requires_session():
 
     with pytest.raises(ValueError, match="session"):
         ResilientDiPsClient(1234)
+
+
+def test_flexible_prebind_hello_waits_for_token_takeover():
+    """Reconnect race on a flexible daemon: a pre-bind hello with a token
+    whose old connection has not yet parked must kick + wait, then report
+    the TRUE cursor — not frame_index 0 (which a resilient client would
+    misread as server-side state loss)."""
+    import socket as sk
+    import struct
+
+    srv, props = _flexible_server()
+    try:
+        c1 = DiPsClient(srv.port, session="cam")
+        c1.process(make_clip(n=1, h=16, w=24)[0])
+        c1.process(make_clip(n=1, h=16, w=24)[0])
+        # abortive RST: the server may not have parked "cam" yet
+        c1._sock.setsockopt(sk.SOL_SOCKET, sk.SO_LINGER,
+                            struct.pack("ii", 1, 0))
+        c1._sock.close()
+        c2 = DiPsClient(srv.port, session="cam")  # immediate reconnect
+        assert c2.hello()["frame_index"] == 2
+        c2.close()
+    finally:
+        srv.shutdown()
