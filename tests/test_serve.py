@@ -1121,3 +1121,50 @@ def test_flexible_prebind_hello_waits_for_token_takeover():
         c2.close()
     finally:
         srv.shutdown()
+
+
+# ---------------------------------------------------------------------------
+# load generator
+# ---------------------------------------------------------------------------
+
+def test_loadgen_measures_daemon():
+    from dips_tpu.loadgen import parse_geometry, run_load
+
+    assert parse_geometry("480p") == (480, 854)
+    assert parse_geometry("32X48") == (32, 48)
+    with pytest.raises(ValueError):
+        parse_geometry("huge")
+
+    props = DiPsProperties(window_size=1, temporal_size=1,
+                           filter=DiPsFilter.UNFILTERED)
+    srv = DiPsServer(props, 16, 24, port=0, batch=2, max_sessions=4)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        s = run_load(srv.port, clients=3, frames=4, height=16, width=24,
+                     batch=2)
+        assert s["ok"] and s["requests"] == 6 and s["frames"] == 12
+        assert s["fps"] > 0 and s["latency_ms"]["p50"] > 0
+        # wrong geometry surfaces as a clean error summary, not a hang
+        bad = run_load(srv.port, clients=1, frames=2, height=8, width=8)
+        assert not bad["ok"] and bad["errors"]
+    finally:
+        srv.shutdown()
+
+
+def test_loadgen_cli_json_line(capsys):
+    from dips_tpu.loadgen import main as lg_main
+
+    props = DiPsProperties(window_size=1, temporal_size=1,
+                           filter=DiPsFilter.UNFILTERED)
+    srv = DiPsServer(props, 16, 24, port=0, batch=1, max_sessions=2)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        rc = lg_main(["--port", str(srv.port), "--clients", "2",
+                      "--frames", "3", "--geometry", "16x24"])
+        assert rc == 0
+        import json as _json
+        out = capsys.readouterr().out.strip()
+        s = _json.loads(out)
+        assert s["ok"] and s["frames"] == 6
+    finally:
+        srv.shutdown()
