@@ -44,7 +44,11 @@ dispatches within each resolution.
 Reconnect/resume semantics: a client may tag its requests with a
 ``"session": <token>`` field (``DiPsClient(session=...)``); on reconnect
 the same token resumes that session's streaming state (cursor, baseline,
-ring).  Untagged clients get FRESH state on a multi-session server — a
+ring).  Tokens are latest-wins: a new connection with a live token kicks
+the previous holder and waits for its state to park (the dead-link
+reconnect case).  :class:`ResilientDiPsClient` wraps this with automatic
+backoff reconnection and exactly-once frame accounting for flaky edge
+links.  Untagged clients get FRESH state on a multi-session server — a
 pooled engine is reset before reuse, so one camera's baseline can never
 leak into another's stream — except on a single-session server, where the
 lone anonymous engine unambiguously resumes (back-compat).  Start with
