@@ -114,7 +114,9 @@ def build_parser() -> argparse.ArgumentParser:
                         "mean-|diff| series to a JSON file")
     p.add_argument("--live", action="store_true",
                    help="live preview window (requires a display; the "
-                        "reference's winit/egui GUI equivalent)")
+                        "reference's winit/egui GUI equivalent). Default "
+                        "source is the webcam; add --input FILE-or-URI "
+                        "(e.g. rtsp://cam/...) to preview that instead")
     # utility modes
     p.add_argument("--thumbnail", metavar="OUT.png",
                    help="extract a 240px-high thumbnail of --input and exit")
@@ -269,8 +271,19 @@ def main(argv: Optional[List[str]] = None) -> int:
     elif args.live:
         from .live import run_live
         # the preview loop is strictly frame-at-a-time: a batch-N engine
-        # would compute N-1 replicated padding frames per preview frame
-        return run_live(props, backend=args.backend)
+        # would compute N-1 replicated padding frames per preview frame.
+        # --input previews a file or network camera (rtsp://...) instead
+        # of the local webcam.
+        reader = None
+        if args.input:
+            from .errors import DiPsError
+            from .io.gstreamer import open_video
+            try:
+                reader = open_video(args.input, args.video_backend)
+            except DiPsError as e:
+                print(f"error: {e}", file=sys.stderr)
+                return 1
+        return run_live(props, backend=args.backend, reader=reader)
     else:
         if not (args.input and args.output):
             print("need --input and --output (see --help)", file=sys.stderr)

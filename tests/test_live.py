@@ -143,3 +143,31 @@ def test_run_live_headless_fails_gracefully():
     if rc == 0:  # a display exists in this environment; nothing to assert
         pytest.skip("display available")
     assert rc == 1 and r.closed
+
+
+def test_cli_live_with_input_uses_that_source(monkeypatch, tmp_path):
+    """--live --input FILE previews the file (or a network URI), not the
+    webcam: the CLI must open the given source and hand it to run_live."""
+    from dips_tpu import cli as cli_mod
+    from dips_tpu import live as live_mod
+    from dips_tpu.io import moving_square_clip, write_clip
+
+    p = str(tmp_path / "clip.avi")
+    write_clip(moving_square_clip(n=2, height=16, width=24), p, fps=10)
+
+    seen = {}
+
+    def fake_run_live(props, backend="auto", reader=None, **kw):
+        seen["reader"] = reader
+        if reader is not None:
+            reader.close()
+        return 0
+
+    monkeypatch.setattr(live_mod, "run_live", fake_run_live)
+    rc = cli_mod.main(["--live", "--input", p])
+    assert rc == 0
+    assert seen["reader"] is not None and seen["reader"].path == p
+
+    # missing input errors cleanly instead of falling back to the webcam
+    rc = cli_mod.main(["--live", "--input", str(tmp_path / "nope.avi")])
+    assert rc == 1
