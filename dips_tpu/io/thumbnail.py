@@ -2,7 +2,9 @@
 
 Parity with the reference's GStreamer thumbnail pipeline
 (dips/src/thumbnail_extractor.rs:63-168): grab the first decodable frame,
-downscale to height 240 preserving aspect, save.
+downscale to height 240 preserving aspect, save.  The source goes through
+the backend-selecting reader, so media URIs work too — a fleet dashboard
+can thumbnail ``rtsp://cam/...`` directly.
 """
 
 from __future__ import annotations
@@ -11,15 +13,16 @@ import cv2
 import numpy as np
 
 from ..errors import DecodeError, EncodeError
-from .video import VideoReader
 
 THUMBNAIL_HEIGHT = 240  # ref: dips/src/thumbnail_extractor.rs:130-151
 
 
 def extract_thumbnail(input_path: str, output_path: str,
-                      height: int = THUMBNAIL_HEIGHT) -> np.ndarray:
+                      height: int = THUMBNAIL_HEIGHT,
+                      backend: str = "auto") -> np.ndarray:
     """Save a thumbnail of ``input_path``'s first frame; returns it (RGB)."""
-    with VideoReader(input_path) as r:
+    from .gstreamer import open_video
+    with open_video(input_path, backend) as r:
         frame = r.read()
     if frame is None:
         raise DecodeError(f"no decodable frame in {input_path}")

@@ -591,3 +591,17 @@ def test_native_layout_rejects_oversized_frames():
     with pytest.raises(ValueError, match="slot size"):
         ring.push(np.zeros(65, np.uint8))
     ring.close()
+
+
+def test_thumbnail_through_gstreamer_and_uri(fake_gst, tmp_path):
+    """extract_thumbnail goes through the backend-selecting reader: the
+    GStreamer backend (and thus media URIs) can be thumbnailed."""
+    from dips_tpu.io.thumbnail import extract_thumbnail
+
+    frames = _rgb_frames(1, 40, 60, seed=3)
+    fake_gst(frames, 60, 40)
+    out = str(tmp_path / "t.png")
+    thumb = extract_thumbnail("rtsp://cam.local/stream", out, height=20)
+    assert thumb.shape == (20, 30, 3)
+    import os
+    assert os.path.exists(out)
