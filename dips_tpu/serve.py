@@ -387,7 +387,8 @@ def _prometheus_text(m: dict) -> str:
 
     for key, kind in (("connections", "counter"), ("requests", "counter"),
                       ("frames", "counter"), ("request_errors", "counter"),
-                      ("rejected", "counter"),
+                      ("rejected", "counter"), ("link_drops", "counter"),
+                      ("takeovers", "counter"),
                       ("active_sessions", "gauge"),
                       ("parked_sessions", "gauge"),
                       ("max_sessions", "gauge"), ("uptime_s", "gauge")):
@@ -534,7 +535,11 @@ class DiPsServer:
         self._metrics_lock = threading.Lock()
         self._counters = {"connections": 0, "requests": 0, "frames": 0,
                           "request_errors": 0, "rejected": 0,
-                          "active_sessions": 0}
+                          "active_sessions": 0,
+                          # fleet-link health: abortive disconnects and
+                          # latest-wins token takeovers (reconnect storms
+                          # show up here before anywhere else)
+                          "link_drops": 0, "takeovers": 0}
         # optional Prometheus scrape endpoint (GET /metrics)
         self._metrics_httpd = None
         self.metrics_port: Optional[int] = None
@@ -752,6 +757,7 @@ class DiPsServer:
             old = self._active.get(tok)
         if old is None or old is client:
             return
+        self._count("takeovers")
         log.info("session %r taken over by a new connection", tok)
         try:
             old.shutdown(socket.SHUT_RDWR)
@@ -894,6 +900,7 @@ class DiPsServer:
                 except (ConnectionResetError, BrokenPipeError) as e:
                     # routine for edge fleets (RST on cell links, token
                     # takeover kicks): one line, not a traceback
+                    self._count("link_drops")
                     log.info("client %s link dropped (%s)", addr, e)
                 except Exception:
                     # one bad/broken client must never kill the daemon

@@ -1168,3 +1168,32 @@ def test_loadgen_cli_json_line(capsys):
         assert s["ok"] and s["frames"] == 6
     finally:
         srv.shutdown()
+
+
+def test_link_health_counters():
+    """link_drops and takeovers counters surface reconnect storms."""
+    import socket as sk
+    import struct
+    import time
+
+    srv, props = _flexible_server()
+    try:
+        c1 = DiPsClient(srv.port, session="cam")
+        c1.process(make_clip(n=1, h=16, w=24)[0])
+        c1._sock.setsockopt(sk.SOL_SOCKET, sk.SO_LINGER,
+                            struct.pack("ii", 1, 0))
+        c1._sock.close()  # RST -> link_drops
+        c2 = DiPsClient(srv.port, session="cam")
+        c2.hello()        # may race the park -> takeover best-effort
+        c2.process(make_clip(n=1, h=16, w=24)[0])
+        deadline = time.monotonic() + 5.0
+        while time.monotonic() < deadline:
+            m = c2.metrics()
+            if m["link_drops"] >= 1:
+                break
+            time.sleep(0.05)
+        assert m["link_drops"] >= 1
+        assert "takeovers" in m
+        c2.close()
+    finally:
+        srv.shutdown()
