@@ -350,15 +350,15 @@ def stream_dips(job: DiPsJob) -> Iterator[Tuple[int, Optional[np.ndarray],
         overlap = int(getattr(job, "pipeline_depth", 1) or 1) > 1
         pending = None
         eos = False
+        patient = job.decode_stall_s is None
+        stall_ms = (30000 if patient
+                    else max(1, int(job.decode_stall_s * 1e3)))
         while not eos:
             # pop decoded frames straight into the device batch buffer —
             # no intermediate staging copy
             buf = engine.new_batch_buffer()
             n = 0
             pts_batch = []
-            patient = job.decode_stall_s is None
-            stall_ms = (30000 if patient
-                        else max(1, int(job.decode_stall_s * 1e3)))
             while n < job.batch:
                 rc = source.pop(buf[t + n], timeout_ms=stall_ms)
                 if rc == -1:

@@ -8,6 +8,7 @@ sorted by numeric suffix; non-'D' files are skipped.  The reference hardcodes
 
 from __future__ import annotations
 
+import logging
 import os
 import re
 from typing import Iterator, List
@@ -15,6 +16,8 @@ from typing import Iterator, List
 import numpy as np
 
 from ..errors import DecodeError
+
+log = logging.getLogger("dips_tpu.datfiles")
 
 DEFAULT_WIDTH = 273    # ref: dips_alt/src/lib.rs:788
 DEFAULT_HEIGHT = 640   # ref: dips_alt/src/lib.rs:789
@@ -61,8 +64,6 @@ def read_dat_dir(data_dir: str, width: int = DEFAULT_WIDTH,
     dump (a stray Desktop.ini, or the run's own output landing in the
     data dir) is skipped with a warning — one alien file must not abort
     the whole batch (the reference likewise skips non-matching files)."""
-    import logging
-    log = logging.getLogger("dips_tpu.datfiles")
     for p in list_dat_files(data_dir):
         try:
             frame = read_dat_frame(p, width, height)

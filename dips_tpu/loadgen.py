@@ -24,20 +24,7 @@ import time
 
 import numpy as np
 
-GEOMETRY_NAMES = {"480p": (480, 854), "720p": (720, 1280),
-                  "1080p": (1080, 1920), "4k": (2160, 3840)}
-
-
-def parse_geometry(g: str):
-    key = g.strip().lower()
-    if key in GEOMETRY_NAMES:
-        return GEOMETRY_NAMES[key]
-    try:
-        h, w = (int(v) for v in key.split("x"))
-        return h, w
-    except ValueError:
-        raise ValueError(f"bad geometry {g!r}: use HxW or one of "
-                         f"{sorted(GEOMETRY_NAMES)}")
+from .properties import GEOMETRY_NAMES, parse_geometry  # noqa: F401
 
 
 def run_load(port: int, host: str = "127.0.0.1", clients: int = 4,

@@ -242,3 +242,22 @@ class DiPsProperties:
         if self.output == OutputMode.ABSDIFF:
             return 3
         return 1
+
+
+#: named geometry shorthand shared by the serving daemon (--warm), the
+#: load generator and deployment docs
+GEOMETRY_NAMES = {"480p": (480, 854), "720p": (720, 1280),
+                  "1080p": (1080, 1920), "4k": (2160, 3840)}
+
+
+def parse_geometry(g: str) -> Tuple[int, int]:
+    """``"HxW"`` or a name from :data:`GEOMETRY_NAMES` -> (height, width)."""
+    key = str(g).strip().lower()
+    if key in GEOMETRY_NAMES:
+        return GEOMETRY_NAMES[key]
+    try:
+        h, w = (int(v) for v in key.split("x"))
+        return h, w
+    except ValueError:
+        raise ValueError(f"bad geometry {g!r}: use HxW or one of "
+                         f"{sorted(GEOMETRY_NAMES)}")

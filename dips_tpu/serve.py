@@ -70,7 +70,7 @@ import numpy as np
 
 from .errors import ReplyLost
 from .models import DiPsEngine
-from .properties import DiPsProperties
+from .properties import GEOMETRY_NAMES, DiPsProperties, parse_geometry
 
 log = logging.getLogger("dips_tpu.serve")
 _LEN = struct.Struct("<I")
@@ -553,8 +553,7 @@ class DiPsServer:
         self._latencies = collections.deque(maxlen=1024)
 
     #: named geometry shorthand accepted by warm_geometries / --warm
-    GEOMETRY_NAMES = {"480p": (480, 854), "720p": (720, 1280),
-                      "1080p": (1080, 1920), "4k": (2160, 3840)}
+    GEOMETRY_NAMES = GEOMETRY_NAMES
 
     def warm_geometries(self, geometries) -> None:
         """Pre-build (and jit-compile) pooled engines for the given
@@ -564,16 +563,7 @@ class DiPsServer:
         "1080p", "4k").  Flexible daemons pool the warmed engines per
         geometry; fixed daemons accept only their own geometry."""
         for g in geometries:
-            key = str(g).strip().lower()
-            if key in self.GEOMETRY_NAMES:
-                h, w = self.GEOMETRY_NAMES[key]
-            else:
-                try:
-                    h, w = (int(v) for v in key.split("x"))
-                except ValueError:
-                    raise ValueError(
-                        f"bad geometry {g!r}: use HxW or one of "
-                        f"{sorted(self.GEOMETRY_NAMES)}")
+            h, w = parse_geometry(g)
             if self._coalesce_cfg is not None:
                 # coalesced: create (or pick) the geometry's coalescer and
                 # drive one dummy frame through a slot to compile its step
@@ -1248,7 +1238,9 @@ class ResilientDiPsClient:
         self._cli = DiPsClient(port, host, session=self.session)
         self._cursor = int(self._cli.hello().get("frame_index", 0))
 
-    _NET_ERRORS = (ConnectionError, BrokenPipeError, OSError)
+    #: network failures worth a reconnect (ConnectionError/BrokenPipe/
+    #: timeout are all OSError subclasses)
+    _NET_ERRORS = (OSError,)
 
     def _reconnect(self) -> int:
         """New connection + resume; returns the server's session cursor."""
