@@ -244,3 +244,27 @@ def test_subsample_rejects_bad_target_seconds(tmp_path):
 
     with pytest.raises(ValueError, match="target_seconds"):
         subsample_video("in.avi", "out.avi", keep_every=2, target_seconds=0)
+
+
+def test_doctor_report(capsys, monkeypatch):
+    """The doctor collects every section and renders hints; --json emits
+    one machine-readable object."""
+    import json
+
+    from dips_tpu import doctor
+
+    monkeypatch.delenv("DIPS_COMPILE_CACHE", raising=False)
+    info = doctor.collect()
+    assert set(info) == {"jax", "native", "opencv", "gstreamer",
+                         "autotune", "compile_cache"}
+    assert info["jax"]["backend"] == "cpu"  # conftest forces CPU
+    assert not info["jax"]["ok"] and "XLA path" in info["jax"]["hint"]
+    assert info["compile_cache"]["hint"]  # off by default
+
+    assert doctor.main([]) == 0
+    out = capsys.readouterr().out
+    assert "[!!] jax:" in out and "[ok] opencv:" in out
+
+    assert doctor.main(["--json"]) == 0
+    parsed = json.loads(capsys.readouterr().out)
+    assert parsed["opencv"]["ok"]
