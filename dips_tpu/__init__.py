@@ -4,8 +4,8 @@ See README.md for the design and SURVEY.md for the reference analysis.
 """
 
 from .errors import (DecodeError, DeviceError, DiPsError, EncodeError,
-                     FrameCallbackError, OutputPathError, StreamError,
-                     VideoPathError)
+                     FrameCallbackError, OutputPathError, ReplyLost,
+                     StreamError, VideoPathError)
 from .properties import (ChromaFilter, DiPsFilter, DiPsMethod, DiPsProperties,
                          Encoding, OutputMode)
 from .models import DiPsEngine
@@ -21,7 +21,7 @@ __all__ = [
     "ChromaFilter", "DiPsEngine", "DiPsError", "DiPsFilter", "DiPsJob",
     "DiPsMethod", "DiPsProperties", "DecodeError", "DeviceError", "Encoding",
     "EncodeError", "FrameCallbackError", "MultiStreamEngine", "OutputMode",
-    "OutputPathError", "StreamError", "VideoPathError",
+    "OutputPathError", "ReplyLost", "StreamError", "VideoPathError",
     "custom_dips_on_files", "extract_thumbnail", "init_frame_extractor",
     "init_thumbnail_extractor", "perform_dips", "run_dips_app",
     "run_dips_on_file", "run_dips_on_files", "stream_dips", "stream_mesh",
