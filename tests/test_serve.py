@@ -1197,3 +1197,61 @@ def test_link_health_counters():
         c2.close()
     finally:
         srv.shutdown()
+
+
+def test_resilient_fleet_random_rst_stress():
+    """8 resilient clients streaming concurrently with random abortive
+    RSTs: every session's cursor must stay exactly-once consistent (the
+    takeover + park/resume machinery under real contention)."""
+    import random
+    import socket as sk
+    import struct
+
+    from dips_tpu.errors import ReplyLost
+    from dips_tpu.serve import ResilientDiPsClient
+
+    props = DiPsProperties(window_size=1, temporal_size=1,
+                           filter=DiPsFilter.UNFILTERED)
+    srv = DiPsServer(props, 16, 24, port=0, batch=2, max_sessions=8)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    n_frames, n_clients = 12, 8
+    results = {}
+    failures = []
+
+    def cam(k):
+        rng = random.Random(k)
+        frames = make_clip(n=n_frames, h=16, w=24, seed=k)
+        try:
+            c = ResilientDiPsClient(srv.port, session=f"s{k}",
+                                    backoff_s=0.02, retries=8)
+            done = 0
+            for f in frames:
+                if rng.random() < 0.25:  # abortive RST mid-stream
+                    c._cli._sock.setsockopt(
+                        sk.SOL_SOCKET, sk.SO_LINGER,
+                        struct.pack("ii", 1, 0))
+                    c._cli._sock.close()
+                try:
+                    c.process(f)
+                except ReplyLost:
+                    pass  # frame accounted server-side; output skipped
+                done += 1
+            fi = c.hello()["frame_index"]
+            results[k] = (fi, done, c.dropped_replies)
+            c.close()
+        except Exception as e:
+            failures.append(f"cam {k}: {e!r}")
+
+    th = [threading.Thread(target=cam, args=(k,)) for k in range(n_clients)]
+    for t in th:
+        t.start()
+    for t in th:
+        t.join(timeout=60)
+    try:
+        assert not failures, failures
+        assert len(results) == n_clients
+        for k, (fi, done, dropped) in results.items():
+            # exactly-once: server cursor equals frames submitted
+            assert fi == done == n_frames, (k, fi, done, dropped)
+    finally:
+        srv.shutdown()
