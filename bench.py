@@ -176,9 +176,11 @@ def bench_cpu_e2e(path):
     (the like-for-like end-to-end job on the host CPU)."""
     import cv2
     cap = cv2.VideoCapture(path)
-    ok, first = cap.read()
+    ok, first = cap.read()  # baseline frame: warm decode, outside the timer
+    if not ok:
+        raise RuntimeError(f"could not decode bench clip {path}")
     dst = np.empty_like(first)
-    n = 1
+    n = 0
     t0 = time.time()
     while True:
         ok, f = cap.read()
@@ -191,7 +193,8 @@ def bench_cpu_e2e(path):
     return n / dt if dt > 0 else 0.0
 
 
-def bench_e2e(h, w, n_frames, batch, decode_workers, mode="absdiff"):
+def bench_e2e(h, w, n_frames, batch, decode_workers, mode="absdiff",
+              temporal=4):
     """Measured end-to-end decode-to-diff-map fps through the real streaming
     pipeline (file decode -> planarize -> device parity kernel -> host diff
     maps), with per-stage shares from StageTimers.  ``mode``:
@@ -215,7 +218,7 @@ def bench_e2e(h, w, n_frames, batch, decode_workers, mode="absdiff"):
     backend = "xla" if jax.default_backend() == "cpu" else "pallas"
     out_mode = (OutputMode.ABSDIFF if mode == "absdiff"
                 else OutputMode.THRESHOLD)
-    props = DiPsProperties(output=out_mode, temporal_size=4)
+    props = DiPsProperties(output=out_mode, temporal_size=temporal)
 
     def run(profile):
         job = DiPsJob(properties=props, video_path=path, batch=batch,
@@ -274,9 +277,10 @@ def bench_multistream(s, h, w, batch, temporal=4):
         b = raw.shape[1]
         raw_st = raw.transpose(1, 2, 0, 3, 4).reshape(b, 3, s * hp, wp)
         bl_st = bl.transpose(1, 0, 2, 3).reshape(3, s * hp, wp)
-        out, stats, _, nb, nh = pallas_fused._absdiff_step_impl(
-            props, h, w, s, raw_st, bl_st, flags, hm.reshape(s * hp, wp),
-            valid, prev=bl_st, seeds=seeds, ring=True)
+        out, stats, _, nb, nh = (
+            pallas_fused.absdiff_step_ring_stacked.__wrapped__(
+                props, h, w, s, raw_st, bl_st, bl_st, flags,
+                hm.reshape(s * hp, wp), valid, seeds))
         return (out, stats, nb.reshape(3, s, hp, wp).transpose(1, 0, 2, 3),
                 nh.reshape(s, hp, wp))
 
@@ -377,7 +381,7 @@ def main():
     if args.e2e:
         fps, cpu_fps = bench_e2e(args.height, args.width, args.e2e_frames,
                                  args.batch, args.decode_workers,
-                                 mode=args.e2e_mode)
+                                 mode=args.e2e_mode, temporal=args.temporal)
         suffix = "" if args.e2e_mode == "absdiff" else f"_{args.e2e_mode}"
         print(json.dumps({
             "metric": (f"{args.height}p_e2e_decode_to_diffmap"

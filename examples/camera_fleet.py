@@ -51,27 +51,31 @@ def main():
     failures = []
 
     def camera(name, geom):
+        import zlib
         h, w = geom
-        rng = np.random.default_rng(hash(name) % 2**32)
+        # crc32: deterministic across processes (str hash is randomized)
+        rng = np.random.default_rng(zlib.crc32(name.encode()))
         cli = ResilientDiPsClient(server.port, session=name,
                                   backoff_s=0.05)
-        total = 0
-        for i in range(args.frames):
-            frame = rng.integers(0, 255, (h, w, 3), np.uint8)
-            if name == "dock" and i == args.frames // 2:
-                # flaky link: abortive RST mid-stream — the client
-                # reconnects and the session resumes where it left off
-                cli._cli._sock.setsockopt(
-                    socket.SOL_SOCKET, socket.SO_LINGER,
-                    struct.pack("ii", 1, 0))
-                cli._cli._sock.close()
-            _out, stats = cli.process(frame)
-            total += int(stats[3])
-        changed[name] = total
-        fi = cli.hello()["frame_index"]
-        if fi != args.frames:
-            failures.append(f"{name}: cursor {fi} != {args.frames}")
-        cli.close()
+        try:
+            total = 0
+            for i in range(args.frames):
+                frame = rng.integers(0, 256, (h, w, 3), np.uint8)
+                if name == "dock" and i == args.frames // 2:
+                    # flaky link: abortive RST mid-stream — the client
+                    # reconnects and the session resumes where it left off
+                    cli._cli._sock.setsockopt(
+                        socket.SOL_SOCKET, socket.SO_LINGER,
+                        struct.pack("ii", 1, 0))
+                    cli._cli._sock.close()
+                _out, stats = cli.process(frame)
+                total += int(stats[3])
+            changed[name] = total
+            fi = cli.hello()["frame_index"]
+            if fi != args.frames:
+                failures.append(f"{name}: cursor {fi} != {args.frames}")
+        finally:
+            cli.close()
 
     def guarded(name, geom):
         try:
