@@ -21,7 +21,12 @@ from dips_tpu.io import moving_square_clip, write_clip
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--backend", default="xla", choices=["xla", "pallas"])
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU backend (like the other examples)")
     args = ap.parse_args()
+    if args.cpu:
+        import jax
+        jax.config.update("jax_platforms", "cpu")
 
     frames = moving_square_clip(n=48, height=240, width=320, seed=7)
     write_clip(frames, "demo_in.avi", fps=24)
