@@ -37,6 +37,15 @@ def run_load(port: int, host: str = "127.0.0.1", clients: int = 4,
     measure the cold path deliberately)."""
     from .serve import DiPsClient
 
+    if clients < 1 or batch < 1:
+        return {"ok": False,
+                "errors": [f"clients={clients} and batch={batch} must "
+                           f"be >= 1"]}
+    if frames < batch:
+        return {"ok": False,
+                "errors": [f"frames={frames} < batch={batch}: zero "
+                           f"measured requests per client"]}
+
     lat_lock = threading.Lock()
     latencies: list = []
     errors: list = []
@@ -45,6 +54,7 @@ def run_load(port: int, host: str = "127.0.0.1", clients: int = 4,
     def worker(k: int):
         rng = np.random.default_rng(k)
         buf = rng.integers(0, 255, (batch, height, width, 3), np.uint8)
+        cli = None
         try:
             cli = DiPsClient(port, host,
                              session=f"{session_prefix}-{k}")
@@ -56,7 +66,6 @@ def run_load(port: int, host: str = "127.0.0.1", clients: int = 4,
                 t0 = time.monotonic()
                 cli.process_many(buf)
                 local.append(time.monotonic() - t0)
-            cli.close()
             with lat_lock:
                 latencies.extend(local)
         except Exception as e:
@@ -66,6 +75,12 @@ def run_load(port: int, host: str = "127.0.0.1", clients: int = 4,
                 pass
             with lat_lock:
                 errors.append(f"client {k}: {e!r}")
+        finally:
+            if cli is not None:
+                try:
+                    cli.close()
+                except OSError:
+                    pass
 
     threads = [threading.Thread(target=worker, args=(k,))
                for k in range(clients)]
@@ -82,6 +97,8 @@ def run_load(port: int, host: str = "127.0.0.1", clients: int = 4,
 
     if errors:
         return {"ok": False, "errors": errors}
+    if not latencies:
+        return {"ok": False, "errors": ["no measured requests"]}
     lat = sorted(latencies)
 
     def q(p):

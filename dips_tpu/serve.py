@@ -1209,7 +1209,9 @@ class ResilientDiPsClient:
     Built for flaky links (cellular cameras, WAN backhaul): a connection
     failure mid-request reconnects with exponential backoff and resumes
     the parked session — a ``session`` token is therefore REQUIRED
-    (resume is what makes reconnecting meaningful).
+    (resume is what makes reconnecting meaningful).  The INITIAL connect
+    gets the same backoff: a camera that boots while the daemon is still
+    coming up dials until it answers instead of dying at start-up.
 
     Streamed frames are accounted exactly-once against the server's
     session cursor: after a reconnect, ``hello`` reveals whether the
@@ -1235,31 +1237,41 @@ class ResilientDiPsClient:
         self._cursor = 0
         #: frames processed by the server whose replies died on the wire
         self.dropped_replies = 0
-        self._cli = DiPsClient(port, host, session=self.session)
-        self._cursor = int(self._cli.hello().get("frame_index", 0))
+        self._cli = None
+        # the initial connect gets the same backoff as reconnects: an
+        # edge camera often boots before (or during) a daemon restart
+        self._cursor = self._dial()
 
     #: network failures worth a reconnect (ConnectionError/BrokenPipe/
     #: timeout are all OSError subclasses)
     _NET_ERRORS = (OSError,)
 
-    def _reconnect(self) -> int:
-        """New connection + resume; returns the server's session cursor."""
-        try:
-            self._cli._sock.close()
-        except OSError:
-            pass
+    def _dial(self) -> int:
+        """Connect (with exponential backoff) + resume; returns the
+        server's session cursor."""
         delay = self.backoff_s
-        for _ in range(self.retries):
+        for attempt in range(self.retries + 1):
             try:
                 self._cli = DiPsClient(self.port, self.host,
                                        session=self.session)
                 return int(self._cli.hello().get("frame_index", 0))
             except self._NET_ERRORS:
+                if attempt == self.retries:
+                    break
                 time.sleep(delay)
                 delay = min(delay * 2, self.max_backoff_s)
         raise ConnectionError(
-            f"could not reconnect to {self.host}:{self.port} after "
-            f"{self.retries} attempts")
+            f"could not connect to {self.host}:{self.port} after "
+            f"{self.retries + 1} attempts")
+
+    def _reconnect(self) -> int:
+        """Drop the dead connection and dial again."""
+        if self._cli is not None:
+            try:
+                self._cli._sock.close()
+            except OSError:
+                pass
+        return self._dial()
 
     def process(self, frame: np.ndarray, packed: bool = False
                 ) -> Tuple[np.ndarray, np.ndarray]:
@@ -1331,6 +1343,8 @@ class ResilientDiPsClient:
         self._cursor = 0
 
     def close(self) -> None:
+        if self._cli is None:
+            return
         try:
             self._cli.close()
         except self._NET_ERRORS:

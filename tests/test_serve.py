@@ -1099,6 +1099,51 @@ def test_resilient_client_requires_session():
         ResilientDiPsClient(1234)
 
 
+def test_resilient_client_initial_connect_backoff():
+    """A camera that boots BEFORE the daemon is listening dials with
+    backoff instead of dying at start-up (and still fails cleanly when
+    nothing ever answers)."""
+    import socket as sk
+    import time
+
+    from dips_tpu.serve import ResilientDiPsClient
+
+    # reserve a port the daemon will come up on shortly
+    probe = sk.socket()
+    probe.bind(("127.0.0.1", 0))
+    port = probe.getsockname()[1]
+    probe.close()
+
+    props = DiPsProperties(window_size=1, temporal_size=1,
+                           filter=DiPsFilter.UNFILTERED)
+    box = {}
+
+    def late_start():
+        time.sleep(0.4)
+        for _ in range(50):  # TIME_WAIT on the probe can linger briefly
+            try:
+                box["srv"] = DiPsServer(props, 16, 24, port=port, batch=2,
+                                        max_sessions=2)
+                break
+            except OSError:
+                time.sleep(0.1)
+        box["srv"].serve_forever()
+
+    threading.Thread(target=late_start, daemon=True).start()
+    c = ResilientDiPsClient(port, session="cam", retries=10, backoff_s=0.1)
+    try:
+        out, _ = c.process_many(np.stack(make_clip(n=2, h=16, w=24)))
+        assert out.shape == (2, 16, 24, 3)
+    finally:
+        c.close()
+        box["srv"].shutdown()
+
+    # nothing listening at all: clean ConnectionError after the retries
+    with pytest.raises(ConnectionError, match="could not connect"):
+        ResilientDiPsClient(port, session="cam", retries=1,
+                            backoff_s=0.01)
+
+
 def test_flexible_prebind_hello_waits_for_token_takeover():
     """Reconnect race on a flexible daemon: a pre-bind hello with a token
     whose old connection has not yet parked must kick + wait, then report
@@ -1149,6 +1194,18 @@ def test_loadgen_measures_daemon():
         assert not bad["ok"] and bad["errors"]
     finally:
         srv.shutdown()
+
+
+def test_loadgen_rejects_unmeasurable_config():
+    """frames < batch means zero measured requests per client: a clean
+    error summary, not an IndexError on the empty percentile array (and
+    no sockets are even opened)."""
+    from dips_tpu.loadgen import run_load
+
+    s = run_load(1, clients=2, frames=1, batch=4)
+    assert not s["ok"] and "zero measured" in s["errors"][0]
+    s = run_load(1, clients=0, frames=4, batch=1)
+    assert not s["ok"] and ">= 1" in s["errors"][0]
 
 
 def test_loadgen_cli_json_line(capsys):

@@ -268,3 +268,40 @@ def test_doctor_report(capsys, monkeypatch):
     assert doctor.main(["--json"]) == 0
     parsed = json.loads(capsys.readouterr().out)
     assert parsed["opencv"]["ok"]
+
+
+def test_doctor_reports_hung_backend(monkeypatch):
+    """A hung accelerator tunnel blocks jax.devices() forever; the doctor
+    must DIAGNOSE that (watchdog timeout) instead of inheriting the hang."""
+    import time
+
+    import jax
+
+    from dips_tpu import doctor
+
+    monkeypatch.setattr(jax, "devices", lambda *a, **k: time.sleep(3.0))
+    info = doctor.collect(timeout_s=0.2)
+    assert not info["jax"]["ok"]
+    assert "did not answer" in info["jax"]["hint"]
+    assert info["jax"]["backend"] is None
+    # the rest of the report still renders
+    assert info["opencv"]["ok"] and "compile_cache" in info
+
+
+def test_doctor_survives_broken_section(monkeypatch):
+    """A crashing component is reported as ok=false, not a traceback —
+    the broken hosts are the ones that need the doctor."""
+    from dips_tpu import doctor
+    from dips_tpu.io import gstreamer
+
+    def boom():
+        raise RuntimeError("plugin scan failed")
+
+    monkeypatch.setattr(gstreamer, "available", boom)
+    info = doctor.collect(timeout_s=5.0)
+    assert not info["gstreamer"]["ok"]
+    assert "plugin scan failed" in info["gstreamer"]["error"]
+    # every other section is still present and intact
+    assert set(info) >= {"jax", "native", "opencv", "autotune",
+                         "compile_cache"}
+    assert info["opencv"]["ok"]
