@@ -78,8 +78,10 @@ def collect(timeout_s: float = 60.0) -> dict:
 
     def _native():
         from . import native
+        lvl = native.simd_level()
         return {
             "available": native.NATIVE_AVAILABLE,
+            "simd": native.SIMD_NAMES.get(lvl, str(lvl)),
             "ok": native.NATIVE_AVAILABLE,
             "hint": None if native.NATIVE_AVAILABLE else
                 "native module not built (no toolchain?): host layout "

@@ -66,11 +66,22 @@ def _load() -> Optional[ctypes.CDLL]:
     lib.fp_ring_close.argtypes = [ctypes.c_void_p]
     lib.fp_ring_size.argtypes = [ctypes.c_void_p]
     lib.fp_ring_size.restype = i64
+    lib.fp_simd_level.restype = ctypes.c_int
     return lib
 
 
 _lib = _load()
 NATIVE_AVAILABLE = _lib is not None
+
+SIMD_NAMES = {-1: "unavailable", 0: "scalar", 1: "ssse3", 2: "avx512vbmi"}
+
+
+def simd_level() -> int:
+    """SIMD tier of the loaded layout kernels: 0 scalar, 1 SSSE3 (16 px/
+    iter), 2 AVX-512 VBMI (64 px/iter); -1 when the native module did not
+    load.  Capped at runtime by ``DIPS_TPU_SIMD=scalar|ssse3|avx512``
+    (re-read per call, so tests can flip tiers)."""
+    return int(_lib.fp_simd_level()) if _lib is not None else -1
 
 
 def _u8p(a: np.ndarray):

@@ -22,6 +22,7 @@
 #include <chrono>
 #include <condition_variable>
 #include <cstdint>
+#include <cstdlib>
 #include <cstring>
 #include <mutex>
 #include <new>
@@ -29,11 +30,32 @@
 #if defined(__x86_64__) || defined(__i386__)
 #define FP_X86 1
 #include <immintrin.h>
+#endif
 
-static bool fp_have_ssse3() {
-    static const bool v = __builtin_cpu_supports("ssse3");
-    return v;
+// SIMD tier for the layout kernels: 0 scalar, 1 SSSE3 (pshufb, 16 px/iter),
+// 2 AVX-512 VBMI (vpermb/vpermt2b, 64 px/iter).  DIPS_TPU_SIMD=
+// scalar|ssse3|avx512 caps the tier (read per call: tests flip it at
+// runtime; the getenv is noise next to a frame's worth of work).
+extern "C" int fp_simd_level() {
+#ifdef FP_X86
+    int cap = 2;
+    const char* env = std::getenv("DIPS_TPU_SIMD");
+    if (env && *env) {
+        if (std::strcmp(env, "scalar") == 0) cap = 0;
+        else if (std::strcmp(env, "ssse3") == 0) cap = 1;
+        else if (std::strcmp(env, "avx512") == 0) cap = 2;
+    }
+    int have = 0;
+    if (__builtin_cpu_supports("ssse3")) have = 1;
+    if (__builtin_cpu_supports("avx512bw") &&
+        __builtin_cpu_supports("avx512vbmi")) have = 2;
+    return have < cap ? have : cap;
+#else
+    return 0;
+#endif
 }
+
+#ifdef FP_X86
 
 // --- SSSE3 row kernels -----------------------------------------------------
 //
@@ -173,6 +195,188 @@ static void fp_int3_row(const uint8_t* p0, const uint8_t* p1,
         row[3 * x + 2] = p2[x];
     }
 }
+
+// --- AVX-512 VBMI row kernels ----------------------------------------------
+//
+// vpermb/vpermt2b are full 64-byte arbitrary shuffles (no 16-byte lanes), so
+// each channel of a 64-pixel block is TWO permutes instead of SSSE3's
+// 3 shuffles + 2 ors per 16 pixels.  Byte-granular masked loads/stores make
+// the (w % 64) remainder the SAME code path - no scalar tail.
+
+// 192 interleaved bytes (64 px, stride 3) -> one 64-byte vector per channel.
+// Channel c of pixel p is source byte g = 3p+c, spanning vectors v0..v2:
+// vpermt2b covers the v0:v1 window (low 7 bits of g), and lanes whose source
+// sits in v2 (g >= 128) are patched with one merge-masked vpermb.
+__attribute__((target("avx512f,avx512bw,avx512vbmi")))
+static void fp_deint3_row_avx512(const uint8_t* row, int64_t w,
+                                 uint8_t* p0, uint8_t* p1, uint8_t* p2) {
+    struct Tbl { int8_t lo[3][64]; int8_t hi[3][64]; uint64_t patch[3]; };
+    static const Tbl T = [] {
+        Tbl t{};
+        for (int c = 0; c < 3; ++c) {
+            uint64_t m = 0;
+            for (int p = 0; p < 64; ++p) {
+                const int g = 3 * p + c;
+                t.lo[c][p] = (int8_t)g;          // vpermt2b reads low 7 bits
+                t.hi[c][p] = (int8_t)(g - 128);  // index into v2
+                if (g >= 128) m |= 1ull << p;
+            }
+            t.patch[c] = m;
+        }
+        return t;
+    }();
+    const __m512i lo0 = _mm512_loadu_si512(T.lo[0]);
+    const __m512i lo1 = _mm512_loadu_si512(T.lo[1]);
+    const __m512i lo2 = _mm512_loadu_si512(T.lo[2]);
+    const __m512i hi0 = _mm512_loadu_si512(T.hi[0]);
+    const __m512i hi1 = _mm512_loadu_si512(T.hi[1]);
+    const __m512i hi2 = _mm512_loadu_si512(T.hi[2]);
+    for (int64_t x = 0; x < w; x += 64) {
+        const int64_t rem = w - x;
+        const uint8_t* s = row + 3 * x;
+        __m512i v0, v1, v2;
+        __mmask64 kout;
+        if (rem >= 64) {
+            v0 = _mm512_loadu_si512(s);
+            v1 = _mm512_loadu_si512(s + 64);
+            v2 = _mm512_loadu_si512(s + 128);
+            kout = ~0ull;
+        } else {
+            const int64_t nb = 3 * rem;  // 3..189 source bytes
+            v0 = _mm512_maskz_loadu_epi8(
+                nb >= 64 ? ~0ull : ((1ull << nb) - 1), s);
+            v1 = nb > 64 ? _mm512_maskz_loadu_epi8(
+                nb >= 128 ? ~0ull : ((1ull << (nb - 64)) - 1), s + 64)
+                         : _mm512_setzero_si512();
+            v2 = nb > 128 ? _mm512_maskz_loadu_epi8(
+                (1ull << (nb - 128)) - 1, s + 128)
+                          : _mm512_setzero_si512();
+            kout = (1ull << rem) - 1;
+        }
+        __m512i t0 = _mm512_permutex2var_epi8(v0, lo0, v1);
+        t0 = _mm512_mask_permutexvar_epi8(t0, T.patch[0], hi0, v2);
+        _mm512_mask_storeu_epi8(p0 + x, kout, t0);
+        __m512i t1 = _mm512_permutex2var_epi8(v0, lo1, v1);
+        t1 = _mm512_mask_permutexvar_epi8(t1, T.patch[1], hi1, v2);
+        _mm512_mask_storeu_epi8(p1 + x, kout, t1);
+        __m512i t2 = _mm512_permutex2var_epi8(v0, lo2, v1);
+        t2 = _mm512_mask_permutexvar_epi8(t2, T.patch[2], hi2, v2);
+        _mm512_mask_storeu_epi8(p2 + x, kout, t2);
+    }
+}
+
+// 256 interleaved bytes (64 px, stride 4, alpha dropped) -> one 64-byte
+// vector per channel.  g = 4p+c: pixels 0..31 live in v0:v1 and 32..63 in
+// v2:v3 at the SAME low-7-bit offsets (g mod 128 = 4(p-32)+c), so one index
+// vector drives both vpermt2b halves; a fixed-mask blend picks per pixel.
+__attribute__((target("avx512f,avx512bw,avx512vbmi")))
+static void fp_deint4_row_avx512(const uint8_t* row, int64_t w,
+                                 uint8_t* p0, uint8_t* p1, uint8_t* p2) {
+    struct Tbl { int8_t idx[3][64]; };
+    static const Tbl T = [] {
+        Tbl t{};
+        for (int c = 0; c < 3; ++c) {
+            for (int p = 0; p < 64; ++p) {
+                t.idx[c][p] = (int8_t)(4 * p + c);
+            }
+        }
+        return t;
+    }();
+    const __m512i i0 = _mm512_loadu_si512(T.idx[0]);
+    const __m512i i1 = _mm512_loadu_si512(T.idx[1]);
+    const __m512i i2 = _mm512_loadu_si512(T.idx[2]);
+    const __mmask64 khi = 0xFFFFFFFF00000000ull;  // pixels 32..63
+    for (int64_t x = 0; x < w; x += 64) {
+        const int64_t rem = w - x;
+        const uint8_t* s = row + 4 * x;
+        __m512i v[4];
+        __mmask64 kout;
+        if (rem >= 64) {
+            for (int k = 0; k < 4; ++k) {
+                v[k] = _mm512_loadu_si512(s + 64 * k);
+            }
+            kout = ~0ull;
+        } else {
+            int64_t nb = 4 * rem;  // 4..252 source bytes
+            for (int k = 0; k < 4; ++k, nb -= 64) {
+                v[k] = nb <= 0 ? _mm512_setzero_si512()
+                     : _mm512_maskz_loadu_epi8(
+                           nb >= 64 ? ~0ull : ((1ull << nb) - 1),
+                           s + 64 * k);
+            }
+            kout = (1ull << rem) - 1;
+        }
+        uint8_t* outs[3] = {p0 + x, p1 + x, p2 + x};
+        const __m512i idxs[3] = {i0, i1, i2};
+        for (int c = 0; c < 3; ++c) {
+            const __m512i a = _mm512_permutex2var_epi8(v[0], idxs[c], v[1]);
+            const __m512i b = _mm512_permutex2var_epi8(v[2], idxs[c], v[3]);
+            _mm512_mask_storeu_epi8(outs[c], kout,
+                                    _mm512_mask_blend_epi8(khi, a, b));
+        }
+    }
+}
+
+// Three 64-byte channel vectors -> 192 interleaved bytes (64 px, stride 3):
+// output vector o byte j is global byte k = 64o+j = pixel k/3, channel k%3.
+// vpermt2b interleaves channels 0 and 1; channel-2 bytes are patched with
+// one merge-masked vpermb.
+__attribute__((target("avx512f,avx512bw,avx512vbmi")))
+static void fp_int3_row_avx512(const uint8_t* p0, const uint8_t* p1,
+                               const uint8_t* p2, int64_t w, uint8_t* row) {
+    struct Tbl { int8_t rg[3][64]; int8_t b[3][64]; uint64_t patch[3]; };
+    static const Tbl T = [] {
+        Tbl t{};
+        for (int o = 0; o < 3; ++o) {
+            uint64_t m = 0;
+            for (int j = 0; j < 64; ++j) {
+                const int k = 64 * o + j;
+                const int c = k % 3, q = k / 3;
+                t.rg[o][j] = (int8_t)(c == 0 ? q : c == 1 ? 64 + q : 0);
+                t.b[o][j] = (int8_t)q;
+                if (c == 2) m |= 1ull << j;
+            }
+            t.patch[o] = m;
+        }
+        return t;
+    }();
+    const __m512i rg0 = _mm512_loadu_si512(T.rg[0]);
+    const __m512i rg1 = _mm512_loadu_si512(T.rg[1]);
+    const __m512i rg2 = _mm512_loadu_si512(T.rg[2]);
+    const __m512i b0 = _mm512_loadu_si512(T.b[0]);
+    const __m512i b1 = _mm512_loadu_si512(T.b[1]);
+    const __m512i b2 = _mm512_loadu_si512(T.b[2]);
+    for (int64_t x = 0; x < w; x += 64) {
+        const int64_t rem = w - x;
+        __m512i r, g, b;
+        __mmask64 k0, k1, k2;  // byte masks for the three output stores
+        if (rem >= 64) {
+            r = _mm512_loadu_si512(p0 + x);
+            g = _mm512_loadu_si512(p1 + x);
+            b = _mm512_loadu_si512(p2 + x);
+            k0 = k1 = k2 = ~0ull;
+        } else {
+            const __mmask64 kin = (1ull << rem) - 1;
+            r = _mm512_maskz_loadu_epi8(kin, p0 + x);
+            g = _mm512_maskz_loadu_epi8(kin, p1 + x);
+            b = _mm512_maskz_loadu_epi8(kin, p2 + x);
+            const int64_t nb = 3 * rem;  // 3..189 output bytes
+            k0 = nb >= 64 ? ~0ull : ((1ull << nb) - 1);
+            k1 = nb <= 64 ? 0 : (nb >= 128 ? ~0ull : ((1ull << (nb - 64)) - 1));
+            k2 = nb <= 128 ? 0 : ((1ull << (nb - 128)) - 1);
+        }
+        uint8_t* d = row + 3 * x;
+        __m512i t0 = _mm512_permutex2var_epi8(r, rg0, g);
+        t0 = _mm512_mask_permutexvar_epi8(t0, T.patch[0], b0, b);
+        _mm512_mask_storeu_epi8(d, k0, t0);
+        __m512i t1 = _mm512_permutex2var_epi8(r, rg1, g);
+        t1 = _mm512_mask_permutexvar_epi8(t1, T.patch[1], b1, b);
+        _mm512_mask_storeu_epi8(d + 64, k1, t1);
+        __m512i t2 = _mm512_permutex2var_epi8(r, rg2, g);
+        t2 = _mm512_mask_permutexvar_epi8(t2, T.patch[2], b2, b);
+        _mm512_mask_storeu_epi8(d + 128, k2, t2);
+    }
+}
 #endif  // FP_X86
 
 extern "C" {
@@ -203,7 +407,8 @@ void fp_planarize(const uint8_t* src, int64_t h, int64_t w, int64_t c_in,
     const int r_off = swap_rb ? 2 : 0;
     const int b_off = swap_rb ? 0 : 2;
 #ifdef FP_X86
-    if (fp_have_ssse3() && (c_in == 3 || c_in == 4)) {
+    const int lvl = fp_simd_level();
+    if (lvl >= 1 && (c_in == 3 || c_in == 4)) {
         // the kernels gather source channels 0/1/2 in order; channel swap
         // is a destination-plane swap
         for (int64_t y = 0; y < h; ++y) {
@@ -211,10 +416,12 @@ void fp_planarize(const uint8_t* src, int64_t h, int64_t w, int64_t c_in,
             uint8_t* p0 = dst + (swap_rb ? 2 * plane : 0) + y * wp;
             uint8_t* p1 = dst + plane + y * wp;
             uint8_t* p2 = dst + (swap_rb ? 0 : 2 * plane) + y * wp;
-            if (c_in == 3) {
-                fp_deint3_row(row, w, p0, p1, p2);
+            if (lvl >= 2) {
+                c_in == 3 ? fp_deint3_row_avx512(row, w, p0, p1, p2)
+                          : fp_deint4_row_avx512(row, w, p0, p1, p2);
             } else {
-                fp_deint4_row(row, w, p0, p1, p2);
+                c_in == 3 ? fp_deint3_row(row, w, p0, p1, p2)
+                          : fp_deint4_row(row, w, p0, p1, p2);
             }
         }
         return;
@@ -245,14 +452,20 @@ void fp_interleave(const uint8_t* src, int64_t c, int64_t hp, int64_t wp,
     const int o0 = swap_rb ? 2 : 0;
     const int o2 = swap_rb ? 0 : 2;
 #ifdef FP_X86
-    if (fp_have_ssse3()) {
+    const int lvl = fp_simd_level();
+    if (lvl >= 1) {
         // the kernel emits (ch0, ch1, ch2) per pixel; channel swap is a
         // source-plane swap (gray broadcast: all three sources coincide)
         const uint8_t* s0 = swap_rb ? sb : sr;
         const uint8_t* s2 = swap_rb ? sr : sb;
         for (int64_t y = 0; y < h; ++y) {
-            fp_int3_row(s0 + y * wp, sg + y * wp, s2 + y * wp, w,
-                        dst + y * w * 3);
+            if (lvl >= 2) {
+                fp_int3_row_avx512(s0 + y * wp, sg + y * wp, s2 + y * wp,
+                                   w, dst + y * w * 3);
+            } else {
+                fp_int3_row(s0 + y * wp, sg + y * wp, s2 + y * wp, w,
+                            dst + y * w * 3);
+            }
         }
         return;
     }

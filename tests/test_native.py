@@ -46,12 +46,21 @@ def test_interleave_gray_broadcast(rng):
     np.testing.assert_array_equal(got, np.moveaxis(exp, 0, -1))
 
 
-@pytest.mark.parametrize("w", [1, 15, 16, 17, 32, 33, 47, 48, 49])
-def test_layout_simd_tail_sweep(w, rng):
-    """Widths straddling the 16-pixel SIMD block boundary: the vector body
-    and the scalar tail must agree with the numpy reference at every split
-    (also exercised on non-x86 hosts, where the whole row is the tail)."""
-    h, hp, wp = 5, 8, 128
+@pytest.mark.parametrize("tier", ["scalar", "ssse3", "avx512"])
+@pytest.mark.parametrize(
+    "w", [1, 15, 16, 17, 32, 33, 47, 48, 49, 63, 64, 65, 127, 128, 129])
+def test_layout_simd_tail_sweep(w, tier, rng, monkeypatch):
+    """Widths straddling the 16- and 64-pixel SIMD block boundaries, on
+    every tier the host supports (DIPS_TPU_SIMD caps the dispatch): the
+    vector body and the tail must agree with the numpy reference at every
+    split (also exercised on non-x86 hosts, where everything is scalar)."""
+    if native.NATIVE_AVAILABLE:
+        monkeypatch.setenv("DIPS_TPU_SIMD", tier)
+        if tier != "scalar" and native.simd_level() == 0:
+            pytest.skip(f"host cannot run the {tier} tier")
+    elif tier != "scalar":
+        pytest.skip("native framepump unavailable")
+    h, hp, wp = 5, 8, 192
     for cin in (3, 4):
         frame = rng.integers(0, 256, (h, w, cin), np.uint8)
         for swap in (False, True):
@@ -63,6 +72,25 @@ def test_layout_simd_tail_sweep(w, rng):
         got = native.interleave(planes, h, w, swap_rb=swap)
         exp = np.moveaxis(planes[:, :h, :w], 0, -1)
         np.testing.assert_array_equal(got, exp[..., ::-1] if swap else exp)
+
+
+def test_simd_level_reporting():
+    """simd_level() reflects the DIPS_TPU_SIMD cap and names resolve."""
+    lvl = native.simd_level()
+    assert lvl in native.SIMD_NAMES
+    if native.NATIVE_AVAILABLE:
+        import os
+        old = os.environ.get("DIPS_TPU_SIMD")
+        try:
+            os.environ["DIPS_TPU_SIMD"] = "scalar"
+            assert native.simd_level() == 0
+        finally:
+            if old is None:
+                os.environ.pop("DIPS_TPU_SIMD", None)
+            else:
+                os.environ["DIPS_TPU_SIMD"] = old
+    else:
+        assert lvl == -1
 
 
 def test_planarize_roundtrip(rng):
