@@ -51,7 +51,14 @@ backoff reconnection and exactly-once frame accounting for flaky edge
 links.  Untagged clients get FRESH state on a multi-session server — a
 pooled engine is reset before reuse, so one camera's baseline can never
 leak into another's stream — except on a single-session server, where the
-lone anonymous engine unambiguously resumes (back-compat).  Start with
+lone anonymous engine unambiguously resumes (back-compat).
+
+Crash safety: ``--autosave DIR`` periodically checkpoints each NAMED
+session's streaming state (every ``--autosave-every`` frames, atomically,
+plus a flush on graceful close); after a daemon restart the first bind of
+a token restores its last autosave, so a camera fleet survives a crash
+with a bounded baseline-drift window instead of resuming fresh.  An
+explicit ``reset`` discards the session's autosave too.  Start with
 ``python -m dips_tpu.serve --port 7807 --height H --width W [options]``.
 """
 
@@ -60,6 +67,7 @@ from __future__ import annotations
 import argparse
 import json
 import logging
+import os
 import socket
 import struct
 import threading
@@ -388,7 +396,8 @@ def _prometheus_text(m: dict) -> str:
     for key, kind in (("connections", "counter"), ("requests", "counter"),
                       ("frames", "counter"), ("request_errors", "counter"),
                       ("rejected", "counter"), ("link_drops", "counter"),
-                      ("takeovers", "counter"),
+                      ("takeovers", "counter"), ("autosaves", "counter"),
+                      ("autorestores", "counter"),
                       ("active_sessions", "gauge"),
                       ("parked_sessions", "gauge"),
                       ("max_sessions", "gauge"), ("uptime_s", "gauge")):
@@ -457,7 +466,20 @@ class DiPsServer:
                  packed_wire: bool = False, coalesce: int = 0,
                  coalesce_window_ms: float = 2.0, coalesce_devices: int = 1,
                  input_layout: str = "planar",
-                 metrics_port: Optional[int] = None):
+                 metrics_port: Optional[int] = None,
+                 autosave_dir: Optional[str] = None,
+                 autosave_every: int = 256):
+        #: crash-safety checkpoints for NAMED sessions: every
+        #: ``autosave_every`` processed frames (and on graceful close) a
+        #: session's streaming state is written to
+        #: ``autosave_dir/<token>.npz`` (atomic tmp+rename); after a daemon
+        #: restart, the first bind of that token restores it, so a fleet
+        #: survives a crash with at most ``autosave_every`` frames of
+        #: baseline drift instead of resuming fresh.  None disables.
+        self.autosave_dir = autosave_dir
+        self.autosave_every = max(1, int(autosave_every))
+        if autosave_dir is not None:
+            os.makedirs(autosave_dir, exist_ok=True)
         self._coalescer: Optional[StreamCoalescer] = None
         self._coalesce_cfg: Optional[dict] = None
         self._coalescers: dict = {}   # flexible mode: (h, w) -> coalescer
@@ -539,7 +561,10 @@ class DiPsServer:
                           # fleet-link health: abortive disconnects and
                           # latest-wins token takeovers (reconnect storms
                           # show up here before anywhere else)
-                          "link_drops": 0, "takeovers": 0}
+                          "link_drops": 0, "takeovers": 0,
+                          # crash-safety checkpoints written / sessions
+                          # restored from one after a daemon restart
+                          "autosaves": 0, "autorestores": 0}
         # optional Prometheus scrape endpoint (GET /metrics)
         self._metrics_httpd = None
         self.metrics_port: Optional[int] = None
@@ -737,6 +762,59 @@ class DiPsServer:
             log.info("evicted %d idle geometry coalescer(s)", len(evicted))
         return evicted
 
+    def _autosave_path(self, token: str) -> str:
+        from urllib.parse import quote
+        return os.path.join(self.autosave_dir,
+                            quote(str(token), safe="") + ".npz")
+
+    def _maybe_autosave(self, eng, n_frames: int = 0,
+                        force: bool = False) -> None:
+        """Crash-safety checkpoint for a named session.  Runs on the
+        session's own thread right after its request completed, so the
+        engine state is quiescent — never call under ``_pool_lock``."""
+        tok = getattr(eng, "session_token", None)
+        if self.autosave_dir is None or tok is None:
+            return
+        due = getattr(eng, "_autosave_due", 0) + n_frames
+        eng._autosave_due = due
+        if due < (1 if force else self.autosave_every):
+            return  # force still skips when nothing changed since the last
+        path = self._autosave_path(tok)
+        # np.savez appends ".npz" to names without it: keep the suffix
+        tmp = path[:-len(".npz")] + ".tmp.npz"
+        try:
+            eng.save(tmp)
+            os.replace(tmp, path)
+            eng._autosave_due = 0
+            self._count("autosaves")
+        except Exception:  # a full disk must not kill the stream
+            log.exception("autosave failed for session %r", tok)
+
+    def _try_autorestore(self, eng, token) -> bool:
+        """Load ``token``'s last autosave into a freshly-bound engine (the
+        daemon-restart resume path).  A stale/mismatched file logs and
+        falls back to fresh state rather than failing the bind."""
+        if self.autosave_dir is None:
+            return False
+        path = self._autosave_path(token)
+        if not os.path.exists(path):
+            return False
+        try:
+            eng.load(path)
+            eng._autosave_due = 0
+            self._count("autorestores")
+            log.info("session %r restored from autosave (frame %d)",
+                     token, eng.frame_index)
+            return True
+        except Exception as e:
+            log.warning("session %r: autosave restore failed (%s): "
+                        "starting fresh", token, e)
+            try:
+                eng.reset()
+            except Exception:
+                log.exception("reset after failed restore")
+            return False
+
     def _takeover_token(self, tok: str, client) -> None:
         """Latest-wins token semantics: if ``tok`` is live on another
         connection (a camera reconnecting before the server noticed the
@@ -793,13 +871,17 @@ class DiPsServer:
                     co.release(old.slot)
                     sess = _CoalescedSession(co, co.bind())
             sess.session_token = token
+            if token is not None:  # daemon-restart resume (fresh slot)
+                self._try_autorestore(sess, token)
             return sess
         eng = None
+        resumed = False
         need_reset = token is not None or self.max_sessions > 1
         with self._pool_lock:
             if token is not None and token in self._named:
                 eng = self._named.pop(token)
                 need_reset = False  # resuming IS the point of the token
+                resumed = True      # parked state is newer than any autosave
             elif self.flexible:
                 if geometry is None:
                     raise ValueError(
@@ -818,6 +900,8 @@ class DiPsServer:
         elif need_reset:
             eng.reset()  # never hand one client another's state
         eng.session_token = token
+        if token is not None and not resumed:
+            self._try_autorestore(eng, token)  # daemon-restart resume
         return eng
 
     def _release_engine(self, eng) -> None:
@@ -961,7 +1045,20 @@ class DiPsServer:
                         self._takeover_token(tok, client)
                     with self._pool_lock:
                         parked = tok is not None and tok in self._named
-                    if not parked:
+                    if (not parked and tok is not None
+                            and self.autosave_dir is not None):
+                        # daemon restart: recover the session's geometry
+                        # from its autosave so even a pre-bind hello binds,
+                        # restores, and reports the TRUE cursor (a 0 here
+                        # would make a resilient client resume fresh)
+                        try:
+                            with np.load(self._autosave_path(tok)) as z:
+                                if "geometry" in z.files:
+                                    geometry = tuple(int(v)
+                                                     for v in z["geometry"])
+                        except OSError:
+                            pass
+                    if not parked and geometry is None:
                         # geometry-free commands answer without binding;
                         # state commands need a frame/checkpoint first
                         if cmd == "hello":
@@ -1023,6 +1120,7 @@ class DiPsServer:
                     hdr["stats"] = hdr["stats"][0]
                     hdr["shape"] = hdr["shape"][1:]  # per-frame shape
                     _send(client, hdr, body)
+                    self._maybe_autosave(eng, n_frames)
                 elif cmd == "process_batch":
                     shape = tuple(header["shape"])
                     frames = np.frombuffer(payload, np.uint8).reshape(shape)
@@ -1030,6 +1128,7 @@ class DiPsServer:
                     hdr, body = _process_reply(eng, frames, header)
                     self._observe_latency(time.monotonic() - t0)
                     _send(client, hdr, body)
+                    self._maybe_autosave(eng, n_frames)
                 elif cmd == "snapshot":
                     eng.snapshot()
                     _send(client, {"ok": True})
@@ -1047,8 +1146,20 @@ class DiPsServer:
                                    "frame_index": eng.frame_index})
                 elif cmd == "reset":
                     eng.reset()
+                    tok = getattr(eng, "session_token", None)
+                    if self.autosave_dir is not None and tok is not None:
+                        # explicit state discard also discards the
+                        # crash-safety checkpoint (a restart must not
+                        # resurrect what the client reset)
+                        eng._autosave_due = 0
+                        try:
+                            os.remove(self._autosave_path(tok))
+                        except OSError:
+                            pass
                     _send(client, {"ok": True})
                 elif cmd == "close":
+                    # a graceful goodbye flushes any unsaved tail first
+                    self._maybe_autosave(eng, force=True)
                     # park BEFORE replying: when the client's close()
                     # returns, a reconnect is guaranteed to find the
                     # parked state (no release/rebind race)
@@ -1399,6 +1510,14 @@ def main(argv=None) -> int:
                          "geometry coalescers / pooled engines alive under "
                          "geometry churn (default 8; live sessions are "
                          "never evicted)")
+    ap.add_argument("--autosave", default=None, metavar="DIR",
+                    help="crash-safety checkpoints: periodically save each "
+                         "NAMED session's streaming state to DIR; after a "
+                         "daemon restart, reconnecting sessions resume "
+                         "from their last autosave instead of fresh")
+    ap.add_argument("--autosave-every", type=int, default=256, metavar="N",
+                    help="frames between a session's autosaves (a graceful "
+                         "close always flushes)")
     ap.add_argument("--warm", default=None, metavar="GEOMS",
                     help="comma-separated geometries to pre-compile at "
                          "startup (HxW or 480p/720p/1080p/4k) so the "
@@ -1419,7 +1538,9 @@ def main(argv=None) -> int:
                         coalesce_window_ms=args.coalesce_window_ms,
                         coalesce_devices=args.coalesce_devices,
                         input_layout=args.input_layout,
-                        metrics_port=args.metrics_port)
+                        metrics_port=args.metrics_port,
+                        autosave_dir=args.autosave,
+                        autosave_every=args.autosave_every)
     if args.max_geometries is not None:
         server.max_geometries = max(1, args.max_geometries)
         server.max_pooled_engines = max(server.max_pooled_engines,

@@ -1312,3 +1312,165 @@ def test_resilient_fleet_random_rst_stress():
             assert fi == done == n_frames, (k, fi, done, dropped)
     finally:
         srv.shutdown()
+
+
+# ---------------------------------------------------------------------------
+# autosave: crash-safety checkpoints for named sessions
+# ---------------------------------------------------------------------------
+
+def _absdiff_props():
+    from dips_tpu.properties import OutputMode
+    return DiPsProperties(window_size=1, temporal_size=2,
+                          filter=DiPsFilter.UNFILTERED,
+                          output=OutputMode.ABSDIFF)
+
+
+def _wait_autosaves(srv, n, timeout=10.0):
+    """Autosaves land AFTER the reply (checkpoint IO must not sit in the
+    request latency), so a test 'crash' needs to wait for them."""
+    import time
+    deadline = time.monotonic() + timeout
+    while time.monotonic() < deadline:
+        if srv.metrics()["autosaves"] >= n:
+            return
+        time.sleep(0.02)
+    raise AssertionError(
+        f"expected {n} autosaves, got {srv.metrics()['autosaves']}")
+
+
+def test_autosave_restores_after_daemon_restart(tmp_path):
+    """A daemon crash between autosaves loses at most the unsaved tail:
+    the restarted daemon restores the session from disk, and the
+    continued stream is BIT-IDENTICAL to one uninterrupted engine."""
+    props = _absdiff_props()
+    clip = make_clip(n=6, h=16, w=24, seed=11)
+
+    ref = DiPsEngine(props, 16, 24, batch=2)
+    exp_out, exp_stats = ref.process_frames(list(clip))
+
+    srv = DiPsServer(props, 16, 24, port=0, batch=2, max_sessions=2,
+                     autosave_dir=str(tmp_path), autosave_every=2)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    c = DiPsClient(srv.port, session="cam")
+    out_a1, stats_a1 = c.process_many(np.stack(clip[:2]))
+    out_a2, stats_a2 = c.process_many(np.stack(clip[2:4]))
+    out_a = np.concatenate([out_a1, out_a2])
+    stats_a = np.concatenate([stats_a1, stats_a2])
+    # one autosave per 2-frame request; "crash" without close
+    _wait_autosaves(srv, 2)
+    srv.shutdown()
+
+    srv2 = DiPsServer(props, 16, 24, port=0, batch=2, max_sessions=2,
+                      autosave_dir=str(tmp_path), autosave_every=2)
+    threading.Thread(target=srv2.serve_forever, daemon=True).start()
+    try:
+        c2 = DiPsClient(srv2.port, session="cam")
+        assert c2.hello()["frame_index"] == 4  # restored, not fresh
+        out_b, stats_b = c2.process_many(np.stack(clip[4:6]))
+        np.testing.assert_array_equal(
+            np.concatenate([out_a, out_b]), exp_out)
+        np.testing.assert_allclose(
+            np.concatenate([stats_a, stats_b]), exp_stats,
+            atol=1e-5, rtol=1e-5)
+        assert srv2.metrics()["autorestores"] == 1
+        c2.close()
+    finally:
+        srv2.shutdown()
+
+
+def test_autosave_flexible_prebind_hello_reports_restored_cursor(tmp_path):
+    """Flexible daemon restart: a pre-bind hello with a token recovers
+    geometry from the autosave and reports the restored cursor (0 would
+    make a resilient client wrongly resume fresh)."""
+    srv, props = _flexible_server(autosave_dir=str(tmp_path),
+                                  autosave_every=2)
+    clip = make_clip(n=4, h=16, w=24, seed=3)
+    c = DiPsClient(srv.port, session="cam")
+    c.process_many(np.stack(clip))
+    _wait_autosaves(srv, 1)
+    srv.shutdown()
+
+    srv2, _ = _flexible_server(autosave_dir=str(tmp_path),
+                               autosave_every=2)
+    try:
+        c2 = DiPsClient(srv2.port, session="cam")
+        assert c2.hello()["frame_index"] == 4  # pre-bind, geometry peeked
+        out, _ = c2.process_many(np.stack(clip))
+        assert out.shape == (4, 16, 24, 3)
+        c2.close()
+    finally:
+        srv2.shutdown()
+
+
+def test_autosave_close_flushes_and_reset_discards(tmp_path):
+    """A graceful close flushes the unsaved tail even below the interval;
+    an explicit reset discards the checkpoint (a restart must not
+    resurrect state the client threw away)."""
+    import os
+
+    props = _absdiff_props()
+    clip = make_clip(n=3, h=16, w=24, seed=5)
+    srv = DiPsServer(props, 16, 24, port=0, batch=3, max_sessions=2,
+                     autosave_dir=str(tmp_path), autosave_every=100)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    c = DiPsClient(srv.port, session="cam")
+    c.process_many(np.stack(clip))
+    c.close()  # interval not reached: the close flushes
+    path = srv._autosave_path("cam")
+    assert os.path.exists(path)
+    srv.shutdown()
+
+    srv2 = DiPsServer(props, 16, 24, port=0, batch=3, max_sessions=2,
+                      autosave_dir=str(tmp_path), autosave_every=100)
+    threading.Thread(target=srv2.serve_forever, daemon=True).start()
+    try:
+        c2 = DiPsClient(srv2.port, session="cam")
+        assert c2.hello()["frame_index"] == 3
+        c2.reset()
+        assert not os.path.exists(path)  # checkpoint discarded with state
+        assert c2.hello()["frame_index"] == 0
+        c2.close()
+        # close after reset with zero new frames must not resurrect a file
+        assert not os.path.exists(path)
+    finally:
+        srv2.shutdown()
+
+
+def test_autosave_coalesced_slot_roundtrip(tmp_path):
+    """Coalesced daemons autosave per-slot state through the same
+    DiPsEngine-compatible checkpoints; a restarted coalesced daemon
+    restores the slot."""
+    srv, props = _flexible_server(coalesce=2, autosave_dir=str(tmp_path),
+                                  autosave_every=2)
+    clip = make_clip(n=4, h=16, w=24, seed=9)
+    c = DiPsClient(srv.port, session="cam")
+    c.process_many(np.stack(clip))
+    _wait_autosaves(srv, 1)
+    srv.shutdown()
+
+    srv2, _ = _flexible_server(coalesce=2, autosave_dir=str(tmp_path),
+                               autosave_every=2)
+    try:
+        c2 = DiPsClient(srv2.port, session="cam")
+        assert c2.hello()["frame_index"] == 4
+        out, _ = c2.process_many(np.stack(clip))
+        assert out.shape == (4, 16, 24, 3)
+        assert srv2.metrics()["autorestores"] == 1
+        c2.close()
+    finally:
+        srv2.shutdown()
+
+
+def test_autosave_off_by_default(tmp_path):
+    """Without autosave_dir nothing is written and counters stay zero."""
+    props = _absdiff_props()
+    srv = DiPsServer(props, 16, 24, port=0, batch=2, max_sessions=2)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        c = DiPsClient(srv.port, session="cam")
+        c.process_many(np.stack(make_clip(n=2, h=16, w=24)))
+        c.close()
+        m = srv.metrics()
+        assert m["autosaves"] == 0 and m["autorestores"] == 0
+    finally:
+        srv.shutdown()
