@@ -30,8 +30,13 @@ _SO = os.path.join(_DIR, "libframepump.so")
 _lib: Optional[ctypes.CDLL] = None
 
 
-def _build() -> bool:
+def _build(force: bool = False) -> bool:
     try:
+        if force:  # new inode, so a re-dlopen can't alias the old mapping
+            try:
+                os.remove(_SO)
+            except OSError:
+                pass
         subprocess.run(["make", "-C", _DIR, "-s"], check=True,
                        capture_output=True, timeout=120)
         return os.path.exists(_SO)
@@ -40,16 +45,9 @@ def _build() -> bool:
         return False
 
 
-def _load() -> Optional[ctypes.CDLL]:
-    if os.environ.get("DIPS_TPU_NO_NATIVE"):
-        return None
-    if not os.path.exists(_SO) and not _build():
-        return None
-    try:
-        lib = ctypes.CDLL(_SO)
-    except OSError as e:
-        log.warning("framepump load failed: %s", e)
-        return None
+def _bind(lib: ctypes.CDLL) -> None:
+    """Declare every exported symbol's signature.  Raises AttributeError
+    when the loaded .so predates one of them (a stale prebuilt binary)."""
     u8p = ctypes.POINTER(ctypes.c_uint8)
     i64 = ctypes.c_int64
     lib.fp_planarize.argtypes = [u8p, i64, i64, i64, i64, u8p, i64, i64,
@@ -67,7 +65,42 @@ def _load() -> Optional[ctypes.CDLL]:
     lib.fp_ring_size.argtypes = [ctypes.c_void_p]
     lib.fp_ring_size.restype = i64
     lib.fp_simd_level.restype = ctypes.c_int
-    return lib
+
+
+def _load() -> Optional[ctypes.CDLL]:
+    if os.environ.get("DIPS_TPU_NO_NATIVE"):
+        return None
+    if not os.path.exists(_SO):
+        if not _build():
+            return None
+    else:
+        _build()  # sources newer than the .so rebuild; failure (no
+        #           toolchain) keeps the existing binary
+    for attempt in (0, 1):
+        try:
+            lib = ctypes.CDLL(_SO)
+        except OSError as e:
+            log.warning("framepump load failed: %s", e)
+            return None
+        try:
+            _bind(lib)
+            return lib
+        except AttributeError as e:
+            # a prebuilt .so from an older source tree lacks a symbol:
+            # force one rebuild, then fall back to numpy rather than
+            # crash the package import.  dlopen dedupes by PATH, so the
+            # stale mapping must be dlclosed or the reload returns it.
+            try:
+                import _ctypes
+                _ctypes.dlclose(lib._handle)
+            except Exception:
+                pass
+            del lib
+            if attempt or not _build(force=True):
+                log.warning("framepump .so is stale (%s); using the "
+                            "numpy fallback", e)
+                return None
+    return None
 
 
 _lib = _load()

@@ -41,9 +41,11 @@ extern "C" int fp_simd_level() {
     int cap = 2;
     const char* env = std::getenv("DIPS_TPU_SIMD");
     if (env && *env) {
-        if (std::strcmp(env, "scalar") == 0) cap = 0;
-        else if (std::strcmp(env, "ssse3") == 0) cap = 1;
+        if (std::strcmp(env, "ssse3") == 0) cap = 1;
         else if (std::strcmp(env, "avx512") == 0) cap = 2;
+        else cap = 0;  // "scalar" and any unrecognized value pin the
+                       // safest tier: an operator typo must not silently
+                       // leave the maximum tier running
     }
     int have = 0;
     if (__builtin_cpu_supports("ssse3")) have = 1;

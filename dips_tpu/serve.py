@@ -65,11 +65,13 @@ explicit ``reset`` discards the session's autosave too.  Start with
 from __future__ import annotations
 
 import argparse
+import glob
 import json
 import logging
 import os
 import socket
 import struct
+import tempfile
 import threading
 import time
 from typing import Optional, Tuple
@@ -480,6 +482,15 @@ class DiPsServer:
         self.autosave_every = max(1, int(autosave_every))
         if autosave_dir is not None:
             os.makedirs(autosave_dir, exist_ok=True)
+            # a crash mid-autosave leaves an orphaned tmp file behind; the
+            # '#' marker cannot appear in a quote()-escaped token, so these
+            # are never live checkpoints
+            for stale in glob.glob(os.path.join(autosave_dir,
+                                                "*.#tmp#*.npz")):
+                try:
+                    os.remove(stale)
+                except OSError:
+                    pass
         self._coalescer: Optional[StreamCoalescer] = None
         self._coalesce_cfg: Optional[dict] = None
         self._coalescers: dict = {}   # flexible mode: (h, w) -> coalescer
@@ -780,8 +791,15 @@ class DiPsServer:
         if due < (1 if force else self.autosave_every):
             return  # force still skips when nothing changed since the last
         path = self._autosave_path(tok)
-        # np.savez appends ".npz" to names without it: keep the suffix
-        tmp = path[:-len(".npz")] + ".tmp.npz"
+        # unique tmp per write: after a takeover TIMEOUT two threads can
+        # briefly autosave the same token, and a fixed tmp name would let
+        # their np.savez writes interleave into garbage that os.replace
+        # then renames over the last good checkpoint.  The '#' marker
+        # cannot collide with a quoted token (quote escapes '#').
+        fd, tmp = tempfile.mkstemp(dir=self.autosave_dir, suffix=".npz",
+                                   prefix=os.path.basename(path)[:-4]
+                                   + ".#tmp#")
+        os.close(fd)
         try:
             eng.save(tmp)
             os.replace(tmp, path)
@@ -789,6 +807,21 @@ class DiPsServer:
             self._count("autosaves")
         except Exception:  # a full disk must not kill the stream
             log.exception("autosave failed for session %r", tok)
+            try:
+                os.remove(tmp)
+            except OSError:
+                pass
+
+    @staticmethod
+    def _peek_geometry(path) -> Optional[tuple]:
+        """(height, width) recorded in a checkpoint file, or None.
+        Raises whatever ``np.load`` raises on an unreadable file — the
+        caller decides whether that surfaces (explicit ``load``) or falls
+        back to fresh state (autosave recovery)."""
+        with np.load(str(path)) as z:
+            if "geometry" in z.files:
+                return tuple(int(v) for v in z["geometry"])
+        return None
 
     def _try_autorestore(self, eng, token) -> bool:
         """Load ``token``'s last autosave into a freshly-bound engine (the
@@ -809,6 +842,7 @@ class DiPsServer:
         except Exception as e:
             log.warning("session %r: autosave restore failed (%s): "
                         "starting fresh", token, e)
+            eng._autosave_due = 0  # a recycled counter must not carry over
             try:
                 eng.reset()
             except Exception:
@@ -899,6 +933,7 @@ class DiPsServer:
                    else self._mk_engine())
         elif need_reset:
             eng.reset()  # never hand one client another's state
+            eng._autosave_due = 0  # ...nor another's unsaved-frame counter
         eng.session_token = token
         if token is not None and not resumed:
             self._try_autorestore(eng, token)  # daemon-restart resume
@@ -1028,10 +1063,7 @@ class DiPsServer:
                             continue
                 elif cmd == "load" and self.flexible:
                     try:  # peek the checkpoint's geometry to size the engine
-                        with np.load(str(header["path"])) as z:
-                            if "geometry" in z.files:
-                                geometry = tuple(int(v)
-                                                 for v in z["geometry"])
+                        geometry = self._peek_geometry(header["path"])
                     except Exception as e:
                         self._count("request_errors")
                         _send(client, {"ok": False, "error": str(e)})
@@ -1046,17 +1078,21 @@ class DiPsServer:
                     with self._pool_lock:
                         parked = tok is not None and tok in self._named
                     if (not parked and tok is not None
-                            and self.autosave_dir is not None):
+                            and self.autosave_dir is not None
+                            and cmd not in ("metrics", "close")):
                         # daemon restart: recover the session's geometry
                         # from its autosave so even a pre-bind hello binds,
                         # restores, and reports the TRUE cursor (a 0 here
-                        # would make a resilient client resume fresh)
+                        # would make a resilient client resume fresh).
+                        # metrics/close stay bind-free — a monitoring
+                        # scrape must not trigger checkpoint IO + compile.
+                        # A corrupt file (ANY load error, not just OSError)
+                        # reads as no geometry: the session starts fresh
+                        # instead of bricking the token's reconnect path.
                         try:
-                            with np.load(self._autosave_path(tok)) as z:
-                                if "geometry" in z.files:
-                                    geometry = tuple(int(v)
-                                                     for v in z["geometry"])
-                        except OSError:
+                            geometry = self._peek_geometry(
+                                self._autosave_path(tok))
+                        except Exception:
                             pass
                     if not parked and geometry is None:
                         # geometry-free commands answer without binding;

@@ -212,3 +212,61 @@ def test_frame_ring_pop_rejects_noncontiguous(make_ring):
     view = np.empty((8, 2), np.uint8)[:, 0]  # non-contiguous column view
     with pytest.raises(ValueError):
         ring.pop(view)
+
+
+def test_unknown_simd_env_pins_scalar(monkeypatch):
+    """Review regression: an operator typo (DIPS_TPU_SIMD=avx2/sse3/AVX512)
+    must pin the SAFEST tier, not silently leave the maximum running."""
+    if not native.NATIVE_AVAILABLE:
+        pytest.skip("native module not built")
+    for bogus in ("avx2", "sse3", "AVX512", "Scalar"):
+        monkeypatch.setenv("DIPS_TPU_SIMD", bogus)
+        assert native.simd_level() == 0, bogus
+
+
+def _compile_dummy_so(path):
+    import subprocess
+    src = str(path) + ".cpp"
+    with open(src, "w") as f:
+        f.write('extern "C" int fp_nothing() { return 0; }\n')
+    subprocess.run(["g++", "-shared", "-fPIC", "-o", str(path), src],
+                   check=True, capture_output=True)
+
+
+def test_stale_prebuilt_so_is_rebuilt(tmp_path, monkeypatch):
+    """Review regression: a libframepump.so built from an OLDER source tree
+    lacks newly-added symbols; importing the package must rebuild it (or
+    fall back), never die in AttributeError at import time."""
+    import shutil
+    if shutil.which("g++") is None:
+        pytest.skip("no toolchain")
+    shutil.copy(native._DIR + "/framepump.cpp", tmp_path / "framepump.cpp")
+    shutil.copy(native._DIR + "/Makefile", tmp_path / "Makefile")
+    so = tmp_path / "libframepump.so"
+    _compile_dummy_so(so)
+    # make the stale binary look up to date so the mtime check passes and
+    # the AttributeError force-rebuild path is the one exercised
+    import os
+    late = max(os.path.getmtime(tmp_path / "framepump.cpp"),
+               os.path.getmtime(tmp_path / "Makefile")) + 10
+    os.utime(so, (late, late))
+    monkeypatch.setattr(native, "_DIR", str(tmp_path))
+    monkeypatch.setattr(native, "_SO", str(so))
+    lib = native._load()
+    assert lib is not None
+    assert int(lib.fp_simd_level()) >= 0  # the rebuilt .so has the symbol
+
+
+def test_stale_so_without_toolchain_falls_back(tmp_path, monkeypatch):
+    """Same stale binary but no Makefile/source to rebuild from: _load()
+    must return None (numpy fallback), not raise."""
+    import os, shutil
+    if shutil.which("g++") is None:
+        pytest.skip("no toolchain")
+    so = tmp_path / "libframepump.so"
+    _compile_dummy_so(so)
+    future = os.path.getmtime(so) + 10
+    os.utime(so, (future, future))
+    monkeypatch.setattr(native, "_DIR", str(tmp_path))
+    monkeypatch.setattr(native, "_SO", str(so))
+    assert native._load() is None

@@ -1474,3 +1474,99 @@ def test_autosave_off_by_default(tmp_path):
         assert m["autosaves"] == 0 and m["autorestores"] == 0
     finally:
         srv.shutdown()
+
+
+def test_autosave_corrupt_file_reads_as_fresh(tmp_path):
+    """Review regression: a corrupt autosave .npz (disk damage, torn write)
+    must NOT brick the token — the pre-bind hello answers fresh and the
+    first processed frames overwrite the bad checkpoint."""
+    import os
+
+    srv, _ = _flexible_server(autosave_dir=str(tmp_path), autosave_every=2)
+    bad = srv._autosave_path("cam")
+    with open(bad, "wb") as f:
+        f.write(b"not a zipfile at all")
+    try:
+        c = DiPsClient(srv.port, session="cam")
+        assert c.hello()["frame_index"] == 0  # fresh, not an error
+        clip = make_clip(n=2, h=16, w=24, seed=21)
+        out, _ = c.process_many(np.stack(clip))
+        assert out.shape[0] == 2
+        _wait_autosaves(srv, 1)  # the good state replaced the corrupt file
+        with np.load(bad) as z:
+            assert "geometry" in z.files
+        c.close()
+    finally:
+        srv.shutdown()
+
+
+def test_autosave_token_named_dot_tmp_not_clobbered(tmp_path):
+    """Review regression: the old fixed tmp-file scheme made session
+    'cam''s autosave tmp path equal session 'cam.tmp''s checkpoint path,
+    deterministically deleting the latter on every autosave of the
+    former."""
+    import os
+
+    props = _absdiff_props()
+    clip = make_clip(n=2, h=16, w=24, seed=23)
+    srv = DiPsServer(props, 16, 24, port=0, batch=2, max_sessions=2,
+                     autosave_dir=str(tmp_path), autosave_every=2)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        c_tmp = DiPsClient(srv.port, session="cam.tmp")
+        c_tmp.process_many(np.stack(clip))
+        c_tmp.close()
+        c = DiPsClient(srv.port, session="cam")
+        c.process_many(np.stack(clip))
+        c.close()
+        assert os.path.exists(srv._autosave_path("cam"))
+        assert os.path.exists(srv._autosave_path("cam.tmp"))
+        # and no orphaned tmp litter remains after clean writes
+        import glob as _glob
+        assert not _glob.glob(str(tmp_path / "*#tmp#*"))
+    finally:
+        srv.shutdown()
+
+
+def test_autosave_prebind_metrics_and_close_stay_bindfree(tmp_path):
+    """Review regression: a monitoring scrape (metrics) or teardown
+    (close) with an unbound token must not trigger checkpoint IO, an
+    engine build, or a restore on a flexible daemon."""
+    srv, _ = _flexible_server(autosave_dir=str(tmp_path), autosave_every=2)
+    clip = make_clip(n=2, h=16, w=24, seed=25)
+    c = DiPsClient(srv.port, session="cam")
+    c.process_many(np.stack(clip))
+    _wait_autosaves(srv, 1)
+    srv.shutdown()
+
+    srv2, _ = _flexible_server(autosave_dir=str(tmp_path), autosave_every=2)
+    try:
+        m = DiPsClient(srv2.port, session="cam")
+        assert m.metrics()["ok"]
+        m.close()
+        assert srv2.metrics()["autorestores"] == 0  # stayed bind-free
+        # a real hello still restores
+        c2 = DiPsClient(srv2.port, session="cam")
+        assert c2.hello()["frame_index"] == 2
+        c2.close()
+        assert srv2.metrics()["autorestores"] == 1
+    finally:
+        srv2.shutdown()
+
+
+def test_autosave_due_counter_not_recycled_with_pooled_engine(tmp_path):
+    """Review regression: an engine returned to the anonymous pool with
+    unsaved frames on its counter must not hand that counter to the next
+    session that binds it (premature / frame-0 checkpoints)."""
+    props = _absdiff_props()
+    srv = DiPsServer(props, 16, 24, port=0, batch=2, max_sessions=2,
+                     autosave_dir=str(tmp_path), autosave_every=100)
+    try:
+        eng = srv._bind_engine(None)
+        eng._autosave_due = 7  # unsaved tail from a previous life
+        srv._release_engine(eng)
+        eng2 = srv._bind_engine("fresh-token")
+        assert eng2 is eng  # pooled engine recycled...
+        assert getattr(eng2, "_autosave_due", 0) == 0  # ...counter cleared
+    finally:
+        srv.shutdown()
