@@ -66,6 +66,21 @@ def run(n_devices: int) -> None:
         assert out.shape == (s, 2, h, w, 3), (backend, out.shape)
         assert np.isfinite(stats).all() and np.isfinite(gmean), backend
 
+    # 1b. the multi-host engine (pod scale-out path): in a single process
+    # it degenerates to every stream being local, but the global-array
+    # plumbing (make_array_from_single_device_arrays in, addressable-shard
+    # gather out) is exactly what runs per host on a pod
+    from dips_tpu.parallel import MultiHostStreamEngine
+    mh = MultiHostStreamEngine(props, h, w, n_streams=s, batch=2,
+                               mesh=mesh, backend="xla")
+    assert mh.local_stream_ids == list(range(s))
+    feed = mh.local_frames_template()
+    for si in mh.local_stream_ids:
+        feed[si] = feeds[si]
+    mout, mstats, mgmean = mh.process_batch(feed)
+    assert mout.shape == (s, 2, h, w, 3), mout.shape
+    assert np.isfinite(mstats).all() and np.isfinite(mgmean)
+
     # 2. spatial row sharding with ICI halo exchange (ppermute)
     rows_mesh = jax.sharding.Mesh(np.asarray(jax.devices()[:n_devices]),
                                   ("rows",))

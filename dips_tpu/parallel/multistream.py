@@ -206,6 +206,10 @@ class MultiStreamEngine:
     (SURVEY.md §5 'Failure detection': the reference panics instead).
     """
 
+    #: multi-host engines set this: _rebuild_ring_state must always run the
+    #: (collective) step, even with no tails, to keep processes in lockstep
+    _rebuild_requires_step = False
+
     def __init__(self, props: DiPsProperties, height: int, width: int,
                  n_streams: int, batch: int = 8,
                  mesh: Optional[Mesh] = None, backend: str = "auto",
@@ -272,29 +276,47 @@ class MultiStreamEngine:
         self.n_streams = int(n_streams)
         self.reset()
 
+    # -- device-array hooks ---------------------------------------------------
+    # The multi-host subclass (parallel/multihost.py) overrides these three
+    # to lift host buffers into GLOBAL jax.Arrays (this process contributes
+    # only its addressable shards) and to read back only the local shards.
+    # Single-process engines map host<->device 1:1.
+    def _zeros(self, shape, dtype):
+        """Carried device state, leading axis = streams."""
+        return jnp.zeros(shape, dtype)
+
+    def _to_device(self, x):
+        """Host->device for step inputs, leading axis = streams."""
+        return jnp.asarray(x)
+
+    def _fetch(self, x, n: Optional[int] = None):
+        """Device->host; ``n`` optionally slices the second (frame) axis
+        before the transfer."""
+        return np.asarray(x if n is None else x[:, :n])
+
     def reset(self) -> None:
         self.frame_cursors = [0] * self.n_streams
         self._tails = [None] * self.n_streams
         if self._raw_mode:
-            self._baseline = jnp.zeros(
+            self._baseline = self._zeros(
                 (self.n_streams, 3, self.hp, self.wp), jnp.uint8)
         else:
-            self._baseline = jnp.zeros((self.n_streams, self.hp, self.wp),
-                                       jnp.float32)
-        self._heatmap = jnp.zeros((self.n_streams, self.hp, self.wp),
-                                  jnp.float32)
+            self._baseline = self._zeros((self.n_streams, self.hp, self.wp),
+                                         jnp.float32)
+        self._heatmap = self._zeros((self.n_streams, self.hp, self.wp),
+                                    jnp.float32)
         self._ring = self._prev = None
         self._ring_offs = [0] * self.n_streams
         if self.ring_carry:
             t = self.props.temporal_size
             if self._raw_mode:
-                self._prev = jnp.zeros(
+                self._prev = self._zeros(
                     (self.n_streams, 3, self.hp, self.wp), jnp.uint8)
             else:
-                self._ring = jnp.zeros(
+                self._ring = self._zeros(
                     (self.n_streams, t, self.hp, self.wp), jnp.float32)
-                self._prev = jnp.zeros((self.n_streams, self.hp, self.wp),
-                                       jnp.float32)
+                self._prev = self._zeros((self.n_streams, self.hp, self.wp),
+                                         jnp.float32)
         self._snap_pending = [False] * self.n_streams
         self.failed: dict[int, StreamError] = {}
 
@@ -336,15 +358,16 @@ class MultiStreamEngine:
             self._prev = self._prev.at[stream].set(0)
 
     def heatmaps(self) -> np.ndarray:
-        """(S, H, W) accumulated |diff| heatmaps, cropped."""
-        return np.asarray(self._heatmap[:, :self.height, :self.width])
+        """(S, H, W) accumulated |diff| heatmaps, cropped (multi-host
+        engines return only this process's streams)."""
+        return self._fetch(self._heatmap)[:, :self.height, :self.width]
 
     # -- checkpoint / resume (SURVEY.md §5; mirrors DiPsEngine) -------------
     def state_dict(self) -> dict:
         return {
             "frame_cursors": list(self.frame_cursors),
-            "baseline": np.asarray(self._baseline),
-            "heatmap": np.asarray(self._heatmap),
+            "baseline": self._fetch(self._baseline),
+            "heatmap": self._fetch(self._heatmap),
             "tails": [np.stack(t) if t is not None else None
                       for t in self._tails],
             "failed": sorted(self.failed),
@@ -361,8 +384,8 @@ class MultiStreamEngine:
         if len(state["frame_cursors"]) != self.n_streams:
             raise ValueError("checkpoint stream count mismatch")
         self.frame_cursors = [int(c) for c in state["frame_cursors"]]
-        self._baseline = jnp.asarray(state["baseline"])
-        self._heatmap = jnp.asarray(state["heatmap"])
+        self._baseline = self._to_device(np.asarray(state["baseline"]))
+        self._heatmap = self._to_device(np.asarray(state["heatmap"]))
         self._tails = [list(t) if t is not None else None
                        for t in state["tails"]]
         self.failed = {
@@ -387,29 +410,32 @@ class MultiStreamEngine:
         s = self.n_streams
         self._ring_offs = [0] * s
         if self._raw_mode:
-            self._prev = jnp.zeros((s, 3, self.hp, self.wp), jnp.uint8)
+            self._prev = self._zeros((s, 3, self.hp, self.wp), jnp.uint8)
         else:
-            self._ring = jnp.zeros((s, t, self.hp, self.wp), jnp.float32)
-            self._prev = jnp.zeros((s, self.hp, self.wp), jnp.float32)
+            self._ring = self._zeros((s, t, self.hp, self.wp), jnp.float32)
+            self._prev = self._zeros((s, self.hp, self.wp), jnp.float32)
         has = [tl is not None for tl in self._tails]
-        if not any(has):
+        if not any(has) and not self._rebuild_requires_step:
+            # multi-host engines can't take this shortcut: the step's psum
+            # is a COLLECTIVE, and one process skipping it while a peer
+            # (which has tails) runs it would deadlock the mesh
             return
         buf = np.zeros((s, t, 3, self.hp, self.wp), np.uint8)
         for si, tl in enumerate(self._tails):
             if tl is not None:
                 buf[si] = np.stack(tl)
-        flags = jnp.zeros((s, t), bool)
-        valid = jnp.asarray(np.tile(np.asarray(has)[:, None], (1, t)))
-        seeds = jnp.asarray(np.asarray(has, np.int32))
-        scratch_hm = jnp.zeros((s, self.hp, self.wp), jnp.float32)
+        flags = self._to_device(np.zeros((s, t), bool))
+        valid = self._to_device(np.tile(np.asarray(has)[:, None], (1, t)))
+        seeds = self._to_device(np.asarray(has, np.int32))
+        scratch_hm = self._zeros((s, self.hp, self.wp), jnp.float32)
         if self._raw_mode:
             _, _, self._prev, self._baseline, _, _ = self._step(
-                jnp.asarray(buf), self._prev, self._baseline, flags,
+                self._to_device(buf), self._prev, self._baseline, flags,
                 scratch_hm, valid, seeds)
         else:
-            offsets = jnp.zeros((s,), jnp.int32)
+            offsets = self._to_device(np.zeros((s,), np.int32))
             _, _, self._ring, self._prev, self._baseline, _, _ = self._step(
-                jnp.asarray(buf), self._ring, self._prev, self._baseline,
+                self._to_device(buf), self._ring, self._prev, self._baseline,
                 flags, scratch_hm, valid, offsets, seeds)
 
     # -- per-stream checkpointing (DiPsEngine-compatible format) ------------
@@ -613,30 +639,30 @@ class MultiStreamEngine:
                 self._ring_offs[si] = (self._ring_offs[si] + n_si) % t
 
         if hwc:
-            raw_dev = self._hwc_prep(jnp.asarray(buf))
+            raw_dev = self._hwc_prep(self._to_device(buf))
             if tr:  # tail protocol: prepend the planar tails on device
                 raw_dev = jnp.concatenate(
-                    [jnp.asarray(tails_prev), raw_dev], axis=1)
+                    [self._to_device(tails_prev), raw_dev], axis=1)
         else:
-            raw_dev = jnp.asarray(buf)
+            raw_dev = self._to_device(buf)
         if self.ring_carry:
             if self._raw_mode:
                 (out, stats, self._prev, self._baseline, self._heatmap,
                  gmean) = self._step(
                     raw_dev, self._prev, self._baseline,
-                    jnp.asarray(flags), self._heatmap, jnp.asarray(valid),
-                    jnp.asarray(seeds))
+                    self._to_device(flags), self._heatmap,
+                    self._to_device(valid), self._to_device(seeds))
             else:
                 (out, stats, self._ring, self._prev, self._baseline,
                  self._heatmap, gmean) = self._step(
                     raw_dev, self._ring, self._prev,
-                    self._baseline, jnp.asarray(flags), self._heatmap,
-                    jnp.asarray(valid), jnp.asarray(offsets),
-                    jnp.asarray(seeds))
+                    self._baseline, self._to_device(flags), self._heatmap,
+                    self._to_device(valid), self._to_device(offsets),
+                    self._to_device(seeds))
         else:
             out, stats, self._baseline, self._heatmap, gmean = self._step(
-                raw_dev, self._baseline, jnp.asarray(flags),
-                self._heatmap, jnp.asarray(valid))
+                raw_dev, self._baseline, self._to_device(flags),
+                self._heatmap, self._to_device(valid))
 
         if self.packed_wire:
             # bit-pack masks on device before the download (ops/wire.py:
@@ -651,6 +677,6 @@ class MultiStreamEngine:
             # minor dims on device would make the D2H minor dim the true
             # width (rarely 128-aligned), the pathological transfer shape
             # ops/wire.py documents (~2000x slower on the dev tunnel)
-            out = np.asarray(out[:, :n])[:, :, :, :self.height, :self.width]
+            out = self._fetch(out, n)[:, :, :, :self.height, :self.width]
         out = np.moveaxis(out, 2, -1)
-        return out, np.asarray(stats[:, :n]), float(gmean)
+        return out, self._fetch(stats, n), float(gmean)
