@@ -86,6 +86,10 @@ class DiPsJob:
     #: frame_extractor.rs:242-262).  Populated per-run: ``job.frame_pts``.
     retime_vfr: bool = False
     frame_pts: Optional[list] = None
+    #: run artifact: (height, width) of the processed video, populated by
+    #: ``perform_dips`` (resolution-dependent post-analysis — e.g. the
+    #: ``changed_frac`` event metric — needs the pixel count)
+    frame_geometry: Optional[tuple] = None
     #: batches kept in flight on the device (2 = dispatch batch k+1 while
     #: batch k downloads — real double-buffering on PCIe-attached hosts
     #: where h2d and d2h ride separate DMA engines).  Default 1: on this
@@ -457,6 +461,7 @@ def perform_dips(job: DiPsJob) -> np.ndarray:
     # the internal copy that carries the pre-opened reader)
     caller_job.timers = job.timers
     caller_job.frame_pts = job.frame_pts
+    caller_job.frame_geometry = (h, w)
     if job.timers:
         log.info("%s", job.timers)
     return (np.stack(stats_rows) if stats_rows

@@ -102,6 +102,32 @@ def build_parser() -> argparse.ArgumentParser:
                         "decode")
     p.add_argument("--stats-json", metavar="PATH",
                    help="write per-frame statistics to a JSON file")
+    p.add_argument("--events-json", metavar="PATH",
+                   help="segment the per-frame stats into motion events "
+                        "(hysteresis + debounce, ops/events.py) and write "
+                        "them to a JSON file")
+    p.add_argument("--event-on", default=0.01, metavar="X|auto",
+                   type=lambda s: s if s == "auto" else float(s),
+                   help="metric level that OPENS an event (default 0.01 "
+                        "= 1%% of pixels changed with the default "
+                        "metric); 'auto' estimates each stream's noise "
+                        "floor online (rolling median + MAD of idle "
+                        "frames) — use for lossy/compressed sources "
+                        "whose floor is scene-dependent")
+    p.add_argument("--event-off", type=float, default=None, metavar="X",
+                   help="level that closes it (default: half of "
+                        "--event-on)")
+    p.add_argument("--event-metric", default="changed_frac",
+                   choices=("mean_abs_diff", "max_abs_diff",
+                            "changed_count", "changed_frac"),
+                   help="which per-frame statistic drives segmentation "
+                        "(changed_frac = changed pixels / frame pixels, "
+                        "resolution-independent)")
+    p.add_argument("--event-min-frames", type=int, default=2, metavar="N",
+                   help="discard events shorter than N frames (default 2)")
+    p.add_argument("--event-cooldown", type=int, default=0, metavar="N",
+                   help="sub-threshold frames tolerated inside one event "
+                        "before it closes (default 0)")
     p.add_argument("--profile", action="store_true",
                    help="print per-stage timings after the run")
     p.add_argument("--trace-dir", metavar="DIR",
@@ -315,6 +341,18 @@ def main(argv: Optional[List[str]] = None) -> int:
         with open(args.stats_json, "w") as f:
             json.dump(rows, f)
         print(f"stats written: {args.stats_json}")
+    if args.events_json:
+        from .ops.events import detect_events
+        events = detect_events(
+            [stats], on_threshold=args.event_on,
+            off_threshold=args.event_off, metric=args.event_metric,
+            min_frames=args.event_min_frames, cooldown=args.event_cooldown,
+            pixels=(job.frame_geometry[0] * job.frame_geometry[1]
+                    if args.event_metric == "changed_frac" and
+                    job.frame_geometry else None))
+        with open(args.events_json, "w") as f:
+            json.dump([e.to_dict() for e in events], f)
+        print(f"{len(events)} motion event(s) written: {args.events_json}")
     if args.dft_json:
         import numpy as np
         from .ops.analysis import temporal_dft
