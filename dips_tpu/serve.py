@@ -58,7 +58,15 @@ session's streaming state (every ``--autosave-every`` frames, atomically,
 plus a flush on graceful close); after a daemon restart the first bind of
 a token restores its last autosave, so a camera fleet survives a crash
 with a bounded baseline-drift window instead of resuming fresh.  An
-explicit ``reset`` discards the session's autosave too.  Start with
+explicit ``reset`` discards the session's autosave too.
+
+Motion events: ``--events`` runs a per-session
+:class:`~dips_tpu.ops.events.MotionDetector` over the stats the daemon
+already computes; process replies gain ``events`` (closed this request)
+and ``event_open``, named sessions carry an open event across
+park/resume, anonymous closes flush it into the goodbye, and the
+``motion_events`` counter lands in metrics/Prometheus.  The default
+``--event-on auto`` learns each camera's noise floor online.  Start with
 ``python -m dips_tpu.serve --port 7807 --height H --width W [options]``.
 """
 
@@ -400,6 +408,7 @@ def _prometheus_text(m: dict) -> str:
                       ("rejected", "counter"), ("link_drops", "counter"),
                       ("takeovers", "counter"), ("autosaves", "counter"),
                       ("autorestores", "counter"),
+                      ("motion_events", "counter"),
                       ("active_sessions", "gauge"),
                       ("parked_sessions", "gauge"),
                       ("max_sessions", "gauge"), ("uptime_s", "gauge")):
@@ -470,7 +479,14 @@ class DiPsServer:
                  input_layout: str = "planar",
                  metrics_port: Optional[int] = None,
                  autosave_dir: Optional[str] = None,
-                 autosave_every: int = 256):
+                 autosave_every: int = 256,
+                 events: Optional[dict] = None):
+        #: per-session motion-event segmentation (ops/events.py): a dict
+        #: of MotionDetector kwargs (on_threshold may be "auto"; pixels is
+        #: filled in per session from its geometry).  process replies gain
+        #: ``events`` (closed this request) + ``event_open``; a graceful
+        #: close flushes the open event into its reply.  None disables.
+        self.event_cfg = dict(events) if events is not None else None
         #: crash-safety checkpoints for NAMED sessions: every
         #: ``autosave_every`` processed frames (and on graceful close) a
         #: session's streaming state is written to
@@ -575,7 +591,10 @@ class DiPsServer:
                           "link_drops": 0, "takeovers": 0,
                           # crash-safety checkpoints written / sessions
                           # restored from one after a daemon restart
-                          "autosaves": 0, "autorestores": 0}
+                          "autosaves": 0, "autorestores": 0,
+                          # closed motion events across all sessions
+                          # (served only when the daemon runs --events)
+                          "motion_events": 0}
         # optional Prometheus scrape endpoint (GET /metrics)
         self._metrics_httpd = None
         self.metrics_port: Optional[int] = None
@@ -812,6 +831,33 @@ class DiPsServer:
             except OSError:
                 pass
 
+    # -- per-session motion events (ops/events.py) ------------------------
+    def _detector_for(self, eng):
+        """Lazily attach a MotionDetector to the session's engine; it
+        parks/resumes with it, so an open event survives a reconnect."""
+        det = getattr(eng, "_motion_det", None)
+        if det is None:
+            from .ops.events import MotionDetector
+            cfg = dict(self.event_cfg)
+            if cfg.get("metric") == "changed_frac":
+                cfg.setdefault("pixels", eng.height * eng.width)
+            det = MotionDetector(**cfg)
+            eng._motion_det = det
+        return det
+
+    def _apply_events(self, eng, hdr, n_frames: int) -> None:
+        """Segment this request's stats rows; annotate the reply with the
+        events that closed and whether one is open."""
+        if self.event_cfg is None:
+            return
+        det = self._detector_for(eng)
+        stats = np.asarray(hdr["stats"], np.float32)
+        closed = det.update(stats, start_index=eng.frame_index - n_frames)
+        if closed:
+            self._count("motion_events", len(closed))
+        hdr["events"] = [e.to_dict() for e in closed]
+        hdr["event_open"] = det._open is not None
+
     @staticmethod
     def _peek_geometry(path) -> Optional[tuple]:
         """(height, width) recorded in a checkpoint file, or None.
@@ -843,6 +889,7 @@ class DiPsServer:
             log.warning("session %r: autosave restore failed (%s): "
                         "starting fresh", token, e)
             eng._autosave_due = 0  # a recycled counter must not carry over
+            eng._motion_det = None
             try:
                 eng.reset()
             except Exception:
@@ -934,6 +981,7 @@ class DiPsServer:
         elif need_reset:
             eng.reset()  # never hand one client another's state
             eng._autosave_due = 0  # ...nor another's unsaved-frame counter
+            eng._motion_det = None  # ...nor another's open event
         eng.session_token = token
         if token is not None and not resumed:
             self._try_autorestore(eng, token)  # daemon-restart resume
@@ -1153,6 +1201,7 @@ class DiPsServer:
                     t0 = time.monotonic()
                     hdr, body = _process_reply(eng, [frame], header)
                     self._observe_latency(time.monotonic() - t0)
+                    self._apply_events(eng, hdr, n_frames)
                     hdr["stats"] = hdr["stats"][0]
                     hdr["shape"] = hdr["shape"][1:]  # per-frame shape
                     _send(client, hdr, body)
@@ -1163,6 +1212,7 @@ class DiPsServer:
                     t0 = time.monotonic()
                     hdr, body = _process_reply(eng, frames, header)
                     self._observe_latency(time.monotonic() - t0)
+                    self._apply_events(eng, hdr, n_frames)
                     _send(client, hdr, body)
                     self._maybe_autosave(eng, n_frames)
                 elif cmd == "snapshot":
@@ -1178,10 +1228,14 @@ class DiPsServer:
                     _send(client, {"ok": True})
                 elif cmd == "load":
                     eng.load(str(header["path"]))
+                    # the restored cursor may jump anywhere: segmentation
+                    # restarts (an open event cannot span a state swap)
+                    eng._motion_det = None
                     _send(client, {"ok": True,
                                    "frame_index": eng.frame_index})
                 elif cmd == "reset":
                     eng.reset()
+                    eng._motion_det = None
                     tok = getattr(eng, "session_token", None)
                     if self.autosave_dir is not None and tok is not None:
                         # explicit state discard also discards the
@@ -1194,6 +1248,16 @@ class DiPsServer:
                             pass
                     _send(client, {"ok": True})
                 elif cmd == "close":
+                    reply = {"ok": True}
+                    tok = getattr(eng, "session_token", None)
+                    det = getattr(eng, "_motion_det", None)
+                    if det is not None and tok is None:
+                        # anonymous close = end of stream: flush the open
+                        # event into the goodbye (named sessions keep it
+                        # open across park/resume instead)
+                        reply["events"] = [e.to_dict()
+                                           for e in det.flush()]
+                        self._count("motion_events", len(reply["events"]))
                     # a graceful goodbye flushes any unsaved tail first
                     self._maybe_autosave(eng, force=True)
                     # park BEFORE replying: when the client's close()
@@ -1202,7 +1266,7 @@ class DiPsServer:
                     self._release_engine(eng)
                     bound.clear()
                     eng = None
-                    _send(client, {"ok": True})
+                    _send(client, reply)
                     return
                 else:
                     _send(client, {"ok": False,
@@ -1242,6 +1306,10 @@ class DiPsClient:
     def __init__(self, port: int, host: str = "127.0.0.1",
                  session: Optional[str] = None):
         self.session = session
+        #: motion-event annotations from the LAST process reply (populated
+        #: only when the daemon runs with --events)
+        self.last_events: list = []
+        self.event_open: bool = False
         self._sock = socket.create_connection((host, port))
 
     def __enter__(self) -> "DiPsClient":
@@ -1290,16 +1358,26 @@ class DiPsClient:
             return wire.unpack_mask_host(rows, hh)[..., None]
         return np.frombuffer(body, np.uint8).reshape(shape)
 
+    def _note_events(self, h: dict) -> None:
+        """On an --events daemon, every process reply carries the motion
+        events that closed plus the open flag; mirror them here."""
+        if "events" in h:
+            self.last_events = list(h["events"])
+            self.event_open = bool(h.get("event_open"))
+
     def process(self, frame: np.ndarray, packed: bool = False
                 ) -> Tuple[np.ndarray, np.ndarray]:
         """One-frame round trip.  ``packed=True`` asks the server to
         bit-pack THRESHOLD masks on the wire (8x smaller payload; ignored —
-        and flagged off in the response — for other output modes)."""
+        and flagged off in the response — for other output modes).  On an
+        ``--events`` daemon, ``self.last_events`` / ``self.event_open``
+        reflect this reply's motion-event annotations."""
         h, body = self._rpc({"cmd": "process", "shape": list(frame.shape),
                              "packed": packed},
                             np.ascontiguousarray(frame).tobytes())
         if not h.get("ok"):
             raise RuntimeError(h.get("error"))
+        self._note_events(h)
         return self._decode_maps(h, body), np.asarray(h["stats"], np.float32)
 
     def process_many(self, frames: np.ndarray, packed: bool = False
@@ -1312,6 +1390,7 @@ class DiPsClient:
                              "packed": packed}, frames.tobytes())
         if not h.get("ok"):
             raise RuntimeError(h.get("error"))
+        self._note_events(h)
         return self._decode_maps(h, body), np.asarray(h["stats"], np.float32)
 
     def snapshot(self) -> None:
@@ -1344,7 +1423,9 @@ class DiPsClient:
 
     def close(self) -> None:
         try:
-            self._rpc({"cmd": "close"})
+            h, _ = self._rpc({"cmd": "close"})
+            if isinstance(h, dict):
+                self._note_events(h)  # anonymous close flushes open events
         except ConnectionError:
             pass
         self._sock.close()
@@ -1559,6 +1640,24 @@ def main(argv=None) -> int:
                          "startup (HxW or 480p/720p/1080p/4k) so the "
                          "first camera of each resolution skips the jit "
                          "compile latency")
+    ap.add_argument("--events", action="store_true",
+                    help="per-session motion-event segmentation "
+                         "(ops/events.py): process replies gain 'events' "
+                         "(closed this request) and 'event_open'; the "
+                         "motion_events counter appears in metrics")
+    ap.add_argument("--event-on", default="auto", metavar="X|auto",
+                    type=lambda s: s if s == "auto" else float(s),
+                    help="event OPEN level; 'auto' (default) learns each "
+                         "session's noise floor online — the right choice "
+                         "for a mixed camera fleet")
+    ap.add_argument("--event-off", type=float, default=None, metavar="X",
+                    help="close level (fixed mode only; default half of "
+                         "--event-on)")
+    ap.add_argument("--event-metric", default="changed_frac",
+                    choices=("mean_abs_diff", "max_abs_diff",
+                             "changed_count", "changed_frac"))
+    ap.add_argument("--event-min-frames", type=int, default=2, metavar="N")
+    ap.add_argument("--event-cooldown", type=int, default=0, metavar="N")
     from .utils.compilecache import (add_compile_cache_flag,
                                      apply_compile_cache_flag)
     add_compile_cache_flag(ap)
@@ -1576,7 +1675,13 @@ def main(argv=None) -> int:
                         input_layout=args.input_layout,
                         metrics_port=args.metrics_port,
                         autosave_dir=args.autosave,
-                        autosave_every=args.autosave_every)
+                        autosave_every=args.autosave_every,
+                        events=(dict(on_threshold=args.event_on,
+                                     off_threshold=args.event_off,
+                                     metric=args.event_metric,
+                                     min_frames=args.event_min_frames,
+                                     cooldown=args.event_cooldown)
+                                if args.events else None))
     if args.max_geometries is not None:
         server.max_geometries = max(1, args.max_geometries)
         server.max_pooled_engines = max(server.max_pooled_engines,

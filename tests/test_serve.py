@@ -1570,3 +1570,134 @@ def test_autosave_due_counter_not_recycled_with_pooled_engine(tmp_path):
         assert getattr(eng2, "_autosave_due", 0) == 0  # ...counter cleared
     finally:
         srv.shutdown()
+
+
+# ---------------------------------------------------------------------------
+# motion events on the serving path (--events)
+# ---------------------------------------------------------------------------
+
+def _event_clip(h=16, w=24):
+    """Frames: 4 static, 6 moving, 4 static (uncompressed arrays: the
+    changed_frac signal is exact)."""
+    static = make_clip(n=4, h=h, w=w, seed=3, moving=False)
+    moving = make_clip(n=6, h=h, w=w, seed=3, moving=True)
+    return np.concatenate([static, moving, static])
+
+
+def _event_server(**kw):
+    from dips_tpu.properties import OutputMode
+    props = DiPsProperties(window_size=1, temporal_size=1,
+                           filter=DiPsFilter.UNFILTERED,
+                           output=OutputMode.ABSDIFF)
+    srv = DiPsServer(props, 16, 24, port=0, batch=4, max_sessions=2,
+                     events=dict(on_threshold=0.02, metric="changed_frac",
+                                 min_frames=2), **kw)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    return srv
+
+
+def test_serve_events_annotate_replies_and_metrics():
+    srv = _event_server()
+    clip = _event_clip()
+    try:
+        c = DiPsClient(srv.port, session="cam")
+        c.process_many(clip[:4])          # static: nothing
+        assert c.last_events == [] and not c.event_open
+        c.process_many(clip[4:8])         # motion begins: event opens
+        assert c.event_open and c.last_events == []
+        all_events = []
+        c.process_many(clip[8:12])        # motion ends inside this batch
+        all_events += c.last_events
+        c.process_many(clip[12:14])       # fully static
+        all_events += c.last_events
+        assert all_events, "event never closed"
+        e = all_events[0]
+        assert e["start_frame"] == 4 and 9 <= e["end_frame"] <= 10
+        assert not c.event_open
+        assert srv.metrics()["motion_events"] == 1
+        c.close()
+    finally:
+        srv.shutdown()
+
+
+def test_serve_events_survive_park_resume_and_reset_clears():
+    """A NAMED session's open event survives a reconnect (park/resume);
+    an explicit reset discards it."""
+    srv = _event_server()
+    clip = _event_clip()
+    try:
+        c = DiPsClient(srv.port, session="cam")
+        c.process_many(clip[:8])          # event open at disconnect
+        assert c.event_open
+        c.close()                          # named: parks WITHOUT flushing
+        c2 = DiPsClient(srv.port, session="cam")
+        closed = []
+        c2.process_many(clip[8:12])        # resumes the SAME open event
+        closed += c2.last_events
+        c2.process_many(clip[12:14])
+        closed += c2.last_events
+        assert closed and closed[0]["start_frame"] == 4  # spans the park
+        c2.reset()
+        c2.process_many(clip[:4])          # fresh segmentation after reset
+        assert c2.last_events == [] and not c2.event_open
+        c2.close()
+    finally:
+        srv.shutdown()
+
+
+def test_serve_events_anonymous_close_flushes():
+    srv = _event_server()
+    clip = _event_clip()
+    try:
+        c = DiPsClient(srv.port)           # anonymous
+        c.process_many(clip[:8])
+        assert c.event_open
+        c.close()                          # end of stream: flush
+        assert c.last_events and c.last_events[0]["start_frame"] == 4
+        assert srv.metrics()["motion_events"] == 1
+    finally:
+        srv.shutdown()
+
+
+def test_serve_events_off_by_default():
+    props = DiPsProperties(window_size=1, temporal_size=2,
+                           filter=DiPsFilter.UNFILTERED)
+    srv = DiPsServer(props, 16, 24, port=0, batch=2, max_sessions=2)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        c = DiPsClient(srv.port, session="cam")
+        c.process_many(np.stack(make_clip(n=2, h=16, w=24)))
+        assert c.last_events == [] and not c.event_open
+        assert srv.metrics()["motion_events"] == 0
+        c.close()
+    finally:
+        srv.shutdown()
+
+
+def test_serve_events_coalesced_per_slot():
+    """Coalesced daemon: each slot segments ITS OWN stream — one moving
+    camera must not open events on an idle sibling."""
+    from dips_tpu.properties import OutputMode
+    props = DiPsProperties(window_size=1, temporal_size=1,
+                           filter=DiPsFilter.UNFILTERED,
+                           output=OutputMode.ABSDIFF)
+    srv = DiPsServer(props, 16, 24, port=0, batch=1, coalesce=2,
+                     events=dict(on_threshold=0.02, metric="changed_frac",
+                                 min_frames=2))
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    clip = _event_clip()
+    static = make_clip(n=14, h=16, w=24, seed=3, moving=False)
+    try:
+        a = DiPsClient(srv.port, session="moving-cam")
+        b = DiPsClient(srv.port, session="idle-cam")
+        opened = False
+        for i in range(14):
+            a.process(clip[i])
+            opened = opened or a.event_open
+            b.process(static[i])
+            assert not b.event_open and b.last_events == []
+        assert opened
+        a.close(); b.close()
+        assert srv.metrics()["motion_events"] >= 1
+    finally:
+        srv.shutdown()
