@@ -1546,6 +1546,18 @@ class ResilientDiPsClient:
                     raise
                 self._cursor = self._reconnect()
 
+    @property
+    def last_events(self) -> list:
+        """Motion events from the last process reply (``--events``
+        daemons).  Empty right after a reconnect until the next reply —
+        an open event itself survives server-side with the parked
+        session."""
+        return self._cli.last_events if self._cli is not None else []
+
+    @property
+    def event_open(self) -> bool:
+        return bool(self._cli is not None and self._cli.event_open)
+
     def hello(self) -> dict:
         return self._retry(lambda c: c.hello())
 

@@ -1701,3 +1701,31 @@ def test_serve_events_coalesced_per_slot():
         assert srv.metrics()["motion_events"] >= 1
     finally:
         srv.shutdown()
+
+
+def test_serve_events_resilient_client_passthrough():
+    """ResilientDiPsClient surfaces event annotations and an open event
+    survives its reconnect (the parked session carries the detector)."""
+    from dips_tpu.serve import ResilientDiPsClient
+    from dips_tpu.errors import ReplyLost
+    srv = _event_server()
+    clip = _event_clip()
+    try:
+        c = ResilientDiPsClient(srv.port, session="cam", retries=3,
+                                backoff_s=0.05)
+        c.process_many(clip[:8])
+        assert c.event_open and c.last_events == []
+        # dead link mid-event: reconnect resumes the same open event
+        c._cli._sock.close()
+        closed = []
+        try:
+            c.process_many(clip[8:12])
+        except ReplyLost:
+            pass
+        closed += c.last_events
+        c.process_many(clip[12:14])
+        closed += c.last_events
+        assert closed and closed[0]["start_frame"] == 4
+        c.close()
+    finally:
+        srv.shutdown()
