@@ -294,6 +294,7 @@ def main(argv: Optional[List[str]] = None) -> int:
             args.dat_dir, args.output, width=w, height=h, properties=props,
             encoding=enc, batch=args.batch, backend=args.backend,
             show=args.live)  # --live with --dat-dir = preview while batching
+        frame_geometry = (h, w)
     elif args.live:
         from .live import run_live
         # the preview loop is strictly frame-at-a-time: a batch-N engine
@@ -331,6 +332,7 @@ def main(argv: Optional[List[str]] = None) -> int:
         from .utils.profiling import trace
         with trace(args.trace_dir):
             stats = perform_dips(job)
+        frame_geometry = job.frame_geometry
         if args.profile and job.timers:
             print(job.timers)
 
@@ -347,9 +349,9 @@ def main(argv: Optional[List[str]] = None) -> int:
             [stats], on_threshold=args.event_on,
             off_threshold=args.event_off, metric=args.event_metric,
             min_frames=args.event_min_frames, cooldown=args.event_cooldown,
-            pixels=(job.frame_geometry[0] * job.frame_geometry[1]
+            pixels=(frame_geometry[0] * frame_geometry[1]
                     if args.event_metric == "changed_frac" and
-                    job.frame_geometry else None))
+                    frame_geometry else None))
         with open(args.events_json, "w") as f:
             json.dump([e.to_dict() for e in events], f)
         print(f"{len(events)} motion event(s) written: {args.events_json}")

@@ -28,10 +28,11 @@ Adaptive mode (``on_threshold="auto"``): every camera/codec pair has its
 own noise floor — lossy compression on a textured scene keeps a large
 fraction of pixels permanently "changed" by a few LSB, so no fixed
 threshold fits a mixed fleet.  Auto mode estimates the floor online from
-the frames observed while NO event is open (rolling median + MAD, robust
-to the occasional outlier) and opens at ``median + auto_k * MAD``
-(closing at half that margin).  The floor is frozen while an event is
-open so motion never inflates it.
+the frames observed while NO event is open (rolling LOW-quartile +
+interquartile spread, robust both to outliers and to warmup
+contamination from a stream that starts mid-motion) and opens at
+``floor + auto_k * spread`` (closing at half that margin).  The floor is
+frozen while an event is open so motion never inflates it.
 """
 
 from __future__ import annotations
@@ -127,23 +128,28 @@ class MotionDetector:
 
     def thresholds(self) -> tuple:
         """Current (on, off) levels.  Fixed mode: the constructor values.
-        Auto mode: ``median + k*MAD`` / ``median + k/2*MAD`` over the
-        idle-frame window, or ``(inf, inf)`` until ``auto_warmup`` idle
-        frames have been observed."""
+        Auto mode: ``q25 + k*spread`` / ``q25 + k/2*spread`` over the
+        idle-frame window (spread = half the interquartile range), or
+        ``(inf, inf)`` until ``auto_warmup`` idle frames have been
+        observed.  The LOW quartile (not the median) anchors the floor so
+        that a stream which starts DURING motion — whose warmup samples
+        are contaminated, since no threshold exists yet to exclude them —
+        still recovers as long as >=25% of the window is genuinely idle;
+        a sustained-motion start inflates the spread (deafer for a while)
+        but not the floor."""
         if not self.auto:
             return self.on_threshold, self.off_threshold
         if len(self._floor_samples) < self.auto_warmup:
             return float("inf"), float("inf")
-        s = np.asarray(self._floor_samples)
-        med = float(np.median(s))
-        mad = float(np.median(np.abs(s - med)))
-        # a dead-still window (mad 0) must not make 1-LSB flicker an
+        q25, q75 = np.percentile(self._floor_samples, (25, 75))
+        spread = (q75 - q25) / 2.0
+        # a dead-still window (spread 0) must not make 1-LSB flicker an
         # event: keep a minimum margin of 1% of the floor, or an absolute
         # epsilon when the floor itself is ~0 (one pixel for the count
         # metric, 1e-4 for the normalized ones)
         eps = 1.0 if self.metric == "changed_count" else 1e-4
-        margin = self.auto_k * max(mad, 0.01 * med, eps)
-        return med + margin, med + margin / 2.0
+        margin = self.auto_k * max(spread, 0.01 * q25, eps)
+        return float(q25 + margin), float(q25 + margin / 2.0)
 
     def update(self, stats: np.ndarray,
                start_index: Optional[int] = None) -> List[MotionEvent]:

@@ -24,22 +24,27 @@ with ``init_multihost()`` called before any other JAX use, then
 
 SPMD discipline (the engine enforces what it can and documents the rest):
 every process must call ``process_batch`` (and ``load_state_dict`` /
-``reset``) in LOCKSTEP with the same frame count ``n`` — the jitted step
-contains collectives, and a process that skips a call or traces a
-different shape deadlocks the mesh.
+``reset``) the SAME NUMBER OF TIMES — the jitted step contains
+collectives, and a process that skips a call deadlocks the mesh.
+Per-round frame counts may differ between hosts (the device program is
+batch-padded and masks invalid slots), and a host whose cameras all
+stalled passes an all-empty feed: it still enters the step, masked
+invalid.
 """
 
 from __future__ import annotations
 
+import logging
 from dataclasses import dataclass
-from typing import List, Optional, Sequence
+from typing import List, Optional
 
 import numpy as np
 import jax
-import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from .multistream import MultiStreamEngine, stream_mesh
+
+log = logging.getLogger("dips_tpu.multihost")
 
 __all__ = ["init_multihost", "MultiHostInfo", "MultiHostStreamEngine"]
 
@@ -66,8 +71,9 @@ def init_multihost(coordinator_address: Optional[str] = None,
     auto-detected from the TPU runtime environment.  On CPU/GPU clusters
     pass the coordinator's ``host:port``, the total process count, and
     this process's rank.  Must run before any other JAX API touches a
-    backend.  Idempotent: calling it in an already-initialized (or
-    single-process, no-arg non-TPU) context just returns the topology.
+    backend (this function itself touches none before initializing).
+    Idempotent: calling it in an already-initialized (or single-process,
+    no-arg non-cluster) context just returns the topology.
     """
     kwargs = {}
     if coordinator_address is not None:
@@ -76,12 +82,20 @@ def init_multihost(coordinator_address: Optional[str] = None,
         kwargs["num_processes"] = int(num_processes)
     if process_id is not None:
         kwargs["process_id"] = int(process_id)
-    if kwargs or jax.default_backend() == "tpu":
+    if jax.distributed.is_initialized():
+        pass  # idempotent re-call: report the live topology
+    elif kwargs:
+        jax.distributed.initialize(**kwargs)
+    else:
+        # cluster auto-detection (TPU pods, Slurm, ...).  Deliberately NO
+        # backend probe here — e.g. jax.default_backend() would initialize
+        # XLA and make jax.distributed.initialize() unusable.  An
+        # environment with no detectable cluster is a plain single
+        # process: fall back to the trivial topology.
         try:
-            jax.distributed.initialize(**kwargs)
-        except RuntimeError as e:
-            if "already initialized" not in str(e).lower():
-                raise
+            jax.distributed.initialize()
+        except (ValueError, RuntimeError) as e:
+            log.debug("no cluster auto-detected (%s): single-process", e)
     return MultiHostInfo(
         process_index=jax.process_index(),
         process_count=jax.process_count(),
@@ -114,7 +128,7 @@ class MultiHostStreamEngine(MultiStreamEngine):
     ``snapshot`` are host-side and work).
     """
 
-    _rebuild_requires_step = True  # collective: every process must enter
+    _lockstep_collectives = True  # every process must enter every step
 
     def __init__(self, props, height: int, width: int, n_streams: int,
                  batch: int = 8, mesh: Optional[Mesh] = None,
@@ -144,6 +158,7 @@ class MultiHostStreamEngine(MultiStreamEngine):
         self.local_stream_ids: List[int] = [
             row + i for _, row in self._local_dev_rows
             for i in range(rows_per_dev)]
+        self._row_of = {si: k for k, si in enumerate(self.local_stream_ids)}
         self._mesh_for_sharding = mesh
         super().__init__(props, height, width, n_streams, batch=batch,
                          mesh=mesh, backend=backend, ring_carry=ring_carry)
@@ -161,16 +176,21 @@ class MultiHostStreamEngine(MultiStreamEngine):
                       for i, s in enumerate(idx)), dtype))
 
     def _to_device(self, x):
-        """Lift a host buffer whose leading axis is GLOBAL streams: only
-        this process's rows are read (remote rows are fed by their owning
-        processes)."""
+        """Lift a LOCAL staging buffer (leading axis = this process's
+        streams, in ``local_stream_ids`` order) into the global array —
+        remote rows are fed by their owning processes."""
         x = np.asarray(x)
-        gshape = x.shape
+        if x.shape[0] != self.n_local_streams:
+            raise ValueError(
+                f"staging buffer has {x.shape[0]} rows, expected the "
+                f"{self.n_local_streams} local streams")
+        gshape = (self.n_streams,) + x.shape[1:]
         sh = self._sharding(x.ndim)
         rpd = self._rows_per_dev
         shards = [
-            jax.device_put(np.ascontiguousarray(x[row:row + rpd]), d)
-            for d, row in self._local_dev_rows]
+            jax.device_put(np.ascontiguousarray(x[k * rpd:(k + 1) * rpd]),
+                           d)
+            for k, (d, _) in enumerate(self._local_dev_rows)]
         return jax.make_array_from_single_device_arrays(gshape, sh, shards)
 
     def _fetch(self, x, n: Optional[int] = None):
@@ -181,6 +201,16 @@ class MultiHostStreamEngine(MultiStreamEngine):
             by_row[start] = np.asarray(s.data)
         a = np.concatenate([by_row[k] for k in sorted(by_row)], axis=0)
         return a if n is None else a[:, :n]
+
+    # -- host staging: this process's streams only ---------------------------
+    def _stage_rows(self) -> int:
+        return self.n_local_streams
+
+    def _stage_index(self, si: int) -> int:
+        return self._row_of.get(si, -1)
+
+    def _stage_gather(self, seq) -> np.ndarray:
+        return np.asarray([seq[i] for i in self.local_stream_ids])
 
     # -- local-shard views ----------------------------------------------------
     @property
@@ -224,9 +254,8 @@ class MultiHostStreamEngine(MultiStreamEngine):
             raise ValueError(
                 f"checkpoint baseline shape {bl.shape} != local shard "
                 f"shape {expect}")
-        self._baseline = self._to_device(self._scatter(bl))
-        self._heatmap = self._to_device(self._scatter(
-            np.asarray(state["heatmap"])))
+        self._baseline = self._to_device(bl)
+        self._heatmap = self._to_device(np.asarray(state["heatmap"]))
         for i, si in enumerate(ids):
             self.frame_cursors[si] = int(state["frame_cursors"][i])
             tl = state["tails"][i]
@@ -241,15 +270,6 @@ class MultiHostStreamEngine(MultiStreamEngine):
             self._rebuild_ring_state()
         else:
             self._ring_offs = [0] * self.n_streams
-
-    def _scatter(self, local_rows: np.ndarray) -> np.ndarray:
-        """Expand (n_local, ...) host rows to the (n_global, ...) layout
-        ``_to_device`` expects (remote rows zero — never read here)."""
-        out = np.zeros((self.n_streams,) + local_rows.shape[1:],
-                       local_rows.dtype)
-        for i, si in enumerate(self.local_stream_ids):
-            out[si] = local_rows[i]
-        return out
 
     def save(self, path: str) -> None:
         """Per-host checkpoint (append the process index to ``path`` when

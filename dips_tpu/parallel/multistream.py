@@ -206,9 +206,11 @@ class MultiStreamEngine:
     (SURVEY.md §5 'Failure detection': the reference panics instead).
     """
 
-    #: multi-host engines set this: _rebuild_ring_state must always run the
-    #: (collective) step, even with no tails, to keep processes in lockstep
-    _rebuild_requires_step = False
+    #: multi-host engines set this: the jitted step contains COLLECTIVES,
+    #: so every "nothing to do locally" shortcut (no tails to rebuild, an
+    #: all-empty process_batch round) must still enter the step — one
+    #: process skipping it while a peer runs it deadlocks the mesh
+    _lockstep_collectives = False
 
     def __init__(self, props: DiPsProperties, height: int, width: int,
                  n_streams: int, batch: int = 8,
@@ -293,6 +295,22 @@ class MultiStreamEngine:
         """Device->host; ``n`` optionally slices the second (frame) axis
         before the transfer."""
         return np.asarray(x if n is None else x[:, :n])
+
+    # -- host staging hooks ---------------------------------------------------
+    # Host-side staging buffers hold only the streams THIS process feeds:
+    # a single-process engine stages all of them; the multi-host subclass
+    # stages its local share (a 16-host pod must not zero 16x the memory).
+    def _stage_rows(self) -> int:
+        """Leading dim of host staging buffers."""
+        return self.n_streams
+
+    def _stage_index(self, si: int) -> int:
+        """Staging-buffer row for global stream ``si``; -1 = not ours."""
+        return si
+
+    def _stage_gather(self, seq) -> np.ndarray:
+        """Per-global-stream host values -> staging order."""
+        return np.asarray(seq)
 
     def reset(self) -> None:
         self.frame_cursors = [0] * self.n_streams
@@ -415,25 +433,28 @@ class MultiStreamEngine:
             self._ring = self._zeros((s, t, self.hp, self.wp), jnp.float32)
             self._prev = self._zeros((s, self.hp, self.wp), jnp.float32)
         has = [tl is not None for tl in self._tails]
-        if not any(has) and not self._rebuild_requires_step:
+        if not any(has) and not self._lockstep_collectives:
             # multi-host engines can't take this shortcut: the step's psum
             # is a COLLECTIVE, and one process skipping it while a peer
             # (which has tails) runs it would deadlock the mesh
             return
-        buf = np.zeros((s, t, 3, self.hp, self.wp), np.uint8)
+        sh = self._stage_rows()
+        buf = np.zeros((sh, t, 3, self.hp, self.wp), np.uint8)
         for si, tl in enumerate(self._tails):
-            if tl is not None:
-                buf[si] = np.stack(tl)
-        flags = self._to_device(np.zeros((s, t), bool))
-        valid = self._to_device(np.tile(np.asarray(has)[:, None], (1, t)))
-        seeds = self._to_device(np.asarray(has, np.int32))
+            row = self._stage_index(si)
+            if row >= 0 and tl is not None:
+                buf[row] = np.stack(tl)
+        has_l = self._stage_gather(has)
+        flags = self._to_device(np.zeros((sh, t), bool))
+        valid = self._to_device(np.tile(has_l[:, None], (1, t)))
+        seeds = self._to_device(has_l.astype(np.int32))
         scratch_hm = self._zeros((s, self.hp, self.wp), jnp.float32)
         if self._raw_mode:
             _, _, self._prev, self._baseline, _, _ = self._step(
                 self._to_device(buf), self._prev, self._baseline, flags,
                 scratch_hm, valid, seeds)
         else:
-            offsets = self._to_device(np.zeros((s,), np.int32))
+            offsets = self._to_device(np.zeros((sh,), np.int32))
             _, _, self._ring, self._prev, self._baseline, _, _ = self._step(
                 self._to_device(buf), self._ring, self._prev, self._baseline,
                 flags, scratch_hm, valid, offsets, seeds)
@@ -554,37 +575,45 @@ class MultiStreamEngine:
 
         All live streams must supply the same number of frames n (dead or
         exhausted streams pass an empty list and are replayed with zeros).
-        Returns (out (S, n, H, W, C), stats (S, n, NUM_STATS), global mean).
+        Returns (out (S, n, H, W, C), stats (S, n, NUM_STATS), global mean);
+        multi-host engines return only this process's S_local streams.
         """
         s = self.n_streams
         if len(frames_per_stream) != s:
             raise ValueError(f"expected {s} streams")
         n = max((len(f) for f in frames_per_stream), default=0)
-        if n == 0:
-            return (np.zeros((s, 0, self.height, self.width,
-                              self.props.out_channels), np.uint8),
-                    np.zeros((s, 0, NUM_STATS), np.float32), 0.0)
+        if n == 0 and not self._lockstep_collectives:
+            # multi-host engines run an all-invalid step instead: a host
+            # whose cameras all stalled this round must still enter the
+            # collective or its peers deadlock in the psum
+            return (np.zeros((self._stage_rows(), 0, self.height,
+                              self.width, self.props.out_channels),
+                             np.uint8),
+                    np.zeros((self._stage_rows(), 0, NUM_STATS),
+                             np.float32), 0.0)
         if n > self.batch:
             raise ValueError(f"{n} frames > batch {self.batch}")
         t, b = self.props.temporal_size, self.batch
         tr = 0 if self.ring_carry else t
         hwc = self.input_layout == "hwc"
 
+        sh = self._stage_rows()
         if hwc:
             # raw HWC frames; transpose+pad runs on device (one XLA op).
             # Only the checkpoint tails pay a host planarize (<= t/stream).
-            buf = np.zeros((s, b, self.height, self.width, 3), np.uint8)
-            tails_prev = (np.zeros((s, t, 3, self.hp, self.wp), np.uint8)
+            buf = np.zeros((sh, b, self.height, self.width, 3), np.uint8)
+            tails_prev = (np.zeros((sh, t, 3, self.hp, self.wp), np.uint8)
                           if tr else None)
         else:
-            buf = np.zeros((s, tr + b, 3, self.hp, self.wp), np.uint8)
-        flags = np.zeros((s, b), np.bool_)
-        valid = np.zeros((s, b), np.bool_)
-        offsets = np.asarray(self._ring_offs, np.int32)
-        seeds = np.zeros((s,), np.int32)
+            buf = np.zeros((sh, tr + b, 3, self.hp, self.wp), np.uint8)
+        flags = np.zeros((sh, b), np.bool_)
+        valid = np.zeros((sh, b), np.bool_)
+        offsets = self._stage_gather(self._ring_offs).astype(np.int32)
+        seeds = np.zeros((sh,), np.int32)
         for si, frames in enumerate(frames_per_stream):
-            if si in self.failed:
-                continue  # dead stream: don't planarize work we discard
+            row = self._stage_index(si)
+            if row < 0 or si in self.failed:
+                continue  # remote or dead stream: nothing to stage
             try:
                 if hwc:
                     from .. import native
@@ -612,27 +641,28 @@ class MultiStreamEngine:
             if n_si:
                 if self._tails[si] is None:
                     self._tails[si] = [first_pl] * t
-                    seeds[si] = 1
+                    seeds[row] = 1
                 if tr:
                     tp = np.stack(self._tails[si])
                     if hwc:
-                        tails_prev[si] = tp
+                        tails_prev[row] = tp
                     else:
-                        buf[si, :t] = tp
+                        buf[row, :t] = tp
                 for i in range(b):
                     if hwc:
-                        buf[si, i] = frames[min(i, n_si - 1)]
+                        buf[row, i] = frames[min(i, n_si - 1)]
                     else:
-                        buf[si, tr + i] = planar[min(i, n_si - 1)]
-                valid[si, :n_si] = True
+                        buf[row, tr + i] = planar[min(i, n_si - 1)]
+                valid[row, :n_si] = True
                 # markers fire on each stream's OWN cursor, so staggered
                 # starts and stalled streams stay correct
                 cursor = self.frame_cursors[si]
                 for i in range(n_si):
-                    flags[si, i] = (cursor + i == 0 or
-                                    (cursor + i) in self.props.refresh_markers)
+                    flags[row, i] = (cursor + i == 0 or
+                                     (cursor + i) in
+                                     self.props.refresh_markers)
                 if self._snap_pending[si]:
-                    flags[si, 0] = True
+                    flags[row, 0] = True
                     self._snap_pending[si] = False
                 self._tails[si] = (self._tails[si] + planar)[-t:]
                 self.frame_cursors[si] = cursor + n_si

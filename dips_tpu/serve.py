@@ -487,6 +487,15 @@ class DiPsServer:
         #: ``events`` (closed this request) + ``event_open``; a graceful
         #: close flushes the open event into its reply.  None disables.
         self.event_cfg = dict(events) if events is not None else None
+        if self.event_cfg is not None:
+            # validate NOW: a bad threshold combination must refuse to
+            # start the daemon, not error every process request after the
+            # engine state already advanced
+            from .ops.events import MotionDetector
+            probe = dict(self.event_cfg)
+            if probe.get("metric") == "changed_frac":
+                probe.setdefault("pixels", 1)
+            MotionDetector(**probe)
         #: crash-safety checkpoints for NAMED sessions: every
         #: ``autosave_every`` processed frames (and on graceful close) a
         #: session's streaming state is written to

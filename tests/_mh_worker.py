@@ -28,7 +28,11 @@ def make_clip(n=12, h=12, w=140, seed=0, moving=True):
 
 
 S_GLOBAL, BATCH, H, W = 8, 2, 16, 24
-N_FRAMES = 4  # two lockstep batches
+#: frames fed per (round, rank).  Round 1 is the LOCKSTEP-HAZARD round:
+#: rank 0 has nothing (all its cameras stalled) while rank 1 streams on —
+#: rank 0 must still enter the collective step, masked invalid.
+ROUNDS = [{0: 2, 1: 2}, {0: 0, 1: 2}, {0: 2, 1: 2}]
+FRAMES_PER_RANK = {r: sum(plan[r] for plan in ROUNDS) for r in (0, 1)}
 
 
 def main() -> int:
@@ -47,24 +51,30 @@ def main() -> int:
     info = init_multihost(f"127.0.0.1:{port}", nprocs, rank)
     assert info.process_index == rank
     assert info.global_device_count == 8, info
+    # documented idempotency: a second call just reports the live topology
+    again = init_multihost(f"127.0.0.1:{port}", nprocs, rank)
+    assert again == info
 
     props = DiPsProperties(window_size=3, temporal_size=2,
                            filter=DiPsFilter.UNFILTERED)
     eng = MultiHostStreamEngine(props, H, W, S_GLOBAL, batch=BATCH,
                                 backend="xla")
-    clips = {si: make_clip(n=N_FRAMES, h=H, w=W, seed=100 + si)
+    n_mine = FRAMES_PER_RANK[rank]
+    clips = {si: make_clip(n=n_mine, h=H, w=W, seed=100 + si)
              for si in eng.local_stream_ids}
 
-    outs, stats_all, gmeans = [], [], []
-    for start in range(0, N_FRAMES, BATCH):
+    outs, stats_all, gmeans, cursor = {}, {}, [], 0
+    for rnd, plan in enumerate(ROUNDS):
+        n_rnd = plan[rank]
         feed = eng.local_frames_template()
         for si in eng.local_stream_ids:
-            feed[si] = list(clips[si][start:start + BATCH])
+            feed[si] = list(clips[si][cursor:cursor + n_rnd])
         out, stats, gmean = eng.process_batch(feed)
-        outs.append(out)
-        stats_all.append(stats)
+        assert out.shape[0] == eng.n_local_streams, out.shape
+        outs[rnd], stats_all[rnd] = out, stats
         gmeans.append(gmean)
-        if do_checkpoint and start == 0:
+        cursor += n_rnd
+        if do_checkpoint and rnd == 0:
             # per-host checkpoint round-trip mid-stream: a NEW engine on
             # each host restores its own shard, then continues bit-exactly
             path = os.path.join(outdir, f"ckpt_{rank}.npz")
@@ -75,11 +85,11 @@ def main() -> int:
 
     np.savez(os.path.join(outdir, f"rank{rank}.npz"),
              local_stream_ids=np.asarray(eng.local_stream_ids),
-             out=np.concatenate(outs, axis=1),
-             stats=np.concatenate(stats_all, axis=1),
              gmeans=np.asarray(gmeans),
              frame_cursors=np.asarray(
-                 [eng.frame_cursors[i] for i in eng.local_stream_ids]))
+                 [eng.frame_cursors[i] for i in eng.local_stream_ids]),
+             **{f"out{r}": outs[r] for r in outs},
+             **{f"stats{r}": stats_all[r] for r in stats_all})
     print(f"WORKER-{rank}-OK", flush=True)
     return 0
 

@@ -213,3 +213,57 @@ def test_auto_validation():
         MotionDetector("auto", auto_warmup=0)
     with pytest.raises(ValueError, match="auto"):
         MotionDetector("auto", auto_window=4, auto_warmup=8)
+
+
+def test_auto_floor_tolerates_warmup_contamination():
+    """Review regression: a stream that starts DURING motion feeds motion
+    values into the warmup window (no threshold exists yet to exclude
+    them); the low-quartile floor must still anchor at the idle level
+    once idle frames dominate >=25% of the window, so later events fire."""
+    rng = np.random.default_rng(2)
+    motion_first = np.full(16, 25.0)              # contaminated warmup
+    idle = 10 + rng.normal(0, 0.3, 112)           # then the true floor
+    burst = np.full(6, 25.0)
+    det = MotionDetector("auto", min_frames=2, auto_warmup=16)
+    evs = det.update(_stats(np.concatenate([motion_first, idle, burst])))
+    evs += det.flush()
+    # the median-based floor would sit near 25 after this start and miss
+    # the burst entirely; the quartile floor recovers
+    assert len(evs) >= 1
+    assert evs[-1].start_frame >= 128  # the burst, not warmup noise
+    on_t, _ = det.thresholds()
+    assert on_t < 25
+
+
+def test_serve_events_config_validated_at_construction():
+    """Review regression: a bad --events threshold combination must
+    refuse to START the daemon, not error every process request after
+    the engine state already advanced."""
+    from dips_tpu.serve import DiPsServer
+    from dips_tpu.properties import DiPsFilter as _F
+    from dips_tpu import DiPsProperties as _P
+    props = _P(window_size=1, temporal_size=2, filter=_F.UNFILTERED)
+    with pytest.raises(ValueError, match="hysteresis"):
+        DiPsServer(props, 16, 24, port=0,
+                   events=dict(on_threshold=0.01, off_threshold=0.02))
+
+
+def test_cli_events_json_dat_dir(tmp_path):
+    """Review regression: --events-json in the --dat-dir path referenced
+    an undefined job variable (NameError after all processing)."""
+    import numpy as np
+    from dips_tpu.cli import main as cli_main
+
+    h, w = 8, 12
+    rng = np.random.default_rng(0)
+    for i in range(5):
+        rgba = rng.integers(0, 256, (h, w, 4), np.uint8)
+        np.concatenate([np.zeros(4, np.uint8), rgba.ravel()]).tofile(
+            tmp_path / f"Dat_{i}.d")
+    out = str(tmp_path / "out.avi")
+    ev_json = str(tmp_path / "events.json")
+    rc = cli_main(["--dat-dir", str(tmp_path), "--output", out,
+                   "--dat-geometry", f"{w}x{h}", "--temporal", "1",
+                   "--events-json", ev_json])
+    assert rc == 0
+    assert json.load(open(ev_json)) is not None  # file written, no crash
