@@ -512,7 +512,8 @@ def run_dips_on_files(input_paths: Sequence[str], output_dir: str,
                       properties: Optional[DiPsProperties] = None,
                       batch: int = 8, backend: str = "auto",
                       mesh=None, input_layout: str = "planar",
-                      video_backend: str = "auto") -> "np.ndarray":
+                      video_backend: str = "auto",
+                      events: Optional[dict] = None):
     """Batched multi-stream differencing over many videos (BASELINE
     configs[3]): decode S files in lockstep, run the sharded multi-stream
     step over the device mesh, write one diff video per input.
@@ -520,6 +521,12 @@ def run_dips_on_files(input_paths: Sequence[str], output_dir: str,
     All inputs must share geometry/fps (the multi-stream batch is one
     stacked tensor).  Streams shorter than the longest are padded on device
     and their outputs truncated.  Returns per-stream frame counts.
+
+    ``events``: optional MotionDetector kwargs (see ops/events.py; pixels
+    is filled in from the shared geometry) — one detector segments EACH
+    stream's stats, and the return becomes ``(counts, events_per_stream)``
+    with one list of closed :class:`~dips_tpu.ops.events.MotionEvent` per
+    input.
     """
     import os
     from .io.gstreamer import open_video, open_writer
@@ -568,6 +575,14 @@ def run_dips_on_files(input_paths: Sequence[str], output_dir: str,
             writers.append(open_writer(os.path.join(output_dir, name),
                                        fps, w, h, enc, video_backend))
         counts = np.zeros(s, np.int64)
+        detectors = None
+        if events is not None:
+            from .ops.events import MotionDetector
+            cfg = dict(events)
+            if cfg.get("metric") == "changed_frac":
+                cfg.setdefault("pixels", h * w)
+            detectors = [MotionDetector(**cfg) for _ in range(s)]
+            stream_events: list = [[] for _ in range(s)]
         done = [False] * s
         while not all(done):
             feeds = []
@@ -600,6 +615,10 @@ def run_dips_on_files(input_paths: Sequence[str], output_dir: str,
                 for k in range(n):
                     writers[si].write(out[si, k])
                 counts[si] += n
+                if detectors is not None and n:
+                    stream_events[si] += detectors[si].update(
+                        stats[si, :n],
+                        start_index=eng.frame_cursors[si] - n)
     finally:
         for r in readers:
             r.close()
@@ -610,6 +629,10 @@ def run_dips_on_files(input_paths: Sequence[str], output_dir: str,
         for si in eng.failed:
             if si < s:
                 counts[si] = -1  # sentinel: failed stream, output truncated
+    if detectors is not None:
+        for si in range(s):
+            stream_events[si] += detectors[si].flush()  # EOS closes opens
+        return counts, stream_events
     return counts
 
 

@@ -105,7 +105,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--events-json", metavar="PATH",
                    help="segment the per-frame stats into motion events "
                         "(hysteresis + debounce, ops/events.py) and write "
-                        "them to a JSON file")
+                        "them to a JSON file; with --inputs, one event "
+                        "list per stream keyed by input path")
     p.add_argument("--event-on", default=0.01, metavar="X|auto",
                    type=lambda s: s if s == "auto" else float(s),
                    help="metric level that OPENS an event (default 0.01 "
@@ -252,18 +253,37 @@ def main(argv: Optional[List[str]] = None) -> int:
             except ValueError as e:  # e.g. more devices than the host has
                 print(f"error: {e}", file=sys.stderr)
                 return 1
+        ev_cfg = None
+        if args.events_json:
+            ev_cfg = dict(on_threshold=args.event_on,
+                          off_threshold=args.event_off,
+                          metric=args.event_metric,
+                          min_frames=args.event_min_frames,
+                          cooldown=args.event_cooldown)
         try:
-            counts = run_dips_on_files(args.inputs, args.output_dir,
+            result = run_dips_on_files(args.inputs, args.output_dir,
                                        enc, props,
                                        batch=args.batch,
                                        backend=args.backend, mesh=mesh,
                                        input_layout=args.input_layout,
-                                       video_backend=args.video_backend)
+                                       video_backend=args.video_backend,
+                                       events=ev_cfg)
         except (DiPsError, NotImplementedError, ValueError) as e:
             # ValueError: engine/mesh configuration (row slab < halo,
             # pallas on a 2-D mesh, ...) — a user error, not a crash
             print(f"error: {e}", file=sys.stderr)
             return 1
+        if ev_cfg is not None:
+            counts, per_stream = result
+            with open(args.events_json, "w") as f:
+                json.dump({path: [e.to_dict() for e in evs]
+                           for path, evs in zip(args.inputs, per_stream)},
+                          f)
+            n_ev = sum(len(evs) for evs in per_stream)
+            print(f"{n_ev} motion event(s) across {len(per_stream)} "
+                  f"streams written: {args.events_json}")
+        else:
+            counts = result
         failed = [i for i, c in enumerate(counts) if c < 0]
         ok_total = int(sum(c for c in counts if c >= 0))
         print(f"processed {len(counts)} streams "

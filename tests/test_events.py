@@ -267,3 +267,43 @@ def test_cli_events_json_dat_dir(tmp_path):
                    "--events-json", ev_json])
     assert rc == 0
     assert json.load(open(ev_json)) is not None  # file written, no crash
+
+
+def test_cli_events_json_multi_input(tmp_path):
+    """--inputs mode: per-stream segmentation, JSON keyed by input path —
+    a moving clip gets events, its static sibling gets none."""
+    import cv2
+    from dips_tpu.cli import main as cli_main
+
+    h, w = 16, 24
+    moving = (list(make_clip(n=4, h=h, w=w, seed=3, moving=False))
+              + list(make_clip(n=6, h=h, w=w, seed=3, moving=True))
+              + list(make_clip(n=4, h=h, w=w, seed=3, moving=False)))
+    static = list(make_clip(n=14, h=h, w=w, seed=3, moving=False))
+    paths = []
+    for name, frames in (("moving.avi", moving), ("static.avi", static)):
+        p = str(tmp_path / name)
+        # lossless codec: the static sibling must decode bit-identical
+        # (MJPG noise on a noise background flips ~all pixels by a few
+        # LSB, which is exactly what the auto threshold exists for)
+        vw = cv2.VideoWriter(p, cv2.VideoWriter_fourcc(*"HFYU"), 10, (w, h))
+        for f in frames:
+            vw.write(f[..., ::-1])
+        vw.release()
+        paths.append(p)
+
+    out_dir = str(tmp_path / "out")
+    ev_json = str(tmp_path / "events.json")
+    rc = cli_main(["--inputs", *paths, "--output-dir", out_dir,
+                   "--output-mode", "absdiff", "--temporal", "1",
+                   "--win_size", "1", "--batch", "4",
+                   "--events-json", ev_json, "--event-on", "0.02",
+                   "--event-min-frames", "2"])
+    assert rc == 0
+    per_stream = json.load(open(ev_json))
+    assert set(per_stream) == set(paths)
+    assert len(per_stream[paths[0]]) >= 1          # the moving clip
+    spans = [(e["start_frame"], e["end_frame"])
+             for e in per_stream[paths[0]]]
+    assert any(s <= 5 and e >= 8 for s, e in spans), spans
+    assert per_stream[paths[1]] == []              # the static sibling
