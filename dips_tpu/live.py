@@ -21,6 +21,8 @@ frame cursor carry over — ref redip closure, dips_alt/src/lib.rs:267-293):
   w / W    spatial window -/+ 2 (odd 1..7)    (window size slider)
   t / T    temporal ring length -/+ 1 (1..16)
   m        toggle method overall <-> per_frame
+  e        toggle motion-EVENT detection (auto noise-floor; "MOTION" in
+           the title while one is open, closed events print to stdout)
   q / ESC  quit
 """
 
@@ -52,6 +54,9 @@ class LiveController:
         self.props = props
         self.snapshot_requested = False
         self.quit = False
+        #: motion-event detection toggle ('e'); the run loop owns the
+        #: detector itself (it needs the frame geometry)
+        self.events_enabled = False
 
     def _cycle(self, cycle, current):
         return cycle[(cycle.index(current) + 1) % len(cycle)]
@@ -72,6 +77,9 @@ class LiveController:
         if key == "s":
             self.snapshot_requested = True
             return False
+        if key == "e":
+            self.events_enabled = not self.events_enabled
+            return False  # a detector toggle never rebuilds the engine
         if key == "o":
             new = p.with_colorize(not p.colorize)
         elif key == "f":
@@ -112,7 +120,8 @@ class LiveController:
         return (f"{p.method.name.lower()} {p.output.name.lower()} "
                 f"filt={p.filter.name.lower()} chroma={p.chroma.name.lower()} "
                 f"w={p.window_size} t={p.temporal_size} "
-                f"sens={p.sensitivity:g} scalar={p.sigmoid_horizontal_scalar:g}")
+                f"sens={p.sensitivity:g} scalar={p.sigmoid_horizontal_scalar:g}"
+                + (" events=auto" if self.events_enabled else ""))
 
 
 def rebuild_engine(old: DiPsEngine, props: DiPsProperties,
@@ -182,6 +191,7 @@ def run_live(props: DiPsProperties, camera: int = 0, batch: int = 1,
 
     ctl = LiveController(props)
     engine = None
+    detector = None
     try:
         while not ctl.quit:
             frame = reader.read()
@@ -191,12 +201,28 @@ def run_live(props: DiPsProperties, camera: int = 0, batch: int = 1,
                 h, w = frame.shape[:2]
                 engine = DiPsEngine(ctl.props, h, w, batch=batch,
                                     backend=backend)
-            outs, _stats = engine.process_batch([frame])
+            outs, stats = engine.process_batch([frame])
+            title = "DiPs  " + ctl.status_line()
+            if ctl.events_enabled:
+                if detector is None:
+                    from .ops.events import MotionDetector
+                    detector = MotionDetector(
+                        "auto", metric="changed_frac",
+                        pixels=engine.height * engine.width, min_frames=2)
+                for ev in detector.update(
+                        stats, start_index=engine.frame_index - 1):
+                    print(f"motion event: frames {ev.start_frame}-"
+                          f"{ev.end_frame} peak {ev.peak:.4f}")
+                if detector._open is not None:
+                    title += "  [MOTION]"
+            else:
+                detector = None
             cv2.imshow("DiPs", _to_bgr(outs[0]))
-            cv2.setWindowTitle("DiPs", "DiPs  " + ctl.status_line())
+            cv2.setWindowTitle("DiPs", title)
             key = cv2.waitKey(1) & 0xFF
             if key != 0xFF and ctl.handle_key(int(key)):
                 engine = rebuild_engine(engine, ctl.props, backend)
+                detector = None  # new pixel math = new noise floor
             if ctl.snapshot_requested and engine is not None:
                 engine.snapshot()
                 ctl.snapshot_requested = False

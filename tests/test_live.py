@@ -171,3 +171,71 @@ def test_cli_live_with_input_uses_that_source(monkeypatch, tmp_path):
     # missing input errors cleanly instead of falling back to the webcam
     rc = cli_mod.main(["--live", "--input", str(tmp_path / "nope.avi")])
     assert rc == 1
+
+
+def test_controller_event_toggle():
+    """'e' toggles motion-event detection without an engine rebuild and
+    surfaces the mode in the HUD."""
+    from dips_tpu.live import LiveController
+    from dips_tpu.properties import DiPsProperties
+
+    ctl = LiveController(DiPsProperties())
+    assert not ctl.events_enabled
+    assert "events" not in ctl.status_line()
+    assert ctl.handle_key("e") is False  # no rebuild
+    assert ctl.events_enabled
+    assert "events=auto" in ctl.status_line()
+    assert ctl.handle_key(ord("e")) is False
+    assert not ctl.events_enabled
+
+
+def test_run_live_event_loop_with_stubbed_display(monkeypatch, capsys):
+    """Drive the real run_live loop headless: cv2's window calls are
+    stubbed, a scripted key sequence enables events, and a moving span
+    must print a closed motion event and flag MOTION in the title."""
+    import cv2
+    import numpy as np
+    from dips_tpu import live as live_mod
+    from dips_tpu.properties import (DiPsFilter, DiPsProperties,
+                                     OutputMode)
+    from tests.conftest import make_clip
+
+    h, w = 16, 24
+    # the auto floor needs its 16-frame idle warmup before motion starts
+    frames = (list(make_clip(n=20, h=h, w=w, seed=3, moving=False))
+              + list(make_clip(n=6, h=h, w=w, seed=3, moving=True))
+              + list(make_clip(n=6, h=h, w=w, seed=3, moving=False)))
+
+    class Reader:
+        def __init__(self):
+            self.i = 0
+
+        def read(self):
+            if self.i >= len(frames):
+                return None
+            f = frames[self.i]
+            self.i += 1
+            return f
+
+        def close(self):
+            pass
+
+    titles = []
+    keys = iter([ord("e")] + [0xFF] * (len(frames) - 1))
+    monkeypatch.setenv("DISPLAY", ":0")
+    monkeypatch.setattr(cv2, "namedWindow", lambda *a, **k: None)
+    monkeypatch.setattr(cv2, "imshow", lambda *a, **k: None)
+    monkeypatch.setattr(cv2, "setWindowTitle",
+                        lambda _w, t: titles.append(t))
+    monkeypatch.setattr(cv2, "waitKey", lambda _ms: next(keys, ord("q")))
+    monkeypatch.setattr(cv2, "destroyAllWindows", lambda: None)
+
+    props = DiPsProperties(window_size=1, temporal_size=1,
+                           filter=DiPsFilter.UNFILTERED,
+                           output=OutputMode.ABSDIFF)
+    rc = live_mod.run_live(props, reader=Reader())
+    assert rc == 0
+    assert any("[MOTION]" in t for t in titles)       # open flagged live
+    assert any("events=auto" in t for t in titles)    # HUD shows the mode
+    out = capsys.readouterr().out
+    assert "motion event: frames" in out              # close printed
