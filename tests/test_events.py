@@ -307,3 +307,53 @@ def test_cli_events_json_multi_input(tmp_path):
              for e in per_stream[paths[0]]]
     assert any(s <= 5 and e >= 8 for s, e in spans), spans
     assert per_stream[paths[1]] == []              # the static sibling
+
+
+def test_fuzz_streaming_equals_oneshot_and_invariants():
+    """Property fuzz: random series under RANDOM batch splits must match
+    the one-shot segmentation exactly, and every event must satisfy the
+    definitional invariants (opens at >= on, ends at >= off, peak/mean
+    computed over [start..end], spans disjoint and ordered)."""
+    rng = np.random.default_rng(7)
+    for trial in range(200):
+        n = int(rng.integers(1, 120))
+        scale = float(rng.choice([1.0, 10.0, 100.0]))
+        series = rng.random(n) * scale
+        if rng.random() < 0.5:  # structured: idle floor + square bursts
+            series = rng.random(n) * 0.2 * scale
+            for _ in range(int(rng.integers(0, 4))):
+                a = int(rng.integers(0, n))
+                b = min(n, a + int(rng.integers(1, 12)))
+                series[a:b] += scale
+        on = float(rng.uniform(0.3, 0.9)) * scale
+        off = float(rng.uniform(0.1, 1.0)) * on
+        cfg = dict(on_threshold=on, off_threshold=off,
+                   min_frames=int(rng.integers(1, 4)),
+                   cooldown=int(rng.integers(0, 3)))
+
+        whole = detect_events([_stats(series)], **cfg)
+
+        det = MotionDetector(**cfg)
+        streamed = []
+        i = 0
+        while i < n:
+            k = int(rng.integers(1, 8))
+            streamed += det.update(_stats(series[i:i + k]))
+            i += k
+        streamed += det.flush()
+
+        assert ([e.to_dict() for e in streamed]
+                == [e.to_dict() for e in whole]), (trial, cfg)
+
+        prev_end = -1
+        for e in whole:
+            assert e.start_frame > prev_end          # disjoint, ordered
+            prev_end = e.end_frame
+            assert e.frames >= cfg["min_frames"]
+            assert series[e.start_frame] >= on       # opens at on
+            assert series[e.end_frame] >= off        # ends at last >= off
+            span = series[e.start_frame:e.end_frame + 1]
+            assert e.peak == pytest.approx(span.max())
+            assert e.peak_frame >= e.start_frame
+            assert series[e.peak_frame] == pytest.approx(e.peak)
+            assert e.mean == pytest.approx(span.mean())
