@@ -1,0 +1,96 @@
+"""dips-report: self-contained HTML from a run's JSON artifacts."""
+
+import json
+
+import numpy as np
+import pytest
+
+from dips_tpu.ops.oracle import STAT_NAMES
+from dips_tpu.report import main as report_main, render_report
+
+
+def _write_stats(path, n=20, motion=range(6, 12)):
+    rows = []
+    for i in range(n):
+        on = i in motion
+        rows.append({"mean_diff": 0.0, "mean_abs_diff": 0.02 if on else 0.0,
+                     "max_abs_diff": 0.5 if on else 0.0,
+                     "changed_count": 16.0 if on else 0.0})
+    with open(path, "w") as f:
+        json.dump(rows, f)
+
+
+def _write_events(path, data):
+    with open(path, "w") as f:
+        json.dump(data, f)
+
+
+_EV = {"start_frame": 6, "end_frame": 11, "frames": 6, "peak": 0.5,
+       "peak_frame": 7, "mean": 0.4}
+
+
+def test_report_renders_single_stream(tmp_path):
+    sp, ep = str(tmp_path / "s.json"), str(tmp_path / "e.json")
+    _write_stats(sp)
+    _write_events(ep, [_EV])
+    out = str(tmp_path / "r.html")
+    rc = report_main(["--stats-json", sp, "--events-json", ep,
+                      "--pixels", "384", "-o", out,
+                      "--title", "cam <42>"])
+    assert rc == 0
+    doc = open(out).read()
+    assert "cam &lt;42&gt;" in doc                 # titles are escaped
+    assert doc.count("data:image/png;base64,") == 2  # both panels embedded
+    assert ">1<" in doc and "motion events" in doc   # headline tile
+    assert "<td>6</td><td>11</td>" in doc            # event table row
+    for k in STAT_NAMES:
+        assert k in doc                              # table view exists
+
+
+def test_report_multi_stream_and_heatmap(tmp_path):
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    sp, ep = str(tmp_path / "s.json"), str(tmp_path / "e.json")
+    _write_stats(sp)
+    _write_events(ep, {"a.avi": [_EV], "b.avi": []})
+    hm = str(tmp_path / "hm.png")
+    fig, ax = plt.subplots()
+    ax.imshow(np.zeros((4, 4)))
+    fig.savefig(hm)
+    plt.close(fig)
+    out = str(tmp_path / "r.html")
+    rc = report_main(["--stats-json", sp, "--events-json", ep,
+                      "--heatmap", hm, "-o", out])
+    assert rc == 0
+    doc = open(out).read()
+    assert "a.avi" in doc and "b.avi" in doc         # one table per stream
+    assert "No motion events" in doc                 # the empty stream
+    assert doc.count("data:image/png;base64,") == 3  # 2 charts + heatmap
+
+
+def test_report_without_events(tmp_path):
+    sp = str(tmp_path / "s.json")
+    _write_stats(sp, motion=())
+    out = str(tmp_path / "r.html")
+    assert report_main(["--stats-json", sp, "-o", out]) == 0
+    doc = open(out).read()
+    assert ">0<" in doc and "No motion events" in doc
+
+
+def test_report_bad_input_errors_cleanly(tmp_path, capsys):
+    bad = str(tmp_path / "bad.json")
+    with open(bad, "w") as f:
+        f.write("{not json")
+    rc = report_main(["--stats-json", bad,
+                      "-o", str(tmp_path / "r.html")])
+    assert rc == 1
+    assert "error:" in capsys.readouterr().err
+
+
+def test_render_report_api(tmp_path):
+    sp = str(tmp_path / "s.json")
+    _write_stats(sp)
+    doc = render_report(sp, pixels=384)
+    assert doc.startswith("<!doctype html>")
