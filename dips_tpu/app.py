@@ -90,6 +90,9 @@ class DiPsJob:
     #: ``perform_dips`` (resolution-dependent post-analysis — e.g. the
     #: ``changed_frac`` event metric — needs the pixel count)
     frame_geometry: Optional[tuple] = None
+    #: run artifact: the engine that processed the stream (its heatmap /
+    #: checkpoint state outlive the run; ``--heatmap-png`` reads it)
+    engine: Optional[object] = None
     #: batches kept in flight on the device (2 = dispatch batch k+1 while
     #: batch k downloads — real double-buffering on PCIe-attached hosts
     #: where h2d and d2h ride separate DMA engines).  Default 1: on this
@@ -258,6 +261,7 @@ def stream_dips(job: DiPsJob) -> Iterator[Tuple[int, Optional[np.ndarray],
                   else 3 * hp * wp)
     timers = StageTimers() if job.profile else None
     job.timers = timers
+    job.engine = engine  # run artifact: heatmap/state outlive the stream
     engine.timers = timers  # h2d / dispatch / d2h split inside "device"
     job.frame_pts = []
     stop = threading.Event()
@@ -462,6 +466,7 @@ def perform_dips(job: DiPsJob) -> np.ndarray:
     caller_job.timers = job.timers
     caller_job.frame_pts = job.frame_pts
     caller_job.frame_geometry = (h, w)
+    caller_job.engine = job.engine
     if job.timers:
         log.info("%s", job.timers)
     return (np.stack(stats_rows) if stats_rows

@@ -126,6 +126,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "resolution-independent)")
     p.add_argument("--event-min-frames", type=int, default=2, metavar="N",
                    help="discard events shorter than N frames (default 2)")
+    p.add_argument("--heatmap-png", metavar="PATH",
+                   help="save the run's accumulated |diff| heatmap as a "
+                        "PNG (single-hue sequential rendering; embeddable "
+                        "via dips-report --heatmap)")
     p.add_argument("--event-cooldown", type=int, default=0, metavar="N",
                    help="sub-threshold frames tolerated inside one event "
                         "before it closes (default 0)")
@@ -296,6 +300,7 @@ def main(argv: Optional[List[str]] = None) -> int:
             return 1
         return 0
 
+    job = None  # set by the --input/--output mode; dat mode has no job
     if args.dat_dir:
         if not args.output:
             print("--dat-dir requires --output", file=sys.stderr)
@@ -363,6 +368,24 @@ def main(argv: Optional[List[str]] = None) -> int:
         with open(args.stats_json, "w") as f:
             json.dump(rows, f)
         print(f"stats written: {args.stats_json}")
+    if args.heatmap_png:
+        eng = getattr(job, "engine", None)
+        if eng is None:
+            print("--heatmap-png needs the --input/--output mode",
+                  file=sys.stderr)
+            return 2
+        import matplotlib
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+        hm = eng.heatmap()
+        fig, ax = plt.subplots(figsize=(6, 6 * hm.shape[0] / hm.shape[1]))
+        # sequential = one hue, light->dark (magnitude)
+        im = ax.imshow(hm, cmap="Blues")
+        ax.set_axis_off()
+        fig.colorbar(im, ax=ax, shrink=0.8)
+        fig.savefig(args.heatmap_png, dpi=110, bbox_inches="tight")
+        plt.close(fig)
+        print(f"heatmap written: {args.heatmap_png}")
     if args.events_json:
         from .ops.events import detect_events
         events = detect_events(

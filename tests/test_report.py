@@ -94,3 +94,52 @@ def test_render_report_api(tmp_path):
     _write_stats(sp)
     doc = render_report(sp, pixels=384)
     assert doc.startswith("<!doctype html>")
+
+
+def test_cli_heatmap_png_and_full_report_pipeline(tmp_path):
+    """The full artifact journey: CLI run writes stats + events + heatmap
+    PNG; dips-report stitches them into one page."""
+    import cv2
+    from dips_tpu.cli import main as cli_main
+    from tests.conftest import make_clip
+
+    h, w = 16, 24
+    frames = (list(make_clip(n=4, h=h, w=w, seed=3, moving=False))
+              + list(make_clip(n=6, h=h, w=w, seed=3, moving=True)))
+    path = str(tmp_path / "in.avi")
+    vw = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"HFYU"), 10, (w, h))
+    for f in frames:
+        vw.write(f[..., ::-1])
+    vw.release()
+
+    sp = str(tmp_path / "s.json")
+    ep = str(tmp_path / "e.json")
+    hm = str(tmp_path / "hm.png")
+    rc = cli_main(["--input", path, "--output", str(tmp_path / "o.avi"),
+                   "--output-mode", "absdiff", "--temporal", "1",
+                   "--win_size", "1", "--stats-json", sp,
+                   "--events-json", ep, "--event-on", "0.02",
+                   "--heatmap-png", hm])
+    assert rc == 0
+    assert cv2.imread(hm) is not None  # a real decodable PNG
+
+    out = str(tmp_path / "r.html")
+    assert report_main(["--stats-json", sp, "--events-json", ep,
+                        "--heatmap", hm, "--pixels", str(h * w),
+                        "-o", out]) == 0
+    assert open(out).read().count("data:image/png;base64,") == 3
+
+
+def test_cli_heatmap_png_rejected_outside_file_mode(tmp_path, capsys):
+    import numpy as np
+    from dips_tpu.cli import main as cli_main
+    rng = np.random.default_rng(0)
+    rgba = rng.integers(0, 256, (8, 12, 4), np.uint8)
+    np.concatenate([np.zeros(4, np.uint8), rgba.ravel()]).tofile(
+        tmp_path / "Dat_0.d")
+    rc = cli_main(["--dat-dir", str(tmp_path),
+                   "--output", str(tmp_path / "o.avi"),
+                   "--dat-geometry", "12x8", "--temporal", "1",
+                   "--heatmap-png", str(tmp_path / "hm.png")])
+    assert rc == 2
+    assert "--heatmap-png" in capsys.readouterr().err
