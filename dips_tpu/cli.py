@@ -210,6 +210,16 @@ def main(argv: Optional[List[str]] = None) -> int:
     from .utils.compilecache import apply_compile_cache_flag
     apply_compile_cache_flag(args)
 
+    if args.heatmap_png and (args.inputs or args.dat_dir or args.live
+                             or args.thumbnail
+                             or args.subsample is not None):
+        # every one of those modes either has no single engine or exits
+        # before the artifact tail — rejecting beats silently writing
+        # nothing
+        print("--heatmap-png needs the --input/--output mode",
+              file=sys.stderr)
+        return 2
+
     if args.thumbnail:
         if not args.input:
             print("--thumbnail requires --input", file=sys.stderr)
@@ -279,10 +289,15 @@ def main(argv: Optional[List[str]] = None) -> int:
             return 1
         if ev_cfg is not None:
             counts, per_stream = result
+            # duplicate input paths must not collapse to one JSON key
+            # (mirrors the output-basename disambiguation): suffix dups
+            # with their stream index
+            dup = {p for p in args.inputs if args.inputs.count(p) > 1}
+            keys = [f"{p}#{si}" if p in dup else p
+                    for si, p in enumerate(args.inputs)]
             with open(args.events_json, "w") as f:
-                json.dump({path: [e.to_dict() for e in evs]
-                           for path, evs in zip(args.inputs, per_stream)},
-                          f)
+                json.dump({k: [e.to_dict() for e in evs]
+                           for k, evs in zip(keys, per_stream)}, f)
             n_ev = sum(len(evs) for evs in per_stream)
             print(f"{n_ev} motion event(s) across {len(per_stream)} "
                   f"streams written: {args.events_json}")
@@ -374,8 +389,12 @@ def main(argv: Optional[List[str]] = None) -> int:
             print("--heatmap-png needs the --input/--output mode",
                   file=sys.stderr)
             return 2
-        import matplotlib
-        matplotlib.use("Agg")
+        from .report import _require_matplotlib
+        try:
+            _require_matplotlib()
+        except RuntimeError as e:
+            print(f"error: {e}", file=sys.stderr)
+            return 1
         import matplotlib.pyplot as plt
         hm = eng.heatmap()
         fig, ax = plt.subplots(figsize=(6, 6 * hm.shape[0] / hm.shape[1]))

@@ -46,6 +46,12 @@ from .multistream import MultiStreamEngine, stream_mesh
 
 log = logging.getLogger("dips_tpu.multihost")
 
+#: a no-arg init_multihost() that found no cluster sticks with the
+#: single-process topology for the life of the process (its own topology
+#: accessors initialize the backend, which makes later auto-detection
+#: attempts impossible anyway)
+_single_process = False
+
 __all__ = ["init_multihost", "MultiHostInfo", "MultiHostStreamEngine"]
 
 
@@ -82,20 +88,43 @@ def init_multihost(coordinator_address: Optional[str] = None,
         kwargs["num_processes"] = int(num_processes)
     if process_id is not None:
         kwargs["process_id"] = int(process_id)
+    global _single_process
     if jax.distributed.is_initialized():
         pass  # idempotent re-call: report the live topology
     elif kwargs:
         jax.distributed.initialize(**kwargs)
+    elif _single_process:
+        pass  # an earlier no-arg call already settled on single-process
     else:
         # cluster auto-detection (TPU pods, Slurm, ...).  Deliberately NO
         # backend probe here — e.g. jax.default_backend() would initialize
         # XLA and make jax.distributed.initialize() unusable.  An
         # environment with no detectable cluster is a plain single
-        # process: fall back to the trivial topology.
+        # process: fall back to the trivial topology.  ONLY the
+        # nothing-detected error falls back — a detected cluster whose
+        # join fails (coordinator unreachable, timeout) must raise, or
+        # this worker would run process_count=1 and deadlock its peers
+        # in the first collective.
         try:
             jax.distributed.initialize()
-        except (ValueError, RuntimeError) as e:
-            log.debug("no cluster auto-detected (%s): single-process", e)
+        except ValueError as e:
+            if "coordinator_address" not in str(e):
+                raise
+            _single_process = True
+            log.info("no cluster auto-detected: single-process topology")
+        except RuntimeError as e:
+            if "before any JAX calls" not in str(e):
+                raise
+            # a backend is already live, so auto-detection is off the
+            # table for the rest of this process; explicit kwargs would
+            # still raise above.  On a pod this call came too late —
+            # say so loudly instead of deadlocking silently.
+            _single_process = True
+            log.warning(
+                "init_multihost() called after a JAX backend was already "
+                "initialized: cluster auto-detection is unavailable, "
+                "continuing single-process.  On a multi-host deployment "
+                "call init_multihost() before any other JAX use.")
     return MultiHostInfo(
         process_index=jax.process_index(),
         process_count=jax.process_count(),

@@ -40,12 +40,25 @@ _SURFACE, _INK, _INK2 = "#fcfcfb", "#0b0b0b", "#52514e"
 _BAND = (0.32, 0.32, 0.31, 0.12)  # neutral annotation band (gray @ 12%)
 
 
+def _require_matplotlib():
+    try:
+        import matplotlib
+    except ImportError:
+        raise RuntimeError(
+            "chart rendering needs matplotlib — install the extra: "
+            "pip install 'dips-tpu[report]'") from None
+    matplotlib.use("Agg")
+    return matplotlib
+
+
 def _load_stats(path: str) -> np.ndarray:
     """stats JSON (list of per-frame dicts, the --stats-json format) ->
     (N, 4) array in STAT_NAMES order."""
     from .ops.oracle import STAT_NAMES
     with open(path) as f:
         rows = json.load(f)
+    if not rows:  # a zero-frame run is a legitimate artifact
+        return np.zeros((0, len(STAT_NAMES)), np.float64)
     return np.asarray([[float(r[k]) for k in STAT_NAMES] for r in rows],
                       np.float64)
 
@@ -94,8 +107,7 @@ def _shade_events(ax, events: List[dict]) -> None:
 def _charts(stats: np.ndarray, events: List[dict], pixels: Optional[int]
             ) -> List[str]:
     """Two stacked panels (one unit each) -> base64 PNGs."""
-    import matplotlib
-    matplotlib.use("Agg")
+    _require_matplotlib()
     import matplotlib.pyplot as plt
 
     n = stats.shape[0]
@@ -182,26 +194,37 @@ def render_report(stats_path: str, events_path: Optional[str] = None,
     """Build the report; returns the HTML string."""
     stats = _load_stats(stats_path)
     streams = _load_events(events_path)
-    # single-stream stats pair with the single (or sole) event list
-    events = (next(iter(streams.values())) if len(streams) == 1
-              else streams.get("", []))
+    multi = len(streams) > 1
+    # single-stream stats pair with the single (or sole) event list; a
+    # multi-stream events dict cannot be attributed to THIS stats series,
+    # so the charts shade nothing and the tiles aggregate all streams
+    events = next(iter(streams.values())) if len(streams) == 1 else []
     n = stats.shape[0]
-    motion = sum(e["frames"] for e in events)
-    n_events = sum(len(v) for v in streams.values()) if streams else 0
+    motion = sum(e["frames"] for v in streams.values() for e in v)
+    n_events = sum(len(v) for v in streams.values())
 
     tiles = [_tile("frames", str(n)),
              _tile("motion events", str(n_events)),
-             _tile("motion frames", f"{motion}"
-                   + (f" ({100 * motion / n:.1f}%)" if n else ""))]
+             _tile("motion frames" + (" (all streams)" if multi else ""),
+                   f"{motion}"
+                   + (f" ({100 * motion / n:.1f}%)"
+                      if n and not multi else ""))]
     if n:
         tiles.append(_tile("peak mean |diff|", f"{stats[:, 1].max():.4g}"))
 
-    imgs = _charts(stats, events, pixels)
+    imgs = _charts(stats, events, pixels) if n else []
     sections = [
         f'<div class="tiles">{"".join(tiles)}</div>',
         *(f'<img alt="chart" src="data:image/png;base64,{b}">'
           for b in imgs),
     ]
+    if not n:
+        sections.append("<p class='muted'>No frames processed — nothing "
+                        "to chart.</p>")
+    elif multi:
+        sections.append("<p class='muted'>Events span multiple streams; "
+                        "spans are not shaded on this (single-stream) "
+                        "stats timeline.</p>")
     if len(streams) > 1:  # multi-input run: one event table per stream
         for name, evs in streams.items():
             sections.append(f"<h2>{html.escape(name or 'events')}</h2>"
@@ -264,7 +287,8 @@ def main(argv=None) -> int:
     try:
         doc = render_report(args.stats_json, args.events_json,
                             args.heatmap, args.title, args.pixels)
-    except (OSError, KeyError, ValueError, json.JSONDecodeError) as e:
+    except (OSError, KeyError, ValueError, RuntimeError,
+            json.JSONDecodeError) as e:
         print(f"error: {e}", file=sys.stderr)
         return 1
     with open(args.output, "w") as f:

@@ -357,3 +357,30 @@ def test_fuzz_streaming_equals_oneshot_and_invariants():
             assert e.peak_frame >= e.start_frame
             assert series[e.peak_frame] == pytest.approx(e.peak)
             assert e.mean == pytest.approx(span.mean())
+
+
+def test_cli_events_json_duplicate_inputs_keep_both_streams(tmp_path):
+    """Review regression: duplicate --inputs paths collapsed to one JSON
+    key, silently dropping a stream's events."""
+    import cv2
+    from dips_tpu.cli import main as cli_main
+
+    h, w = 16, 24
+    clip = (list(make_clip(n=4, h=h, w=w, seed=3, moving=False))
+            + list(make_clip(n=6, h=h, w=w, seed=3, moving=True)))
+    p = str(tmp_path / "cam.avi")
+    vw = cv2.VideoWriter(p, cv2.VideoWriter_fourcc(*"HFYU"), 10, (w, h))
+    for f in clip:
+        vw.write(f[..., ::-1])
+    vw.release()
+
+    ev_json = str(tmp_path / "events.json")
+    rc = cli_main(["--inputs", p, p, "--output-dir",
+                   str(tmp_path / "out"), "--output-mode", "absdiff",
+                   "--temporal", "1", "--win_size", "1", "--batch", "4",
+                   "--events-json", ev_json, "--event-on", "0.02",
+                   "--event-min-frames", "2"])
+    assert rc == 0
+    per_stream = json.load(open(ev_json))
+    assert set(per_stream) == {f"{p}#0", f"{p}#1"}
+    assert all(len(v) == 1 for v in per_stream.values())

@@ -143,3 +143,43 @@ def test_cli_heatmap_png_rejected_outside_file_mode(tmp_path, capsys):
                    "--heatmap-png", str(tmp_path / "hm.png")])
     assert rc == 2
     assert "--heatmap-png" in capsys.readouterr().err
+
+
+def test_report_empty_stats_renders_cleanly(tmp_path):
+    """Review regression: a zero-frame run writes [] to --stats-json; the
+    report must render (no charts, a note) instead of IndexError."""
+    sp = str(tmp_path / "s.json")
+    with open(sp, "w") as f:
+        f.write("[]")
+    out = str(tmp_path / "r.html")
+    assert report_main(["--stats-json", sp, "-o", out]) == 0
+    doc = open(out).read()
+    assert "No frames processed" in doc
+    assert "data:image/png;base64," not in doc
+
+
+def test_report_multistream_tiles_aggregate_all_streams(tmp_path):
+    """Review regression: with a per-stream events dict the motion-frames
+    tile aggregated nothing while the events tile counted everything."""
+    sp, ep = str(tmp_path / "s.json"), str(tmp_path / "e.json")
+    _write_stats(sp)
+    _write_events(ep, {"a.avi": [_EV], "b.avi": [dict(_EV, frames=3)]})
+    out = str(tmp_path / "r.html")
+    assert report_main(["--stats-json", sp, "--events-json", ep,
+                        "-o", out]) == 0
+    doc = open(out).read()
+    assert ">2<" in doc                      # events across streams
+    assert ">9<" in doc                      # 6 + 3 motion frames
+    assert "not shaded" in doc               # attribution disclaimer
+
+
+def test_cli_heatmap_png_rejected_in_inputs_and_live_modes(tmp_path,
+                                                           capsys):
+    """Review regression: --inputs and --live silently ignored
+    --heatmap-png instead of rejecting it."""
+    from dips_tpu.cli import main as cli_main
+    rc = cli_main(["--inputs", "a.avi", "b.avi", "--output-dir",
+                   str(tmp_path), "--heatmap-png", str(tmp_path / "h.png")])
+    assert rc == 2 and "--heatmap-png" in capsys.readouterr().err
+    rc = cli_main(["--live", "--heatmap-png", str(tmp_path / "h.png")])
+    assert rc == 2 and "--heatmap-png" in capsys.readouterr().err
