@@ -32,7 +32,9 @@ def _probe_jax(timeout_s: float) -> dict:
             backend = jax.default_backend()
             devs = jax.devices()
             box.update(backend=backend, devices=len(devs),
-                       device_kind=devs[0].device_kind if devs else None)
+                       device_kind=devs[0].device_kind if devs else None,
+                       processes=jax.process_count(),
+                       local_devices=jax.local_device_count())
         except Exception as e:  # noqa: BLE001 - diagnosis, not control flow
             box["error"] = repr(e)
 
@@ -142,6 +144,19 @@ def collect(timeout_s: float = 60.0) -> dict:
         }
 
     section("compile_cache", _compile_cache)
+
+    def _report():
+        try:
+            import matplotlib
+            return {"matplotlib": matplotlib.__version__, "ok": True,
+                    "hint": None}
+        except ImportError:
+            return {"matplotlib": None, "ok": True,  # optional extra
+                    "hint": "matplotlib absent: dips-report and "
+                            "--heatmap-png unavailable (pip install "
+                            "'dips-tpu[report]')"}
+
+    section("report", _report)
     return info
 
 

@@ -256,7 +256,8 @@ def test_doctor_report(capsys, monkeypatch):
     monkeypatch.delenv("DIPS_COMPILE_CACHE", raising=False)
     info = doctor.collect()
     assert set(info) == {"jax", "native", "opencv", "gstreamer",
-                         "autotune", "compile_cache"}
+                         "autotune", "compile_cache", "report"}
+    assert info["jax"]["processes"] == 1  # single-process topology
     assert info["jax"]["backend"] == "cpu"  # conftest forces CPU
     assert not info["jax"]["ok"] and "XLA path" in info["jax"]["hint"]
     assert info["compile_cache"]["hint"]  # off by default
