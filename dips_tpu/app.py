@@ -93,6 +93,14 @@ class DiPsJob:
     #: run artifact: the engine that processed the stream (its heatmap /
     #: checkpoint state outlive the run; ``--heatmap-png`` reads it)
     engine: Optional[object] = None
+    #: event-triggered recording (io/eventrecorder.py): dict with ``dir``
+    #: (segment output directory) and optional ``pre_roll`` / ``post_roll``
+    #: frame counts and ``detector`` (MotionDetector kwargs) — the run
+    #: additionally writes one clip per motion burst, pre/post-roll
+    #: included, instead of relying on the continuous output alone
+    record_events: Optional[dict] = None
+    #: run artifact: the recorded segments (span, frames, events, path)
+    event_segments: Optional[list] = None
     #: batches kept in flight on the device (2 = dispatch batch k+1 while
     #: batch k downloads — real double-buffering on PCIe-attached hosts
     #: where h2d and d2h ride separate DMA engines).  Default 1: on this
@@ -449,6 +457,37 @@ def perform_dips(job: DiPsJob) -> np.ndarray:
         else:
             writer.write(out)
 
+    recorder = None
+    if job.record_events:
+        import os
+        from .io.eventrecorder import EventRecorder
+        from .ops.events import MotionDetector
+        cfg = dict(job.record_events)
+        rdir = cfg.pop("dir")
+        os.makedirs(rdir, exist_ok=True)
+        det_cfg = dict(cfg.pop("detector", {}) or {})
+        if det_cfg.get("metric") == "changed_frac":
+            det_cfg.setdefault("pixels", h * w)
+        det_cfg.setdefault("on_threshold", "auto")
+        stem = os.path.splitext(os.path.basename(job.output_path))[0]
+
+        def _open_segment(i, start):
+            p = os.path.join(rdir, f"{stem}.event{i:03d}_f{start}.avi")
+            seg = open_writer(p, fps, w, h, job.encoding,
+                              job.video_backend)
+            try:
+                seg.path = p
+            except AttributeError:
+                pass
+            return seg
+
+        recorder = EventRecorder(
+            MotionDetector(**det_cfg), _open_segment,
+            pre_roll=cfg.pop("pre_roll", 30),
+            post_roll=cfg.pop("post_roll", 30))
+        if cfg:
+            raise ValueError(f"unknown record_events keys: {sorted(cfg)}")
+
     stats_rows: List[np.ndarray] = []
     with writer:
         for idx, _inp, out, stats in stream_dips(job):
@@ -458,15 +497,20 @@ def perform_dips(job: DiPsJob) -> np.ndarray:
                     emit(out, pts)
             else:
                 emit(out, pts)
+            if recorder is not None:
+                recorder.feed(out, stats, idx)
             stats_rows.append(stats)
             if idx % 100 == 0:
                 log.info("frame %d", idx)
+    if recorder is not None:
+        job.event_segments = recorder.finish()
     # run artifacts land on the CALLER's job too (stream_dips populated
     # the internal copy that carries the pre-opened reader)
     caller_job.timers = job.timers
     caller_job.frame_pts = job.frame_pts
     caller_job.frame_geometry = (h, w)
     caller_job.engine = job.engine
+    caller_job.event_segments = job.event_segments
     if job.timers:
         log.info("%s", job.timers)
     return (np.stack(stats_rows) if stats_rows

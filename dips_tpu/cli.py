@@ -130,6 +130,18 @@ def build_parser() -> argparse.ArgumentParser:
                    help="save the run's accumulated |diff| heatmap as a "
                         "PNG (single-hue sequential rendering; embeddable "
                         "via dips-report --heatmap)")
+    p.add_argument("--record-events", metavar="DIR",
+                   help="event-triggered recording: additionally write "
+                        "one clip per motion burst into DIR (pre/post-"
+                        "roll included, bursts during post-roll merge); "
+                        "the --event-* flags configure its detector and "
+                        "DIR/segments.json records the spans")
+    p.add_argument("--pre-roll", type=int, default=30, metavar="N",
+                   help="frames kept before each recorded event "
+                        "(default 30)")
+    p.add_argument("--post-roll", type=int, default=30, metavar="N",
+                   help="frames kept after each recorded event "
+                        "(default 30)")
     p.add_argument("--event-cooldown", type=int, default=0, metavar="N",
                    help="sub-threshold frames tolerated inside one event "
                         "before it closes (default 0)")
@@ -210,15 +222,16 @@ def main(argv: Optional[List[str]] = None) -> int:
     from .utils.compilecache import apply_compile_cache_flag
     apply_compile_cache_flag(args)
 
-    if args.heatmap_png and (args.inputs or args.dat_dir or args.live
-                             or args.thumbnail
-                             or args.subsample is not None):
-        # every one of those modes either has no single engine or exits
-        # before the artifact tail — rejecting beats silently writing
-        # nothing
-        print("--heatmap-png needs the --input/--output mode",
-              file=sys.stderr)
-        return 2
+    for flag, val in (("--heatmap-png", args.heatmap_png),
+                      ("--record-events", args.record_events)):
+        if val and (args.inputs or args.dat_dir or args.live
+                    or args.thumbnail or args.subsample is not None):
+            # every one of those modes either has no single engine/stream
+            # or exits before the artifact tail — rejecting beats
+            # silently writing nothing
+            print(f"{flag} needs the --input/--output mode",
+                  file=sys.stderr)
+            return 2
 
     if args.thumbnail:
         if not args.input:
@@ -359,6 +372,16 @@ def main(argv: Optional[List[str]] = None) -> int:
         enc = _parse_encoding(args.encoding)
         if enc is None:
             return 2
+        record = None
+        if args.record_events:
+            record = dict(
+                dir=args.record_events, pre_roll=args.pre_roll,
+                post_roll=args.post_roll,
+                detector=dict(on_threshold=args.event_on,
+                              off_threshold=args.event_off,
+                              metric=args.event_metric,
+                              min_frames=args.event_min_frames,
+                              cooldown=args.event_cooldown))
         job = DiPsJob(properties=props, video_path=args.input,
                       output_path=args.output, encoding=enc,
                       batch=args.batch, backend=args.backend,
@@ -368,13 +391,21 @@ def main(argv: Optional[List[str]] = None) -> int:
                       pipeline_depth=args.pipeline_depth,
                       packed_wire=args.packed_wire,
                       input_layout=args.input_layout,
-                      profile=args.profile, denoise_radius=args.denoise)
+                      profile=args.profile, denoise_radius=args.denoise,
+                      record_events=record)
         from .utils.profiling import trace
         with trace(args.trace_dir):
             stats = perform_dips(job)
         frame_geometry = job.frame_geometry
         if args.profile and job.timers:
             print(job.timers)
+        if args.record_events and job.event_segments is not None:
+            import os
+            with open(os.path.join(args.record_events,
+                                   "segments.json"), "w") as f:
+                json.dump(job.event_segments, f)
+            print(f"{len(job.event_segments)} event segment(s) "
+                  f"recorded -> {args.record_events}")
 
     print(f"processed {stats.shape[0]} frames -> {args.output}")
     if args.stats_json:

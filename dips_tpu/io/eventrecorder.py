@@ -1,0 +1,118 @@
+"""Event-triggered recording: write video ONLY around motion.
+
+The NVR recipe on top of :mod:`~dips_tpu.ops.events`: a rolling pre-roll
+buffer of recent frames, a segment writer that opens when the detector
+opens an event (flushing the pre-roll so the lead-in is on disk), and a
+post-roll countdown after it closes.  A new event during post-roll merges
+into the same segment — adjacent bursts produce one clip, not confetti.
+
+Storage math is the point: a fleet camera that is idle 95% of the time
+writes ~5% of the video (plus rolls), while the stats/events channel
+still covers 100% of frames.  The recorder is pure host logic over
+frames the pipeline already produced — no extra device work.
+
+Feed order matters: ``feed(frame, stats_row, index)`` once per frame, in
+frame order (exactly what ``perform_dips``'s emit loop has in hand).
+"""
+
+from __future__ import annotations
+
+from collections import deque
+from typing import Callable, List, Optional
+
+import numpy as np
+
+from ..ops.events import MotionDetector
+
+__all__ = ["EventRecorder"]
+
+
+class EventRecorder:
+    """Segment-writing state machine.
+
+    ``open_writer(seg_index, start_frame)`` returns a writer with
+    ``write(frame)`` / ``close()`` (and optionally ``.path``).  The
+    detector decides when motion exists; this class decides what lands
+    on disk:
+
+    * idle: frames go to a ``pre_roll``-deep ring;
+    * detector opens: a segment opens at (open frame - buffered frames)
+      and the ring flushes into it;
+    * detector closes: ``post_roll`` more frames are written, then the
+      segment closes — unless a new event opens first, which merges;
+    * ``finish()`` (EOS) closes whatever is open.
+
+    A segment triggered by an event the detector later debounces away
+    (shorter than its ``min_frames``) still exists on disk — frames
+    cannot be unwritten; it is simply a short clip.  ``segments`` lists
+    every written segment with its frame span and the closed events it
+    covered.
+    """
+
+    def __init__(self, detector: MotionDetector,
+                 open_writer: Callable[[int, int], object],
+                 pre_roll: int = 30, post_roll: int = 30):
+        self.detector = detector
+        self._open_writer = open_writer
+        self.pre_roll = max(0, int(pre_roll))
+        self.post_roll = max(0, int(post_roll))
+        self._ring: deque = deque(maxlen=self.pre_roll)
+        self._writer = None
+        self._post_left: Optional[int] = None  # counting down after close
+        self._seg: Optional[dict] = None
+        self.segments: List[dict] = []
+
+    def _start_segment(self, index: int) -> None:
+        start = index - len(self._ring)
+        self._writer = self._open_writer(len(self.segments), start)
+        self._seg = {"start_frame": start, "end_frame": index,
+                     "frames": 0, "events": [],
+                     "path": getattr(self._writer, "path", None)}
+        for f in self._ring:
+            self._writer.write(f)
+            self._seg["frames"] += 1
+        self._ring.clear()
+
+    def _close_segment(self) -> None:
+        self._writer.close()
+        self._writer = None
+        self._post_left = None
+        self.segments.append(self._seg)
+        self._seg = None
+
+    def feed(self, frame: np.ndarray, stats_row: np.ndarray,
+             index: int) -> None:
+        closed = self.detector.update(np.atleast_2d(stats_row),
+                                      start_index=index)
+        open_now = self.detector._open is not None
+        if self._writer is None:
+            if open_now:
+                self._start_segment(index)
+            else:
+                self._ring.append(frame)
+                return
+        self._writer.write(frame)
+        self._seg["frames"] += 1
+        self._seg["end_frame"] = index
+        self._seg["events"] += [e.to_dict() for e in closed]
+        if open_now:
+            self._post_left = None  # merged: a burst re-arms the segment
+        else:
+            if self._post_left is None:
+                self._post_left = self.post_roll
+            if self._post_left <= 0:
+                self._close_segment()
+            else:
+                self._post_left -= 1
+
+    def finish(self) -> List[dict]:
+        """EOS: flush the detector's open event and close the segment.
+        Returns all segments."""
+        if self._writer is not None:
+            self._seg["events"] += [e.to_dict()
+                                    for e in self.detector.flush()]
+            self._close_segment()
+        else:
+            self.detector.flush()
+        self._ring.clear()
+        return self.segments

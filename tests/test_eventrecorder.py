@@ -1,0 +1,135 @@
+"""Event-triggered recording (io/eventrecorder.py) and its CLI surface."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from dips_tpu.io.eventrecorder import EventRecorder
+from dips_tpu.ops.events import MotionDetector
+from dips_tpu.ops.oracle import NUM_STATS
+
+from tests.conftest import make_clip
+
+
+class FakeWriter:
+    def __init__(self, idx, start):
+        self.idx, self.start = idx, start
+        self.frames = []
+        self.closed = False
+        self.path = f"seg{idx}"
+
+    def write(self, f):
+        assert not self.closed
+        self.frames.append(int(f))
+
+    def close(self):
+        self.closed = True
+
+
+def _run(series, on=10, pre=2, post=2, **det_kw):
+    writers = []
+
+    def open_writer(i, start):
+        w = FakeWriter(i, start)
+        writers.append(w)
+        return w
+
+    rec = EventRecorder(MotionDetector(on_threshold=on, **det_kw),
+                        open_writer, pre_roll=pre, post_roll=post)
+    for i, v in enumerate(series):
+        row = np.zeros(NUM_STATS, np.float32)
+        row[1] = v
+        rec.feed(np.int64(i), row, i)  # "frame" = its own index
+    segs = rec.finish()
+    return writers, segs
+
+
+def test_pre_roll_flush_and_post_roll_close():
+    # idle 0..4, motion 5..7, idle 8..
+    series = [0] * 5 + [20, 20, 20] + [0] * 6
+    writers, segs = _run(series, pre=2, post=2)
+    assert len(writers) == 1 and writers[0].closed
+    # pre-roll frames 3,4 + motion 5..7 + close frame 8 + post 9,10
+    assert writers[0].frames == [3, 4, 5, 6, 7, 8, 9, 10]
+    assert segs[0]["start_frame"] == 3 and segs[0]["end_frame"] == 10
+    assert segs[0]["frames"] == 8
+    assert len(segs[0]["events"]) == 1
+    assert segs[0]["events"][0]["start_frame"] == 5
+    assert segs[0]["path"] == "seg0"
+
+
+def test_burst_during_post_roll_merges():
+    series = [0] * 3 + [20] + [0, 0] + [20] + [0] * 8
+    writers, segs = _run(series, pre=1, post=3)
+    assert len(writers) == 1  # ONE merged segment, not two clips
+    assert len(segs) == 1 and len(segs[0]["events"]) == 2
+
+
+def test_separate_events_get_separate_segments():
+    series = [0] * 3 + [20] + [0] * 8 + [20] + [0] * 8
+    writers, segs = _run(series, pre=1, post=2)
+    assert len(writers) == 2
+    assert all(w.closed for w in writers)
+    assert [s["path"] for s in segs] == ["seg0", "seg1"]
+
+
+def test_eos_closes_open_segment_and_flushes_event():
+    series = [0] * 3 + [20, 20]  # still open at EOS
+    writers, segs = _run(series, pre=1, post=5)
+    assert len(segs) == 1 and writers[0].closed
+    assert segs[0]["events"][0]["end_frame"] == 4  # flushed at EOS
+
+
+def test_zero_pre_roll_and_first_frame_event():
+    series = [20, 20] + [0] * 5
+    writers, segs = _run(series, pre=0, post=1)
+    assert writers[0].frames[0] == 0  # opens at the triggering frame
+    assert segs[0]["start_frame"] == 0
+
+
+def test_idle_run_records_nothing():
+    writers, segs = _run([0] * 20)
+    assert writers == [] and segs == []
+
+
+def test_cli_record_events_writes_segments(tmp_path):
+    import cv2
+    from dips_tpu.cli import main as cli_main
+
+    h, w = 16, 24
+    frames = (list(make_clip(n=6, h=h, w=w, seed=3, moving=False))
+              + list(make_clip(n=6, h=h, w=w, seed=3, moving=True))
+              + list(make_clip(n=8, h=h, w=w, seed=3, moving=False)))
+    path = str(tmp_path / "in.avi")
+    vw = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"HFYU"), 10, (w, h))
+    for f in frames:
+        vw.write(f[..., ::-1])
+    vw.release()
+
+    rdir = str(tmp_path / "rec")
+    rc = cli_main(["--input", path, "--output", str(tmp_path / "o.avi"),
+                   "--output-mode", "absdiff", "--temporal", "1",
+                   "--win_size", "1", "--record-events", rdir,
+                   "--event-on", "0.02", "--event-min-frames", "2",
+                   "--pre-roll", "2", "--post-roll", "2"])
+    assert rc == 0
+    segs = json.load(open(os.path.join(rdir, "segments.json")))
+    assert len(segs) == 1
+    s = segs[0]
+    assert s["start_frame"] == 4  # motion at 6, pre-roll 2
+    assert s["path"] and os.path.exists(s["path"])
+    cap = cv2.VideoCapture(s["path"])
+    n = int(cap.get(cv2.CAP_PROP_FRAME_COUNT))
+    cap.release()
+    assert n == s["frames"] and n >= 8  # pre + motion + close + post
+
+
+def test_cli_record_events_rejected_outside_file_mode(tmp_path, capsys):
+    from dips_tpu.cli import main as cli_main
+    rc = cli_main(["--inputs", "a.avi", "b.avi",
+                   "--output-dir", str(tmp_path),
+                   "--record-events", str(tmp_path / "r")])
+    assert rc == 2
+    assert "--record-events" in capsys.readouterr().err
