@@ -459,58 +459,65 @@ def perform_dips(job: DiPsJob) -> np.ndarray:
 
     recorder = None
     if job.record_events:
-        import os
-        from .io.eventrecorder import EventRecorder
-        from .ops.events import MotionDetector
-        cfg = dict(job.record_events)
-        rdir = cfg.pop("dir")
-        os.makedirs(rdir, exist_ok=True)
-        det_cfg = dict(cfg.pop("detector", {}) or {})
-        if det_cfg.get("metric") == "changed_frac":
-            det_cfg.setdefault("pixels", h * w)
-        det_cfg.setdefault("on_threshold", "auto")
-        stem = os.path.splitext(os.path.basename(job.output_path))[0]
+        try:  # a bad config must not leak the opened reader/writer
+            import os
+            from .io.eventrecorder import EventRecorder
+            from .ops.events import MotionDetector
+            cfg = dict(job.record_events)
+            rdir = cfg.pop("dir")
+            os.makedirs(rdir, exist_ok=True)
+            det_cfg = dict(cfg.pop("detector", {}) or {})
+            if det_cfg.get("metric") == "changed_frac":
+                det_cfg.setdefault("pixels", h * w)
+            det_cfg.setdefault("on_threshold", "auto")
+            stem = os.path.splitext(os.path.basename(job.output_path))[0]
 
-        def _open_segment(i, start):
-            p = os.path.join(rdir, f"{stem}.event{i:03d}_f{start}.avi")
-            seg = open_writer(p, fps, w, h, job.encoding,
-                              job.video_backend)
-            try:
-                seg.path = p
-            except AttributeError:
-                pass
-            return seg
+            def _open_segment(i, start):
+                p = os.path.join(rdir, f"{stem}.event{i:03d}_f{start}.avi")
+                return open_writer(p, fps, w, h, job.encoding,
+                                   job.video_backend)
 
-        recorder = EventRecorder(
-            MotionDetector(**det_cfg), _open_segment,
-            pre_roll=cfg.pop("pre_roll", 30),
-            post_roll=cfg.pop("post_roll", 30))
-        if cfg:
-            raise ValueError(f"unknown record_events keys: {sorted(cfg)}")
+            recorder = EventRecorder(
+                MotionDetector(**det_cfg), _open_segment,
+                pre_roll=cfg.pop("pre_roll", 30),
+                post_roll=cfg.pop("post_roll", 30))
+            if cfg:
+                raise ValueError(
+                    f"unknown record_events keys: {sorted(cfg)}")
+        except Exception:
+            reader.close()
+            writer.close()
+            raise
 
     stats_rows: List[np.ndarray] = []
-    with writer:
-        for idx, _inp, out, stats in stream_dips(job):
-            pts = job.frame_pts[-1] if job.frame_pts else None
-            if job.timers:
-                with job.timers.stage("encode"):
+    try:
+        with writer:
+            for idx, _inp, out, stats in stream_dips(job):
+                pts = job.frame_pts[-1] if job.frame_pts else None
+                if job.timers:
+                    with job.timers.stage("encode"):
+                        emit(out, pts)
+                else:
                     emit(out, pts)
-            else:
-                emit(out, pts)
-            if recorder is not None:
-                recorder.feed(out, stats, idx)
-            stats_rows.append(stats)
-            if idx % 100 == 0:
-                log.info("frame %d", idx)
-    if recorder is not None:
-        job.event_segments = recorder.finish()
-    # run artifacts land on the CALLER's job too (stream_dips populated
-    # the internal copy that carries the pre-opened reader)
-    caller_job.timers = job.timers
-    caller_job.frame_pts = job.frame_pts
-    caller_job.frame_geometry = (h, w)
-    caller_job.engine = job.engine
-    caller_job.event_segments = job.event_segments
+                if recorder is not None:
+                    recorder.feed(out, stats, idx)
+                stats_rows.append(stats)
+                if idx % 100 == 0:
+                    log.info("frame %d", idx)
+    finally:
+        if recorder is not None:
+            # ANY exit — decode error, Ctrl-C on a live camera — must
+            # close the open segment writer, or the in-progress clip (the
+            # evidence this feature exists to retain) is unplayable
+            job.event_segments = recorder.finish()
+        # run artifacts land on the CALLER's job even when the run died
+        # mid-stream (stream_dips populated the internal copy that
+        # carries the pre-opened reader)
+        caller_job.timers = job.timers
+        caller_job.frame_pts = job.frame_pts
+        caller_job.frame_geometry = (h, w)
+        caller_job.engine = job.engine
+        caller_job.event_segments = job.event_segments
     if job.timers:
         log.info("%s", job.timers)
     return (np.stack(stats_rows) if stats_rows

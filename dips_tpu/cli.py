@@ -112,8 +112,8 @@ def build_parser() -> argparse.ArgumentParser:
                    help="metric level that OPENS an event (default 0.01 "
                         "= 1%% of pixels changed with the default "
                         "metric); 'auto' estimates each stream's noise "
-                        "floor online (rolling median + MAD of idle "
-                        "frames) — use for lossy/compressed sources "
+                        "floor online (rolling low-quartile + IQR of "
+                        "idle frames) — use for lossy/compressed sources "
                         "whose floor is scene-dependent")
     p.add_argument("--event-off", type=float, default=None, metavar="X",
                    help="level that closes it (default: half of "
@@ -217,6 +217,15 @@ def _parse_encoding(name: str) -> Optional[Encoding]:
         return None
 
 
+def _detector_cfg(args) -> dict:
+    """The --event-* flags as MotionDetector kwargs (shared by
+    --events-json, --record-events, and the --inputs events path)."""
+    return dict(on_threshold=args.event_on, off_threshold=args.event_off,
+                metric=args.event_metric,
+                min_frames=args.event_min_frames,
+                cooldown=args.event_cooldown)
+
+
 def main(argv: Optional[List[str]] = None) -> int:
     args = build_parser().parse_args(argv)
     from .utils.compilecache import apply_compile_cache_flag
@@ -280,13 +289,7 @@ def main(argv: Optional[List[str]] = None) -> int:
             except ValueError as e:  # e.g. more devices than the host has
                 print(f"error: {e}", file=sys.stderr)
                 return 1
-        ev_cfg = None
-        if args.events_json:
-            ev_cfg = dict(on_threshold=args.event_on,
-                          off_threshold=args.event_off,
-                          metric=args.event_metric,
-                          min_frames=args.event_min_frames,
-                          cooldown=args.event_cooldown)
+        ev_cfg = _detector_cfg(args) if args.events_json else None
         try:
             result = run_dips_on_files(args.inputs, args.output_dir,
                                        enc, props,
@@ -374,14 +377,9 @@ def main(argv: Optional[List[str]] = None) -> int:
             return 2
         record = None
         if args.record_events:
-            record = dict(
-                dir=args.record_events, pre_roll=args.pre_roll,
-                post_roll=args.post_roll,
-                detector=dict(on_threshold=args.event_on,
-                              off_threshold=args.event_off,
-                              metric=args.event_metric,
-                              min_frames=args.event_min_frames,
-                              cooldown=args.event_cooldown))
+            record = dict(dir=args.record_events, pre_roll=args.pre_roll,
+                          post_roll=args.post_roll,
+                          detector=_detector_cfg(args))
         job = DiPsJob(properties=props, video_path=args.input,
                       output_path=args.output, encoding=enc,
                       batch=args.batch, backend=args.backend,
@@ -394,8 +392,14 @@ def main(argv: Optional[List[str]] = None) -> int:
                       profile=args.profile, denoise_radius=args.denoise,
                       record_events=record)
         from .utils.profiling import trace
-        with trace(args.trace_dir):
-            stats = perform_dips(job)
+        try:
+            with trace(args.trace_dir):
+                stats = perform_dips(job)
+        except ValueError as e:
+            # configuration errors (e.g. a bad --event-* combination for
+            # --record-events) are user errors, not tracebacks
+            print(f"error: {e}", file=sys.stderr)
+            return 1
         frame_geometry = job.frame_geometry
         if args.profile and job.timers:
             print(job.timers)
@@ -439,9 +443,7 @@ def main(argv: Optional[List[str]] = None) -> int:
     if args.events_json:
         from .ops.events import detect_events
         events = detect_events(
-            [stats], on_threshold=args.event_on,
-            off_threshold=args.event_off, metric=args.event_metric,
-            min_frames=args.event_min_frames, cooldown=args.event_cooldown,
+            [stats], **_detector_cfg(args),
             pixels=(frame_geometry[0] * frame_geometry[1]
                     if args.event_metric == "changed_frac" and
                     frame_geometry else None))

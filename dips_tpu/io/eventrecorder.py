@@ -84,7 +84,7 @@ class EventRecorder:
              index: int) -> None:
         closed = self.detector.update(np.atleast_2d(stats_row),
                                       start_index=index)
-        open_now = self.detector._open is not None
+        open_now = self.detector.is_open
         if self._writer is None:
             if open_now:
                 self._start_segment(index)

@@ -213,7 +213,7 @@ def run_live(props: DiPsProperties, camera: int = 0, batch: int = 1,
                         stats, start_index=engine.frame_index - 1):
                     print(f"motion event: frames {ev.start_frame}-"
                           f"{ev.end_frame} peak {ev.peak:.4f}")
-                if detector._open is not None:
+                if detector.is_open:
                     title += "  [MOTION]"
             else:
                 detector = None

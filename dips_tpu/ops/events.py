@@ -215,6 +215,11 @@ class MotionDetector:
                            peak=float(ev["peak"]),
                            peak_frame=int(ev["peak_at"]), mean=float(mean))
 
+    @property
+    def is_open(self) -> bool:
+        """True while an event is in progress (between open and close)."""
+        return self._open is not None
+
     def flush(self) -> List[MotionEvent]:
         """Close any still-open event at end of stream."""
         if self._open is None:

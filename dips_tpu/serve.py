@@ -865,7 +865,7 @@ class DiPsServer:
         if closed:
             self._count("motion_events", len(closed))
         hdr["events"] = [e.to_dict() for e in closed]
-        hdr["event_open"] = det._open is not None
+        hdr["event_open"] = det.is_open
 
     @staticmethod
     def _peek_geometry(path) -> Optional[tuple]:

@@ -133,3 +133,68 @@ def test_cli_record_events_rejected_outside_file_mode(tmp_path, capsys):
                    "--record-events", str(tmp_path / "r")])
     assert rc == 2
     assert "--record-events" in capsys.readouterr().err
+
+
+def test_mid_run_error_still_closes_open_segment(tmp_path):
+    """Review regression: a decode error (or Ctrl-C) while a segment is
+    open must close its writer — an unfinalized clip is unplayable."""
+    import dataclasses
+    from dips_tpu.app import DiPsJob, perform_dips, stream_dips
+    import dips_tpu.app as app_mod
+
+    import cv2
+    h, w = 16, 24
+    frames = (list(make_clip(n=3, h=h, w=w, seed=3, moving=False))
+              + list(make_clip(n=6, h=h, w=w, seed=3, moving=True)))
+    path = str(tmp_path / "in.avi")
+    vw = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"HFYU"), 10, (w, h))
+    for f in frames:
+        vw.write(f[..., ::-1])
+    vw.release()
+
+    from dips_tpu.properties import DiPsFilter, DiPsProperties, OutputMode
+    props = DiPsProperties(window_size=1, temporal_size=1,
+                           filter=DiPsFilter.UNFILTERED,
+                           output=OutputMode.ABSDIFF)
+    job = DiPsJob(properties=props, video_path=path,
+                  output_path=str(tmp_path / "o.avi"), batch=3,
+                  record_events=dict(
+                      dir=str(tmp_path / "rec"), pre_roll=1, post_roll=50,
+                      detector=dict(on_threshold=0.02,
+                                    metric="changed_frac")))
+
+    real_stream = app_mod.stream_dips
+    def exploding_stream(j):
+        for item in real_stream(j):
+            yield item
+            if item[0] >= 6:  # die while the segment is OPEN
+                raise RuntimeError("synthetic decode failure")
+    import unittest.mock as mock
+    with mock.patch.object(app_mod, "stream_dips", exploding_stream):
+        with pytest.raises(RuntimeError, match="synthetic"):
+            perform_dips(job)
+    assert job.event_segments is not None and len(job.event_segments) == 1
+    seg = job.event_segments[0]
+    cap = cv2.VideoCapture(seg["path"])
+    n = int(cap.get(cv2.CAP_PROP_FRAME_COUNT))
+    cap.release()
+    assert n == seg["frames"] >= 3  # closed + decodable despite the error
+
+
+def test_bad_record_config_errors_cleanly_and_leaks_nothing(tmp_path,
+                                                            capsys):
+    """Review regression: a bad detector combination raised AFTER the
+    reader/writer opened (leak) and surfaced as a raw traceback."""
+    import cv2
+    from dips_tpu.cli import main as cli_main
+    h, w = 16, 24
+    path = str(tmp_path / "in.avi")
+    vw = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"MJPG"), 10, (w, h))
+    for f in make_clip(n=3, h=h, w=w):
+        vw.write(f[..., ::-1])
+    vw.release()
+    rc = cli_main(["--input", path, "--output", str(tmp_path / "o.avi"),
+                   "--record-events", str(tmp_path / "rec"),
+                   "--event-on", "0.01", "--event-off", "0.02"])
+    assert rc == 1
+    assert "hysteresis" in capsys.readouterr().err
