@@ -49,9 +49,11 @@ class EventRecorder:
     covered.
     """
 
-    def __init__(self, detector: MotionDetector,
+    def __init__(self, detector: Optional[MotionDetector],
                  open_writer: Callable[[int, int], object],
                  pre_roll: int = 30, post_roll: int = 30):
+        #: None for the edge-recording shape: segmentation state comes
+        #: from reply annotations via :meth:`feed_annotated` instead
         self.detector = detector
         self._open_writer = open_writer
         self.pre_roll = max(0, int(pre_roll))
@@ -84,7 +86,18 @@ class EventRecorder:
              index: int) -> None:
         closed = self.detector.update(np.atleast_2d(stats_row),
                                       start_index=index)
-        open_now = self.detector.is_open
+        self.feed_annotated(frame, self.detector.is_open,
+                            [e.to_dict() for e in closed], index)
+
+    def feed_annotated(self, frame: np.ndarray, event_open: bool,
+                       closed_events: List[dict], index: int) -> None:
+        """Segment on EXTERNALLY-determined event state instead of this
+        recorder's own detector — the edge-recording shape: a camera
+        client records its ORIGINAL frames, driven by the ``--events``
+        annotations the serving daemon already returns
+        (``DiPsClient.event_open`` / ``.last_events``), so the pixels
+        never need a second analysis pass."""
+        closed, open_now = closed_events, event_open
         if self._writer is None:
             if open_now:
                 self._start_segment(index)
@@ -94,7 +107,7 @@ class EventRecorder:
         self._writer.write(frame)
         self._seg["frames"] += 1
         self._seg["end_frame"] = index
-        self._seg["events"] += [e.to_dict() for e in closed]
+        self._seg["events"] += list(closed)
         if open_now:
             self._post_left = None  # merged: a burst re-arms the segment
         else:
@@ -108,11 +121,10 @@ class EventRecorder:
     def finish(self) -> List[dict]:
         """EOS: flush the detector's open event and close the segment.
         Returns all segments."""
+        flushed = ([e.to_dict() for e in self.detector.flush()]
+                   if self.detector is not None else [])
         if self._writer is not None:
-            self._seg["events"] += [e.to_dict()
-                                    for e in self.detector.flush()]
+            self._seg["events"] += flushed
             self._close_segment()
-        else:
-            self.detector.flush()
         self._ring.clear()
         return self.segments

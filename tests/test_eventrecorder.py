@@ -198,3 +198,50 @@ def test_bad_record_config_errors_cleanly_and_leaks_nothing(tmp_path,
                    "--event-on", "0.01", "--event-off", "0.02"])
     assert rc == 1
     assert "hysteresis" in capsys.readouterr().err
+
+
+def test_edge_recording_from_serve_annotations(tmp_path):
+    """The NVR edge shape: a camera client streams frame-at-a-time to an
+    --events daemon and records its ORIGINAL frames locally, driven purely
+    by the reply annotations (event_open / last_events) — no second
+    analysis pass over the pixels."""
+    import threading
+    from dips_tpu import DiPsProperties
+    from dips_tpu.properties import DiPsFilter, OutputMode
+    from dips_tpu.serve import DiPsClient, DiPsServer
+
+    h, w = 16, 24
+    props = DiPsProperties(window_size=1, temporal_size=1,
+                           filter=DiPsFilter.UNFILTERED,
+                           output=OutputMode.ABSDIFF)
+    srv = DiPsServer(props, h, w, port=0, batch=1, max_sessions=2,
+                     events=dict(on_threshold=0.02, metric="changed_frac",
+                                 min_frames=2))
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+
+    frames = (list(make_clip(n=5, h=h, w=w, seed=3, moving=False))
+              + list(make_clip(n=6, h=h, w=w, seed=3, moving=True))
+              + list(make_clip(n=6, h=h, w=w, seed=3, moving=False)))
+    writers = []
+
+    def open_writer(i, start):
+        wr = FakeWriter(i, start)
+        writers.append(wr)
+        return wr
+
+    try:
+        c = DiPsClient(srv.port, session="edge-cam")
+        rec = EventRecorder(None, open_writer, pre_roll=2, post_roll=2)
+        for i, f in enumerate(frames):
+            c.process(f)
+            rec.feed_annotated(np.int64(i), c.event_open,
+                               c.last_events, i)
+        segs = rec.finish()
+        c.close()
+    finally:
+        srv.shutdown()
+    assert len(segs) == 1
+    s = segs[0]
+    assert s["start_frame"] == 3          # pre-roll 2 before motion at 5
+    assert writers[0].frames[0] == 3 and writers[0].closed
+    assert len(s["events"]) == 1 and s["events"][0]["start_frame"] == 5
