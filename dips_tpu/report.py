@@ -187,10 +187,26 @@ def _stats_table(stats: np.ndarray, pixels: Optional[int]) -> str:
             f"<tbody>{body}</tbody></table></details>")
 
 
+def _segments_table(segments: List[dict]) -> str:
+    if not segments:
+        return "<p class='muted'>No recorded segments.</p>"
+    rows = "".join(
+        "<tr><td style='text-align:left'>{}</td><td>{}</td><td>{}</td>"
+        "<td>{}</td><td>{}</td></tr>".format(
+            html.escape(os.path.basename(s.get("path") or "?")),
+            s["start_frame"], s["end_frame"], s["frames"],
+            len(s.get("events", [])))
+        for s in segments)
+    return ("<table><thead><tr><th>clip</th><th>start</th><th>end</th>"
+            "<th>frames</th><th>events</th></tr></thead>"
+            f"<tbody>{rows}</tbody></table>")
+
+
 def render_report(stats_path: str, events_path: Optional[str] = None,
                   heatmap_path: Optional[str] = None,
                   title: str = "DiPs run report",
-                  pixels: Optional[int] = None) -> str:
+                  pixels: Optional[int] = None,
+                  segments_path: Optional[str] = None) -> str:
     """Build the report; returns the HTML string."""
     stats = _load_stats(stats_path)
     streams = _load_events(events_path)
@@ -231,6 +247,16 @@ def render_report(stats_path: str, events_path: Optional[str] = None,
                             + _events_table(evs))
     else:
         sections.append("<h2>Motion events</h2>" + _events_table(events))
+    if segments_path:
+        with open(segments_path) as f:
+            segments = json.load(f)
+        sections.append("<h2>Recorded segments</h2>"
+                        + _segments_table(segments))
+        total = sum(s["frames"] for s in segments)
+        if n:
+            sections.append(
+                f"<p class='muted'>{total} of {n} frames stored "
+                f"({100 * total / n:.1f}%).</p>")
     if heatmap_path:
         with open(heatmap_path, "rb") as f:
             hm = base64.b64encode(f.read()).decode()
@@ -278,6 +304,10 @@ def main(argv=None) -> int:
     ap.add_argument("--heatmap", default=None, metavar="PNG",
                     help="heatmap image to embed (e.g. saved via the "
                          "serve 'heatmap' command or engine.heatmap())")
+    ap.add_argument("--segments-json", default=None,
+                    help="recorded-segment manifest from --record-events "
+                         "(DIR/segments.json): adds a clip table + "
+                         "storage share")
     ap.add_argument("--pixels", type=int, default=None,
                     help="frame pixel count (H*W): charts the changed-"
                          "pixel series as a fraction instead of a count")
@@ -286,7 +316,8 @@ def main(argv=None) -> int:
     args = ap.parse_args(argv)
     try:
         doc = render_report(args.stats_json, args.events_json,
-                            args.heatmap, args.title, args.pixels)
+                            args.heatmap, args.title, args.pixels,
+                            segments_path=args.segments_json)
     except (OSError, KeyError, ValueError, RuntimeError,
             json.JSONDecodeError) as e:
         print(f"error: {e}", file=sys.stderr)

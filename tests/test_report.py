@@ -183,3 +183,19 @@ def test_cli_heatmap_png_rejected_in_inputs_and_live_modes(tmp_path,
     assert rc == 2 and "--heatmap-png" in capsys.readouterr().err
     rc = cli_main(["--live", "--heatmap-png", str(tmp_path / "h.png")])
     assert rc == 2 and "--heatmap-png" in capsys.readouterr().err
+
+
+def test_report_segments_table(tmp_path):
+    sp = str(tmp_path / "s.json")
+    _write_stats(sp)
+    segs = [{"path": "/rec/cam.event000_f4.avi", "start_frame": 4,
+             "end_frame": 13, "frames": 10, "events": [_EV]}]
+    gp = str(tmp_path / "segs.json")
+    with open(gp, "w") as f:
+        json.dump(segs, f)
+    out = str(tmp_path / "r.html")
+    assert report_main(["--stats-json", sp, "--segments-json", gp,
+                        "-o", out]) == 0
+    doc = open(out).read()
+    assert "cam.event000_f4.avi" in doc
+    assert "10 of 20 frames stored (50.0%)" in doc
