@@ -84,20 +84,26 @@ class EventRecorder:
 
     def feed(self, frame: np.ndarray, stats_row: np.ndarray,
              index: int) -> None:
+        if self.detector is None:
+            raise ValueError(
+                "this recorder was built without a detector (edge "
+                "shape): drive it with feed_annotated() instead")
         closed = self.detector.update(np.atleast_2d(stats_row),
                                       start_index=index)
         self.feed_annotated(frame, self.detector.is_open,
                             [e.to_dict() for e in closed], index)
 
-    def feed_annotated(self, frame: np.ndarray, event_open: bool,
-                       closed_events: List[dict], index: int) -> None:
+    def feed_annotated(self, frame: np.ndarray, open_now: bool,
+                       closed: List[dict], index: int) -> None:
         """Segment on EXTERNALLY-determined event state instead of this
         recorder's own detector — the edge-recording shape: a camera
         client records its ORIGINAL frames, driven by the ``--events``
         annotations the serving daemon already returns
         (``DiPsClient.event_open`` / ``.last_events``), so the pixels
-        never need a second analysis pass."""
-        closed, open_now = closed_events, event_open
+        never need a second analysis pass.  Use a frame ``index``
+        consistent with the SESSION cursor across reconnects (seed it
+        from ``hello()['frame_index']``), or the daemon-side event
+        indices inside the manifest won't line up with the clip spans."""
         if self._writer is None:
             if open_now:
                 self._start_segment(index)
@@ -118,11 +124,18 @@ class EventRecorder:
             else:
                 self._post_left -= 1
 
-    def finish(self) -> List[dict]:
+    def finish(self, final_events: Optional[List[dict]] = None
+               ) -> List[dict]:
         """EOS: flush the detector's open event and close the segment.
-        Returns all segments."""
-        flushed = ([e.to_dict() for e in self.detector.flush()]
-                   if self.detector is not None else [])
+        Returns all segments.
+
+        ``final_events``: edge shape only — the events the SOURCE flushed
+        at end of stream (e.g. ``DiPsClient.last_events`` right after
+        ``close()``, which carries an anonymous session's flush), so a
+        recording that stops mid-motion still attributes its final clip."""
+        flushed = list(final_events or [])
+        if self.detector is not None:
+            flushed += [e.to_dict() for e in self.detector.flush()]
         if self._writer is not None:
             self._seg["events"] += flushed
             self._close_segment()

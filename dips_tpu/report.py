@@ -187,14 +187,21 @@ def _stats_table(stats: np.ndarray, pixels: Optional[int]) -> str:
             f"<tbody>{body}</tbody></table></details>")
 
 
-def _segments_table(segments: List[dict]) -> str:
+def _segments_table(segments) -> str:
+    if not isinstance(segments, list) or not all(
+            isinstance(s, dict) for s in segments):
+        raise ValueError(
+            "segments JSON must be a LIST of segment objects — the "
+            "--record-events DIR/segments.json manifest")
     if not segments:
         return "<p class='muted'>No recorded segments.</p>"
+    # int() doubles as validation and as injection-proofing: a corrupt
+    # manifest fails cleanly instead of smuggling markup into the page
     rows = "".join(
         "<tr><td style='text-align:left'>{}</td><td>{}</td><td>{}</td>"
         "<td>{}</td><td>{}</td></tr>".format(
-            html.escape(os.path.basename(s.get("path") or "?")),
-            s["start_frame"], s["end_frame"], s["frames"],
+            html.escape(os.path.basename(str(s.get("path") or "?"))),
+            int(s["start_frame"]), int(s["end_frame"]), int(s["frames"]),
             len(s.get("events", [])))
         for s in segments)
     return ("<table><thead><tr><th>clip</th><th>start</th><th>end</th>"
@@ -252,7 +259,7 @@ def render_report(stats_path: str, events_path: Optional[str] = None,
             segments = json.load(f)
         sections.append("<h2>Recorded segments</h2>"
                         + _segments_table(segments))
-        total = sum(s["frames"] for s in segments)
+        total = sum(int(s["frames"]) for s in segments)
         if n:
             sections.append(
                 f"<p class='muted'>{total} of {n} frames stored "
@@ -318,7 +325,7 @@ def main(argv=None) -> int:
         doc = render_report(args.stats_json, args.events_json,
                             args.heatmap, args.title, args.pixels,
                             segments_path=args.segments_json)
-    except (OSError, KeyError, ValueError, RuntimeError,
+    except (OSError, KeyError, TypeError, ValueError, RuntimeError,
             json.JSONDecodeError) as e:
         print(f"error: {e}", file=sys.stderr)
         return 1

@@ -245,3 +245,28 @@ def test_edge_recording_from_serve_annotations(tmp_path):
     assert s["start_frame"] == 3          # pre-roll 2 before motion at 5
     assert writers[0].frames[0] == 3 and writers[0].closed
     assert len(s["events"]) == 1 and s["events"][0]["start_frame"] == 5
+
+
+def test_edge_finish_final_events_and_feed_guard():
+    """Review regressions: (a) edge shape can attribute a clip whose
+    event was still open at EOS via finish(final_events=...); (b) feed()
+    on a detector-less recorder names the right entry point."""
+    writers = []
+
+    def open_writer(i, start):
+        w = FakeWriter(i, start)
+        writers.append(w)
+        return w
+
+    rec = EventRecorder(None, open_writer, pre_roll=1, post_roll=5)
+    rec.feed_annotated(np.int64(0), False, [], 0)
+    rec.feed_annotated(np.int64(1), True, [], 1)   # opens mid-motion
+    flushed = [{"start_frame": 1, "end_frame": 1, "frames": 1,
+                "peak": 9.0, "peak_frame": 1, "mean": 9.0}]
+    segs = rec.finish(final_events=flushed)        # source flushed at EOS
+    assert len(segs) == 1 and segs[0]["events"] == flushed
+    assert writers[0].closed
+
+    rec2 = EventRecorder(None, open_writer)
+    with pytest.raises(ValueError, match="feed_annotated"):
+        rec2.feed(np.int64(0), np.zeros(NUM_STATS, np.float32), 0)

@@ -199,3 +199,23 @@ def test_report_segments_table(tmp_path):
     doc = open(out).read()
     assert "cam.event000_f4.avi" in doc
     assert "10 of 20 frames stored (50.0%)" in doc
+
+
+def test_report_segments_bad_shape_errors_cleanly(tmp_path, capsys):
+    """Review regression: a dict-shaped (or corrupt) segments JSON must
+    produce the clean error contract, not an AttributeError traceback."""
+    sp = str(tmp_path / "s.json")
+    _write_stats(sp)
+    gp = str(tmp_path / "segs.json")
+    with open(gp, "w") as f:
+        json.dump({"cam": []}, f)  # the --events-json dict shape
+    rc = report_main(["--stats-json", sp, "--segments-json", gp,
+                      "-o", str(tmp_path / "r.html")])
+    assert rc == 1
+    assert "LIST of segment objects" in capsys.readouterr().err
+    with open(gp, "w") as f:  # markup smuggled into a numeric field
+        json.dump([{"path": "x", "start_frame": "<img>", "end_frame": 1,
+                    "frames": 1}], f)
+    rc = report_main(["--stats-json", sp, "--segments-json", gp,
+                      "-o", str(tmp_path / "r.html")])
+    assert rc == 1 and "error:" in capsys.readouterr().err
