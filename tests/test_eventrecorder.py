@@ -270,3 +270,49 @@ def test_edge_finish_final_events_and_feed_guard():
     rec2 = EventRecorder(None, open_writer)
     with pytest.raises(ValueError, match="feed_annotated"):
         rec2.feed(np.int64(0), np.zeros(NUM_STATS, np.float32), 0)
+
+
+def test_fuzz_recorder_invariants():
+    """Property fuzz: across random series/configs, clips must be
+    disjoint and ordered, every DETECTED event span must lie inside some
+    clip (pre/post-roll included), each clip's frame count must match
+    its span, and frames written == sum of clip lengths."""
+    from dips_tpu.ops.events import detect_events
+
+    def _stats(series):
+        a = np.zeros((len(series), NUM_STATS), np.float32)
+        a[:, 1] = series
+        return a
+
+    rng = np.random.default_rng(11)
+    for trial in range(120):
+        n = int(rng.integers(4, 120))
+        series = rng.random(n) * 0.2
+        for _ in range(int(rng.integers(0, 4))):
+            a = int(rng.integers(0, n))
+            series[a:min(n, a + int(rng.integers(1, 10)))] += 1.0
+        cfg = dict(on_threshold=0.5, min_frames=int(rng.integers(1, 3)),
+                   cooldown=int(rng.integers(0, 3)))
+        pre, post = int(rng.integers(0, 5)), int(rng.integers(0, 5))
+
+        writers, segs = _run(series, on=cfg["on_threshold"], pre=pre,
+                             post=post,
+                             **{k: v for k, v in cfg.items()
+                                if k != "on_threshold"})
+        # recompute what the detector alone would say
+        expected = detect_events([_stats(series)], **cfg)
+
+        prev_end = -1
+        for s, w in zip(segs, writers):
+            assert s["start_frame"] > prev_end, trial   # disjoint, ordered
+            prev_end = s["end_frame"]
+            assert s["frames"] == len(w.frames)
+            assert w.frames == list(range(s["start_frame"],
+                                          s["end_frame"] + 1)), trial
+            assert w.closed
+        for e in expected:
+            covering = [s for s in segs
+                        if s["start_frame"] <= e.start_frame
+                        and s["end_frame"] >= min(e.end_frame, n - 1)]
+            assert covering, (trial, e, segs)  # every event is on disk
+        assert len(writers) == len(segs)
