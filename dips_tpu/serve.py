@@ -509,11 +509,15 @@ class DiPsServer:
             os.makedirs(autosave_dir, exist_ok=True)
             # a crash mid-autosave leaves an orphaned tmp file behind; the
             # '#' marker cannot appear in a quote()-escaped token, so these
-            # are never live checkpoints
+            # are never live checkpoints.  Only sweep OLD ones: during a
+            # fast restart the previous daemon can still be mid-save, and
+            # deleting its in-flight tmp makes its os.replace fail.
+            now = time.time()
             for stale in glob.glob(os.path.join(autosave_dir,
                                                 "*.#tmp#*.npz")):
                 try:
-                    os.remove(stale)
+                    if now - os.path.getmtime(stale) > 60.0:
+                        os.remove(stale)
                 except OSError:
                     pass
         self._coalescer: Optional[StreamCoalescer] = None

@@ -1729,3 +1729,113 @@ def test_serve_events_resilient_client_passthrough():
         c.close()
     finally:
         srv.shutdown()
+
+
+def test_combined_feature_stress_events_autosave_restart(tmp_path):
+    """The full production stack at once: an --events + --autosave daemon
+    serving resilient clients under random RSTs, then a daemon CRASH and
+    restart mid-fleet.  Every cursor must stay exactly-once consistent,
+    every camera's motion must be flagged, and restored sessions must
+    resume their autosaved cursor (never fresh)."""
+    import random
+    import socket as sk
+    import struct
+
+    from dips_tpu.errors import ReplyLost
+    from dips_tpu.properties import OutputMode
+    from dips_tpu.serve import ResilientDiPsClient
+
+    props = DiPsProperties(window_size=1, temporal_size=1,
+                           filter=DiPsFilter.UNFILTERED,
+                           output=OutputMode.ABSDIFF)
+
+    def start(port=0):
+        s = DiPsServer(props, 16, 24, port=port, batch=2, max_sessions=6,
+                       autosave_dir=str(tmp_path), autosave_every=2,
+                       events=dict(on_threshold=0.02,
+                                   metric="changed_frac", min_frames=2))
+        threading.Thread(target=s.serve_forever, daemon=True).start()
+        return s
+
+    srv = start()
+    port = srv.port
+    n_clients, n_frames = 6, 16
+    restart_gate = threading.Barrier(n_clients + 1)
+    results, failures = {}, []
+
+    def cam(k):
+        rng = random.Random(100 + k)
+        clip = np.concatenate([
+            make_clip(n=6, h=16, w=24, seed=k, moving=False),
+            make_clip(n=6, h=16, w=24, seed=k, moving=True),
+            make_clip(n=4, h=16, w=24, seed=k, moving=False)])
+        try:
+            c = ResilientDiPsClient(port, session=f"cam{k}",
+                                    backoff_s=0.05, retries=20)
+            saw_motion, done = False, 0
+            for i, f in enumerate(clip):
+                if i == 8:
+                    restart_gate.wait(timeout=60)  # daemon crash point
+                if rng.random() < 0.2:
+                    c._cli._sock.setsockopt(
+                        sk.SOL_SOCKET, sk.SO_LINGER,
+                        struct.pack("ii", 1, 0))
+                    c._cli._sock.close()
+                try:
+                    c.process(f)
+                    saw_motion = saw_motion or c.event_open or bool(
+                        c.last_events)
+                except ReplyLost:
+                    pass  # accounted server-side
+                done += 1
+            fi = c.hello()["frame_index"]
+            results[k] = (fi, done, saw_motion)
+            c.close()
+        except Exception as e:
+            failures.append(f"cam {k}: {e!r}")
+
+    th = [threading.Thread(target=cam, args=(k,))
+          for k in range(n_clients)]
+    for t in th:
+        t.start()
+    restart_gate.wait(timeout=60)
+    # simulate a crash: no graceful close of parked/live sessions
+    srv.shutdown()
+    srv2 = start(port=port)  # same port: the fleet's reconnects land here
+    for t in th:
+        t.join(timeout=120)
+    try:
+        assert not failures, failures
+        assert len(results) == n_clients
+        for k, (fi, done, saw_motion) in results.items():
+            assert done == n_frames, (k, results[k])
+            # crash semantics: the restart restores the last autosave, so
+            # a session may lose at most autosave_every(=2) frames of
+            # cursor (never more, never resumes fresh at 0)
+            assert n_frames - 2 <= fi <= n_frames, (k, results[k])
+            assert saw_motion, f"cam{k} never saw its motion flagged"
+        m = srv2.metrics()
+        assert m["autorestores"] >= 1  # the restart restored from disk
+    finally:
+        srv2.shutdown()
+
+
+def test_autosave_tmp_sweep_spares_inflight_files(tmp_path):
+    """Startup sweeps only OLD orphaned tmp files: a fast restart must
+    not delete the previous daemon's in-flight autosave tmp."""
+    import os
+    import time as _time
+
+    old = tmp_path / "cam.#tmp#aaaa.npz"
+    fresh = tmp_path / "cam.#tmp#bbbb.npz"
+    for p in (old, fresh):
+        p.write_bytes(b"x")
+    past = _time.time() - 300
+    os.utime(old, (past, past))
+    srv = DiPsServer(_absdiff_props(), 16, 24, port=0,
+                     autosave_dir=str(tmp_path))
+    try:
+        assert not old.exists()    # orphan from a crash: swept
+        assert fresh.exists()      # possibly in-flight: spared
+    finally:
+        srv.shutdown()
