@@ -585,12 +585,20 @@ class DiPsServer:
         self.max_geometries = 8
         self._pool_lock = threading.Lock()
         self._threads: list = []
+        #: live accepted sockets: shutdown() force-closes them so the
+        #: port frees immediately (a lingering ESTABLISHED socket blocks
+        #: a same-port rebind — the systemd fast-restart case)
+        self._client_socks: set = set()
         self._sock = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
         self._sock.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
         self._sock.bind((host, port))
         self._sock.listen(self.max_sessions)
         self.port = self._sock.getsockname()[1]
+        self._wake_host = host if host not in ("", "0.0.0.0") \
+            else "127.0.0.1"
         self._stop = threading.Event()
+        self._accept_done = threading.Event()
+        self._accepting = False
         self._started = time.monotonic()
         # observability counters (served by the "metrics" command);
         # guarded by _metrics_lock, incremented on the session threads
@@ -721,6 +729,23 @@ class DiPsServer:
     def serve_forever(self) -> None:
         log.info("serving on port %d (max %d sessions)", self.port,
                  self.max_sessions)
+        self._accepting = True
+        try:
+            self._accept_loop()
+        finally:
+            # the listener must die HERE, on the accepting thread: a
+            # close() from another thread while accept() is in flight
+            # leaves the kernel socket alive (and LISTENING) until the
+            # syscall returns, which blocks a same-port daemon restart
+            try:
+                self._sock.close()
+            except OSError:
+                pass
+            self._accept_done.set()
+        for th in self._threads:
+            th.join(timeout=5.0)
+
+    def _accept_loop(self) -> None:
         while not self._stop.is_set():
             try:
                 self._sock.settimeout(0.5)
@@ -728,6 +753,12 @@ class DiPsServer:
             except socket.timeout:
                 continue
             except OSError:
+                break
+            if self._stop.is_set():  # shutdown()'s wake-up connection
+                try:
+                    client.close()
+                except OSError:
+                    pass
                 break
             # brief grace so a just-closed session's slot can free up
             if not self._sessions.acquire(timeout=1.0):
@@ -746,8 +777,6 @@ class DiPsServer:
             self._threads = [t for t in self._threads if t.is_alive()]
             self._threads.append(th)
             th.start()
-        for th in self._threads:
-            th.join(timeout=5.0)
 
     def _co_for(self, geometry):
         """The coalescer a new session of ``geometry`` binds to: the
@@ -1062,6 +1091,8 @@ class DiPsServer:
         bound: list = []
         self._count("connections")
         self._count("active_sessions")
+        with self._pool_lock:
+            self._client_socks.add(client)
         try:
             with client:
                 log.info("client %s", addr)
@@ -1079,6 +1110,7 @@ class DiPsServer:
             if bound:
                 self._release_engine(bound[0])
             with self._pool_lock:
+                self._client_socks.discard(client)
                 for tok in [t for t, c in self._active.items()
                             if c is client]:
                     del self._active[tok]
@@ -1294,6 +1326,19 @@ class DiPsServer:
 
     def shutdown(self) -> None:
         self._stop.set()
+        if self._accepting:
+            # wake a blocked accept() NOW (the in-flight syscall keeps the
+            # kernel socket listening even after close()), then wait for
+            # the accepting thread to close the listener itself — the
+            # port must be genuinely free when shutdown() returns, or a
+            # same-port daemon restart races EADDRINUSE
+            try:
+                with socket.create_connection(
+                        (self._wake_host, self.port), timeout=1.0):
+                    pass
+            except OSError:
+                pass
+            self._accept_done.wait(timeout=5.0)
         with self._pool_lock:
             cos = ([self._coalescer] if self._coalescer is not None
                    else list(self._coalescers.values()))
@@ -1306,6 +1351,19 @@ class DiPsServer:
             self._sock.close()
         except OSError:
             pass
+        # force-close live session sockets: their ESTABLISHED state would
+        # otherwise hold TCP state against the freed port
+        with self._pool_lock:
+            socks = list(self._client_socks)
+        for s in socks:
+            try:
+                s.shutdown(socket.SHUT_RDWR)
+            except OSError:
+                pass
+            try:
+                s.close()
+            except OSError:
+                pass
 
 
 class DiPsClient:
