@@ -569,7 +569,8 @@ def run_dips_on_files(input_paths: Sequence[str], output_dir: str,
                       batch: int = 8, backend: str = "auto",
                       mesh=None, input_layout: str = "planar",
                       video_backend: str = "auto",
-                      events: Optional[dict] = None):
+                      events: Optional[dict] = None,
+                      collect_stats: bool = False):
     """Batched multi-stream differencing over many videos (BASELINE
     configs[3]): decode S files in lockstep, run the sharded multi-stream
     step over the device mesh, write one diff video per input.
@@ -583,6 +584,10 @@ def run_dips_on_files(input_paths: Sequence[str], output_dir: str,
     stream's stats, and the return becomes ``(counts, events_per_stream)``
     with one list of closed :class:`~dips_tpu.ops.events.MotionEvent` per
     input.
+
+    ``collect_stats=True`` appends a per-stream stats list to the return
+    (``counts, [events,] stats_per_stream`` — each entry
+    (n_i, NUM_STATS) for that stream's true frame count).
     """
     import os
     from .io.gstreamer import open_video, open_writer
@@ -639,6 +644,8 @@ def run_dips_on_files(input_paths: Sequence[str], output_dir: str,
                 cfg.setdefault("pixels", h * w)
             detectors = [MotionDetector(**cfg) for _ in range(s)]
             stream_events: list = [[] for _ in range(s)]
+        stream_stats: Optional[list] = ([[] for _ in range(s)]
+                                        if collect_stats else None)
         done = [False] * s
         while not all(done):
             feeds = []
@@ -675,6 +682,8 @@ def run_dips_on_files(input_paths: Sequence[str], output_dir: str,
                     stream_events[si] += detectors[si].update(
                         stats[si, :n],
                         start_index=eng.frame_cursors[si] - n)
+                if stream_stats is not None and n:
+                    stream_stats[si].append(stats[si, :n])
     finally:
         for r in readers:
             r.close()
@@ -685,11 +694,17 @@ def run_dips_on_files(input_paths: Sequence[str], output_dir: str,
         for si in eng.failed:
             if si < s:
                 counts[si] = -1  # sentinel: failed stream, output truncated
+    out = [counts]
     if detectors is not None:
         for si in range(s):
             stream_events[si] += detectors[si].flush()  # EOS closes opens
-        return counts, stream_events
-    return counts
+        out.append(stream_events)
+    if stream_stats is not None:
+        from .ops.oracle import NUM_STATS as _NS
+        out.append([np.concatenate(rows) if rows
+                    else np.zeros((0, _NS), np.float32)
+                    for rows in stream_stats])
+    return out[0] if len(out) == 1 else tuple(out)
 
 
 def custom_dips_on_files(data_dir: str, output_path: str,

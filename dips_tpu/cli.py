@@ -290,6 +290,7 @@ def main(argv: Optional[List[str]] = None) -> int:
                 print(f"error: {e}", file=sys.stderr)
                 return 1
         ev_cfg = _detector_cfg(args) if args.events_json else None
+        want_stats = bool(args.stats_json)
         try:
             result = run_dips_on_files(args.inputs, args.output_dir,
                                        enc, props,
@@ -297,28 +298,42 @@ def main(argv: Optional[List[str]] = None) -> int:
                                        backend=args.backend, mesh=mesh,
                                        input_layout=args.input_layout,
                                        video_backend=args.video_backend,
-                                       events=ev_cfg)
+                                       events=ev_cfg,
+                                       collect_stats=want_stats)
         except (DiPsError, NotImplementedError, ValueError) as e:
             # ValueError: engine/mesh configuration (row slab < halo,
             # pallas on a 2-D mesh, ...) — a user error, not a crash
             print(f"error: {e}", file=sys.stderr)
             return 1
-        if ev_cfg is not None:
+        per_stream = per_stats = None
+        if ev_cfg is not None and want_stats:
+            counts, per_stream, per_stats = result
+        elif ev_cfg is not None:
             counts, per_stream = result
-            # duplicate input paths must not collapse to one JSON key
-            # (mirrors the output-basename disambiguation): suffix dups
-            # with their stream index
-            dup = {p for p in args.inputs if args.inputs.count(p) > 1}
-            keys = [f"{p}#{si}" if p in dup else p
-                    for si, p in enumerate(args.inputs)]
+        elif want_stats:
+            counts, per_stats = result
+        else:
+            counts = result
+        # duplicate input paths must not collapse to one JSON key
+        # (mirrors the output-basename disambiguation): suffix dups
+        # with their stream index
+        dup = {p for p in args.inputs if args.inputs.count(p) > 1}
+        keys = [f"{p}#{si}" if p in dup else p
+                for si, p in enumerate(args.inputs)]
+        if per_stream is not None:
             with open(args.events_json, "w") as f:
                 json.dump({k: [e.to_dict() for e in evs]
                            for k, evs in zip(keys, per_stream)}, f)
             n_ev = sum(len(evs) for evs in per_stream)
             print(f"{n_ev} motion event(s) across {len(per_stream)} "
                   f"streams written: {args.events_json}")
-        else:
-            counts = result
+        if per_stats is not None:
+            from .ops.oracle import STAT_NAMES
+            with open(args.stats_json, "w") as f:
+                json.dump({k: [dict(zip(STAT_NAMES, map(float, row)))
+                               for row in rows]
+                           for k, rows in zip(keys, per_stats)}, f)
+            print(f"per-stream stats written: {args.stats_json}")
         failed = [i for i, c in enumerate(counts) if c < 0]
         ok_total = int(sum(c for c in counts if c >= 0))
         print(f"processed {len(counts)} streams "

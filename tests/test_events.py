@@ -384,3 +384,33 @@ def test_cli_events_json_duplicate_inputs_keep_both_streams(tmp_path):
     per_stream = json.load(open(ev_json))
     assert set(per_stream) == {f"{p}#0", f"{p}#1"}
     assert all(len(v) == 1 for v in per_stream.values())
+
+
+def test_cli_multi_input_stats_json(tmp_path):
+    """--inputs mode honors --stats-json: per-stream stat rows keyed by
+    input path (it used to be silently ignored in this mode)."""
+    import cv2
+    from dips_tpu.cli import main as cli_main
+    from dips_tpu.ops.oracle import STAT_NAMES
+
+    h, w = 16, 24
+    paths = []
+    for k, n in (("a", 5), ("b", 3)):  # different lengths
+        p = str(tmp_path / f"{k}.avi")
+        vw = cv2.VideoWriter(p, cv2.VideoWriter_fourcc(*"HFYU"), 10,
+                             (w, h))
+        for f in make_clip(n=n, h=h, w=w, seed=7):
+            vw.write(f[..., ::-1])
+        vw.release()
+        paths.append(p)
+
+    sp = str(tmp_path / "stats.json")
+    rc = cli_main(["--inputs", *paths, "--output-dir",
+                   str(tmp_path / "out"), "--temporal", "1",
+                   "--win_size", "1", "--batch", "2",
+                   "--stats-json", sp])
+    assert rc == 0
+    per = json.load(open(sp))
+    assert set(per) == set(paths)
+    assert len(per[paths[0]]) == 5 and len(per[paths[1]]) == 3
+    assert set(per[paths[0]][0]) == set(STAT_NAMES)
