@@ -101,7 +101,9 @@ def build_parser() -> argparse.ArgumentParser:
                         "frees the host's per-frame planarize pass for "
                         "decode")
     p.add_argument("--stats-json", metavar="PATH",
-                   help="write per-frame statistics to a JSON file")
+                   help="write per-frame statistics to a JSON file; with "
+                        "--inputs, one row list per stream keyed by "
+                        "input path")
     p.add_argument("--events-json", metavar="PATH",
                    help="segment the per-frame stats into motion events "
                         "(hysteresis + debounce, ops/events.py) and write "
