@@ -518,3 +518,32 @@ def test_cli_inputs_oversized_mesh_friendly(tmp_path, capsys):
                    "--mesh", "8x8"])
     assert rc == 1
     assert "error:" in capsys.readouterr().err
+
+
+def test_error_types_raise_where_documented(tmp_path, video):
+    """Coverage audit: the three exception types nothing asserted —
+    OutputPathError (perform_dips without an output), FrameCallbackError
+    (a raising callback, chained from the cause), DeviceError (an
+    unknown engine backend)."""
+    from dips_tpu import (DiPsEngine, DiPsJob, DiPsProperties,
+                          FrameCallbackError, OutputPathError,
+                          perform_dips)
+    from dips_tpu.errors import DeviceError
+
+    path, _ = video
+    with pytest.raises(OutputPathError, match="output path"):
+        perform_dips(DiPsJob(video_path=path))
+
+    def bad_callback(idx, inp, out, stats):
+        raise KeyError("boom")
+
+    job = DiPsJob(properties=DiPsProperties(temporal_size=1),
+                  video_path=path,
+                  output_path=str(tmp_path / "o.avi"),
+                  frame_callback=bad_callback, batch=2)
+    with pytest.raises(FrameCallbackError, match="boom") as ei:
+        perform_dips(job)
+    assert isinstance(ei.value.__cause__, KeyError)
+
+    with pytest.raises(DeviceError, match="unknown backend"):
+        DiPsEngine(DiPsProperties(), 16, 24, backend="cuda")
