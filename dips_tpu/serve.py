@@ -599,6 +599,7 @@ class DiPsServer:
         self._stop = threading.Event()
         self._accept_done = threading.Event()
         self._accepting = False
+        self._accept_thread: Optional[threading.Thread] = None
         self._started = time.monotonic()
         # observability counters (served by the "metrics" command);
         # guarded by _metrics_lock, incremented on the session threads
@@ -729,6 +730,7 @@ class DiPsServer:
     def serve_forever(self) -> None:
         log.info("serving on port %d (max %d sessions)", self.port,
                  self.max_sessions)
+        self._accept_thread = threading.current_thread()
         self._accepting = True
         try:
             self._accept_loop()
@@ -1326,7 +1328,21 @@ class DiPsServer:
 
     def shutdown(self) -> None:
         self._stop.set()
-        if self._accepting:
+        # Reading _accepting here is race-free: _stop is set first, and
+        # _accept_loop checks _stop before every accept(), so if we read
+        # False the loop either already exited or will exit before its
+        # first accept — no syscall can be left in flight unseen.
+        #
+        # When shutdown() runs ON the accepting thread itself (a signal
+        # handler suspending the accept loop — the daemon's SIGTERM path),
+        # skip the wake/wait handshake: no accept syscall is in flight
+        # while the handler runs, so closing the listener below genuinely
+        # frees the port, and waiting on _accept_done would self-deadlock
+        # (only this thread's serve_forever can set it) and burn the full
+        # timeout on every daemon stop.
+        on_accept_thread = (self._accept_thread is
+                            threading.current_thread())
+        if self._accepting and not on_accept_thread:
             # wake a blocked accept() NOW (the in-flight syscall keeps the
             # kernel socket listening even after close()), then wait for
             # the accepting thread to close the listener itself — the

@@ -58,13 +58,27 @@ def main():
         port = s.getsockname()[1]
     env = dict(os.environ)
     env.pop("JAX_PLATFORMS", None)
+    # the workers run `python -c`, which puts the CWD (not this repo) on
+    # sys.path — hand them the repo root explicitly so a non-installed
+    # checkout works from any directory
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env["PYTHONPATH"] = root + os.pathsep + env.get("PYTHONPATH", "")
     procs = [subprocess.Popen([sys.executable, "-c", _WORKER,
                                str(r), "2", str(port)], env=env)
              for r in range(2)]
     rc = 0
-    for p in procs:
-        p.wait(timeout=300)
-        rc |= p.returncode
+    try:
+        for p in procs:
+            rc |= p.wait(timeout=300)
+    except subprocess.TimeoutExpired:
+        # one worker crashing at startup leaves its peer blocked in
+        # jax.distributed.initialize — don't leak it
+        rc = 1
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+                p.wait()
     print("OK" if rc == 0 else f"FAILED rc={rc}")
     return rc
 

@@ -150,6 +150,47 @@ def test_shutdown_interrupts_idle_client():
     idle.close()
 
 
+def test_signal_handler_shutdown_is_prompt_and_frees_port():
+    """SIGTERM-style stop: the daemon installs a signal handler that calls
+    shutdown(), and Python runs handlers ON the main thread — the very
+    thread sitting in serve_forever's accept loop.  shutdown() must not
+    wait for the accept loop to finish (it is suspended beneath the
+    handler; the wait could only time out), and the port must be genuinely
+    free once serve_forever returns."""
+    import signal
+    import socket
+    import time
+    props = DiPsProperties(window_size=1, temporal_size=1,
+                           filter=DiPsFilter.UNFILTERED)
+    srv = DiPsServer(props, 8, 16, port=0, batch=1)
+    port = srv.port
+    fired = []
+
+    def _handler(signum, frame):
+        fired.append(time.monotonic())
+        srv.shutdown()
+
+    old = signal.signal(signal.SIGALRM, _handler)
+    try:
+        signal.setitimer(signal.ITIMER_REAL, 0.3)
+        t0 = time.monotonic()
+        srv.serve_forever()  # returns once the handler stops it
+        elapsed = time.monotonic() - t0
+    finally:
+        signal.setitimer(signal.ITIMER_REAL, 0.0)
+        signal.signal(signal.SIGALRM, old)
+    assert fired, "timer never fired"
+    # pre-fix this stalled the full 5 s _accept_done timeout per stop
+    assert elapsed < 3.0, f"signal-handler shutdown stalled {elapsed:.1f}s"
+    # no SO_REUSEADDR here: the bind only succeeds if the port is
+    # genuinely free, which is the fast-restart guarantee under test
+    s = socket.socket()
+    try:
+        s.bind(("127.0.0.1", port))
+    finally:
+        s.close()
+
+
 def test_concurrent_sessions_have_independent_state(tmp_path):
     """Two clients on a 2-session server stream interleaved; each session's
     results match an independent single-stream engine run."""
