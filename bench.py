@@ -358,7 +358,27 @@ def main():
                     help="bench the stacked multi-stream aggregate for S "
                          "streams of --height x --width instead of the "
                          "single-stream kernels")
+    ap.add_argument("--backend-timeout", type=float, default=600.0,
+                    metavar="S",
+                    help="seconds to wait for jax backend init; a dead "
+                         "accelerator tunnel HANGS jax.devices() forever "
+                         "instead of failing, and a hung bench run leaves "
+                         "the caller with no artifact at all — on timeout "
+                         "print an error JSON line and exit 1")
     args = ap.parse_args()
+
+    # Backend watchdog BEFORE any jax backend touch (doctor.py owns the
+    # probe): every mode below initialises the backend, and a hang here
+    # must become an honest machine-readable failure, not a stall.
+    from dips_tpu.doctor import _probe_jax
+    jinfo = _probe_jax(args.backend_timeout)
+    if jinfo.get("backend") is None:
+        print(json.dumps({
+            "metric": "backend_unreachable", "value": 0.0,
+            "unit": "frames/s/chip", "vs_baseline": 0.0,
+            "error": jinfo.get("hint") or "jax backend init failed",
+        }))
+        sys.exit(1)
 
     if args.streams:
         rng = np.random.default_rng(0)

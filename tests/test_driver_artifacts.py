@@ -31,6 +31,28 @@ def test_bench_prints_exactly_one_json_line():
     assert payload["value"] > 0
 
 
+def test_bench_hung_backend_prints_error_json_not_hang():
+    """A dead accelerator tunnel hangs jax backend init forever; bench.py
+    must turn that into ONE machine-readable error line + exit 1 (a hung
+    bench leaves the driver with no artifact at all)."""
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    script = (
+        "import jax; jax.config.update('jax_platforms','cpu');"
+        "import time; jax.default_backend=lambda: time.sleep(3600);"
+        "import sys; sys.argv=['bench.py','--backend-timeout','2'];"
+        f"exec(open({os.path.join(REPO, 'bench.py')!r}).read())"
+    )
+    r = subprocess.run([sys.executable, "-c", script], env=env,
+                       capture_output=True, text=True, timeout=120)
+    assert r.returncode == 1, (r.returncode, r.stdout, r.stderr[-300:])
+    lines = [l for l in r.stdout.strip().splitlines() if l]
+    assert len(lines) == 1, f"stdout must be ONE json line, got {lines}"
+    payload = json.loads(lines[0])
+    assert payload["metric"] == "backend_unreachable"
+    assert "error" in payload and payload["value"] == 0.0
+
+
 def test_graft_entry_hooks():
     sys.path.insert(0, REPO)
     try:
