@@ -66,7 +66,11 @@ already computes; process replies gain ``events`` (closed this request)
 and ``event_open``, named sessions carry an open event across
 park/resume, anonymous closes flush it into the goodbye, and the
 ``motion_events`` counter lands in metrics/Prometheus.  The default
-``--event-on auto`` learns each camera's noise floor online.  Start with
+``--event-on auto`` learns each camera's noise floor online.  Adding
+``--event-webhook URL`` pushes every closed event to an HTTP endpoint
+(async best-effort JSON POST, utils/webhook.py) so a fleet gets alerts
+without polling; delivery outcomes land in the ``webhook_*`` counters.
+Start with
 ``python -m dips_tpu.serve --port 7807 --height H --width W [options]``.
 """
 
@@ -79,6 +83,7 @@ import logging
 import os
 import socket
 import struct
+import sys
 import tempfile
 import threading
 import time
@@ -409,6 +414,9 @@ def _prometheus_text(m: dict) -> str:
                       ("takeovers", "counter"), ("autosaves", "counter"),
                       ("autorestores", "counter"),
                       ("motion_events", "counter"),
+                      ("webhook_delivered", "counter"),
+                      ("webhook_failed", "counter"),
+                      ("webhook_dropped", "counter"),
                       ("active_sessions", "gauge"),
                       ("parked_sessions", "gauge"),
                       ("max_sessions", "gauge"), ("uptime_s", "gauge")):
@@ -480,7 +488,8 @@ class DiPsServer:
                  metrics_port: Optional[int] = None,
                  autosave_dir: Optional[str] = None,
                  autosave_every: int = 256,
-                 events: Optional[dict] = None):
+                 events: Optional[dict] = None,
+                 event_webhook: Optional[str] = None):
         #: per-session motion-event segmentation (ops/events.py): a dict
         #: of MotionDetector kwargs (on_threshold may be "auto"; pixels is
         #: filled in per session from its geometry).  process replies gain
@@ -496,6 +505,19 @@ class DiPsServer:
             if probe.get("metric") == "changed_frac":
                 probe.setdefault("pixels", 1)
             MotionDetector(**probe)
+        #: push alerts: every closed motion event is POSTed (JSON, async
+        #: best-effort, bounded queue — see utils/webhook.py) to this URL,
+        #: so a fleet gets notifications without polling process replies.
+        self._webhook = None
+        if event_webhook is not None:
+            if self.event_cfg is None:
+                raise ValueError("event_webhook requires events: nothing "
+                                 "fires without a motion detector "
+                                 "(--events)")
+            from .utils.webhook import WebhookSender
+            self._webhook = WebhookSender(
+                event_webhook,
+                on_result=lambda outcome: self._count(f"webhook_{outcome}"))
         #: crash-safety checkpoints for NAMED sessions: every
         #: ``autosave_every`` processed frames (and on graceful close) a
         #: session's streaming state is written to
@@ -616,7 +638,11 @@ class DiPsServer:
                           "autosaves": 0, "autorestores": 0,
                           # closed motion events across all sessions
                           # (served only when the daemon runs --events)
-                          "motion_events": 0}
+                          "motion_events": 0,
+                          # --event-webhook delivery outcomes (stay zero
+                          # without one configured)
+                          "webhook_delivered": 0, "webhook_failed": 0,
+                          "webhook_dropped": 0}
         # optional Prometheus scrape endpoint (GET /metrics)
         self._metrics_httpd = None
         self.metrics_port: Optional[int] = None
@@ -899,8 +925,25 @@ class DiPsServer:
         closed = det.update(stats, start_index=eng.frame_index - n_frames)
         if closed:
             self._count("motion_events", len(closed))
+            self._post_webhook(eng, closed)
         hdr["events"] = [e.to_dict() for e in closed]
         hdr["event_open"] = det.is_open
+
+    def _post_webhook(self, eng, events) -> None:
+        """Fan closed events out to the --event-webhook URL (async,
+        best-effort; outcomes land in the webhook_* metrics)."""
+        if self._webhook is None or not events:
+            return
+        tok = getattr(eng, "session_token", None)
+        for e in events:
+            self._webhook.post({
+                "type": "motion_event",
+                "session": tok,
+                "geometry": f"{eng.height}x{eng.width}",
+                "port": self.port,
+                "ts": time.time(),
+                "event": e.to_dict(),
+            })
 
     @staticmethod
     def _peek_geometry(path) -> Optional[tuple]:
@@ -1302,9 +1345,10 @@ class DiPsServer:
                         # anonymous close = end of stream: flush the open
                         # event into the goodbye (named sessions keep it
                         # open across park/resume instead)
-                        reply["events"] = [e.to_dict()
-                                           for e in det.flush()]
-                        self._count("motion_events", len(reply["events"]))
+                        flushed = det.flush()
+                        reply["events"] = [e.to_dict() for e in flushed]
+                        self._count("motion_events", len(flushed))
+                        self._post_webhook(eng, flushed)
                     # a graceful goodbye flushes any unsaved tail first
                     self._maybe_autosave(eng, force=True)
                     # park BEFORE replying: when the client's close()
@@ -1380,6 +1424,10 @@ class DiPsServer:
                 s.close()
             except OSError:
                 pass
+        if self._webhook is not None:
+            # bounded flush: pending alerts get a moment to deliver, a
+            # dead receiver cannot hold the daemon's stop hostage
+            self._webhook.close(flush_timeout_s=2.0)
 
 
 class DiPsClient:
@@ -1757,10 +1805,17 @@ def main(argv=None) -> int:
                              "changed_count", "changed_frac"))
     ap.add_argument("--event-min-frames", type=int, default=2, metavar="N")
     ap.add_argument("--event-cooldown", type=int, default=0, metavar="N")
+    ap.add_argument("--event-webhook", default=None, metavar="URL",
+                    help="POST every closed motion event to URL as JSON "
+                         "(async best-effort with retries; outcomes in "
+                         "the webhook_* metrics).  Requires --events")
     from .utils.compilecache import (add_compile_cache_flag,
                                      apply_compile_cache_flag)
     add_compile_cache_flag(ap)
     args = ap.parse_args(argv)
+    if args.event_webhook and not args.events:
+        print("error: --event-webhook requires --events", file=sys.stderr)
+        return 2
     cache_dir = apply_compile_cache_flag(args)
     if cache_dir:
         print(f"compile cache: {cache_dir}", flush=True)
@@ -1780,7 +1835,8 @@ def main(argv=None) -> int:
                                      metric=args.event_metric,
                                      min_frames=args.event_min_frames,
                                      cooldown=args.event_cooldown)
-                                if args.events else None))
+                                if args.events else None),
+                        event_webhook=args.event_webhook)
     if args.max_geometries is not None:
         server.max_geometries = max(1, args.max_geometries)
         server.max_pooled_engines = max(server.max_pooled_engines,
