@@ -53,6 +53,7 @@ class WebhookSender:
         self._on_result = on_result
         self._q: queue.Queue = queue.Queue(maxsize=queue_max)
         self._closed = False
+        self._abort = threading.Event()  # set => stop retrying/draining NOW
         self._thread = threading.Thread(target=self._run, daemon=True,
                                         name="dips-webhook")
         self._thread.start()
@@ -73,7 +74,10 @@ class WebhookSender:
 
     def close(self, flush_timeout_s: float = 5.0) -> None:
         """Stop accepting, give the backlog ``flush_timeout_s`` to drain,
-        then detach (the daemon worker thread dies with the process)."""
+        then abort: remaining retry backoffs are cancelled and the
+        undelivered backlog is counted as dropped, so no worker activity
+        (or log noise) outlives this call by more than one in-flight
+        request."""
         if self._closed:
             return
         self._closed = True
@@ -82,6 +86,11 @@ class WebhookSender:
         except queue.Full:
             pass  # worker is busy with a backlog; it re-checks _closed
         self._thread.join(timeout=flush_timeout_s)
+        if self._thread.is_alive():
+            self._abort.set()
+            # One in-flight urlopen (bounded by timeout_s) may still be
+            # running; everything after it is a fast drain-as-dropped.
+            self._thread.join(timeout=self.timeout_s + 1.0)
 
     # -- worker side -------------------------------------------------------
     def _note(self, outcome: str) -> None:
@@ -100,7 +109,12 @@ class WebhookSender:
         last_err: Optional[Exception] = None
         for attempt in range(self.retries + 1):
             if attempt:
-                time.sleep(self.backoff_s * attempt)
+                # Event.wait doubles as an abortable sleep: close() sets
+                # _abort once the flush window expires and this returns
+                # immediately instead of serving out the backoff schedule.
+                if self._abort.wait(self.backoff_s * attempt):
+                    self._note("dropped")
+                    return
             try:
                 with urllib.request.urlopen(req, timeout=self.timeout_s) \
                         as resp:
@@ -125,6 +139,9 @@ class WebhookSender:
                     return
                 continue
             if item is not _WAKE:
-                self._deliver(item)
+                if self._abort.is_set():
+                    self._note("dropped")
+                else:
+                    self._deliver(item)
             elif self._closed and self._q.empty():
                 return

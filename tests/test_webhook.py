@@ -187,13 +187,24 @@ def test_sender_close_does_not_hang_on_dead_receiver():
     probe.bind(("127.0.0.1", 0))
     port = probe.getsockname()[1]
     probe.close()
+    outcomes = []
     s = WebhookSender(f"http://127.0.0.1:{port}/x", retries=5,
-                      backoff_s=0.5, timeout_s=5.0)
+                      backoff_s=0.5, timeout_s=5.0,
+                      on_result=outcomes.append)
     for i in range(50):
         s.post({"i": i})
     t0 = time.time()
     s.close(flush_timeout_s=0.5)
     assert time.time() - t0 < 3.0
+    # close() must also STOP the worker: no retry backoffs or deliveries
+    # may outlive it (they used to log warnings minutes after shutdown).
+    deadline = time.time() + 2.0
+    while s._thread.is_alive() and time.time() < deadline:
+        time.sleep(0.02)
+    assert not s._thread.is_alive()
+    # every queued alert reached a terminal outcome — failed (connection
+    # refused is instant) or dropped at abort — none left in limbo.
+    assert outcomes.count("failed") + outcomes.count("dropped") == 50
 
 
 # ---------------------------------------------------------------------------
