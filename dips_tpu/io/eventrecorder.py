@@ -62,6 +62,7 @@ class EventRecorder:
         self._writer = None
         self._post_left: Optional[int] = None  # counting down after close
         self._seg: Optional[dict] = None
+        self._last_index: Optional[int] = None  # newest fed frame index
         self.segments: List[dict] = []
 
     def _start_segment(self, index: int) -> None:
@@ -104,8 +105,14 @@ class EventRecorder:
         consistent with the SESSION cursor across reconnects (seed it
         from ``hello()['frame_index']``), or the daemon-side event
         indices inside the manifest won't line up with the clip spans."""
+        self._last_index = index
         if self._writer is None:
-            if open_now:
+            # ``closed`` non-empty with no writer open happens in the edge
+            # shape when an event opens AND closes within one batched
+            # request (open_now is already False again for every frame of
+            # the batch): open retroactively from the pre-roll ring, or
+            # the event gets neither a clip nor a manifest entry.
+            if open_now or closed:
                 self._start_segment(index)
             else:
                 self._ring.append(frame)
@@ -136,6 +143,13 @@ class EventRecorder:
         flushed = list(final_events or [])
         if self.detector is not None:
             flushed += [e.to_dict() for e in self.detector.flush()]
+        if self._writer is None and flushed and self._ring:
+            # events closed at EOS with no segment open (e.g. a burst
+            # entirely inside the final batch): the pre-roll ring is the
+            # only footage still in hand — write it so the events get a
+            # clip and a manifest entry instead of vanishing.
+            self._start_segment(self._last_index + 1)
+            self._seg["end_frame"] = self._last_index
         if self._writer is not None:
             self._seg["events"] += flushed
             self._close_segment()

@@ -317,16 +317,16 @@ class MultiHostStreamEngine(MultiStreamEngine):
             has_tail=has_tail, failed=np.asarray(s["failed"], np.int64))
 
     def load(self, path: str) -> None:
-        z = np.load(path)
-        self.load_state_dict({
-            "local_stream_ids": z["local_stream_ids"].tolist(),
-            "frame_cursors": z["frame_cursors"].tolist(),
-            "baseline": z["baseline"],
-            "heatmap": z["heatmap"],
-            "tails": [z["tails"][i] if z["has_tail"][i] else None
-                      for i in range(z["tails"].shape[0])],
-            "failed": z["failed"].tolist(),
-        })
+        with np.load(path) as z:  # NpzFile holds an fd until closed
+            self.load_state_dict({
+                "local_stream_ids": z["local_stream_ids"].tolist(),
+                "frame_cursors": z["frame_cursors"].tolist(),
+                "baseline": z["baseline"],
+                "heatmap": z["heatmap"],
+                "tails": [z["tails"][i] if z["has_tail"][i] else None
+                          for i in range(z["tails"].shape[0])],
+                "failed": z["failed"].tolist(),
+            })
 
     # -- unsupported in multi-host mode ---------------------------------------
     def _no_multihost(self, name: str):

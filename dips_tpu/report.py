@@ -164,17 +164,20 @@ def _tile(label: str, value: str) -> str:
 def _events_table(events: List[dict]) -> str:
     if not events:
         return "<p class='muted'>No motion events.</p>"
+    # int()/float() double as validation and injection-proofing (same
+    # contract as _segments_table): a corrupt events JSON fails cleanly
+    # instead of smuggling markup into the page
     rows = "".join(
-        f"<tr><td>{e['start_frame']}</td><td>{e['end_frame']}</td>"
-        f"<td>{e['frames']}</td><td>{e['peak']:.4g}</td>"
-        f"<td>{e['peak_frame']}</td><td>{e['mean']:.4g}</td></tr>"
+        f"<tr><td>{int(e['start_frame'])}</td><td>{int(e['end_frame'])}</td>"
+        f"<td>{int(e['frames'])}</td><td>{float(e['peak']):.4g}</td>"
+        f"<td>{int(e['peak_frame'])}</td><td>{float(e['mean']):.4g}</td></tr>"
         for e in events)
     return ("<table><thead><tr><th>start</th><th>end</th><th>frames</th>"
             "<th>peak</th><th>peak frame</th><th>mean</th></tr></thead>"
             f"<tbody>{rows}</tbody></table>")
 
 
-def _stats_table(stats: np.ndarray, pixels: Optional[int]) -> str:
+def _stats_table(stats: np.ndarray) -> str:
     """Accessibility/table view of the charted data (collapsed)."""
     from .ops.oracle import STAT_NAMES
     head = "".join(f"<th>{html.escape(k)}</th>" for k in STAT_NAMES)
@@ -270,7 +273,7 @@ def render_report(stats_path: str, events_path: Optional[str] = None,
         sections.append(
             "<h2>Accumulated |diff| heatmap</h2>"
             f'<img alt="heatmap" src="data:image/png;base64,{hm}">')
-    sections.append(_stats_table(stats, pixels))
+    sections.append(_stats_table(stats))
 
     return f"""<!doctype html>
 <html lang="en"><head><meta charset="utf-8">

@@ -683,9 +683,8 @@ class DiPsServer:
                 slot = co.bind()
                 try:
                     co.submit(slot, [np.zeros((h, w, 3), np.uint8)])
-                    co.reset_slot(slot)
                 finally:
-                    co.release(slot)
+                    co.release(slot)  # non-park release resets the slot
                 log.info("warmed %dx%d", h, w)
                 continue
             if not self.flexible:
@@ -1065,10 +1064,15 @@ class DiPsServer:
             # the lock so concurrent sessions don't stall behind it
             eng = (self._mk_engine(*geometry) if self.flexible
                    else self._mk_engine())
-        elif need_reset:
+        elif need_reset or getattr(eng, "_pooled_from_named", False):
+            # _pooled_from_named: an evicted/superseded NAMED session's
+            # engine in the anonymous pool still holds that camera's state;
+            # the single-session resume exception only covers the daemon's
+            # own lone anonymous engine, never another token's.
             eng.reset()  # never hand one client another's state
             eng._autosave_due = 0  # ...nor another's unsaved-frame counter
             eng._motion_det = None  # ...nor another's open event
+        eng._pooled_from_named = False
         eng.session_token = token
         if token is not None and not resumed:
             self._try_autorestore(eng, token)  # daemon-restart resume
@@ -1099,10 +1103,12 @@ class DiPsServer:
                 old = self._named.pop(token, None)
                 self._named[token] = eng
                 if old is not None and old is not eng:
+                    old._pooled_from_named = True
                     self._pool_idle_engine(old)  # superseded duplicate
                 while len(self._named) > self.max_named_sessions:
-                    self._pool_idle_engine(
-                        self._named.pop(next(iter(self._named))))
+                    victim = self._named.pop(next(iter(self._named)))
+                    victim._pooled_from_named = True
+                    self._pool_idle_engine(victim)
             else:
                 self._pool_idle_engine(eng)
 
@@ -1152,15 +1158,22 @@ class DiPsServer:
                     # one bad/broken client must never kill the daemon
                     log.exception("client %s dropped", addr)
         finally:
-            if bound:
-                self._release_engine(bound[0])
-            with self._pool_lock:
-                self._client_socks.discard(client)
-                for tok in [t for t, c in self._active.items()
-                            if c is client]:
-                    del self._active[tok]
-            self._count("active_sessions", -1)
-            self._sessions.release()
+            try:
+                if bound:
+                    self._release_engine(bound[0])
+            except Exception:
+                # release can touch the device (coalescer reset_stream);
+                # a transient failure there must not skip the bookkeeping
+                # below or the session slot leaks until restart
+                log.exception("releasing engine for %s failed", addr)
+            finally:
+                with self._pool_lock:
+                    self._client_socks.discard(client)
+                    for tok in [t for t, c in self._active.items()
+                                if c is client]:
+                        del self._active[tok]
+                self._count("active_sessions", -1)
+                self._sessions.release()
 
     def _serve_client(self, client: socket.socket, bound: list):
         """Serve one connection.  The engine bound at the first request is

@@ -54,6 +54,10 @@ class WebhookSender:
         self._q: queue.Queue = queue.Queue(maxsize=queue_max)
         self._closed = False
         self._abort = threading.Event()  # set => stop retrying/draining NOW
+        # serializes the closed-check+enqueue in post() against close()
+        # flipping _closed, so nothing can slip into the queue after
+        # close()'s final drain (which would be a lost, uncounted alert)
+        self._post_lock = threading.Lock()
         self._thread = threading.Thread(target=self._run, daemon=True,
                                         name="dips-webhook")
         self._thread.start()
@@ -62,25 +66,30 @@ class WebhookSender:
     def post(self, payload: dict) -> bool:
         """Enqueue one JSON payload; returns False (and counts a drop)
         when the queue is full or the sender is closed."""
-        if self._closed:
-            self._note("dropped")
-            return False
-        try:
-            self._q.put_nowait(payload)
-            return True
-        except queue.Full:
-            self._note("dropped")
-            return False
+        with self._post_lock:
+            if self._closed:
+                self._note("dropped")
+                return False
+            try:
+                self._q.put_nowait(payload)
+                return True
+            except queue.Full:
+                self._note("dropped")
+                return False
 
     def close(self, flush_timeout_s: float = 5.0) -> None:
         """Stop accepting, give the backlog ``flush_timeout_s`` to drain,
         then abort: remaining retry backoffs are cancelled and the
         undelivered backlog is counted as dropped, so no worker activity
         (or log noise) outlives this call by more than one in-flight
-        request."""
-        if self._closed:
-            return
-        self._closed = True
+        request.  (That request is *usually* bounded by ``timeout_s``,
+        but urllib's timeout is per socket operation — a drip-feeding
+        receiver or a stalled DNS lookup can hold it longer; after the
+        abort the worker drops everything else the moment it returns.)"""
+        with self._post_lock:
+            if self._closed:
+                return
+            self._closed = True
         try:
             self._q.put_nowait(_WAKE)
         except queue.Full:
@@ -88,9 +97,22 @@ class WebhookSender:
         self._thread.join(timeout=flush_timeout_s)
         if self._thread.is_alive():
             self._abort.set()
-            # One in-flight urlopen (bounded by timeout_s) may still be
-            # running; everything after it is a fast drain-as-dropped.
+            # One in-flight urlopen (bounded by timeout_s per socket op)
+            # may still be running; after it, a fast drain-as-dropped.
             self._thread.join(timeout=self.timeout_s + 1.0)
+        # The worker can exit with items still queued: its Empty branch
+        # re-checks _closed between a put and the next get, and a racing
+        # post() may have enqueued just before _closed flipped.  Count
+        # them so no alert vanishes without an outcome.  (If the worker
+        # is somehow still alive past both joins, leave the queue to it —
+        # with _abort set it drains everything as dropped itself.)
+        while not self._thread.is_alive():
+            try:
+                item = self._q.get_nowait()
+            except queue.Empty:
+                break
+            if item is not _WAKE:
+                self._note("dropped")
 
     # -- worker side -------------------------------------------------------
     def _note(self, outcome: str) -> None:

@@ -272,6 +272,66 @@ def test_edge_finish_final_events_and_feed_guard():
         rec2.feed(np.int64(0), np.zeros(NUM_STATS, np.float32), 0)
 
 
+def test_edge_event_closed_within_one_batch_still_records():
+    """Edge shape: an event that opens AND closes inside one batched
+    request arrives as open_now=False + non-empty ``closed`` for every
+    frame of the batch.  The recorder must open retroactively from the
+    pre-roll ring — previously both the clip and the manifest entry were
+    silently dropped."""
+    writers = []
+
+    def open_writer(i, start):
+        w = FakeWriter(i, start)
+        writers.append(w)
+        return w
+
+    rec = EventRecorder(None, open_writer, pre_roll=4, post_roll=1)
+    ev = {"start_frame": 5, "end_frame": 6, "frames": 2,
+          "peak": 9.0, "peak_frame": 5, "mean": 9.0}
+    for i in range(4):                      # idle batch
+        rec.feed_annotated(np.int64(i), False, [], i)
+    # batch 4..7: event opened at 5 and closed at 6 inside the batch;
+    # the daemon reply says open=False and lists the closed event once
+    rec.feed_annotated(np.int64(4), False, [ev], 4)
+    for i in (5, 6, 7):
+        rec.feed_annotated(np.int64(i), False, [], i)
+    segs = rec.finish()
+    assert len(segs) == 1 and segs[0]["events"] == [ev]
+    assert writers[0].closed
+    # pre-roll 0..3 + trigger frame 4 + post-roll frames
+    assert writers[0].frames[:5] == [0, 1, 2, 3, 4]
+    assert segs[0]["start_frame"] == 0
+    assert segs[0]["frames"] == len(writers[0].frames)
+
+
+def test_eos_flushed_events_with_no_open_segment_record_the_ring():
+    """finish(final_events=...) with no writer open (burst entirely in
+    the final batch) must still produce a clip from the pre-roll ring."""
+    writers = []
+
+    def open_writer(i, start):
+        w = FakeWriter(i, start)
+        writers.append(w)
+        return w
+
+    rec = EventRecorder(None, open_writer, pre_roll=3, post_roll=2)
+    for i in range(6):
+        rec.feed_annotated(np.int64(i), False, [], i)
+    ev = {"start_frame": 4, "end_frame": 5, "frames": 2,
+          "peak": 9.0, "peak_frame": 4, "mean": 9.0}
+    segs = rec.finish(final_events=[ev])
+    assert len(segs) == 1 and segs[0]["events"] == [ev]
+    assert writers[0].closed
+    assert writers[0].frames == [3, 4, 5]   # the ring, nothing else
+    assert segs[0]["start_frame"] == 3 and segs[0]["end_frame"] == 5
+    assert segs[0]["frames"] == 3
+    # an idle EOS (no flushed events) still records nothing
+    rec2 = EventRecorder(None, open_writer, pre_roll=3, post_roll=2)
+    for i in range(4):
+        rec2.feed_annotated(np.int64(i), False, [], i)
+    assert rec2.finish() == []
+
+
 def test_fuzz_recorder_invariants():
     """Property fuzz: across random series/configs, clips must be
     disjoint and ordered, every DETECTED event span must lie inside some

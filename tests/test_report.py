@@ -47,6 +47,17 @@ def test_report_renders_single_stream(tmp_path):
         assert k in doc                              # table view exists
 
 
+def test_report_events_table_rejects_markup(tmp_path):
+    """A corrupt events JSON must fail cleanly (same contract as the
+    segments table), never smuggle markup into the page."""
+    sp, ep = str(tmp_path / "s.json"), str(tmp_path / "e.json")
+    _write_stats(sp)
+    evil = dict(_EV, start_frame="<script>alert(1)</script>")
+    _write_events(ep, [evil])
+    with pytest.raises((ValueError, TypeError)):
+        render_report(sp, events_path=ep)
+
+
 def test_report_multi_stream_and_heatmap(tmp_path):
     import matplotlib
     matplotlib.use("Agg")

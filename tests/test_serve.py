@@ -301,6 +301,37 @@ def test_multisession_anonymous_reconnect_gets_fresh_state():
         srv.shutdown()
 
 
+def test_single_session_anonymous_never_inherits_evicted_named_state():
+    """A single-session daemon's anonymous resume exception covers only
+    its own lone anonymous engine.  A NAMED session's engine that was
+    evicted into the anonymous pool (named-session cap) must be reset
+    before an anonymous client receives it — previously the client
+    silently inherited the camera's baseline and frame cursor."""
+    props = DiPsProperties(window_size=1, temporal_size=1,
+                           filter=DiPsFilter.UNFILTERED)
+    srv = DiPsServer(props, 10, 20, port=0, batch=1, max_sessions=1)
+    srv.max_named_sessions = 1  # second named token evicts the first
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        clip = make_clip(n=2, h=10, w=20, seed=7)
+        a = DiPsClient(srv.port, session="cam-A")
+        a.process(clip[0])
+        assert a.hello()["frame_index"] == 1
+        a.close()                            # parks cam-A
+        b = DiPsClient(srv.port, session="cam-B")
+        b.process(clip[0])
+        b.close()                            # parks cam-B, evicts cam-A
+        anon = DiPsClient(srv.port)          # pops cam-A's pooled engine
+        assert anon.hello()["frame_index"] == 0
+        # frame 0 of a fresh stream re-captures the baseline: zero diff
+        _, s = anon.process(clip[1])
+        assert s[1] == 0
+        anon.close()
+    finally:
+        srv.shutdown()
+
+
 def test_named_session_resumes_across_reconnects():
     """A session token parks and resumes its engine on a multi-session
     server; a different token still gets fresh state."""
