@@ -119,7 +119,8 @@ def build_parser() -> argparse.ArgumentParser:
                         "whose floor is scene-dependent")
     p.add_argument("--event-off", type=float, default=None, metavar="X",
                    help="level that closes it (default: half of "
-                        "--event-on)")
+                        "--event-on; invalid with --event-on auto, "
+                        "which computes its own close level)")
     p.add_argument("--event-metric", default="changed_frac",
                    choices=("mean_abs_diff", "max_abs_diff",
                             "changed_count", "changed_frac"),
@@ -232,6 +233,14 @@ def main(argv: Optional[List[str]] = None) -> int:
     args = build_parser().parse_args(argv)
     from .utils.compilecache import apply_compile_cache_flag
     apply_compile_cache_flag(args)
+
+    if args.event_on == "auto" and args.event_off is not None:
+        # the detector would reject this too, but only once a run is
+        # already under way in some modes — fail at the flag level
+        print("--event-off is computed in auto mode (estimated floor + "
+              "margin/2) — drop it or use a fixed --event-on",
+              file=sys.stderr)
+        return 2
 
     for flag, val in (("--heatmap-png", args.heatmap_png),
                       ("--record-events", args.record_events)):

@@ -425,7 +425,19 @@ class DiPsEngine:
         self._baseline = jnp.asarray(state["baseline"])
         self._tail.clear()
         if state["tail"] is not None:
-            self._tail.extend(list(state["tail"]))
+            # same seeding rule as MultiStreamEngine.load_stream_state: a
+            # short tail (saved before T frames were seen) replicates its
+            # oldest frame up to T — the running tail is always exactly T
+            # deep, and the next dispatch stacks it as (T, ...)
+            t = self.props.temporal_size
+            tl = [np.asarray(f) for f in state["tail"]][-t:]
+            if tl and tl[0].shape != (3, self.hp, self.wp):
+                raise ValueError(
+                    f"checkpoint tail frame shape {tl[0].shape} != "
+                    f"{(3, self.hp, self.wp)}")
+            if tl and len(tl) < t:
+                tl = [tl[0]] * (t - len(tl)) + tl
+            self._tail.extend(tl)
         if "heatmap" in state and state["heatmap"] is not None:
             self._heatmap = jnp.asarray(state["heatmap"])
         # a snapshot requested before the restore must not fire after it

@@ -102,6 +102,11 @@ class MotionDetector:
         self._scale = 1.0 / float(pixels) if metric == "changed_frac" else 1.0
         self.auto = on_threshold == "auto"
         if self.auto:
+            if off_threshold is not None:
+                raise ValueError(
+                    "off_threshold is computed in auto mode (estimated "
+                    "floor + margin/2) — omit it (--event-off) or use a "
+                    "fixed on_threshold")
             if auto_k <= 0 or auto_warmup < 1 or auto_window < auto_warmup:
                 raise ValueError(
                     "auto mode needs auto_k > 0 and "
@@ -110,6 +115,7 @@ class MotionDetector:
             self.auto_warmup = int(auto_warmup)
             self._floor_samples: List[float] = []  # rolling, idle-only
             self._auto_window = int(auto_window)
+            self._auto_cache: Optional[tuple] = None  # thresholds() memo
             self.on_threshold = self.off_threshold = None
         else:
             self.on_threshold = float(on_threshold)
@@ -141,15 +147,21 @@ class MotionDetector:
             return self.on_threshold, self.off_threshold
         if len(self._floor_samples) < self.auto_warmup:
             return float("inf"), float("inf")
-        q25, q75 = np.percentile(self._floor_samples, (25, 75))
-        spread = (q75 - q25) / 2.0
-        # a dead-still window (spread 0) must not make 1-LSB flicker an
-        # event: keep a minimum margin of 1% of the floor, or an absolute
-        # epsilon when the floor itself is ~0 (one pixel for the count
-        # metric, 1e-4 for the normalized ones)
-        eps = 1.0 if self.metric == "changed_count" else 1e-4
-        margin = self.auto_k * max(spread, 0.01 * q25, eps)
-        return float(q25 + margin), float(q25 + margin / 2.0)
+        if self._auto_cache is None:
+            # memoized: the floor only moves when an idle frame lands in
+            # the window (update() invalidates); while an event is open —
+            # or on repeated queries — no percentile is recomputed
+            q25, q75 = np.percentile(self._floor_samples, (25, 75))
+            spread = (q75 - q25) / 2.0
+            # a dead-still window (spread 0) must not make 1-LSB flicker
+            # an event: keep a minimum margin of 1% of the floor, or an
+            # absolute epsilon when the floor itself is ~0 (one pixel for
+            # the count metric, 1e-4 for the normalized ones)
+            eps = 1.0 if self.metric == "changed_count" else 1e-4
+            margin = self.auto_k * max(spread, 0.01 * q25, eps)
+            self._auto_cache = (float(q25 + margin),
+                                float(q25 + margin / 2.0))
+        return self._auto_cache
 
     def update(self, stats: np.ndarray,
                start_index: Optional[int] = None) -> List[MotionEvent]:
@@ -182,6 +194,7 @@ class MotionDetector:
                     self._floor_samples.append(v)
                     if len(self._floor_samples) > self._auto_window:
                         del self._floor_samples[0]
+                    self._auto_cache = None  # floor moved
             else:
                 ev = self._open
                 ev["sum"] += v

@@ -153,6 +153,80 @@ def _shift_x(x: jnp.ndarray, dx: int) -> jnp.ndarray:
     return pltpu.roll(x, (-dx) % wp, 1)
 
 
+def _stats_tile(vals) -> jnp.ndarray:
+    """Pack the 4 per-frame statistic partials into one (8,128) f32 tile
+    (row 0, lanes 0..3).  Scalar SMEM outputs would violate Mosaic's
+    (8,128) block rule when n_hb > 1, so partials travel as tiles."""
+    lane = lax.broadcasted_iota(jnp.int32, (8, 128), 1)
+    row0 = lax.broadcasted_iota(jnp.int32, (8, 128), 0) == 0
+    tile = jnp.zeros((8, 128), jnp.float32)
+    for k, v in enumerate(vals):
+        tile = jnp.where(row0 & (lane == k), v, tile)
+    return tile
+
+
+def _filtered_plane(props: DiPsProperties, i: int, cur_ref, up_ref, dn_ref,
+                    strip_ref, hb_in, n_hb_per: int, bh: int, wp: int):
+    """Shared front half of the median-pipeline kernels: intensity strip
+    with p-row halos (zero at image/stream boundaries), then the spatial
+    median (exact selection network or the separable approximation).
+    Returns the filtered plane phi for within-block frame ``i``."""
+    window = props.window_size
+    p = window // 2
+    strip_ref[8:8 + bh] = _intensity_i(cur_ref[i], props.chroma)
+    if p > 0:
+        # convert only the p halo rows the stencil actually reads
+        up = _intensity_i(up_ref[i, :, 8 - p:8], props.chroma)
+        dn = _intensity_i(dn_ref[i, :, 0:p], props.chroma)
+        zerop = jnp.zeros((p, wp), jnp.float32)
+        strip_ref[8 - p:8] = jnp.where(hb_in > 0, up, zerop)
+        strip_ref[8 + bh:8 + bh + p] = jnp.where(
+            hb_in < n_hb_per - 1, dn, zerop)
+    if window > 1:
+        vtaps = [strip_ref[8 + dy - p:8 + dy - p + bh]
+                 for dy in range(window)]
+        med = (networks.separable_median if props.approx_median
+               else networks.window_median)
+        return med(vtaps, _shift_x, jnp.minimum, jnp.maximum)
+    return strip_ref[8:8 + bh]
+
+
+def _halo_specs(window: int, fpb: int, wp: int, bh8: int, n8_per: int,
+                n_hb_per: int):
+    """The two thin 8-row halo BlockSpecs of the stencil kernels, clamped
+    to stream boundaries in stacked mode.  Window 1 has no stencil: no
+    halo inputs (they would stream unread bytes every grid step)."""
+    if window <= 1:
+        return []
+
+    def up_idx(hb, f, *_):
+        lo = (hb // n_hb_per) * n8_per
+        return (f, 0, jnp.maximum(hb * bh8 - 1, lo), 0)
+
+    def dn_idx(hb, f, *_):
+        hi = (hb // n_hb_per + 1) * n8_per - 1
+        return (f, 0, jnp.minimum((hb + 1) * bh8, hi), 0)
+
+    return [pl.BlockSpec((fpb, 3, 8, wp), up_idx, memory_space=pltpu.VMEM),
+            pl.BlockSpec((fpb, 3, 8, wp), dn_idx, memory_space=pltpu.VMEM)]
+
+
+def _reduce_stats(parts, b: int, s: int, n_hb_per: int, sum_scale,
+                  max_scale=None) -> jnp.ndarray:
+    """Reduce per-(frame, row-block) partial tiles to (s, B, 4) stats:
+    scaled sums for mean/mean-abs, max (optionally scaled), raw count."""
+    parts = parts[:, :, 0, :_PART].reshape(b, s, n_hb_per, _PART)
+    mx = parts[..., 2].max(axis=2)
+    if max_scale is not None:
+        mx = mx * max_scale
+    return jnp.stack([
+        parts[..., 0].sum(axis=2) * sum_scale,
+        parts[..., 1].sum(axis=2) * sum_scale,
+        mx,
+        parts[..., 3].sum(axis=2),
+    ], axis=-1).transpose(1, 0, 2)
+
+
 def _emit_median_frame(props: DiPsProperties, i: int, m, si, cur,
                        flags_ref, valid_ref, base_ref, prev_ref,
                        mask_ref, out_ref, stats_ref, heat_ref,
@@ -202,17 +276,9 @@ def _emit_median_frame(props: DiPsProperties, i: int, m, si, cur,
     am = jnp.abs(dm)
     thr = (jnp.float32(props.change_threshold)
            * jnp.float32(1 / 255.))
-    # Partials go out as one (8,128) f32 tile with the 4 scalars in row 0,
-    # lanes 0..3 (scalar SMEM outputs would violate Mosaic's (8,128) block
-    # rule when n_hb > 1).
-    lane = lax.broadcasted_iota(jnp.int32, (8, 128), 1)
-    row0 = lax.broadcasted_iota(jnp.int32, (8, 128), 0) == 0
-    vals = [jnp.sum(dm), jnp.sum(am), jnp.max(am),
-            jnp.sum((am >= thr).astype(jnp.float32))]
-    tile = jnp.zeros((8, 128), jnp.float32)
-    for k, v in enumerate(vals):
-        tile = jnp.where(row0 & (lane == k), v, tile)
-    stats_ref[i, 0] = tile
+    stats_ref[i, 0] = _stats_tile([jnp.sum(dm), jnp.sum(am), jnp.max(am),
+                                   jnp.sum((am >= thr)
+                                           .astype(jnp.float32))])
     heat_ref[:] = heat_ref[:] + am * vw.astype(jnp.float32)
 
     d = emphasize(raw_diff, props.filter,
@@ -287,6 +353,7 @@ def _make_kernel(props: DiPsProperties, h: int, w: int, t: int, b: int,
              out_ref, stats_ref, base_out_ref, heat_out_ref,
              ring_ref, base_ref, prev_ref, heat_ref, mask_ref,
              strip_ref) = refs
+            up_ref = dn_ref = None  # window 1: no stencil, no halo inputs
         hb = pl.program_id(0)
         fs = pl.program_id(1)
         si = hb // n_hb_per          # which stream this row block belongs to
@@ -306,28 +373,9 @@ def _make_kernel(props: DiPsProperties, h: int, w: int, t: int, b: int,
         for i in range(fpb):
             gf = fs * fpb + i  # global frame index in [0, T+B)
 
-            # ---- intensity strip with p-row halos ----------------------
-            strip_ref[8:8 + bh] = _intensity_i(cur_ref[i], props.chroma)
-            if p > 0:
-                # convert only the p halo rows the stencil actually reads;
-                # halos are zero at image (= stream) boundaries
-                up = _intensity_i(up_ref[i, :, 8 - p:8], props.chroma)
-                dn = _intensity_i(dn_ref[i, :, 0:p], props.chroma)
-                zerop = jnp.zeros((p, wp), jnp.float32)
-                strip_ref[8 - p:8] = jnp.where(hb_in > 0, up, zerop)
-                strip_ref[8 + bh:8 + bh + p] = jnp.where(
-                    hb_in < n_hb_per - 1, dn, zerop)
-
-            # ---- spatial median: shared column sorts + pruned merge ----
-            # (or the separable approximation when props.approx_median)
-            if window > 1:
-                vtaps = [strip_ref[8 + dy - p:8 + dy - p + bh]
-                         for dy in range(window)]
-                med = (networks.separable_median if props.approx_median
-                       else networks.window_median)
-                phi = med(vtaps, _shift_x, jnp.minimum, jnp.maximum)
-            else:
-                phi = strip_ref[8:8 + bh]
+            # ---- intensity strip + spatial median (shared helper) ------
+            phi = _filtered_plane(props, i, cur_ref, up_ref, dn_ref,
+                                  strip_ref, hb_in, n_hb_per, bh, wp)
 
             # ---- temporal ring (carried across sequential steps) -------
             ring_ref[lax.rem(gf, t)] = phi
@@ -384,23 +432,9 @@ def _batch_step_impl(props: DiPsProperties, h: int, w: int, s: int,
     flags_i32 = flags2d.astype(jnp.int32)
     valid_i32 = valid2d.astype(jnp.int32)
     kernel = _make_kernel(props, h, w, t, b, bh, wp, n_hb, fpb, s)
-
-    def up_idx(hb, f, *_):
-        # the 8-row halo block above, clamped to this stream's first block
-        lo = (hb // n_hb_per) * n8_per
-        return (f, 0, jnp.maximum(hb * bh8 - 1, lo), 0)
-
-    def dn_idx(hb, f, *_):
-        hi = (hb // n_hb_per + 1) * n8_per - 1
-        return (f, 0, jnp.minimum((hb + 1) * bh8, hi), 0)
-
-    # window 1 has no stencil: skip the halo inputs entirely (they would
-    # stream 2 x (F x 3 x 8 x Wp) unread bytes per grid step)
     has_halo = props.window_size > 1
-    halo_specs = [
-        pl.BlockSpec((fpb, 3, 8, wp), up_idx, memory_space=pltpu.VMEM),
-        pl.BlockSpec((fpb, 3, 8, wp), dn_idx, memory_space=pltpu.VMEM),
-    ] if has_halo else []
+    halo_specs = _halo_specs(props.window_size, fpb, wp, bh8, n8_per,
+                             n_hb_per)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
@@ -453,14 +487,8 @@ def _batch_step_impl(props: DiPsProperties, h: int, w: int, s: int,
     )(flags_i32, valid_i32,
       *((raw, raw, raw) if has_halo else (raw,)), baseline, heatmap)
 
-    inv_n = jnp.float32(1.0 / (h * w))
-    parts = parts[:, :, 0, :_PART].reshape(b, s, n_hb_per, _PART)
-    stats = jnp.stack([
-        parts[..., 0].sum(axis=2) * inv_n,
-        parts[..., 1].sum(axis=2) * inv_n,
-        parts[..., 2].max(axis=2),
-        parts[..., 3].sum(axis=2),
-    ], axis=-1).transpose(1, 0, 2)                       # (s, B, 4)
+    stats = _reduce_stats(parts, b, s, n_hb_per,
+                          jnp.float32(1.0 / (h * w)))     # (s, B, 4)
     return out, stats, new_baseline, new_heatmap
 
 
@@ -664,24 +692,9 @@ def _make_ring_kernel(props: DiPsProperties, h: int, w: int, t: int, b: int,
         for i in range(fpb):
             gf = fs * fpb + i  # frame index in [0, B)
 
-            # ---- intensity strip with p-row halos (as the tail kernel) --
-            strip_ref[8:8 + bh] = _intensity_i(cur_ref[i], props.chroma)
-            if p > 0:
-                up = _intensity_i(up_ref[i, :, 8 - p:8], props.chroma)
-                dn = _intensity_i(dn_ref[i, :, 0:p], props.chroma)
-                zerop = jnp.zeros((p, wp), jnp.float32)
-                strip_ref[8 - p:8] = jnp.where(hb_in > 0, up, zerop)
-                strip_ref[8 + bh:8 + bh + p] = jnp.where(
-                    hb_in < n_hb_per - 1, dn, zerop)
-
-            if window > 1:
-                vtaps = [strip_ref[8 + dy - p:8 + dy - p + bh]
-                         for dy in range(window)]
-                med = (networks.separable_median if props.approx_median
-                       else networks.window_median)
-                phi = med(vtaps, _shift_x, jnp.minimum, jnp.maximum)
-            else:
-                phi = strip_ref[8:8 + bh]
+            # ---- intensity strip + spatial median (shared helper) ------
+            phi = _filtered_plane(props, i, cur_ref, up_ref, dn_ref,
+                                  strip_ref, hb_in, n_hb_per, bh, wp)
 
             # ---- carried ring: slot = (cursor + frame) mod T, writes
             # gated on valid so padding replicas can't pollute state ------
@@ -737,20 +750,9 @@ def _batch_step_ring_impl(props: DiPsProperties, h: int, w: int, s: int,
     off_i32 = offsets.astype(jnp.int32)
     seed_i32 = seeds.astype(jnp.int32)
     kernel = _make_ring_kernel(props, h, w, t, b, bh, wp, n_hb, fpb, s)
-
-    def up_idx(hb, f, *_):
-        lo = (hb // n_hb_per) * n8_per
-        return (f, 0, jnp.maximum(hb * bh8 - 1, lo), 0)
-
-    def dn_idx(hb, f, *_):
-        hi = (hb // n_hb_per + 1) * n8_per - 1
-        return (f, 0, jnp.minimum((hb + 1) * bh8, hi), 0)
-
     has_halo = props.window_size > 1
-    halo_specs = [
-        pl.BlockSpec((fpb, 3, 8, wp), up_idx, memory_space=pltpu.VMEM),
-        pl.BlockSpec((fpb, 3, 8, wp), dn_idx, memory_space=pltpu.VMEM),
-    ] if has_halo else []
+    halo_specs = _halo_specs(props.window_size, fpb, wp, bh8, n8_per,
+                             n_hb_per)
     plane_spec = pl.BlockSpec((bh, wp), lambda hb, f, *_: (hb, 0),
                               memory_space=pltpu.VMEM)
     ring_spec = pl.BlockSpec((t, bh, wp), lambda hb, f, *_: (0, hb, 0),
@@ -810,14 +812,8 @@ def _batch_step_ring_impl(props: DiPsProperties, h: int, w: int, s: int,
     else:
         out, parts, new_ring, new_prev, new_baseline, new_heatmap = outs
 
-    inv_n = jnp.float32(1.0 / (h * w))
-    parts = parts[:, :, 0, :_PART].reshape(b, s, n_hb_per, _PART)
-    stats = jnp.stack([
-        parts[..., 0].sum(axis=2) * inv_n,
-        parts[..., 1].sum(axis=2) * inv_n,
-        parts[..., 2].max(axis=2),
-        parts[..., 3].sum(axis=2),
-    ], axis=-1).transpose(1, 0, 2)                       # (s, B, 4)
+    stats = _reduce_stats(parts, b, s, n_hb_per,
+                          jnp.float32(1.0 / (h * w)))     # (s, B, 4)
     return out, stats, new_ring, new_prev, new_baseline, new_heatmap
 
 
@@ -976,12 +972,8 @@ def _make_raw_kernel(props: DiPsProperties, t: int, b: int,
                 s_max = jnp.max(dmax).astype(jnp.float32)
                 changed = (dmax >= thr).astype(jnp.float32)
                 s_cnt = jnp.sum(changed)
-                lane = lax.broadcasted_iota(jnp.int32, (8, 128), 1)
-                row0 = lax.broadcasted_iota(jnp.int32, (8, 128), 0) == 0
-                tile = jnp.zeros((8, 128), jnp.float32)
-                for k, v in enumerate([s_signed, s_abs, s_max, s_cnt]):
-                    tile = jnp.where(row0 & (lane == k), v, tile)
-                stats_ref[i, 0] = tile
+                stats_ref[i, 0] = _stats_tile([s_signed, s_abs, s_max,
+                                               s_cnt])
 
                 heat_ref[:] = heat_ref[:] + (
                     (ad[0] + ad[1] + ad[2]).astype(jnp.float32)
@@ -1125,14 +1117,9 @@ def _absdiff_step_impl(props: DiPsProperties, h: int, w: int, s: int,
         out, parts, new_baseline, new_heatmap = outs
         new_prev = prev
 
-    inv = jnp.float32(1.0 / (3 * h * w * 255))
-    parts = parts[:, :, 0, :_PART].reshape(b, s, n_hb_per, _PART)
-    stats = jnp.stack([
-        parts[..., 0].sum(axis=2) * inv,
-        parts[..., 1].sum(axis=2) * inv,
-        parts[..., 2].max(axis=2) * jnp.float32(1 / 255.0),
-        parts[..., 3].sum(axis=2),
-    ], axis=-1).transpose(1, 0, 2)                       # (s, B, 4)
+    stats = _reduce_stats(parts, b, s, n_hb_per,
+                          jnp.float32(1.0 / (3 * h * w * 255)),
+                          max_scale=jnp.float32(1 / 255.0))  # (s, B, 4)
     if ring:
         return out, stats, new_prev, new_baseline, new_heatmap
     return out, stats, new_baseline, new_heatmap

@@ -36,7 +36,10 @@ def pack_mask(out: jax.Array) -> jax.Array:
     masks and {0, 1} bit planes.
     """
     bits = (out > 0).astype(jnp.uint8)
-    grouped = bits.reshape(*bits.shape[:-2], -1, 8, bits.shape[-1])
+    # explicit row count: reshape(-1) cannot be inferred for a zero-size
+    # array, and the host twin (np.packbits) handles empties fine
+    grouped = bits.reshape(*bits.shape[:-2], bits.shape[-2] // 8, 8,
+                           bits.shape[-1])
     weights = jnp.asarray(_WEIGHTS).reshape(8, 1)
     return (grouped * weights).sum(-2, dtype=jnp.uint8)
 

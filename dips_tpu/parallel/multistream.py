@@ -276,6 +276,8 @@ class MultiStreamEngine:
         self.ring_carry = bool(ring_carry) and resolved == "pallas"
         self.backend = resolved
         self.n_streams = int(n_streams)
+        self._stage_bufs = None        # lazily-built persistent staging
+        self._stage_written = set()    # rows holding stale frame bytes
         self.reset()
 
     # -- device-array hooks ---------------------------------------------------
@@ -300,6 +302,39 @@ class MultiStreamEngine:
     # Host-side staging buffers hold only the streams THIS process feeds:
     # a single-process engine stages all of them; the multi-host subclass
     # stages its local share (a 16-host pod must not zero 16x the memory).
+    def _staging(self, hwc: bool, tr: int):
+        """Persistent host staging buffers for :meth:`process_batch`.
+
+        Allocating + page-faulting these fresh per batch is real hot-path
+        cost (the planar tail-protocol buffer is S*(T+B)*3*Hp*Wp bytes —
+        gigabytes at 1080p): reuse instead.  Safe because process_batch
+        blocks on the step's OUTPUTS before returning, so the previous
+        step can no longer be reading a (possibly zero-copy-aliased on
+        the CPU backend) input when the buffers are refilled; donation
+        only ever applies to carried state, never the raw input.  Rows a
+        batch does not write are re-zeroed from ``_stage_written`` so the
+        staged bytes stay bitwise identical to fresh zeros."""
+        if self._stage_bufs is None:
+            sh, t, b = self._stage_rows(), self.props.temporal_size, \
+                self.batch
+            if hwc:
+                buf = np.zeros((sh, b, self.height, self.width, 3),
+                               np.uint8)
+                tails = (np.zeros((sh, t, 3, self.hp, self.wp), np.uint8)
+                         if tr else None)
+            else:
+                buf = np.zeros((sh, tr + b, 3, self.hp, self.wp), np.uint8)
+                tails = None
+            self._stage_bufs = (buf, tails,
+                                np.zeros((sh, b), np.bool_),
+                                np.zeros((sh, b), np.bool_),
+                                np.zeros((sh,), np.int32))
+        buf, tails, flags, valid, seeds = self._stage_bufs
+        flags[:] = False
+        valid[:] = False
+        seeds[:] = 0
+        return buf, tails, flags, valid, seeds
+
     def _stage_rows(self) -> int:
         """Leading dim of host staging buffers."""
         return self.n_streams
@@ -597,19 +632,11 @@ class MultiStreamEngine:
         tr = 0 if self.ring_carry else t
         hwc = self.input_layout == "hwc"
 
-        sh = self._stage_rows()
-        if hwc:
-            # raw HWC frames; transpose+pad runs on device (one XLA op).
-            # Only the checkpoint tails pay a host planarize (<= t/stream).
-            buf = np.zeros((sh, b, self.height, self.width, 3), np.uint8)
-            tails_prev = (np.zeros((sh, t, 3, self.hp, self.wp), np.uint8)
-                          if tr else None)
-        else:
-            buf = np.zeros((sh, tr + b, 3, self.hp, self.wp), np.uint8)
-        flags = np.zeros((sh, b), np.bool_)
-        valid = np.zeros((sh, b), np.bool_)
+        # hwc: raw HWC frames; transpose+pad runs on device (one XLA op).
+        # Only the checkpoint tails pay a host planarize (<= t/stream).
+        buf, tails_prev, flags, valid, seeds = self._staging(hwc, tr)
         offsets = self._stage_gather(self._ring_offs).astype(np.int32)
-        seeds = np.zeros((sh,), np.int32)
+        written = set()
         for si, frames in enumerate(frames_per_stream):
             row = self._stage_index(si)
             if row < 0 or si in self.failed:
@@ -667,6 +694,17 @@ class MultiStreamEngine:
                 self._tails[si] = (self._tails[si] + planar)[-t:]
                 self.frame_cursors[si] = cursor + n_si
                 self._ring_offs[si] = (self._ring_offs[si] + n_si) % t
+                written.add(row)
+
+        # persistent buffers: rows staged on a PREVIOUS batch but not this
+        # one (stream died / went empty) would otherwise leak stale frames
+        # into the step — re-zero them so the staged bytes are bitwise
+        # identical to freshly-zeroed buffers
+        for row in self._stage_written - written:
+            buf[row] = 0
+            if tails_prev is not None:
+                tails_prev[row] = 0
+        self._stage_written = written
 
         if hwc:
             raw_dev = self._hwc_prep(self._to_device(buf))

@@ -1829,6 +1829,11 @@ def main(argv=None) -> int:
     if args.event_webhook and not args.events:
         print("error: --event-webhook requires --events", file=sys.stderr)
         return 2
+    if args.event_on == "auto" and args.event_off is not None:
+        print("error: --event-off is computed in auto mode (estimated "
+              "floor + margin/2) — drop it or use a fixed --event-on",
+              file=sys.stderr)
+        return 2
     cache_dir = apply_compile_cache_flag(args)
     if cache_dir:
         print(f"compile cache: {cache_dir}", flush=True)
