@@ -292,15 +292,28 @@ def stream_dips(job: DiPsJob) -> Iterator[Tuple[int, Optional[np.ndarray],
                                   slot_bytes=slot_bytes) for _ in range(nw)]
         pts_qs = [collections.deque() for _ in range(nw)]
         workers = []
-        for k, (start, count) in enumerate(bounds):
-            rd = open_video(job.video_path, job.video_backend)
-            rd.seek_frame(start)
-            suffix = "" if k == 0 else str(k)
-            workers.append(threading.Thread(
-                target=_decode_worker,
-                args=(rd, hp, wp, rings[k], stop, errbox, pts_qs[k], timers,
-                      f"decode{suffix}", count, True, hwc_mode),
-                daemon=True))
+        opened: list = []
+        try:
+            for k, (start, count) in enumerate(bounds):
+                rd = open_video(job.video_path, job.video_backend)
+                opened.append(rd)
+                rd.seek_frame(start)
+                suffix = "" if k == 0 else str(k)
+                workers.append(threading.Thread(
+                    target=_decode_worker,
+                    args=(rd, hp, wp, rings[k], stop, errbox, pts_qs[k],
+                          timers, f"decode{suffix}", count, True, hwc_mode),
+                    daemon=True))
+        except BaseException:
+            # a later chunk's open/seek failing (file renamed between the
+            # probe and here, FD exhaustion) must not leak the readers
+            # already opened — no worker owns them yet
+            for rd in opened:
+                try:
+                    rd.close()
+                except Exception:
+                    pass
+            raise
         source = _RingChain(rings, pts_qs)
         readers_to_close: list = []
     else:

@@ -252,6 +252,20 @@ def main(argv: Optional[List[str]] = None) -> int:
             print(f"{flag} needs the --input/--output mode",
                   file=sys.stderr)
             return 2
+    for flag, val in (("--stats-json", args.stats_json),
+                      ("--events-json", args.events_json),
+                      ("--dft-json", args.dft_json)):
+        # same principle for the JSON artifacts: --live/--thumbnail/
+        # --subsample return before the artifact tail (--inputs and
+        # --dat-dir DO honor stats/events; --inputs skips the DFT)
+        live_only = args.live and not args.dat_dir
+        if val and (live_only or args.thumbnail
+                    or args.subsample is not None
+                    or (args.inputs and flag == "--dft-json")):
+            print(f"{flag} is not written in this mode — use the "
+                  f"--input/--output (or --dat-dir) run modes",
+                  file=sys.stderr)
+            return 2
 
     if args.thumbnail:
         if not args.input:
@@ -417,13 +431,15 @@ def main(argv: Optional[List[str]] = None) -> int:
                       input_layout=args.input_layout,
                       profile=args.profile, denoise_radius=args.denoise,
                       record_events=record)
+        from .errors import DiPsError
         from .utils.profiling import trace
         try:
             with trace(args.trace_dir):
                 stats = perform_dips(job)
-        except ValueError as e:
-            # configuration errors (e.g. a bad --event-* combination for
-            # --record-events) are user errors, not tracebacks
+        except (DiPsError, ValueError) as e:
+            # missing input, decode/encode failures and configuration
+            # errors (e.g. a bad --event-* combination) are user errors,
+            # not tracebacks — same contract as the --inputs/--live modes
             print(f"error: {e}", file=sys.stderr)
             return 1
         frame_geometry = job.frame_geometry

@@ -182,7 +182,10 @@ def main(argv=None) -> int:
                 print(f"     -> {d['hint']}")
     bad = [s for s, d in info.items() if not d.get("ok")]
     if bad:
+        # non-zero so health-check scripts see the failure, not just a
+        # human reading stderr
         print(f"attention: {', '.join(bad)}", file=sys.stderr)
+        return 1
     return 0
 
 

@@ -151,13 +151,19 @@ class GstVideoReader:
         self.last_pts: Optional[float] = None
         self._pipeline.set_state(gst.State.PLAYING)
         # probe geometry/fps from the preroll sample so callers can size
-        # buffers before the first read
-        pre = self._pull("pull-preroll", "try-pull-preroll")
-        if pre is not None:
-            self._apply_caps(pre.get_caps().get_structure(0))
-        if self.width <= 0 or self.height <= 0:
+        # buffers before the first read.  Any probe failure must tear the
+        # PLAYING pipeline down — a raised __init__ leaves no handle to
+        # close() later, and a leaked live pipeline keeps decoder threads
+        # and network sockets alive for the process lifetime.
+        try:
+            pre = self._pull("pull-preroll", "try-pull-preroll")
+            if pre is not None:
+                self._apply_caps(pre.get_caps().get_structure(0))
+            if self.width <= 0 or self.height <= 0:
+                raise DecodeError(f"could not probe geometry of {path}")
+        except BaseException:
             self.close()
-            raise DecodeError(f"could not probe geometry of {path}")
+            raise
 
     def _pull(self, signal: str, try_signal: str):
         """Pull a sample with a timeout.  A None result is disambiguated:

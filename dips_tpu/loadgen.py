@@ -82,8 +82,9 @@ def run_load(port: int, host: str = "127.0.0.1", clients: int = 4,
                 except OSError:
                     pass
 
-    threads = [threading.Thread(target=worker, args=(k,))
-               for k in range(clients)]
+    threads = [threading.Thread(target=worker, args=(k,), daemon=True)
+               for k in range(clients)]  # daemon: a hung client thread
+    # must not keep the process alive past the bounded join below
     for t in threads:
         t.start()
     try:
@@ -92,8 +93,15 @@ def run_load(port: int, host: str = "127.0.0.1", clients: int = 4,
         pass
     t0 = time.monotonic()
     for t in threads:
-        t.join()
+        # bounded: one daemon that accepts but never answers must not
+        # wedge the load generator forever (client sockets are blocking)
+        t.join(timeout=300)
     wall = time.monotonic() - t0
+    hung = [t.name for t in threads if t.is_alive()]
+    if hung:
+        with lat_lock:
+            errors.append(f"{len(hung)} client thread(s) never finished "
+                          "(daemon accepted but did not answer)")
 
     if errors:
         return {"ok": False, "errors": errors}

@@ -127,17 +127,23 @@ static void fp_deint3_row(const uint8_t* row, int64_t w,
 __attribute__((target("ssse3")))
 static void fp_deint4_row(const uint8_t* row, int64_t w,
                           uint8_t* p0, uint8_t* p1, uint8_t* p2) {
+    // one-time mask table (same pattern as the AVX-512 kernels): this
+    // runs once per ROW, so per-call construction would rebuild 12 masks
+    // ~1080 times per 1080p frame
+    struct Tbl { alignas(16) int8_t e[3][4][16]; };
+    static const Tbl T = [] {
+        Tbl t{};
+        for (int c = 0; c < 3; ++c)
+            for (int k = 0; k < 4; ++k)
+                for (int j = 0; j < 16; ++j)
+                    t.e[c][k][j] = (j >= 4 * k && j < 4 * k + 4)
+                                       ? (int8_t)(c + 4 * (j - 4 * k)) : -1;
+        return t;
+    }();
     __m128i m[3][4];
-    for (int c = 0; c < 3; ++c) {
-        for (int k = 0; k < 4; ++k) {
-            alignas(16) int8_t e[16];
-            for (int j = 0; j < 16; ++j) {
-                e[j] = (j >= 4 * k && j < 4 * k + 4)
-                           ? (int8_t)(c + 4 * (j - 4 * k)) : -1;
-            }
-            m[c][k] = _mm_load_si128((const __m128i*)e);
-        }
-    }
+    for (int c = 0; c < 3; ++c)
+        for (int k = 0; k < 4; ++k)
+            m[c][k] = _mm_load_si128((const __m128i*)T.e[c][k]);
     int64_t x = 0;
     for (; x + 16 <= w; x += 16) {
         const uint8_t* s = row + 4 * x;
@@ -167,17 +173,24 @@ static void fp_deint4_row(const uint8_t* row, int64_t w,
 __attribute__((target("ssse3")))
 static void fp_int3_row(const uint8_t* p0, const uint8_t* p1,
                         const uint8_t* p2, int64_t w, uint8_t* row) {
+    // one-time mask table — this kernel sits on the per-frame ENCODE
+    // path (collect() interleaves every output frame), so per-call
+    // construction rebuilt 9 masks per row
+    struct Tbl { alignas(16) int8_t e[3][3][16]; };
+    static const Tbl T = [] {
+        Tbl t{};
+        for (int o = 0; o < 3; ++o)
+            for (int c = 0; c < 3; ++c)
+                for (int j = 0; j < 16; ++j) {
+                    const int k = 16 * o + j;  // global interleaved byte
+                    t.e[o][c][j] = (k % 3 == c) ? (int8_t)(k / 3) : -1;
+                }
+        return t;
+    }();
     __m128i m[3][3];  // [output vector][source channel]
-    for (int o = 0; o < 3; ++o) {
-        for (int c = 0; c < 3; ++c) {
-            alignas(16) int8_t e[16];
-            for (int j = 0; j < 16; ++j) {
-                const int k = 16 * o + j;  // global interleaved byte
-                e[j] = (k % 3 == c) ? (int8_t)(k / 3) : -1;
-            }
-            m[o][c] = _mm_load_si128((const __m128i*)e);
-        }
-    }
+    for (int o = 0; o < 3; ++o)
+        for (int c = 0; c < 3; ++c)
+            m[o][c] = _mm_load_si128((const __m128i*)T.e[o][c]);
     int64_t x = 0;
     for (; x + 16 <= w; x += 16) {
         const __m128i r = _mm_loadu_si128((const __m128i*)(p0 + x));

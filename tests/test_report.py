@@ -196,6 +196,23 @@ def test_cli_heatmap_png_rejected_in_inputs_and_live_modes(tmp_path,
     assert rc == 2 and "--heatmap-png" in capsys.readouterr().err
 
 
+def test_cli_json_artifacts_rejected_in_silent_modes(tmp_path, capsys):
+    """--live/--thumbnail/--subsample return before the artifact tail:
+    --stats-json/--events-json/--dft-json must be rejected there (and
+    --dft-json under --inputs) instead of silently writing nothing."""
+    from dips_tpu.cli import main as cli_main
+    for flag in ("--stats-json", "--events-json", "--dft-json"):
+        rc = cli_main(["--live", flag, str(tmp_path / "x.json")])
+        assert rc == 2 and flag in capsys.readouterr().err
+    rc = cli_main(["--input", "a.avi", "--thumbnail",
+                   str(tmp_path / "t.png"), "--stats-json",
+                   str(tmp_path / "s.json")])
+    assert rc == 2 and "--stats-json" in capsys.readouterr().err
+    rc = cli_main(["--inputs", "a.avi", "b.avi", "--output-dir",
+                   str(tmp_path), "--dft-json", str(tmp_path / "d.json")])
+    assert rc == 2 and "--dft-json" in capsys.readouterr().err
+
+
 def test_report_segments_table(tmp_path):
     sp = str(tmp_path / "s.json")
     _write_stats(sp)

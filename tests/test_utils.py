@@ -262,13 +262,20 @@ def test_doctor_report(capsys, monkeypatch):
     assert not info["jax"]["ok"] and "XLA path" in info["jax"]["hint"]
     assert info["compile_cache"]["hint"]  # off by default
 
-    assert doctor.main([]) == 0
+    # a not-ok section (the CPU-forced jax backend here) drives a
+    # NON-ZERO exit so health-check scripts see the failure
+    assert doctor.main([]) == 1
     out = capsys.readouterr().out
     assert "[!!] jax:" in out and "[ok] opencv:" in out
 
-    assert doctor.main(["--json"]) == 0
+    assert doctor.main(["--json"]) == 1
     parsed = json.loads(capsys.readouterr().out)
     assert parsed["opencv"]["ok"]
+
+    # all-ok report -> exit 0
+    monkeypatch.setattr(doctor, "collect",
+                        lambda **kw: {"jax": {"ok": True}})
+    assert doctor.main([]) == 0
 
 
 def test_doctor_reports_hung_backend(monkeypatch):
