@@ -158,6 +158,19 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--dft-json", metavar="PATH",
                    help="write the temporal DFT of the per-frame "
                         "mean-|diff| series to a JSON file")
+    p.add_argument("--flicker-hz", type=float, metavar="F",
+                   help="per-PIXEL temporal-frequency analysis: stream a "
+                        "single-bin demodulator at F Hz over the input "
+                        "(ops/analysis.FlickerAnalyzer) and print the "
+                        "peak oscillation amplitude + location; F must be "
+                        "below the input's Nyquist rate (fps/2). Costs "
+                        "one extra host pass + device stream per frame")
+    p.add_argument("--flicker-png", metavar="PATH",
+                   help="save the --flicker-hz amplitude map as a PNG "
+                        "(sequential rendering like --heatmap-png)")
+    p.add_argument("--flicker-tau", type=float, metavar="N",
+                   help="averaging time constant in frames for "
+                        "--flicker-hz (default: max(16, 4*fps/F))")
     p.add_argument("--live", action="store_true",
                    help="live preview window (requires a display; the "
                         "reference's winit/egui GUI equivalent). Default "
@@ -242,8 +255,14 @@ def main(argv: Optional[List[str]] = None) -> int:
               file=sys.stderr)
         return 2
 
+    if (args.flicker_png or args.flicker_tau is not None) \
+            and args.flicker_hz is None:
+        print("--flicker-png/--flicker-tau need --flicker-hz",
+              file=sys.stderr)
+        return 2
     for flag, val in (("--heatmap-png", args.heatmap_png),
-                      ("--record-events", args.record_events)):
+                      ("--record-events", args.record_events),
+                      ("--flicker-hz", args.flicker_hz is not None)):
         if val and (args.inputs or args.dat_dir or args.live
                     or args.thumbnail or args.subsample is not None):
             # every one of those modes either has no single engine/stream
@@ -266,6 +285,8 @@ def main(argv: Optional[List[str]] = None) -> int:
                   f"--input/--output (or --dat-dir) run modes",
                   file=sys.stderr)
             return 2
+
+    flicker = None  # --flicker-hz analyzer (run mode populates it)
 
     if args.thumbnail:
         if not args.input:
@@ -420,7 +441,30 @@ def main(argv: Optional[List[str]] = None) -> int:
             record = dict(dir=args.record_events, pre_roll=args.pre_roll,
                           post_roll=args.post_roll,
                           detector=_detector_cfg(args))
+        flicker_cb = None
+        if args.flicker_hz is not None:
+            # the analyzer needs the input's frame rate up front (Nyquist
+            # validation + demodulation angle), so probe it before the run
+            from .errors import DiPsError
+            from .io.gstreamer import open_video
+            from .ops.analysis import FlickerAnalyzer
+            try:
+                rd = open_video(args.input, args.video_backend)
+                fps = rd.fps
+                rd.close()
+                flicker = FlickerAnalyzer(args.flicker_hz, fps,
+                                          tau_frames=args.flicker_tau,
+                                          chroma=props.chroma,
+                                          batch=args.batch)
+            except (DiPsError, ValueError) as e:
+                print(f"error: {e}", file=sys.stderr)
+                return 1
+
+            def flicker_cb(idx, inp, out, stat, _fl=flicker):
+                _fl.update(inp)
+                return None  # observe-only: the diff map passes through
         job = DiPsJob(properties=props, video_path=args.input,
+                      frame_callback=flicker_cb,
                       output_path=args.output, encoding=enc,
                       batch=args.batch, backend=args.backend,
                       video_backend=args.video_backend,
@@ -482,6 +526,34 @@ def main(argv: Optional[List[str]] = None) -> int:
         fig.savefig(args.heatmap_png, dpi=110, bbox_inches="tight")
         plt.close(fig)
         print(f"heatmap written: {args.heatmap_png}")
+    if flicker is not None:
+        import numpy as np
+        flicker.flush()
+        if flicker.frames_seen == 0:
+            print("flicker: no frames streamed", file=sys.stderr)
+        else:
+            amp = flicker.amplitude()
+            py, px = np.unravel_index(int(np.argmax(amp)), amp.shape)
+            print(f"flicker @ {args.flicker_hz:g} Hz over "
+                  f"{flicker.frames_seen} frames: peak amplitude "
+                  f"{float(amp[py, px]):.1f} (intensity units, 0-510) at "
+                  f"x={px} y={py}, mean {float(amp.mean()):.2f}")
+            if args.flicker_png:
+                from .report import _require_matplotlib
+                try:
+                    _require_matplotlib()
+                except RuntimeError as e:
+                    print(f"error: {e}", file=sys.stderr)
+                    return 1
+                import matplotlib.pyplot as plt
+                fig, ax = plt.subplots(
+                    figsize=(6, 6 * amp.shape[0] / amp.shape[1]))
+                im = ax.imshow(amp, cmap="Blues")  # sequential, one hue
+                ax.set_axis_off()
+                fig.colorbar(im, ax=ax, shrink=0.8)
+                fig.savefig(args.flicker_png, dpi=110, bbox_inches="tight")
+                plt.close(fig)
+                print(f"flicker map written: {args.flicker_png}")
     if args.events_json:
         from .ops.events import detect_events
         events = detect_events(

@@ -1,10 +1,14 @@
-"""Post-analysis ops: temporal DFT and FFT denoise, as jittable JAX functions.
+"""Post-analysis ops: temporal DFT, FFT denoise and the streaming per-pixel
+flicker analyzer, as jittable JAX functions.
 
 Productizes the reference's exploratory side-rail scripts (SURVEY.md §1):
 
 * ``temporal_dft``  <- test_scripts/dft.py:1-48 (hand-rolled O(N^2) DFT of a
   4-sample pixel trace) — here a real FFT over the time axis of whole pixel
   planes, on device.
+* ``FlickerAnalyzer`` <- the same dft.py exploration, taken to its intended
+  scale: a per-PIXEL temporal-frequency energy map over an unbounded stream,
+  O(1) memory (two carry planes), instead of one hand-computed 4-sample bin.
 * ``fft_denoise``   <- test_scripts/image_denoise.py:5-52 (2-D FFT, centered
   square low-pass mask of radius 75, inverse FFT, magnitude).
 * (heatmap accumulation lives inside the device steps themselves — used by the
@@ -14,10 +18,12 @@ Productizes the reference's exploratory side-rail scripts (SURVEY.md §1):
 from __future__ import annotations
 
 import functools
-from typing import Tuple
+import math
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 DEFAULT_DENOISE_RADIUS = 75  # ref: image_denoise.py:22
 
@@ -62,6 +68,181 @@ def fft_magnitude_spectrum(image: jnp.ndarray) -> jnp.ndarray:
     f = jnp.fft.fftshift(jnp.fft.fft2(image.astype(jnp.float32)),
                          axes=(-2, -1))
     return 20.0 * jnp.log(jnp.abs(f) + 1.0)
+
+
+@functools.partial(jax.jit, static_argnums=(0,), donate_argnums=(1,))
+def _flicker_update(chroma_value: int, state, frames_u8: jnp.ndarray,
+                    cw: jnp.ndarray, sw: jnp.ndarray, alpha: jnp.ndarray):
+    """One donated-state update of the streaming single-bin demodulator.
+
+    ``state`` = (zr, zi, m, c, s, bias): the complex exponentially-weighted
+    demodulation accumulator planes, the running EWMA mean plane (the DC
+    estimate removed before demodulation — without it every bright STATIC
+    pixel would read a spurious amplitude of ~2*(1-alpha)*brightness,
+    drowning real flicker), the unit phasor (cos/sin of the current
+    demodulation angle, rotated by the target frequency each frame), and
+    ``bias = alpha**n`` for startup-bias correction of both accumulators.
+    ``frames_u8``: (N, H, W, 3) uint8 RGB.  ``cw``/``sw`` = cos/sin of the
+    per-frame angle step, ``alpha`` = the EWMA decay — passed as traced
+    scalars so analyzers at different frequencies share one compile.
+    """
+    from ..properties import ChromaFilter
+    chroma = ChromaFilter(chroma_value)
+
+    def step(carry, frame):
+        zr, zi, m, c, s, bias = carry
+        f = frame.astype(jnp.int32)
+        r, g, b = f[..., 0], f[..., 1], f[..., 2]
+        if chroma == ChromaFilter.RED:
+            v = 2 * r
+        elif chroma == ChromaFilter.GREEN:
+            v = 2 * g
+        elif chroma == ChromaFilter.BLUE:
+            v = 2 * b
+        else:  # HSL lightness on the [0, 510] integer intensity scale
+            v = (jnp.maximum(jnp.maximum(r, g), b)
+                 + jnp.minimum(jnp.minimum(r, g), b))
+        x = v.astype(jnp.float32)
+        k = 1.0 - alpha
+        # track + remove the DC component first; the bias-corrected mean
+        # m/(1-bias) makes the very first frame read exactly centered=0
+        m = alpha * m + k * x
+        bias = bias * alpha
+        centered = x - m / jnp.maximum(1.0 - bias, 1e-12)
+        # demodulate by e^{-i*omega*n} and low-pass (EWMA): z converges to
+        # (A/2)e^{i*phi} for an intensity trace A*cos(omega*n + phi)
+        zr = alpha * zr + k * centered * c
+        zi = alpha * zi - k * centered * s
+        # advance the phasor one frame; renormalize so rotation round-off
+        # cannot drift the magnitude over unbounded streams
+        c2 = c * cw - s * sw
+        s2 = s * cw + c * sw
+        norm = jax.lax.rsqrt(c2 * c2 + s2 * s2)
+        return (zr, zi, m, c2 * norm, s2 * norm, bias), None
+
+    new_state, _ = jax.lax.scan(step, state, frames_u8)
+    return new_state
+
+
+class FlickerAnalyzer:
+    """Streaming per-pixel temporal-frequency energy map ("flicker map").
+
+    Answers "which pixels oscillate at ``freq_hz``?" — vibration, mains
+    flicker, blinking indicators — over an UNBOUNDED frame stream with O(1)
+    memory: per pixel it carries a running mean (the DC estimate, removed
+    first so static brightness cannot read as flicker) and one complex
+    exponentially-weighted single-bin Fourier coefficient (demodulate the
+    centered signal at the target frequency, low-pass with time constant
+    ``tau_frames``).  This is the reference's
+    temporal-DFT exploration (test_scripts/dft.py:1-48 hand-computes one
+    4-sample bin of one pixel trace) productized at full-frame scale the
+    TPU way: the whole update is two fused elementwise passes per frame,
+    batched through ``lax.scan`` with donated carries.
+
+    Intensity follows the pipeline's chroma semantics (HSL lightness on the
+    [0, 510] integer scale, or 2x a single channel — ops/oracle.py), so
+    ``amplitude()`` is in those units: a pixel whose intensity trace is
+    ``A*cos(2*pi*freq_hz*t)`` reads ``~A`` once ``2*tau_frames`` frames
+    have streamed.  Frames are buffered host-side and dispatched in
+    ``batch``-frame device steps (at most two trace shapes: ``batch`` and
+    one remainder flush).
+    """
+
+    def __init__(self, freq_hz: float, fps: float,
+                 tau_frames: Optional[float] = None,
+                 chroma=None, batch: int = 16):
+        from ..properties import ChromaFilter
+        if not fps > 0:
+            raise ValueError(f"fps must be positive, got {fps!r}")
+        if not 0 < freq_hz < fps / 2:
+            raise ValueError(
+                f"freq_hz must lie in (0, fps/2) = (0, {fps / 2:g}) to be "
+                f"resolvable at {fps:g} fps, got {freq_hz!r}")
+        if tau_frames is None:
+            # low-pass bandwidth well under the target frequency, so the
+            # DC term (demodulated, it spins at -freq) averages out; floor
+            # keeps very high frequencies from degenerating to tau ~ 1
+            tau_frames = max(16.0, 4.0 * fps / freq_hz)
+        if tau_frames < 2.0:
+            raise ValueError(f"tau_frames must be >= 2, got {tau_frames!r}")
+        self.freq_hz = float(freq_hz)
+        self.fps = float(fps)
+        self.tau_frames = float(tau_frames)
+        self.chroma = ChromaFilter.ALL if chroma is None else chroma
+        self.batch = max(1, int(batch))
+        omega = 2.0 * math.pi * self.freq_hz / self.fps
+        self._cw = jnp.float32(math.cos(omega))
+        self._sw = jnp.float32(math.sin(omega))
+        self._alpha = jnp.float32(math.exp(-1.0 / self.tau_frames))
+        self._state = None          # lazy: sized from the first frame
+        self._geometry: Optional[Tuple[int, int]] = None
+        self._pending: list = []
+        self.frames_seen = 0
+
+    def _init_state(self, h: int, w: int) -> None:
+        self._geometry = (h, w)
+        # distinct buffers: the update donates the whole state tuple, and
+        # two donated args must never alias one buffer
+        self._state = (jnp.zeros((h, w), jnp.float32),
+                       jnp.zeros((h, w), jnp.float32),
+                       jnp.zeros((h, w), jnp.float32),
+                       jnp.float32(1.0), jnp.float32(0.0), jnp.float32(1.0))
+
+    def _dispatch(self, arr: np.ndarray) -> None:
+        if self._state is None:
+            self._init_state(arr.shape[1], arr.shape[2])
+        elif arr.shape[1:3] != self._geometry:
+            raise ValueError(f"frame geometry {arr.shape[1:3]} != "
+                             f"analyzer geometry {self._geometry}")
+        self._state = _flicker_update(self.chroma.value, self._state,
+                                      jnp.asarray(arr), self._cw, self._sw,
+                                      self._alpha)
+        self.frames_seen += arr.shape[0]
+
+    def update(self, frames: np.ndarray) -> None:
+        """Feed frames: uint8 RGB, (H, W, 3) or (N, H, W, 3)."""
+        frames = np.asarray(frames)
+        if frames.ndim == 3:
+            frames = frames[None]
+        if frames.ndim != 4 or frames.shape[-1] != 3 \
+                or frames.dtype != np.uint8:
+            raise ValueError("expected uint8 RGB (N, H, W, 3) or (H, W, 3), "
+                             f"got {frames.dtype} {frames.shape}")
+        self._pending.extend(frames)
+        while len(self._pending) >= self.batch:
+            chunk, self._pending = (self._pending[:self.batch],
+                                    self._pending[self.batch:])
+            self._dispatch(np.stack(chunk))
+
+    def flush(self) -> None:
+        """Dispatch any buffered partial batch (one extra trace shape)."""
+        if self._pending:
+            chunk, self._pending = self._pending, []
+            self._dispatch(np.stack(chunk))
+
+    def power(self) -> np.ndarray:
+        """(H, W) f32: startup-bias-corrected squared oscillation amplitude
+        at ``freq_hz``, in intensity units — ``~A**2`` for a pixel trace
+        ``A*cos(2*pi*freq_hz*t + phi)``."""
+        self.flush()
+        if self._state is None:
+            raise RuntimeError("no frames streamed yet")
+        zr, zi, _, _, _, bias = self._state
+        # EWMA startup-bias correction: with n frames seen the accumulator
+        # has only (1 - alpha**n) of its steady-state weight
+        corr = max(1e-12, 1.0 - float(bias))
+        z2 = np.asarray(zr) ** 2 + np.asarray(zi) ** 2
+        return 4.0 * z2 / (corr * corr)
+
+    def amplitude(self) -> np.ndarray:
+        """(H, W) f32 oscillation amplitude at ``freq_hz`` (see power())."""
+        return np.sqrt(self.power())
+
+    def reset(self) -> None:
+        self._pending = []
+        self.frames_seen = 0
+        if self._geometry is not None:
+            self._init_state(*self._geometry)
 
 
 @functools.partial(jax.jit, static_argnums=(1,))
