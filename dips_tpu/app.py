@@ -481,7 +481,8 @@ def perform_dips(job: DiPsJob) -> np.ndarray:
             os.makedirs(rdir, exist_ok=True)
             det_cfg = dict(cfg.pop("detector", {}) or {})
             if det_cfg.get("metric") == "changed_frac":
-                det_cfg.setdefault("pixels", h * w)
+                det_cfg.setdefault(
+                    "pixels", job.properties.analysis_pixels(h, w))
             det_cfg.setdefault("on_threshold", "auto")
             stem = os.path.splitext(os.path.basename(job.output_path))[0]
 
@@ -654,7 +655,7 @@ def run_dips_on_files(input_paths: Sequence[str], output_dir: str,
             from .ops.events import MotionDetector
             cfg = dict(events)
             if cfg.get("metric") == "changed_frac":
-                cfg.setdefault("pixels", h * w)
+                cfg.setdefault("pixels", props.analysis_pixels(h, w))
             detectors = [MotionDetector(**cfg) for _ in range(s)]
             stream_events: list = [[] for _ in range(s)]
         stream_stats: Optional[list] = ([[] for _ in range(s)]

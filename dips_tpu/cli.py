@@ -57,6 +57,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--approx-median", action="store_true",
                    help="separable spatial median (fast approximation "
                         "with documented rank bounds; default is exact)")
+    p.add_argument("--roi", metavar="Y0,X0,Y1,X1",
+                   help="analysis region (pixel bounds, end exclusive): "
+                        "per-frame statistics, the heatmap and motion "
+                        "events consider only this rectangle; output maps "
+                        "stay full-frame")
     p.add_argument("--colorize", default="true",
                    help="true | false (false = grayscale diff)")
     p.add_argument("--method", default="overall",
@@ -218,7 +223,21 @@ def props_from_args(args: argparse.Namespace) -> DiPsProperties:
         refresh_markers=tuple(args.markers),
         change_threshold=args.threshold,
         approx_median=args.approx_median,
+        roi=_parse_roi(args.roi),
     )
+
+
+def _parse_roi(spec: Optional[str]):
+    if not spec:
+        return None
+    try:
+        parts = tuple(int(v) for v in spec.split(","))
+    except ValueError:
+        parts = ()
+    if len(parts) != 4:
+        # ValueError: the props_from_args caller turns it into rc 2
+        raise ValueError(f"--roi wants Y0,X0,Y1,X1 integers, got {spec!r}")
+    return parts
 
 
 def _parse_encoding(name: str) -> Optional[Encoding]:
@@ -310,7 +329,11 @@ def main(argv: Optional[List[str]] = None) -> int:
         print(f"wrote {n} frames to {args.output}")
         return 0
 
-    props = props_from_args(args)
+    try:
+        props = props_from_args(args)
+    except ValueError as e:  # e.g. an inverted --roi rectangle
+        print(f"error: {e}", file=sys.stderr)
+        return 2
 
     if args.inputs:
         if not args.output_dir:
@@ -558,7 +581,7 @@ def main(argv: Optional[List[str]] = None) -> int:
         from .ops.events import detect_events
         events = detect_events(
             [stats], **_detector_cfg(args),
-            pixels=(frame_geometry[0] * frame_geometry[1]
+            pixels=(props.analysis_pixels(*frame_geometry)
                     if args.event_metric == "changed_frac" and
                     frame_geometry else None))
         with open(args.events_json, "w") as f:

@@ -92,6 +92,9 @@ class DiPsEngine:
             raise ValueError("batch must be >= 1")
         self.props = props
         self.height, self.width = int(height), int(width)
+        # an out-of-bounds analysis region must fail HERE with the real
+        # geometry in hand, not as a trace error mid-stream
+        props.roi_bounds(self.height, self.width)
         self.hp, self.wp = pad_geometry(self.height, self.width)
         self.batch = int(batch)
         self.backend = backend
@@ -132,6 +135,13 @@ class DiPsEngine:
         raise DeviceError(f"unknown backend {backend!r}")
 
     # -- state ------------------------------------------------------------
+    @property
+    def analysis_pixels(self) -> int:
+        """Pixels the per-frame statistics reduce over: the roi area when
+        ``props.roi`` is set, else the whole frame — the right ``pixels``
+        for a ``changed_frac`` MotionDetector on this engine."""
+        return self.props.analysis_pixels(self.height, self.width)
+
     @property
     def tail_rows(self) -> int:
         """Leading tail rows in a :meth:`new_batch_buffer` buffer (0 in

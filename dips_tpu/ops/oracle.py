@@ -248,8 +248,18 @@ class DiPsOracle:
         #: heatmap, BASELINE configs[2])
         self.heatmap: Optional[np.ndarray] = None
 
+    def _roi_slices(self, h: int, w: int) -> Tuple[slice, slice]:
+        """Row/col slices of the analysis region (whole frame sans roi)."""
+        y0, x0, y1, x1 = self.props.roi_bounds(h, w)
+        return slice(y0, y1), slice(x0, x1)
+
     def _accumulate(self, raw_diff: np.ndarray) -> None:
         a = np.abs(raw_diff.astype(np.float32))
+        if self.props.roi is not None:
+            sl = self._roi_slices(*a.shape)
+            masked = np.zeros_like(a)
+            masked[sl] = a[sl]
+            a = masked
         self.heatmap = a if self.heatmap is None else self.heatmap + a
 
     # -- helpers ----------------------------------------------------------
@@ -300,7 +310,8 @@ class DiPsOracle:
         # one rounding: exact integer difference scaled once to [-1, 1]
         raw_diff = (baseline - cur) * INTENSITY_SCALE
         self._accumulate(raw_diff)
-        stats = frame_stats(raw_diff, p.change_threshold)
+        sl = self._roi_slices(*raw_diff.shape)
+        stats = frame_stats(raw_diff[sl], p.change_threshold)
         d = emphasize(raw_diff, p.filter, p.sigmoid_horizontal_scalar,
                       p.sensitivity)
         if p.output == OutputMode.COLORIZE:
@@ -329,15 +340,18 @@ class DiPsOracle:
         #   max_abs_diff  = max(d_u8) / 255
         #   changed_count = #pixels with max-channel d_u8 >= threshold
         h, w = frame_u8.shape[:2]
-        sum_signed = (int(baseline.astype(np.int64).sum())
-                      - int(frame_u8.astype(np.int64).sum()))
-        sum_abs = int(d_u8.astype(np.int64).sum())
-        dmax = d_u8.max(axis=-1)
-        inv = np.float32(1.0) / np.float32(3 * h * w * 255)
+        sl = self._roi_slices(h, w)  # reductions over the analysis region
+        d_roi = d_u8[sl]
+        sum_signed = (int(baseline[sl].astype(np.int64).sum())
+                      - int(frame_u8[sl].astype(np.int64).sum()))
+        sum_abs = int(d_roi.astype(np.int64).sum())
+        dmax = d_roi.max(axis=-1)
+        inv = np.float32(1.0) / np.float32(
+            3 * p.analysis_pixels(h, w) * 255)
         stats = np.array([
             np.float32(sum_signed) * inv,
             np.float32(sum_abs) * inv,
-            np.float32(int(d_u8.max())) * np.float32(1 / 255.0),
+            np.float32(int(d_roi.max())) * np.float32(1 / 255.0),
             np.count_nonzero(dmax >= np.uint8(p.change_threshold)),
         ], np.float32)
         # heatmap in the same channel-mean units

@@ -368,7 +368,12 @@ def _make_kernel(props: DiPsProperties, h: int, w: int, t: int, b: int,
             # (row coordinates are stream-local in stacked mode)
             rows = lax.broadcasted_iota(jnp.int32, (bh, wp), 0) + hb_in * bh
             cols = lax.broadcasted_iota(jnp.int32, (bh, wp), 1)
-            mask_ref[:] = ((rows < h) & (cols < w)).astype(jnp.float32)
+            # stats/heatmap mask: the analysis region (props.roi) clipped
+            # to the true geometry; the default roi IS the full frame, so
+            # this stays the plain validity mask without one
+            y0, x0, y1, x1 = props.roi_bounds(h, w)
+            mask_ref[:] = ((rows >= y0) & (rows < y1) & (cols >= x0)
+                           & (cols < x1)).astype(jnp.float32)
 
         for i in range(fpb):
             gf = fs * fpb + i  # global frame index in [0, T+B)
@@ -488,7 +493,8 @@ def _batch_step_impl(props: DiPsProperties, h: int, w: int, s: int,
       *((raw, raw, raw) if has_halo else (raw,)), baseline, heatmap)
 
     stats = _reduce_stats(parts, b, s, n_hb_per,
-                          jnp.float32(1.0 / (h * w)))     # (s, B, 4)
+                          jnp.float32(1.0 / props.analysis_pixels(h, w)))
+    # (s, B, 4)
     return out, stats, new_baseline, new_heatmap
 
 
@@ -687,7 +693,12 @@ def _make_ring_kernel(props: DiPsProperties, h: int, w: int, t: int, b: int,
             heat_ref[:] = heat_in_ref[:]
             rows = lax.broadcasted_iota(jnp.int32, (bh, wp), 0) + hb_in * bh
             cols = lax.broadcasted_iota(jnp.int32, (bh, wp), 1)
-            mask_ref[:] = ((rows < h) & (cols < w)).astype(jnp.float32)
+            # stats/heatmap mask: the analysis region (props.roi) clipped
+            # to the true geometry; the default roi IS the full frame, so
+            # this stays the plain validity mask without one
+            y0, x0, y1, x1 = props.roi_bounds(h, w)
+            mask_ref[:] = ((rows >= y0) & (rows < y1) & (cols >= x0)
+                           & (cols < x1)).astype(jnp.float32)
 
         for i in range(fpb):
             gf = fs * fpb + i  # frame index in [0, B)
@@ -813,7 +824,8 @@ def _batch_step_ring_impl(props: DiPsProperties, h: int, w: int, s: int,
         out, parts, new_ring, new_prev, new_baseline, new_heatmap = outs
 
     stats = _reduce_stats(parts, b, s, n_hb_per,
-                          jnp.float32(1.0 / (h * w)))     # (s, B, 4)
+                          jnp.float32(1.0 / props.analysis_pixels(h, w)))
+    # (s, B, 4)
     return out, stats, new_ring, new_prev, new_baseline, new_heatmap
 
 
@@ -857,10 +869,16 @@ def batch_step_ring_stacked(props: DiPsProperties, h: int, w: int, s: int,
 # ---------------------------------------------------------------------------
 
 def _make_raw_kernel(props: DiPsProperties, t: int, b: int,
-                     fpb: int, n_hb_per: int = 1, ring: bool = False):
+                     fpb: int, n_hb_per: int = 1, ring: bool = False,
+                     roi_geom=None):
     # Needs no geometry: the raw kernel has no stencil (no validity mask,
-    # no halos), so only the grid/step split (t, b, fpb) and the
-    # stream-of-row-block divisor (n_hb_per) shape the body.
+    # no halos — zero padding is zero in both operands, so it contributes
+    # nothing to any reduction), so only the grid/step split (t, b, fpb)
+    # and the stream-of-row-block divisor (n_hb_per) shape the body.
+    # EXCEPT with an analysis region: props.roi needs ``roi_geom`` =
+    # (bh, wp, h, w) to mask the statistic/heatmap reductions (outputs
+    # stay full-frame).  The mask trace exists only in roi mode, so the
+    # default kernel keeps its maskless shape (and speed).
     overall = props.method == DiPsMethod.OVERALL
     threshold_mode = props.output == OutputMode.THRESHOLD
     thr = props.change_threshold
@@ -906,6 +924,7 @@ def _make_raw_kernel(props: DiPsProperties, t: int, b: int,
 
         fs = pl.program_id(1)
         si = pl.program_id(0) // n_hb_per  # stream of this row block
+        hb_in = lax.rem(pl.program_id(0), n_hb_per)  # row block in stream
 
         @pl.when(fs == 0)
         def _seed():
@@ -964,19 +983,35 @@ def _make_raw_kernel(props: DiPsProperties, t: int, b: int,
                     else:
                         _advance()
 
+                if props.roi is None:
+                    sg_m, ad_m, dmax_m = sg, ad, dmax
+                else:
+                    # analysis-region mask (stream-local rows); outputs
+                    # below keep the unmasked planes
+                    bh_, wp_, h_, w_ = roi_geom
+                    y0, x0, y1, x1 = props.roi_bounds(h_, w_)
+                    rows = (lax.broadcasted_iota(jnp.int32, (bh_, wp_), 0)
+                            + hb_in * bh_)
+                    cols = lax.broadcasted_iota(jnp.int32, (bh_, wp_), 1)
+                    rm = ((rows >= y0) & (rows < y1) & (cols >= x0)
+                          & (cols < x1)).astype(jnp.int32)
+                    sg_m = [x * rm for x in sg]
+                    ad_m = [x * rm for x in ad]
+                    dmax_m = dmax * rm
+
                 # channel-mean statistic partials (oracle._process_raw)
-                s_signed = (jnp.sum(sg[0]) + jnp.sum(sg[1])
-                            + jnp.sum(sg[2])).astype(jnp.float32)
-                s_abs = (jnp.sum(ad[0]) + jnp.sum(ad[1])
-                         + jnp.sum(ad[2])).astype(jnp.float32)
-                s_max = jnp.max(dmax).astype(jnp.float32)
-                changed = (dmax >= thr).astype(jnp.float32)
+                s_signed = (jnp.sum(sg_m[0]) + jnp.sum(sg_m[1])
+                            + jnp.sum(sg_m[2])).astype(jnp.float32)
+                s_abs = (jnp.sum(ad_m[0]) + jnp.sum(ad_m[1])
+                         + jnp.sum(ad_m[2])).astype(jnp.float32)
+                s_max = jnp.max(dmax_m).astype(jnp.float32)
+                changed = (dmax_m >= thr).astype(jnp.float32)
                 s_cnt = jnp.sum(changed)
                 stats_ref[i, 0] = _stats_tile([s_signed, s_abs, s_max,
                                                s_cnt])
 
                 heat_ref[:] = heat_ref[:] + (
-                    (ad[0] + ad[1] + ad[2]).astype(jnp.float32)
+                    (ad_m[0] + ad_m[1] + ad_m[2]).astype(jnp.float32)
                     * jnp.float32(1.0 / (3 * 255.0))
                     * valid_ref[si, m].astype(jnp.float32))
 
@@ -1044,7 +1079,9 @@ def _absdiff_step_impl(props: DiPsProperties, h: int, w: int, s: int,
 
     flags_i32 = flags2d.astype(jnp.int32)
     valid_i32 = valid2d.astype(jnp.int32)
-    kernel = _make_raw_kernel(props, t, b, fpb, n_hb_per, ring)
+    kernel = _make_raw_kernel(
+        props, t, b, fpb, n_hb_per, ring,
+        roi_geom=None if props.roi is None else (bh, wp, h, w))
     carry_prev = ring and props.method != DiPsMethod.OVERALL
 
     # OVERALL skips the tail entirely (see _make_raw_kernel): the grid's
@@ -1117,9 +1154,10 @@ def _absdiff_step_impl(props: DiPsProperties, h: int, w: int, s: int,
         out, parts, new_baseline, new_heatmap = outs
         new_prev = prev
 
-    stats = _reduce_stats(parts, b, s, n_hb_per,
-                          jnp.float32(1.0 / (3 * h * w * 255)),
-                          max_scale=jnp.float32(1 / 255.0))  # (s, B, 4)
+    stats = _reduce_stats(
+        parts, b, s, n_hb_per,
+        jnp.float32(1.0 / (3 * props.analysis_pixels(h, w) * 255)),
+        max_scale=jnp.float32(1 / 255.0))                 # (s, B, 4)
     if ring:
         return out, stats, new_prev, new_baseline, new_heatmap
     return out, stats, new_baseline, new_heatmap

@@ -226,11 +226,16 @@ def render_output(props: DiPsProperties, d: jnp.ndarray, cur: jnp.ndarray,
     return quantize_u8(out)
 
 
-def valid_mask(hp: int, wp: int, h: int, w: int) -> jnp.ndarray:
-    """(Hp, Wp) f32 mask: 1 on true pixels, 0 on tile padding."""
-    rows = lax.broadcasted_iota(jnp.int32, (hp, wp), 0) < h
-    cols = lax.broadcasted_iota(jnp.int32, (hp, wp), 1) < w
-    return (rows & cols).astype(jnp.float32)
+def valid_mask(hp: int, wp: int, h: int, w: int,
+               roi=None) -> jnp.ndarray:
+    """(Hp, Wp) f32 mask: 1 on true pixels, 0 on tile padding.  With
+    ``roi`` = (y0, x0, y1, x1) the mask is that analysis rectangle instead
+    (the caller validates it against h x w via props.roi_bounds)."""
+    y0, x0, y1, x1 = (0, 0, h, w) if roi is None else roi
+    rows = lax.broadcasted_iota(jnp.int32, (hp, wp), 0)
+    cols = lax.broadcasted_iota(jnp.int32, (hp, wp), 1)
+    return ((rows >= y0) & (rows < y1)
+            & (cols >= x0) & (cols < x1)).astype(jnp.float32)
 
 
 # ---------------------------------------------------------------------------
@@ -276,9 +281,16 @@ def batch_step(props: DiPsProperties, h: int, w: int,
         raw_diff = (prev - cur) * jnp.float32(INTENSITY_SCALE)
 
     raw_diff = raw_diff * mask
-    stats = masked_stats(raw_diff, h * w, props.change_threshold)
+    # statistics/heatmap reduce over the analysis region (roi or the whole
+    # frame); the OUTPUT path keeps the full-frame raw_diff
+    if props.roi is None:
+        dm = raw_diff
+    else:
+        dm = raw_diff * valid_mask(hp, wp, h, w, props.roi_bounds(h, w))
+    stats = masked_stats(dm, props.analysis_pixels(h, w),
+                         props.change_threshold)
     vw = valid.astype(jnp.float32)[:, None, None]
-    heatmap = heatmap + jnp.sum(jnp.abs(raw_diff) * vw, axis=0)
+    heatmap = heatmap + jnp.sum(jnp.abs(dm) * vw, axis=0)
 
     d = emphasize(raw_diff, props.filter, props.sigmoid_horizontal_scalar,
                   props.sensitivity)
@@ -327,16 +339,25 @@ def absdiff_step(props: DiPsProperties, h: int, w: int,
     d_u8 = d16.astype(jnp.uint8)                           # (B, 3, Hp, Wp)
     dmax = jnp.max(d_u8, axis=1, keepdims=True)
 
-    # Channel-mean statistics on the uint8 diff (oracle._process_raw).
-    inv = jnp.float32(1.0 / (3 * h * w * 255))
+    # Channel-mean statistics on the uint8 diff (oracle._process_raw),
+    # reduced over the analysis region (tile padding is zero in both
+    # operands, so full-frame mode needs no mask at all).
+    hp, wp = raw.shape[-2], raw.shape[-1]
+    inv = jnp.float32(1.0 / (3 * props.analysis_pixels(h, w) * 255))
     sf = signed.astype(jnp.float32)
     af = d16.astype(jnp.float32)
-    changed = (dmax[:, 0] >= jnp.uint8(props.change_threshold))
+    changed = (dmax[:, 0] >= jnp.uint8(props.change_threshold)
+               ).astype(jnp.float32)
+    if props.roi is not None:
+        rm = valid_mask(hp, wp, h, w, props.roi_bounds(h, w))
+        sf = sf * rm
+        af = af * rm
+        changed = changed * rm
     stats = jnp.stack([
         jnp.sum(sf, axis=(1, 2, 3)) * inv,
         jnp.sum(af, axis=(1, 2, 3)) * inv,
         jnp.max(af, axis=(1, 2, 3)) * jnp.float32(1 / 255.0),
-        jnp.sum(changed.astype(jnp.float32), axis=(1, 2)),
+        jnp.sum(changed, axis=(1, 2)),
     ], axis=-1)
     vw = valid.astype(jnp.float32)[:, None, None]
     heatmap = heatmap + jnp.sum(

@@ -117,11 +117,21 @@ def _row_body(props, h, w, raw, baseline, flags, heatmap, valid, axis):
     mask = ((rows < h) & (cols < w)).astype(jnp.float32)
     raw_diff = raw_diff * mask
 
-    a = jnp.abs(raw_diff)
+    # statistics/heatmap reduce over the analysis region (roi bounds are
+    # GLOBAL row coordinates — exactly what ``rows`` carries here); the
+    # output path keeps the validity-masked full frame
+    if props.roi is None:
+        dm = raw_diff
+    else:
+        y0, x0, y1, x1 = props.roi_bounds(h, w)
+        rm = ((rows >= y0) & (rows < y1) & (cols >= x0)
+              & (cols < x1)).astype(jnp.float32)
+        dm = raw_diff * rm
+    a = jnp.abs(dm)
     thr = jnp.float32(props.change_threshold) / jnp.float32(255.0)
-    inv_n = jnp.float32(1.0 / (h * w))
+    inv_n = jnp.float32(1.0 / props.analysis_pixels(h, w))
     stats = jnp.stack([
-        lax.psum(jnp.sum(raw_diff, axis=(-2, -1)), axis) * inv_n,
+        lax.psum(jnp.sum(dm, axis=(-2, -1)), axis) * inv_n,
         lax.psum(jnp.sum(a, axis=(-2, -1)), axis) * inv_n,
         lax.pmax(jnp.max(a, axis=(-2, -1)), axis),
         lax.psum(jnp.sum((a >= thr).astype(jnp.float32), axis=(-2, -1)),

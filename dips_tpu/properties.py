@@ -158,6 +158,14 @@ class DiPsProperties:
     #: own order statistics near the median; see docs/DESIGN.md for
     #: measured deviation).  The exact median remains the default.
     approx_median: bool = False
+    #: Optional analysis region ``(y0, x0, y1, x1)`` (array order, end
+    #: exclusive): per-frame STATISTICS, the changed-pixel count, the
+    #: accumulated heatmap and therefore motion events consider only this
+    #: rectangle — a camera ignores the busy road at the frame's edge.
+    #: Output maps stay full-frame (filtering context is unaffected; ROI
+    #: restricts the reductions, not the pixel math).  ``None`` = whole
+    #: frame.  Engines validate the bounds against their geometry.
+    roi: "Tuple[int, int, int, int] | None" = None
 
     def __post_init__(self):
         object.__setattr__(self, "window_size", clamp_window(self.window_size))
@@ -175,6 +183,16 @@ class DiPsProperties:
         object.__setattr__(
             self, "change_threshold",
             int(max(1, min(255, self.change_threshold))))
+        if self.roi is not None:
+            roi = tuple(int(v) for v in self.roi)
+            if len(roi) != 4:
+                raise ValueError(f"roi must be (y0, x0, y1, x1), got "
+                                 f"{self.roi!r}")
+            y0, x0, y1, x1 = roi
+            if y0 < 0 or x0 < 0 or y1 <= y0 or x1 <= x0:
+                raise ValueError(
+                    f"roi needs 0 <= y0 < y1 and 0 <= x0 < x1, got {roi}")
+            object.__setattr__(self, "roi", roi)
 
     # -- builder-style API (parity with DiPsProperties::new()...build(),
     #    dips/src/lib.rs:75-169) ------------------------------------------
@@ -228,6 +246,26 @@ class DiPsProperties:
 
     def with_approx_median(self, a: bool = True) -> "DiPsProperties":
         return dataclasses.replace(self, approx_median=bool(a))
+
+    def with_roi(self, roi: "Sequence[int] | None") -> "DiPsProperties":
+        return dataclasses.replace(
+            self, roi=None if roi is None else tuple(roi))
+
+    def roi_bounds(self, h: int, w: int) -> Tuple[int, int, int, int]:
+        """The analysis rectangle validated against a concrete geometry:
+        ``(y0, x0, y1, x1)`` (the full frame when ``roi`` is None), or
+        ``ValueError`` when the configured roi does not fit in h x w."""
+        if self.roi is None:
+            return (0, 0, h, w)
+        y0, x0, y1, x1 = self.roi
+        if y1 > h or x1 > w:
+            raise ValueError(f"roi {self.roi} exceeds the {h}x{w} frame")
+        return self.roi
+
+    def analysis_pixels(self, h: int, w: int) -> int:
+        """Pixels the statistics reduce over: the roi area (or h*w)."""
+        y0, x0, y1, x1 = self.roi_bounds(h, w)
+        return (y1 - y0) * (x1 - x0)
 
     @property
     def colorize(self) -> bool:

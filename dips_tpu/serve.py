@@ -909,7 +909,9 @@ class DiPsServer:
             from .ops.events import MotionDetector
             cfg = dict(self.event_cfg)
             if cfg.get("metric") == "changed_frac":
-                cfg.setdefault("pixels", eng.height * eng.width)
+                cfg.setdefault(
+                    "pixels",
+                    eng.props.analysis_pixels(eng.height, eng.width))
             det = MotionDetector(**cfg)
             eng._motion_det = det
         return det
@@ -1837,7 +1839,11 @@ def main(argv=None) -> int:
     cache_dir = apply_compile_cache_flag(args)
     if cache_dir:
         print(f"compile cache: {cache_dir}", flush=True)
-    props = props_from_args(args)
+    try:
+        props = props_from_args(args)
+    except ValueError as e:  # e.g. a malformed/inverted --roi rectangle
+        print(f"error: {e}", file=sys.stderr)
+        return 2
     server = DiPsServer(props, args.height, args.width, port=args.port,
                         host=args.host, batch=args.batch,
                         backend=args.backend, max_sessions=args.sessions,

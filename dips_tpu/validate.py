@@ -56,6 +56,13 @@ CASES = [
      DiPsProperties(window_size=7, temporal_size=2,
                     filter=DiPsFilter.UNFILTERED, approx_median=True),
      True),
+    ("overall/absdiff + roi (analysis region)",
+     DiPsProperties(output=OutputMode.ABSDIFF, temporal_size=2,
+                    roi=(4, 10, 20, 120)), True),
+    ("per_frame/colorize + roi",
+     DiPsProperties(method=DiPsMethod.PER_FRAME, temporal_size=2,
+                    filter=DiPsFilter.UNFILTERED, roi=(4, 10, 20, 120)),
+     True),
 ]
 
 

@@ -12,8 +12,16 @@ from tests.conftest import make_clip
 from tests.test_engine_vs_oracle import assert_close
 
 
-def _random_props(r: np.random.Generator) -> DiPsProperties:
+def _random_props(r: np.random.Generator, h: int = 0,
+                  w: int = 0) -> DiPsProperties:
+    roi = None
+    if h and w and r.random() < 0.4:  # sometimes: an analysis region
+        y0 = int(r.integers(0, h - 1))
+        x0 = int(r.integers(0, w - 1))
+        roi = (y0, x0, int(r.integers(y0 + 1, h + 1)),
+               int(r.integers(x0 + 1, w + 1)))
     return DiPsProperties(
+        roi=roi,
         method=r.choice([DiPsMethod.OVERALL, DiPsMethod.PER_FRAME]),
         output=r.choice([OutputMode.COLORIZE, OutputMode.GRAYSCALE,
                          OutputMode.ABSDIFF, OutputMode.THRESHOLD]),
@@ -34,9 +42,9 @@ def _random_props(r: np.random.Generator) -> DiPsProperties:
 @pytest.mark.parametrize("seed", range(8))
 def test_fuzzed_config_parity(seed):
     r = np.random.default_rng(1000 + seed)
-    props = _random_props(r)
     h = int(r.integers(9, 30))
     w = int(r.integers(20, 150))
+    props = _random_props(r, h, w)
     n = int(r.integers(4, 12))
     batch = int(r.integers(1, 7))
     if seed % 2:  # exercise batch = multiple of temporal (frames-per-step > 1)
@@ -63,7 +71,8 @@ def test_fuzzed_config_parity(seed):
             np.testing.assert_allclose(got_stats, exp_stats, atol=1e-4,
                                        rtol=1e-4, err_msg=str(props))
         else:
-            assert_close(exp_out, exp_stats, got_out, got_stats, exact, h * w)
+            assert_close(exp_out, exp_stats, got_out, got_stats, exact,
+                         props.analysis_pixels(h, w))
         np.testing.assert_allclose(eng.heatmap(), o.heatmap, atol=1e-3,
                                    err_msg=str(props))
 
