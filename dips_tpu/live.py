@@ -199,8 +199,12 @@ def run_live(props: DiPsProperties, camera: int = 0, batch: int = 1,
                 break
             if engine is None:
                 h, w = frame.shape[:2]
-                engine = DiPsEngine(ctl.props, h, w, batch=batch,
-                                    backend=backend)
+                try:
+                    engine = DiPsEngine(ctl.props, h, w, batch=batch,
+                                        backend=backend)
+                except ValueError as e:  # e.g. --roi outside the camera
+                    print(f"error: {e}", file=sys.stderr)
+                    return 1
             outs, stats = engine.process_batch([frame])
             title = "DiPs  " + ctl.status_line()
             if ctl.events_enabled:
@@ -208,7 +212,7 @@ def run_live(props: DiPsProperties, camera: int = 0, batch: int = 1,
                     from .ops.events import MotionDetector
                     detector = MotionDetector(
                         "auto", metric="changed_frac",
-                        pixels=engine.height * engine.width, min_frames=2)
+                        pixels=engine.analysis_pixels, min_frames=2)
                 for ev in detector.update(
                         stats, start_index=engine.frame_index - 1):
                     print(f"motion event: frames {ev.start_frame}-"
@@ -217,7 +221,14 @@ def run_live(props: DiPsProperties, camera: int = 0, batch: int = 1,
                     title += "  [MOTION]"
             else:
                 detector = None
-            cv2.imshow("DiPs", _to_bgr(outs[0]))
+            shown = _to_bgr(outs[0])
+            if ctl.props.roi is not None:
+                # outline the analysis region so the operator sees what
+                # the stats/events actually watch
+                y0, x0, y1, x1 = ctl.props.roi
+                cv2.rectangle(shown, (x0, y0), (x1 - 1, y1 - 1),
+                              (0, 255, 255), 1)
+            cv2.imshow("DiPs", shown)
             cv2.setWindowTitle("DiPs", title)
             key = cv2.waitKey(1) & 0xFF
             if key != 0xFF and ctl.handle_key(int(key)):

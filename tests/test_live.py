@@ -239,3 +239,53 @@ def test_run_live_event_loop_with_stubbed_display(monkeypatch, capsys):
     assert any("events=auto" in t for t in titles)    # HUD shows the mode
     out = capsys.readouterr().out
     assert "motion event: frames" in out              # close printed
+
+
+def test_run_live_roi_overlay_and_pixels(monkeypatch):
+    """With props.roi: the preview draws the region outline and the
+    detector normalizes by the roi area; an out-of-bounds roi is a
+    friendly error, not a traceback."""
+    import cv2
+    import numpy as np
+    from dips_tpu import live as live_mod
+    from dips_tpu.properties import (DiPsFilter, DiPsProperties,
+                                     OutputMode)
+    from tests.conftest import make_clip
+
+    h, w = 16, 24
+    frames = list(make_clip(n=4, h=h, w=w, seed=1, moving=False))
+
+    class Reader:
+        def __init__(self, fs):
+            self.fs = list(fs)
+
+        def read(self):
+            return self.fs.pop(0) if self.fs else None
+
+        def close(self):
+            pass
+
+    shown = []
+    monkeypatch.setenv("DISPLAY", ":0")
+    monkeypatch.setattr(cv2, "namedWindow", lambda *a, **k: None)
+    monkeypatch.setattr(cv2, "imshow", lambda _w, img: shown.append(img))
+    monkeypatch.setattr(cv2, "setWindowTitle", lambda *a: None)
+    monkeypatch.setattr(cv2, "waitKey", lambda _ms: 0xFF)
+    monkeypatch.setattr(cv2, "destroyAllWindows", lambda: None)
+
+    roi = (2, 3, 10, 20)
+    props = DiPsProperties(window_size=1, temporal_size=1,
+                           filter=DiPsFilter.UNFILTERED,
+                           output=OutputMode.ABSDIFF, roi=roi)
+    rc = live_mod.run_live(props, reader=Reader(frames))
+    assert rc == 0 and shown
+    y0, x0, y1, x1 = roi
+    # the outline is drawn in a color the ABSDIFF map of a static clip
+    # cannot produce (pure yellow)
+    top = shown[-1][y0, x0:x1]
+    assert (top == (0, 255, 255)).all(axis=-1).any()
+
+    # roi exceeding the camera frame: graceful rc 1
+    bad = props.with_roi((0, 0, h + 5, w))
+    rc = live_mod.run_live(bad, reader=Reader(frames))
+    assert rc == 1
