@@ -41,6 +41,14 @@ a flexible daemon creates one stacked-stream coalescer PER GEOMETRY
 (lazily, or up front via ``--warm``), so mixed fleets still share device
 dispatches within each resolution.
 
+A request may also carry ``"roi": [y0, x0, y1, x1]`` — a per-session
+analysis region consumed at the first-request engine bind (each fleet
+camera watches a different scene): that session's statistics, heatmap
+and motion events reduce over the rectangle while its maps stay
+full-frame.  Not available on coalescing daemons (the stacked kernel is
+shared; use the daemon-wide ``--roi``), and a parked named session only
+resumes under the same roi (``reset`` first to change it).
+
 Reconnect/resume semantics: a client may tag its requests with a
 ``"session": <token>`` field (``DiPsClient(session=...)``); on reconnect
 the same token resumes that session's streaming state (cursor, baseline,
@@ -568,16 +576,14 @@ class DiPsServer:
             self.engine = None  # sessions share the coalescers' engines
             max_sessions = max(int(max_sessions), coalesce)
         elif self.flexible:
-            self._mk_engine = lambda h, w: DiPsEngine(
-                props, h, w, batch=batch, backend=backend,
+            self._mk_engine = lambda h, w, p=None: DiPsEngine(
+                p or props, h, w, batch=batch, backend=backend,
                 packed_wire=packed_wire, input_layout=input_layout)
             self.engine = None
         else:
-            self._mk_engine = lambda: DiPsEngine(props, height, width,
-                                                 batch=batch,
-                                                 backend=backend,
-                                                 packed_wire=packed_wire,
-                                                 input_layout=input_layout)
+            self._mk_engine = lambda p=None: DiPsEngine(
+                p or props, height, width, batch=batch, backend=backend,
+                packed_wire=packed_wire, input_layout=input_layout)
             #: the default session engine (kept for embedding/back-compat)
             self.engine = self._mk_engine()
         self.max_sessions = max(1, int(max_sessions))
@@ -1010,15 +1016,28 @@ class DiPsServer:
         log.warning("session %r: previous holder did not park in time",
                     tok)
 
-    def _bind_engine(self, token, geometry=None):
+    def _bind_engine(self, token, geometry=None, roi=None):
         """Engine for a session, bound lazily at its FIRST request (the
         request carries the optional session token).  Named tokens resume
         their parked engine; anonymous sessions reuse a pooled engine —
         reset unless this is a single-session server, where resume is
         unambiguous and historical behaviour.  On a flexible daemon,
         ``geometry`` (from the first frame or checkpoint) sizes a new
-        engine; pooling is per geometry."""
+        engine; pooling is per geometry.
+
+        ``roi``: per-session analysis region — this session's engine gets
+        ``props.with_roi(roi)`` (each fleet camera watches a different
+        scene).  Roi'd engines never enter the anonymous pool (a pooled
+        engine must carry exactly the daemon's props), and a parked named
+        session only resumes under the SAME roi."""
+        if roi is not None:
+            roi = tuple(int(v) for v in roi)
         if self._coalesce_cfg is not None:
+            if roi is not None:
+                raise ValueError(
+                    "per-session roi is not available on a coalescing "
+                    "daemon (one stacked kernel is shared); start the "
+                    "daemon with --roi for a fleet-wide region")
             with self._pool_lock:
                 if token is not None and token in self._named:
                     sess = self._named.pop(token)
@@ -1049,6 +1068,14 @@ class DiPsServer:
         with self._pool_lock:
             if token is not None and token in self._named:
                 eng = self._named.pop(token)
+                if roi is not None and eng.props.roi != roi:
+                    # silently swapping the region mid-session would make
+                    # the event/stats stream incomparable across the swap
+                    self._named[token] = eng  # leave it parked
+                    raise ValueError(
+                        f"session {token!r} is parked with roi "
+                        f"{eng.props.roi}; reset it before binding with "
+                        f"roi {roi}")
                 need_reset = False  # resuming IS the point of the token
                 resumed = True      # parked state is newer than any autosave
             elif self.flexible:
@@ -1056,16 +1083,18 @@ class DiPsServer:
                     raise ValueError(
                         "session has no geometry yet - send a frame or "
                         "load a checkpoint first (flexible daemon)")
-                lst = self._pool.get(geometry)
-                if lst:
-                    eng = lst.pop()
-            elif self._pool:
+                if roi is None:  # roi'd sessions never reuse pooled engines
+                    lst = self._pool.get(geometry)
+                    if lst:
+                        eng = lst.pop()
+            elif self._pool and roi is None:
                 eng = self._pool.pop()
         if eng is None:
             # construction (a jit compile on a new geometry) runs OUTSIDE
             # the lock so concurrent sessions don't stall behind it
-            eng = (self._mk_engine(*geometry) if self.flexible
-                   else self._mk_engine())
+            p = None if roi is None else self._props.with_roi(roi)
+            eng = (self._mk_engine(*geometry, p=p) if self.flexible
+                   else self._mk_engine(p=p))
         elif need_reset or getattr(eng, "_pooled_from_named", False):
             # _pooled_from_named: an evicted/superseded NAMED session's
             # engine in the anonymous pool still holds that camera's state;
@@ -1120,6 +1149,11 @@ class DiPsServer:
         geometry churn must not accumulate unbounded device state —
         evicting from the deepest per-geometry pool first (dropping the
         reference frees its device buffers)."""
+        if eng.props != self._props:
+            # a per-session-roi engine: never reusable anonymously (the
+            # pool's contract is "exactly the daemon's props"); dropping
+            # the reference frees its device buffers
+            return
         if not self.flexible:
             self._pool.append(eng)
             return
@@ -1267,10 +1301,22 @@ class DiPsServer:
                         if cmd == "close":
                             _send(client, {"ok": True})
                             return
+                roi = header.get("roi")
+                if roi is not None:
+                    try:
+                        roi = tuple(int(v) for v in roi)
+                        if len(roi) != 4:
+                            raise ValueError
+                    except (TypeError, ValueError):
+                        self._count("request_errors")
+                        _send(client, {"ok": False,
+                                       "error": f"bad roi {header['roi']!r}"
+                                                " (want [y0, x0, y1, x1])"})
+                        continue
                 if tok is not None:
                     self._takeover_token(tok, client)
                 try:
-                    eng = self._bind_engine(tok, geometry)
+                    eng = self._bind_engine(tok, geometry, roi)
                     bound.append(eng)
                 except Exception as e:
                     self._count("request_errors")
@@ -1298,6 +1344,8 @@ class DiPsServer:
                             "batch": eng.batch, "backend": eng.backend,
                             "method": eng.props.method.name,
                             "output": eng.props.output.name,
+                            "roi": (list(eng.props.roi)
+                                    if eng.props.roi else None),
                             "coalesced": isinstance(eng, _CoalescedSession),
                         }})
                 elif cmd == "process":
@@ -1451,11 +1499,20 @@ class DiPsClient:
     ``session``: optional stable token (e.g. a camera id).  Requests carry
     it, and the server parks/resumes that session's streaming state across
     reconnects; without it, a multi-session server hands out fresh state
-    per connection."""
+    per connection.
+
+    ``roi``: optional per-session analysis region (y0, x0, y1, x1) — each
+    camera in a fleet watches a different scene, so the rectangle rides
+    the requests and the server binds THIS session's engine with it
+    (statistics/heatmap/motion events reduce over it; maps stay
+    full-frame).  Not available on request-coalescing daemons (their
+    stacked kernel is shared — use the daemon-wide ``--roi`` there)."""
 
     def __init__(self, port: int, host: str = "127.0.0.1",
-                 session: Optional[str] = None):
+                 session: Optional[str] = None,
+                 roi: Optional[Tuple[int, int, int, int]] = None):
         self.session = session
+        self.roi = None if roi is None else tuple(int(v) for v in roi)
         #: motion-event annotations from the LAST process reply (populated
         #: only when the daemon runs with --events)
         self.last_events: list = []
@@ -1471,6 +1528,9 @@ class DiPsClient:
     def _rpc(self, header: dict, payload: bytes = b"") -> Tuple[dict, bytes]:
         if self.session is not None:
             header = dict(header, session=self.session)
+        if self.roi is not None:
+            # consumed at first-request engine bind; inert afterwards
+            header = dict(header, roi=list(self.roi))
         if payload:
             header = dict(header, payload_len=len(payload))
         _send(self._sock, header, payload)
@@ -1604,11 +1664,13 @@ class ResilientDiPsClient:
 
     def __init__(self, port: int, host: str = "127.0.0.1",
                  session: str = "", retries: int = 5,
-                 backoff_s: float = 0.2, max_backoff_s: float = 5.0):
+                 backoff_s: float = 0.2, max_backoff_s: float = 5.0,
+                 roi: Optional[Tuple[int, int, int, int]] = None):
         if not session:
             raise ValueError("ResilientDiPsClient requires a session token "
                              "(reconnects resume the parked session)")
         self.port, self.host, self.session = int(port), host, str(session)
+        self.roi = None if roi is None else tuple(int(v) for v in roi)
         self.retries = int(retries)
         self.backoff_s, self.max_backoff_s = backoff_s, max_backoff_s
         #: frames whose processing is confirmed server-side
@@ -1631,7 +1693,7 @@ class ResilientDiPsClient:
         for attempt in range(self.retries + 1):
             try:
                 self._cli = DiPsClient(self.port, self.host,
-                                       session=self.session)
+                                       session=self.session, roi=self.roi)
                 return int(self._cli.hello().get("frame_index", 0))
             except self._NET_ERRORS:
                 if attempt == self.retries:

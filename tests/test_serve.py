@@ -1911,3 +1911,93 @@ def test_autosave_tmp_sweep_spares_inflight_files(tmp_path):
         assert fresh.exists()      # possibly in-flight: spared
     finally:
         srv.shutdown()
+
+
+def test_per_session_roi():
+    """Each session binds its own analysis region: stats normalize over
+    the roi area, the quiet-region session reports ~no change, hello
+    echoes the roi, and a parked named session refuses a different roi
+    until reset."""
+    from dips_tpu.ops.oracle import DiPsOracle
+    props = DiPsProperties(window_size=1, temporal_size=1,
+                           filter=DiPsFilter.UNFILTERED)
+    srv = DiPsServer(props, 24, 40, port=0, batch=1, max_sessions=4)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        clip = make_clip(n=6, h=24, w=40, seed=2)  # square roams mid-frame
+        roi_hot = (0, 0, 24, 40)
+        roi_quiet = (0, 0, 2, 40)   # the moving square never enters
+        with DiPsClient(srv.port, session="hot", roi=roi_hot) as hot, \
+                DiPsClient(srv.port, session="quiet",
+                           roi=roi_quiet) as quiet:
+            assert hot.hello()["config"]["roi"] == list(roi_hot)
+            assert quiet.hello()["config"]["roi"] == list(roi_quiet)
+            s_hot, s_quiet = [], []
+            for f in clip:
+                _, sh = hot.process(f)
+                _, sq = quiet.process(f)
+                s_hot.append(sh)
+                s_quiet.append(sq)
+            s_hot, s_quiet = np.array(s_hot), np.array(s_quiet)
+            # the quiet strip sees (almost) none of the square's motion
+            assert s_hot[1:, 3].max() > 0
+            assert s_quiet[1:, 3].max() <= s_hot[1:, 3].max() / 4
+            # parity with an oracle configured the same way
+            o = DiPsOracle(props.with_roi(roi_quiet))
+            _, exp = o.run(clip)
+            np.testing.assert_allclose(s_quiet[:, :3], exp[:, :3],
+                                       atol=1e-5)
+        # a parked named session refuses to resume under a DIFFERENT roi
+        with DiPsClient(srv.port, session="hot", roi=roi_quiet) as again:
+            with pytest.raises(RuntimeError, match="parked with roi"):
+                again.process(clip[0])
+        # ...but resumes fine under the same one, state intact
+        with DiPsClient(srv.port, session="hot", roi=roi_hot) as same:
+            assert same.hello()["frame_index"] == len(clip)
+        # a malformed roi is a per-request error, not a dropped connection
+        with DiPsClient(srv.port) as bad:
+            bad.roi = (1, 2, 3)
+            with pytest.raises(RuntimeError, match="bad roi"):
+                bad.process(clip[0])
+            bad.roi = (0, 0, 99, 99)  # exceeds the daemon geometry
+            with pytest.raises(RuntimeError, match="roi"):
+                bad.process(clip[0])
+    finally:
+        srv.shutdown()
+
+
+def test_per_session_roi_rejected_when_coalescing():
+    props = DiPsProperties(window_size=1, temporal_size=1,
+                           filter=DiPsFilter.UNFILTERED)
+    srv = DiPsServer(props, 16, 24, port=0, batch=1, coalesce=2)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        with DiPsClient(srv.port, roi=(0, 0, 8, 8)) as cli:
+            with pytest.raises(RuntimeError, match="coalescing"):
+                cli.process(np.zeros((16, 24, 3), np.uint8))
+    finally:
+        srv.shutdown()
+
+
+def test_roi_session_engine_never_pooled():
+    """An anonymous roi'd session's engine must not re-surface for the
+    next anonymous client (the pool's contract is the daemon's props)."""
+    props = DiPsProperties(window_size=1, temporal_size=1,
+                           filter=DiPsFilter.UNFILTERED)
+    srv = DiPsServer(props, 16, 24, port=0, batch=1, max_sessions=2)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        f = np.zeros((16, 24, 3), np.uint8)
+        with DiPsClient(srv.port, roi=(0, 0, 4, 4)) as a:
+            a.process(f)
+        with DiPsClient(srv.port) as b:  # plain anonymous session
+            b.process(f)
+            assert b.hello()["config"]["roi"] is None
+        with srv._pool_lock:
+            pooled = list(srv._pool)
+        assert all(e.props.roi is None for e in pooled)
+    finally:
+        srv.shutdown()
