@@ -216,7 +216,8 @@ def render_report(stats_path: str, events_path: Optional[str] = None,
                   heatmap_path: Optional[str] = None,
                   title: str = "DiPs run report",
                   pixels: Optional[int] = None,
-                  segments_path: Optional[str] = None) -> str:
+                  segments_path: Optional[str] = None,
+                  flicker_path: Optional[str] = None) -> str:
     """Build the report; returns the HTML string."""
     stats = _load_stats(stats_path)
     streams = _load_events(events_path)
@@ -273,6 +274,12 @@ def render_report(stats_path: str, events_path: Optional[str] = None,
         sections.append(
             "<h2>Accumulated |diff| heatmap</h2>"
             f'<img alt="heatmap" src="data:image/png;base64,{hm}">')
+    if flicker_path:
+        with open(flicker_path, "rb") as f:
+            fl = base64.b64encode(f.read()).decode()
+        sections.append(
+            "<h2>Flicker amplitude map</h2>"
+            f'<img alt="flicker map" src="data:image/png;base64,{fl}">')
     sections.append(_stats_table(stats))
 
     return f"""<!doctype html>
@@ -314,6 +321,9 @@ def main(argv=None) -> int:
     ap.add_argument("--heatmap", default=None, metavar="PNG",
                     help="heatmap image to embed (e.g. saved via the "
                          "serve 'heatmap' command or engine.heatmap())")
+    ap.add_argument("--flicker", default=None, metavar="PNG",
+                    help="flicker amplitude map to embed (the CLI's "
+                         "--flicker-png artifact)")
     ap.add_argument("--segments-json", default=None,
                     help="recorded-segment manifest from --record-events "
                          "(DIR/segments.json): adds a clip table + "
@@ -327,7 +337,8 @@ def main(argv=None) -> int:
     try:
         doc = render_report(args.stats_json, args.events_json,
                             args.heatmap, args.title, args.pixels,
-                            segments_path=args.segments_json)
+                            segments_path=args.segments_json,
+                            flicker_path=args.flicker)
     except (OSError, KeyError, TypeError, ValueError, RuntimeError,
             json.JSONDecodeError) as e:
         print(f"error: {e}", file=sys.stderr)

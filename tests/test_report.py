@@ -247,3 +247,17 @@ def test_report_segments_bad_shape_errors_cleanly(tmp_path, capsys):
     rc = report_main(["--stats-json", sp, "--segments-json", gp,
                       "-o", str(tmp_path / "r.html")])
     assert rc == 1 and "error:" in capsys.readouterr().err
+
+
+def test_report_embeds_flicker_map(tmp_path):
+    sp = str(tmp_path / "s.json")
+    _write_stats(sp)
+    fp = str(tmp_path / "flicker.png")
+    with open(fp, "wb") as f:
+        f.write(b"\x89PNG\r\n\x1a\nfakepng")
+    from dips_tpu.report import main as report_main
+    out = str(tmp_path / "r.html")
+    rc = report_main(["--stats-json", sp, "--flicker", fp, "-o", out])
+    assert rc == 0
+    doc = open(out).read()
+    assert "Flicker amplitude map" in doc and "flicker map" in doc
