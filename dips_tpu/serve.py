@@ -1289,7 +1289,7 @@ class DiPsServer:
                                 "ok": True, "frame_index": 0,
                                 "config": {
                                     "height": None, "width": None,
-                                    "flexible": True,
+                                    "flexible": True, "roi": None,
                                     "coalesced":
                                         self._coalesce_cfg is not None}})
                             continue
