@@ -430,10 +430,18 @@ def main(argv: Optional[List[str]] = None) -> int:
         enc = _parse_encoding(args.encoding)
         if enc is None:
             return 2
-        stats = custom_dips_on_files(
-            args.dat_dir, args.output, width=w, height=h, properties=props,
-            encoding=enc, batch=args.batch, backend=args.backend,
-            show=args.live)  # --live with --dat-dir = preview while batching
+        from .errors import DiPsError
+        try:
+            stats = custom_dips_on_files(
+                args.dat_dir, args.output, width=w, height=h,
+                properties=props, encoding=enc, batch=args.batch,
+                backend=args.backend,
+                show=args.live)  # --live + --dat-dir previews the batch
+        except (DiPsError, ValueError) as e:
+            # missing dir, bad dumps, or an roi outside the dat geometry:
+            # user errors, not tracebacks (same contract as the run mode)
+            print(f"error: {e}", file=sys.stderr)
+            return 1
         frame_geometry = (h, w)
     elif args.live:
         from .live import run_live

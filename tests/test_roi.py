@@ -209,3 +209,25 @@ def test_roi_events_use_roi_pixels(tmp_path, capsys):
                    "--events-json", ej, "--event-on", "0.005"])
     assert rc == 0
     json.load(open(ej))  # well-formed; thresholds applied over roi pixels
+
+
+def test_cli_dat_mode_roi_error_is_friendly(tmp_path, capsys):
+    """--dat-dir with an roi outside the dat geometry: rc 1 + message."""
+    import numpy as np
+    from dips_tpu.cli import main as cli_main
+    d = tmp_path / "dumps"
+    d.mkdir()
+    w, h = 16, 24
+    rng = np.random.default_rng(0)
+    for i in range(3):
+        raw = rng.integers(0, 256, (h, w, 4), np.uint8)
+        (d / f"Dat_{i}.d").write_bytes(b"\x00" * 4 + raw.tobytes())
+    rc = cli_main(["--dat-dir", str(d), "--output",
+                   str(tmp_path / "o.avi"), "--dat-geometry", f"{w}x{h}",
+                   "--temporal=2", "--roi", "0,0,99,99"])
+    assert rc == 1 and "roi" in capsys.readouterr().err
+    # and a fitting roi works
+    rc = cli_main(["--dat-dir", str(d), "--output",
+                   str(tmp_path / "o2.avi"), "--dat-geometry", f"{w}x{h}",
+                   "--temporal=2", "--roi", "0,0,8,8"])
+    assert rc == 0
