@@ -19,6 +19,12 @@ Header commands:
         trip the way the engine amortises per-frame dispatch)
   {"cmd": "snapshot"}                   -> {"ok"}   (re-pin the baseline)
   {"cmd": "heatmap"}                    -> {"ok", "shape"} + f32 payload
+  {"cmd": "flicker"}                    -> {"ok", "shape", "freq_hz",
+        "frames"} + f32 amplitude payload (requires binding with
+        "flicker_hz" + "flicker_fps": the server then streams a
+        per-session FlickerAnalyzer over the frames it already has —
+        per-camera vibration/mains-flicker maps without shipping pixels
+        twice; reset/load restart the window)
   {"cmd": "save", "path": P}            -> {"ok"}   (checkpoint to disk)
   {"cmd": "load", "path": P}            -> {"ok", "frame_index"}
   {"cmd": "reset"} / {"cmd": "close"}
@@ -906,6 +912,36 @@ class DiPsServer:
             except OSError:
                 pass
 
+    # -- per-session flicker analysis (ops/analysis.py) --------------------
+    @staticmethod
+    def _bind_flicker(eng, header) -> None:
+        """Attach a FlickerAnalyzer to the session's engine when the bind
+        request asks for one (``flicker_hz`` + ``flicker_fps``).  It rides
+        the engine through park/resume like the motion detector; the map
+        is NOT part of checkpoints (it is derived data — a restart starts
+        its window fresh)."""
+        hz = header.get("flicker_hz")
+        if hz is None:
+            if header.get("flicker_fps") is not None:
+                raise ValueError("flicker_fps needs flicker_hz")
+            return
+        fps = header.get("flicker_fps")
+        if fps is None:
+            raise ValueError(
+                "flicker_hz needs flicker_fps (the daemon cannot know a "
+                "camera's frame rate)")
+        old = getattr(eng, "_flicker", None)
+        if old is not None:
+            if (old.freq_hz, old.fps) != (float(hz), float(fps)):
+                raise ValueError(
+                    f"session already analyzes {old.freq_hz:g} Hz @ "
+                    f"{old.fps:g} fps; reset it before binding "
+                    f"{float(hz):g} Hz @ {float(fps):g} fps")
+            return  # resume keeps the accumulated window
+        from .ops.analysis import FlickerAnalyzer
+        eng._flicker = FlickerAnalyzer(float(hz), float(fps),
+                                       batch=eng.batch)
+
     # -- per-session motion events (ops/events.py) ------------------------
     def _detector_for(self, eng):
         """Lazily attach a MotionDetector to the session's engine; it
@@ -1103,6 +1139,7 @@ class DiPsServer:
             eng.reset()  # never hand one client another's state
             eng._autosave_due = 0  # ...nor another's unsaved-frame counter
             eng._motion_det = None  # ...nor another's open event
+            eng._flicker = None     # ...nor another's flicker window
         eng._pooled_from_named = False
         eng.session_token = token
         if token is not None and not resumed:
@@ -1327,6 +1364,14 @@ class DiPsServer:
                         self._active[tok] = client
             self._count("requests")
             try:
+                if header.get("flicker_hz") is not None \
+                        or header.get("flicker_fps") is not None:
+                    # (re-)attach the session's flicker analyzer: no-op
+                    # when one with the same parameters is already bound,
+                    # fresh after reset/load dropped it, an error on a
+                    # parameter mismatch (clients carry the params on
+                    # every request)
+                    self._bind_flicker(eng, header)
                 if cmd in ("process", "process_batch"):
                     n_frames = (1 if cmd == "process"
                                 else int(header["shape"][0]))
@@ -1353,6 +1398,9 @@ class DiPsServer:
                     frame = np.frombuffer(payload, np.uint8).reshape(shape)
                     t0 = time.monotonic()
                     hdr, body = _process_reply(eng, [frame], header)
+                    fl = getattr(eng, "_flicker", None)
+                    if fl is not None:
+                        fl.update(frame)
                     self._observe_latency(time.monotonic() - t0)
                     self._apply_events(eng, hdr, n_frames)
                     hdr["stats"] = hdr["stats"][0]
@@ -1364,6 +1412,9 @@ class DiPsServer:
                     frames = np.frombuffer(payload, np.uint8).reshape(shape)
                     t0 = time.monotonic()
                     hdr, body = _process_reply(eng, frames, header)
+                    fl = getattr(eng, "_flicker", None)
+                    if fl is not None:
+                        fl.update(frames)
                     self._observe_latency(time.monotonic() - t0)
                     self._apply_events(eng, hdr, n_frames)
                     _send(client, hdr, body)
@@ -1371,6 +1422,19 @@ class DiPsServer:
                 elif cmd == "snapshot":
                     eng.snapshot()
                     _send(client, {"ok": True})
+                elif cmd == "flicker":
+                    fl = getattr(eng, "_flicker", None)
+                    if fl is None:
+                        raise ValueError(
+                            "session has no flicker analyzer: bind with "
+                            "flicker_hz + flicker_fps "
+                            "(DiPsClient(flicker_hz=..., flicker_fps=...))")
+                    amp = fl.amplitude().astype(np.float32)
+                    body = amp.tobytes()
+                    _send(client, {"ok": True, "shape": list(amp.shape),
+                                   "freq_hz": fl.freq_hz,
+                                   "frames": fl.frames_seen,
+                                   "payload_len": len(body)}, body)
                 elif cmd == "heatmap":
                     hm = eng.heatmap().astype(np.float32)
                     body = hm.tobytes()
@@ -1384,11 +1448,13 @@ class DiPsServer:
                     # the restored cursor may jump anywhere: segmentation
                     # restarts (an open event cannot span a state swap)
                     eng._motion_det = None
+                    eng._flicker = None  # rebound from the next request
                     _send(client, {"ok": True,
                                    "frame_index": eng.frame_index})
                 elif cmd == "reset":
                     eng.reset()
                     eng._motion_det = None
+                    eng._flicker = None  # rebound from the next request
                     tok = getattr(eng, "session_token", None)
                     if self.autosave_dir is not None and tok is not None:
                         # explicit state discard also discards the
@@ -1510,9 +1576,17 @@ class DiPsClient:
 
     def __init__(self, port: int, host: str = "127.0.0.1",
                  session: Optional[str] = None,
-                 roi: Optional[Tuple[int, int, int, int]] = None):
+                 roi: Optional[Tuple[int, int, int, int]] = None,
+                 flicker_hz: Optional[float] = None,
+                 flicker_fps: Optional[float] = None):
         self.session = session
         self.roi = None if roi is None else tuple(int(v) for v in roi)
+        #: per-session flicker analysis: the server streams a
+        #: FlickerAnalyzer at flicker_hz over this session's frames
+        #: (flicker_fps = the camera's frame rate, which the daemon
+        #: cannot know); fetch the map with :meth:`flicker`
+        self.flicker_hz = flicker_hz
+        self.flicker_fps = flicker_fps
         #: motion-event annotations from the LAST process reply (populated
         #: only when the daemon runs with --events)
         self.last_events: list = []
@@ -1531,6 +1605,9 @@ class DiPsClient:
         if self.roi is not None:
             # consumed at first-request engine bind; inert afterwards
             header = dict(header, roi=list(self.roi))
+        if self.flicker_hz is not None or self.flicker_fps is not None:
+            header = dict(header, flicker_hz=self.flicker_hz,
+                          flicker_fps=self.flicker_fps)
         if payload:
             header = dict(header, payload_len=len(payload))
         _send(self._sock, header, payload)
@@ -1607,6 +1684,15 @@ class DiPsClient:
         h, _ = self._rpc({"cmd": "snapshot"})
         if not h.get("ok"):
             raise RuntimeError(h.get("error"))
+
+    def flicker(self) -> Tuple[np.ndarray, dict]:
+        """This session's flicker amplitude map (H, W) f32 plus its
+        metadata ({freq_hz, frames}); needs flicker_hz/flicker_fps."""
+        h, body = self._rpc({"cmd": "flicker"})
+        if not h.get("ok"):
+            raise RuntimeError(h.get("error"))
+        amp = np.frombuffer(body, np.float32).reshape(h["shape"])
+        return amp, {"freq_hz": h["freq_hz"], "frames": h["frames"]}
 
     def reset(self) -> None:
         """Clear the session's streaming state (cursor, ring, baseline)."""

@@ -2001,3 +2001,93 @@ def test_roi_session_engine_never_pooled():
         assert all(e.props.roi is None for e in pooled)
     finally:
         srv.shutdown()
+
+
+def _blink_frames(n, h, w, fps, hz, y=slice(2, 6), x=slice(3, 9), seed=0):
+    import math
+    r = np.random.default_rng(seed)
+    base = r.integers(90, 110, (h, w, 3)).astype(np.float32)
+    out = np.empty((n, h, w, 3), np.uint8)
+    for i in range(n):
+        f = base.copy()
+        f[y, x] += 80.0 * math.cos(2 * math.pi * hz * i / fps)
+        out[i] = np.clip(np.rint(f), 0, 255).astype(np.uint8)
+    return out
+
+
+def test_per_session_flicker():
+    """Sessions opt into server-side flicker analysis; the map localizes
+    the blinking region, parks/resumes with the named session, resets on
+    reset, and parameter misuse is a per-request error."""
+    props = DiPsProperties(window_size=1, temporal_size=1,
+                           filter=DiPsFilter.UNFILTERED)
+    srv = DiPsServer(props, 16, 24, port=0, batch=1, max_sessions=4)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        fps, hz = 24.0, 6.0
+        frames = _blink_frames(48, 16, 24, fps, hz)
+        with DiPsClient(srv.port, session="cam", flicker_hz=hz,
+                        flicker_fps=fps) as cli:
+            for f in frames[:30]:
+                cli.process(f)
+            amp, meta = cli.flicker()
+            assert meta["frames"] == 30 and meta["freq_hz"] == hz
+            assert amp.shape == (16, 24)
+        # parked + resumed: the window continues (frames accumulate)
+        with DiPsClient(srv.port, session="cam", flicker_hz=hz,
+                        flicker_fps=fps) as cli:
+            for f in frames[30:]:
+                cli.process(f)
+            amp, meta = cli.flicker()
+            assert meta["frames"] == len(frames)
+            inside = amp[2:6, 3:9].mean()
+            outside = np.delete(
+                amp.reshape(-1),
+                np.ravel_multi_index(np.mgrid[2:6, 3:9].reshape(2, -1),
+                                     amp.shape)).mean()
+            assert inside > 5 * outside, (inside, outside)
+            # reset drops the window; the next request re-binds it fresh
+            cli.reset()
+            cli.process(frames[0])
+            _, meta = cli.flicker()
+            assert meta["frames"] == 1
+            # a parameter change without reset is a per-request error
+            cli.flicker_hz = 3.0
+            with pytest.raises(RuntimeError, match="reset"):
+                cli.process(frames[1])
+        # misuse: fps without hz / no analyzer bound / hz over Nyquist
+        with DiPsClient(srv.port) as c2:
+            with pytest.raises(RuntimeError, match="flicker"):
+                c2.flicker()
+            c2.flicker_fps = 24.0
+            with pytest.raises(RuntimeError, match="flicker_hz"):
+                c2.process(frames[0])
+        with DiPsClient(srv.port, flicker_hz=50.0,
+                        flicker_fps=24.0) as c3:
+            with pytest.raises(RuntimeError, match="resolvable"):
+                c3.process(frames[0])
+    finally:
+        srv.shutdown()
+
+
+def test_flicker_on_coalesced_session():
+    """Flicker is a separate per-session device stream, so unlike roi it
+    works on coalescing daemons too."""
+    props = DiPsProperties(window_size=1, temporal_size=1,
+                           filter=DiPsFilter.UNFILTERED)
+    srv = DiPsServer(props, 16, 24, port=0, batch=1, coalesce=2)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        fps, hz = 24.0, 6.0
+        frames = _blink_frames(24, 16, 24, fps, hz)
+        with DiPsClient(srv.port, session="cam", flicker_hz=hz,
+                        flicker_fps=fps) as cli:
+            for f in frames:
+                cli.process(f)
+            amp, meta = cli.flicker()
+            assert meta["frames"] == len(frames)
+            assert amp[2:6, 3:9].mean() > amp[10:, 12:].mean()
+    finally:
+        srv.shutdown()
