@@ -329,6 +329,8 @@ def main(argv: Optional[List[str]] = None) -> int:
         print(f"wrote {n} frames to {args.output}")
         return 0
 
+    from .errors import DiPsError
+
     try:
         props = props_from_args(args)
     except ValueError as e:  # e.g. an inverted --roi rectangle
@@ -430,7 +432,6 @@ def main(argv: Optional[List[str]] = None) -> int:
         enc = _parse_encoding(args.encoding)
         if enc is None:
             return 2
-        from .errors import DiPsError
         try:
             stats = custom_dips_on_files(
                 args.dat_dir, args.output, width=w, height=h,
@@ -451,7 +452,6 @@ def main(argv: Optional[List[str]] = None) -> int:
         # of the local webcam.
         reader = None
         if args.input:
-            from .errors import DiPsError
             from .io.gstreamer import open_video
             try:
                 reader = open_video(args.input, args.video_backend)
@@ -473,21 +473,26 @@ def main(argv: Optional[List[str]] = None) -> int:
                           post_roll=args.post_roll,
                           detector=_detector_cfg(args))
         flicker_cb = None
+        probed_reader = None
         if args.flicker_hz is not None:
             # the analyzer needs the input's frame rate up front (Nyquist
-            # validation + demodulation angle), so probe it before the run
-            from .errors import DiPsError
+            # validation + demodulation angle).  The probed reader is
+            # HANDED TO the job rather than closed: network sources
+            # (rtsp/srt) may reject or stall a second overlapping connect
+            # (DiPsJob.reader's contract; multi-worker decode closes it
+            # after its own geometry probe and opens per-chunk readers).
             from .io.gstreamer import open_video
             from .ops.analysis import FlickerAnalyzer
             try:
-                rd = open_video(args.input, args.video_backend)
-                fps = rd.fps
-                rd.close()
-                flicker = FlickerAnalyzer(args.flicker_hz, fps,
+                probed_reader = open_video(args.input, args.video_backend)
+                flicker = FlickerAnalyzer(args.flicker_hz,
+                                          probed_reader.fps,
                                           tau_frames=args.flicker_tau,
                                           chroma=props.chroma,
                                           batch=args.batch)
             except (DiPsError, ValueError) as e:
+                if probed_reader is not None:
+                    probed_reader.close()
                 print(f"error: {e}", file=sys.stderr)
                 return 1
 
@@ -495,6 +500,7 @@ def main(argv: Optional[List[str]] = None) -> int:
                 _fl.update(inp)
                 return None  # observe-only: the diff map passes through
         job = DiPsJob(properties=props, video_path=args.input,
+                      reader=probed_reader,
                       frame_callback=flicker_cb,
                       output_path=args.output, encoding=enc,
                       batch=args.batch, backend=args.backend,
@@ -506,7 +512,6 @@ def main(argv: Optional[List[str]] = None) -> int:
                       input_layout=args.input_layout,
                       profile=args.profile, denoise_radius=args.denoise,
                       record_events=record)
-        from .errors import DiPsError
         from .utils.profiling import trace
         try:
             with trace(args.trace_dir):

@@ -144,8 +144,8 @@ class FlickerAnalyzer:
     ``amplitude()`` is in those units: a pixel whose intensity trace is
     ``A*cos(2*pi*freq_hz*t)`` reads ``~A`` once ``2*tau_frames`` frames
     have streamed.  Frames are buffered host-side and dispatched in
-    ``batch``-frame device steps (at most two trace shapes: ``batch`` and
-    one remainder flush).
+    ``batch``-frame device steps (at most two trace shapes: ``batch``, and
+    N=1 for flushed remainders).
     """
 
     def __init__(self, freq_hz: float, fps: float,
@@ -180,7 +180,6 @@ class FlickerAnalyzer:
         self.frames_seen = 0
 
     def _init_state(self, h: int, w: int) -> None:
-        self._geometry = (h, w)
         # distinct buffers: the update donates the whole state tuple, and
         # two donated args must never alias one buffer
         self._state = (jnp.zeros((h, w), jnp.float32),
@@ -190,10 +189,7 @@ class FlickerAnalyzer:
 
     def _dispatch(self, arr: np.ndarray) -> None:
         if self._state is None:
-            self._init_state(arr.shape[1], arr.shape[2])
-        elif arr.shape[1:3] != self._geometry:
-            raise ValueError(f"frame geometry {arr.shape[1:3]} != "
-                             f"analyzer geometry {self._geometry}")
+            self._init_state(*self._geometry)
         self._state = _flicker_update(self.chroma.value, self._state,
                                       jnp.asarray(arr), self._cw, self._sw,
                                       self._alpha)
@@ -208,6 +204,14 @@ class FlickerAnalyzer:
                 or frames.dtype != np.uint8:
             raise ValueError("expected uint8 RGB (N, H, W, 3) or (H, W, 3), "
                              f"got {frames.dtype} {frames.shape}")
+        if self._geometry is None:
+            # the first frame fixes the geometry, even before a dispatch:
+            # a mixed buffer would otherwise surface as np.stack's generic
+            # shape error AFTER dropping the already-popped chunk
+            self._geometry = (frames.shape[1], frames.shape[2])
+        if frames.shape[1:3] != self._geometry:
+            raise ValueError(f"frame geometry {frames.shape[1:3]} != "
+                             f"analyzer geometry {self._geometry}")
         self._pending.extend(frames)
         while len(self._pending) >= self.batch:
             chunk, self._pending = (self._pending[:self.batch],
@@ -215,10 +219,17 @@ class FlickerAnalyzer:
             self._dispatch(np.stack(chunk))
 
     def flush(self) -> None:
-        """Dispatch any buffered partial batch (one extra trace shape)."""
-        if self._pending:
-            chunk, self._pending = self._pending, []
-            self._dispatch(np.stack(chunk))
+        """Dispatch any buffered partial batch.
+
+        Frame-by-frame on purpose: a scan's length is shape-static, so a
+        remainder of every size would each compile its own kernel — a
+        serving client polling ``flicker`` mid-stream would hit up to
+        ``batch - 1`` surprise compile stalls.  The N=1 trace is the one
+        extra shape ever compiled."""
+        chunk, self._pending = self._pending, []
+        for frame in chunk:
+            self._dispatch(frame[None])
+
 
     def power(self) -> np.ndarray:
         """(H, W) f32: startup-bias-corrected squared oscillation amplitude

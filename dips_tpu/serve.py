@@ -1398,26 +1398,29 @@ class DiPsServer:
                     frame = np.frombuffer(payload, np.uint8).reshape(shape)
                     t0 = time.monotonic()
                     hdr, body = _process_reply(eng, [frame], header)
-                    fl = getattr(eng, "_flicker", None)
-                    if fl is not None:
-                        fl.update(frame)
                     self._observe_latency(time.monotonic() - t0)
                     self._apply_events(eng, hdr, n_frames)
                     hdr["stats"] = hdr["stats"][0]
                     hdr["shape"] = hdr["shape"][1:]  # per-frame shape
                     _send(client, hdr, body)
+                    fl = getattr(eng, "_flicker", None)
+                    if fl is not None:
+                        # after the reply: the analyzer is only read by a
+                        # later "flicker" command, so its dispatch must
+                        # not sit in this request's latency
+                        fl.update(frame)
                     self._maybe_autosave(eng, n_frames)
                 elif cmd == "process_batch":
                     shape = tuple(header["shape"])
                     frames = np.frombuffer(payload, np.uint8).reshape(shape)
                     t0 = time.monotonic()
                     hdr, body = _process_reply(eng, frames, header)
-                    fl = getattr(eng, "_flicker", None)
-                    if fl is not None:
-                        fl.update(frames)
                     self._observe_latency(time.monotonic() - t0)
                     self._apply_events(eng, hdr, n_frames)
                     _send(client, hdr, body)
+                    fl = getattr(eng, "_flicker", None)
+                    if fl is not None:
+                        fl.update(frames)  # post-reply, see "process"
                     self._maybe_autosave(eng, n_frames)
                 elif cmd == "snapshot":
                     eng.snapshot()
@@ -1751,12 +1754,18 @@ class ResilientDiPsClient:
     def __init__(self, port: int, host: str = "127.0.0.1",
                  session: str = "", retries: int = 5,
                  backoff_s: float = 0.2, max_backoff_s: float = 5.0,
-                 roi: Optional[Tuple[int, int, int, int]] = None):
+                 roi: Optional[Tuple[int, int, int, int]] = None,
+                 flicker_hz: Optional[float] = None,
+                 flicker_fps: Optional[float] = None):
         if not session:
             raise ValueError("ResilientDiPsClient requires a session token "
                              "(reconnects resume the parked session)")
         self.port, self.host, self.session = int(port), host, str(session)
         self.roi = None if roi is None else tuple(int(v) for v in roi)
+        #: per-session flicker analysis, re-bound on every reconnect (the
+        #: parked window itself survives with the named session)
+        self.flicker_hz = flicker_hz
+        self.flicker_fps = flicker_fps
         self.retries = int(retries)
         self.backoff_s, self.max_backoff_s = backoff_s, max_backoff_s
         #: frames whose processing is confirmed server-side
@@ -1779,7 +1788,9 @@ class ResilientDiPsClient:
         for attempt in range(self.retries + 1):
             try:
                 self._cli = DiPsClient(self.port, self.host,
-                                       session=self.session, roi=self.roi)
+                                       session=self.session, roi=self.roi,
+                                       flicker_hz=self.flicker_hz,
+                                       flicker_fps=self.flicker_fps)
                 return int(self._cli.hello().get("frame_index", 0))
             except self._NET_ERRORS:
                 if attempt == self.retries:
@@ -1992,29 +2003,38 @@ def main(argv=None) -> int:
     except ValueError as e:  # e.g. a malformed/inverted --roi rectangle
         print(f"error: {e}", file=sys.stderr)
         return 2
-    server = DiPsServer(props, args.height, args.width, port=args.port,
-                        host=args.host, batch=args.batch,
-                        backend=args.backend, max_sessions=args.sessions,
-                        packed_wire=args.packed_wire, coalesce=args.coalesce,
-                        coalesce_window_ms=args.coalesce_window_ms,
-                        coalesce_devices=args.coalesce_devices,
-                        input_layout=args.input_layout,
-                        metrics_port=args.metrics_port,
-                        autosave_dir=args.autosave,
-                        autosave_every=args.autosave_every,
-                        events=(dict(on_threshold=args.event_on,
-                                     off_threshold=args.event_off,
-                                     metric=args.event_metric,
-                                     min_frames=args.event_min_frames,
-                                     cooldown=args.event_cooldown)
-                                if args.events else None),
-                        event_webhook=args.event_webhook)
-    if args.max_geometries is not None:
-        server.max_geometries = max(1, args.max_geometries)
-        server.max_pooled_engines = max(server.max_pooled_engines,
-                                        server.max_geometries)
-    if args.warm:
-        server.warm_geometries(args.warm.split(","))
+    try:
+        server = DiPsServer(props, args.height, args.width, port=args.port,
+                            host=args.host, batch=args.batch,
+                            backend=args.backend,
+                            max_sessions=args.sessions,
+                            packed_wire=args.packed_wire,
+                            coalesce=args.coalesce,
+                            coalesce_window_ms=args.coalesce_window_ms,
+                            coalesce_devices=args.coalesce_devices,
+                            input_layout=args.input_layout,
+                            metrics_port=args.metrics_port,
+                            autosave_dir=args.autosave,
+                            autosave_every=args.autosave_every,
+                            events=(dict(on_threshold=args.event_on,
+                                         off_threshold=args.event_off,
+                                         metric=args.event_metric,
+                                         min_frames=args.event_min_frames,
+                                         cooldown=args.event_cooldown)
+                                    if args.events else None),
+                            event_webhook=args.event_webhook)
+        if args.max_geometries is not None:
+            server.max_geometries = max(1, args.max_geometries)
+            server.max_pooled_engines = max(server.max_pooled_engines,
+                                            server.max_geometries)
+        if args.warm:
+            server.warm_geometries(args.warm.split(","))
+    except ValueError as e:
+        # configuration the flags alone cannot validate — an --roi larger
+        # than --height/--width, packed-wire+coalesce, a --warm geometry
+        # the roi does not fit — is a user error, not a traceback
+        print(f"error: {e}", file=sys.stderr)
+        return 2
     print(f"dips server on {args.host}:{server.port}", flush=True)
     if server.metrics_port is not None:
         print(f"metrics on http://{args.host}:{server.metrics_port}/metrics",

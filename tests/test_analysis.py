@@ -283,3 +283,41 @@ def test_cli_flicker_flag_gating(tmp_path, capsys):
     rc = cli_main(["--input", path, "--output", str(tmp_path / "o.avi"),
                    "--flicker-hz", "50"])
     assert rc == 1 and "resolvable" in capsys.readouterr().err
+
+
+def test_flicker_geometry_mismatch_is_loud_and_lossless(rng):
+    """A mid-stream geometry change raises the analyzer's own error BEFORE
+    any buffered frame is consumed — nothing silently vanishes."""
+    fa = analysis.FlickerAnalyzer(4.0, 24.0, batch=4)
+    fa.update(rng.integers(0, 256, (2, 5, 7, 3), np.uint8))  # buffered
+    with pytest.raises(ValueError, match="analyzer geometry"):
+        fa.update(rng.integers(0, 256, (2, 6, 7, 3), np.uint8))
+    # the two good frames are still pending; feeding two more dispatches
+    fa.update(rng.integers(0, 256, (2, 5, 7, 3), np.uint8))
+    assert fa.frames_seen == 4
+    # even before ANY dispatch the first frame pins the geometry
+    fb = analysis.FlickerAnalyzer(4.0, 24.0, batch=16)
+    fb.update(rng.integers(0, 256, (5, 7, 3), np.uint8))
+    with pytest.raises(ValueError, match="analyzer geometry"):
+        fb.update(rng.integers(0, 256, (6, 7, 3), np.uint8))
+
+
+def test_flicker_flush_uses_single_frame_trace(rng, monkeypatch):
+    """Mid-stream flushes dispatch remainders frame-by-frame: only the
+    batch shape and N=1 ever reach the jitted update (a serving client
+    polling the map must not trigger a compile per remainder size)."""
+    fa = analysis.FlickerAnalyzer(4.0, 24.0, batch=8)
+    sizes = []
+    real = analysis._flicker_update
+
+    def spy(chroma, state, frames, *a):
+        sizes.append(int(frames.shape[0]))
+        return real(chroma, state, frames, *a)
+
+    monkeypatch.setattr(analysis, "_flicker_update", spy)
+    fa.update(rng.integers(0, 256, (13, 4, 6, 3), np.uint8))
+    fa.power()   # flushes the 5-frame remainder
+    fa.update(rng.integers(0, 256, (3, 4, 6, 3), np.uint8))
+    fa.power()
+    assert set(sizes) <= {8, 1}, sizes
+    assert fa.frames_seen == 16

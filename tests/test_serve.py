@@ -2091,3 +2091,40 @@ def test_flicker_on_coalesced_session():
             assert amp[2:6, 3:9].mean() > amp[10:, 12:].mean()
     finally:
         srv.shutdown()
+
+
+def test_serve_main_oversized_roi_is_friendly(capsys):
+    """serve.main with an --roi larger than the fixed geometry: rc 2 +
+    message, not a traceback out of DiPsServer.__init__."""
+    from dips_tpu.serve import main as serve_main
+    rc = serve_main(["--height", "24", "--width", "40", "--port", "0",
+                     "--roi", "0,0,99,99"])
+    assert rc == 2 and "roi" in capsys.readouterr().err
+
+
+def test_resilient_client_flicker_passthrough():
+    """The fleet edge client rebinds the flicker window on reconnect."""
+    from dips_tpu.serve import ResilientDiPsClient
+    props = DiPsProperties(window_size=1, temporal_size=1,
+                           filter=DiPsFilter.UNFILTERED)
+    srv = DiPsServer(props, 16, 24, port=0, batch=1, max_sessions=2)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        fps, hz = 24.0, 6.0
+        frames = _blink_frames(20, 16, 24, fps, hz)
+        cli = ResilientDiPsClient(srv.port, session="edge",
+                                  flicker_hz=hz, flicker_fps=fps,
+                                  backoff_s=0.05)
+        for f in frames[:10]:
+            cli.process(f)
+        # simulated dead link: the resilient client redials and the next
+        # request re-binds the analyzer onto the resumed session
+        cli._cli._sock.close()
+        for f in frames[10:]:
+            cli.process(f)
+        amp, meta = cli._cli.flicker()
+        assert meta["frames"] == len(frames)
+        assert amp.shape == (16, 24)
+    finally:
+        srv.shutdown()
