@@ -231,3 +231,45 @@ def test_cli_dat_mode_roi_error_is_friendly(tmp_path, capsys):
                    str(tmp_path / "o2.avi"), "--dat-geometry", f"{w}x{h}",
                    "--temporal=2", "--roi", "0,0,8,8"])
     assert rc == 0
+
+
+def test_stacked_absdiff_roi_matches_per_stream_and_oracle():
+    """The raw kernel's roi mask uses stream-local rows: stacked absdiff
+    stats/heatmap must equal per-stream runs AND the oracle."""
+    import jax.numpy as jnp
+    from dips_tpu.ops import pallas_fused
+    from dips_tpu.ops.reference import pad_geometry
+    s, t, b, h, w = 3, 2, 4, 12, 40
+    hp, wp = pad_geometry(h, w)
+    props = DiPsProperties(output=OutputMode.ABSDIFF, temporal_size=t,
+                           roi=(2, 4, 10, 30))
+    rng = np.random.default_rng(11)
+    raws = [rng.integers(0, 256, (t + b, 3, hp, wp), np.uint8)
+            for _ in range(s)]
+    stacked = jnp.concatenate([jnp.asarray(r) for r in raws], axis=2)
+    flags = np.zeros((s, b), bool)
+    flags[:, 0] = True
+    valid = np.ones((s, b), bool)
+    out_s, stats_s, _, heat_s = pallas_fused.absdiff_step_stacked(
+        props, h, w, s, stacked, jnp.zeros((3, s * hp, wp), jnp.uint8),
+        jnp.asarray(flags), jnp.zeros((s * hp, wp), jnp.float32),
+        jnp.asarray(valid))
+    for si in range(s):
+        out1, stats1, _, heat1 = pallas_fused.absdiff_step(
+            props, h, w, jnp.asarray(raws[si]),
+            jnp.zeros((3, hp, wp), jnp.uint8), jnp.asarray(flags[si]),
+            jnp.zeros((hp, wp), jnp.float32), jnp.asarray(valid[si]))
+        np.testing.assert_array_equal(
+            np.asarray(out_s[:, :, si * hp:(si + 1) * hp]),
+            np.asarray(out1), err_msg=f"stream {si}")
+        np.testing.assert_allclose(np.asarray(stats_s[si]),
+                                   np.asarray(stats1), atol=1e-6)
+        np.testing.assert_allclose(
+            np.asarray(heat_s[si * hp:(si + 1) * hp]), np.asarray(heat1),
+            atol=1e-6)
+        # oracle parity for this stream (streaming over the raw frames)
+        o = DiPsOracle(props)
+        frames_hwc = raws[si][t:, :, :h, :w].transpose(0, 2, 3, 1)
+        exp_out, exp_stats = o.run(frames_hwc)
+        np.testing.assert_allclose(np.asarray(stats1),
+                                   exp_stats, atol=1e-5)
