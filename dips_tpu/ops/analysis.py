@@ -86,7 +86,7 @@ def _flicker_update(chroma_value: int, state, frames_u8: jnp.ndarray,
     HOST in float64 and fed as per-frame scan inputs — drift-free over
     unbounded streams with no in-kernel phasor rotation.  The planes ride
     a ``lax.scan``: measured on a v5e at 1080p this was the FASTEST
-    lowering (84 us/frame; XLA keeps the carries resident across
+    lowering (82 us/frame; XLA keeps the carries resident across
     iterations — the cost is the lane-hostile HWC uint8 intensity read,
     not carry traffic), beating a host-unrolled linear-coefficient
     contraction in all three forms tried (einsum -> matmul with layout
@@ -164,7 +164,7 @@ class FlickerAnalyzer:
                  tau_frames: Optional[float] = None,
                  chroma=None, batch: int = 16):
         from ..properties import ChromaFilter
-        if not fps > 0:
+        if not (math.isfinite(fps) and fps > 0):
             raise ValueError(f"fps must be positive, got {fps!r}")
         if not 0 < freq_hz < fps / 2:
             raise ValueError(
@@ -175,8 +175,9 @@ class FlickerAnalyzer:
             # DC term (demodulated, it spins at -freq) averages out; floor
             # keeps very high frequencies from degenerating to tau ~ 1
             tau_frames = max(16.0, 4.0 * fps / freq_hz)
-        if tau_frames < 2.0:
-            raise ValueError(f"tau_frames must be >= 2, got {tau_frames!r}")
+        if not (math.isfinite(tau_frames) and tau_frames >= 2.0):
+            raise ValueError(
+                f"tau_frames must be finite and >= 2, got {tau_frames!r}")
         self.freq_hz = float(freq_hz)
         self.fps = float(fps)
         self.tau_frames = float(tau_frames)
@@ -199,14 +200,17 @@ class FlickerAnalyzer:
     def _coefficients(self, n: int):
         """Per-frame scan inputs for an ``n``-frame dispatch starting at
         absolute frame ``frames_seen``, computed host-side in float64:
-        demodulation phase cos/sin (modular reduction keeps them exact
-        for huge frame counts) and the running mean's startup-bias
-        denominator ``1 - alpha**(q+1)``."""
+        demodulation phase cos/sin (float64 with modular reduction —
+        bounded rounding error, no cumulative drift; the float32 cast
+        dominates at realistic frame counts) and the running mean's
+        startup-bias denominator ``1 - alpha**(q+1)``, clamped away from
+        zero so a tau at the float boundary (alpha == 1.0) yields zero
+        flicker instead of 0/0 NaN planes."""
         a, w = self._alpha, self._omega
         n0 = self.frames_seen
         j = np.arange(n, dtype=np.float64)
         phase = math.fmod(w * n0, 2.0 * math.pi) + w * j
-        denom = 1.0 - a ** (n0 + j + 1.0)
+        denom = np.maximum(1.0 - a ** (n0 + j + 1.0), 1e-12)
         return np.stack([np.cos(phase), np.sin(phase),
                          denom]).astype(np.float32)
 
@@ -245,7 +249,7 @@ class FlickerAnalyzer:
     def flush(self) -> None:
         """Dispatch any buffered partial batch.
 
-        Frame-by-frame on purpose: the contraction length is shape-static,
+        Frame-by-frame on purpose: the scan length is shape-static,
         so a remainder of every size would each compile its own kernel — a
         serving client polling ``flicker`` mid-stream would hit up to
         ``batch - 1`` surprise compile stalls.  The N=1 trace is the one

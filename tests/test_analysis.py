@@ -321,3 +321,19 @@ def test_flicker_flush_uses_single_frame_trace(rng, monkeypatch):
     fa.power()
     assert set(sizes) <= {8, 1}, sizes
     assert fa.frames_seen == 16
+
+
+def test_flicker_degenerate_tau_yields_zero_not_nan():
+    """alpha at the float64 boundary (enormous tau / tiny freq) must read
+    zero flicker, never 0/0 NaN planes; non-finite parameters are
+    rejected outright."""
+    fa = analysis.FlickerAnalyzer(1e-15, 30.0, batch=4)  # alpha == 1.0
+    fa.update(np.full((8, 4, 6, 3), 128, np.uint8))
+    p = fa.power()
+    assert np.isfinite(p).all() and p.max() == 0.0
+    with pytest.raises(ValueError):
+        analysis.FlickerAnalyzer(5.0, 30.0, tau_frames=float("nan"))
+    with pytest.raises(ValueError):
+        analysis.FlickerAnalyzer(5.0, 30.0, tau_frames=float("inf"))
+    with pytest.raises(ValueError):
+        analysis.FlickerAnalyzer(5.0, float("inf"))

@@ -267,9 +267,12 @@ def test_stacked_absdiff_roi_matches_per_stream_and_oracle():
         np.testing.assert_allclose(
             np.asarray(heat_s[si * hp:(si + 1) * hp]), np.asarray(heat1),
             atol=1e-6)
-        # oracle parity for this stream (streaming over the raw frames)
+        # oracle parity for this stream (streaming over the raw frames):
+        # stats AND the full-frame output (roi must not leak into maps)
         o = DiPsOracle(props)
         frames_hwc = raws[si][t:, :, :h, :w].transpose(0, 2, 3, 1)
         exp_out, exp_stats = o.run(frames_hwc)
         np.testing.assert_allclose(np.asarray(stats1),
                                    exp_stats, atol=1e-5)
+        got_hwc = np.asarray(out1)[:, :, :h, :w].transpose(0, 2, 3, 1)
+        np.testing.assert_array_equal(got_hwc, exp_out)
