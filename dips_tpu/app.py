@@ -444,8 +444,11 @@ def perform_dips(job: DiPsJob) -> np.ndarray:
         raise VideoPathError("no video path set")
     from .io.gstreamer import open_video, open_writer
     # probe fps/geometry on the reader stream_dips will CONSUME — a
-    # second connect would double-session network sources (rtsp/srt)
-    reader = open_video(job.video_path, job.video_backend)
+    # second connect would double-session network sources (rtsp/srt).
+    # A caller-provided reader (e.g. the CLI's --flicker-hz fps probe)
+    # is reused for the same reason, not re-opened.
+    reader = (job.reader if job.reader is not None
+              else open_video(job.video_path, job.video_backend))
     fps, w, h = reader.fps, reader.width, reader.height
     caller_job = job
     job = dataclasses.replace(job, reader=reader)

@@ -547,3 +547,27 @@ def test_error_types_raise_where_documented(tmp_path, video):
 
     with pytest.raises(DeviceError, match="unknown backend"):
         DiPsEngine(DiPsProperties(), 16, 24, backend="cuda")
+
+
+def test_perform_dips_reuses_caller_reader(tmp_path, monkeypatch):
+    """A pre-opened DiPsJob.reader must be consumed, not re-opened — a
+    single-session network source rejects a second overlapping connect
+    (the CLI's --flicker-hz fps probe relies on this)."""
+    from dips_tpu import io as io_pkg
+    from dips_tpu.app import DiPsJob, perform_dips
+    from dips_tpu.io import moving_square_clip, write_clip
+    from dips_tpu.io.gstreamer import open_video
+    import dips_tpu.io.gstreamer as gst_mod
+    path = str(tmp_path / "in.avi")
+    write_clip(moving_square_clip(n=6, height=24, width=32), path)
+    rd = open_video(path, "opencv")
+    opens = []
+    real_open = gst_mod.open_video
+    monkeypatch.setattr(gst_mod, "open_video",
+                        lambda p, b="auto": opens.append(p) or
+                        real_open(p, b))
+    job = DiPsJob(video_path=path, output_path=str(tmp_path / "o.avi"),
+                  batch=4, reader=rd)
+    stats = perform_dips(job)
+    assert stats.shape[0] == 6
+    assert opens == [], f"re-opened the source: {opens}"
