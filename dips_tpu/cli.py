@@ -57,6 +57,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--approx-median", action="store_true",
                    help="separable spatial median (fast approximation "
                         "with documented rank bounds; default is exact)")
+    p.add_argument("--quirk-compat", action="store_true",
+                   help="replicate the reference's WGSL spatial-filter "
+                        "bugs bit-for-bit (off-center window, structural "
+                        "zeros, (n/2)+1 pick, u8 re-quantization) instead "
+                        "of the clean median — for matching legacy output")
     p.add_argument("--roi", metavar="Y0,X0,Y1,X1",
                    help="analysis region (pixel bounds, end exclusive): "
                         "per-frame statistics, the heatmap and motion "
@@ -223,6 +228,7 @@ def props_from_args(args: argparse.Namespace) -> DiPsProperties:
         refresh_markers=tuple(args.markers),
         change_threshold=args.threshold,
         approx_median=args.approx_median,
+        quirk_compat=getattr(args, "quirk_compat", False),
         roi=_parse_roi(args.roi),
     )
 

@@ -295,6 +295,50 @@ def column_median_plan(w: int) -> Tuple[Tuple[Comparator, ...],
     return sorting_network(w), pruned, out_wire
 
 
+def rank_select(values: Sequence, rank: int, minimum, maximum):
+    """Exact elementwise ``rank``-th smallest (0-indexed) of ``values``
+    via a pruned selection network (same machinery as :func:`median_of`,
+    arbitrary output rank)."""
+    n = len(values)
+    if n == 1:
+        return values[0]
+    out = apply_network(values, selection_network(n, (rank,)),
+                        minimum, maximum)
+    return out[rank]
+
+
+def quirk_window_select(vertical_taps: Sequence, shift, minimum, maximum):
+    """The reference ``dips`` crate's spatial filter, bug-for-bug
+    (``DiPsProperties.quirk_compat``; dips/src/gpu/shaders/
+    dips_shader.wgsl:122-170 and the identical pre_compute_shader.wgsl
+    copy): an off-center ``(w-1) x (w-1)`` window (the loops iterate
+    ``[-w/2, w/2)``), sorted together with the ``2w`` structural zeros its
+    zero-initialised 121-slot ``median_array`` contributes (the
+    ``w*w - (w-1)^2 = 2w - 1`` never-written slots plus the in-bounds slot
+    ``w*w`` that the bubble sort's ``j + 1`` read drags into the prefix),
+    picked at index ``(w*w)/2 + 1``.
+
+    Every tap is a non-negative intensity, so the zeros occupy the low
+    ranks of the sorted prefix and the pick reduces to rank
+    ``(w*w)//2 + 1 - 2w`` of the taps alone — negative at w=3, where the
+    reference's "median filter" is therefore constantly zero.
+
+    Args:
+      vertical_taps: ``w - 1`` planes, plane j = input shifted down by
+        ``j - w//2`` (vertical offsets ``-p .. p-1``, i.e. ``[-p, p)``).
+      shift: as :func:`window_median`; horizontal offsets are ``[-p, p)``.
+    """
+    wm1 = len(vertical_taps)
+    w = wm1 + 1
+    p = w // 2
+    rank = (w * w) // 2 + 1 - 2 * w
+    if rank < 0:  # w == 3: the structural zeros cover the picked index
+        z = shift(vertical_taps[0], 0)  # shift(..., 0) = output-shaped view
+        return z - z
+    wires = [shift(vt, dx - p) for dx in range(wm1) for vt in vertical_taps]
+    return rank_select(wires, rank, minimum, maximum)
+
+
 def separable_median(vertical_taps: Sequence, shift, minimum, maximum):
     """Separable approximation of the w*w window median: exact median down
     each column (one selection network, shared by every pixel), then the

@@ -73,7 +73,7 @@ def intensity(frame_u8: np.ndarray, chroma: ChromaFilter) -> np.ndarray:
 
 
 def spatial_median(plane: np.ndarray, window: int,
-                   approx: bool = False) -> np.ndarray:
+                   approx: bool = False, quirk: bool = False) -> np.ndarray:
     """Centered odd-window median with zero padding outside the image.
 
     ``window == 1`` is the identity (ref dips_shader.wgsl:123-126).
@@ -81,6 +81,14 @@ def spatial_median(plane: np.ndarray, window: int,
     ``approx`` selects the separable approximation (median of column
     medians, then median across horizontal offsets — the same zero-padded
     boundary semantics), matching ``DiPsProperties.approx_median``.
+    ``quirk`` replicates the reference shader bug-for-bug instead
+    (``DiPsProperties.quirk_compat``): the off-center ``(w-1)x(w-1)``
+    window sorted together with the 2w structural zeros of the WGSL's
+    zero-initialised ``median_array`` (2w-1 never-written slots + the
+    in-bounds slot ``w*w`` the bubble sort's ``j+1`` read drags in,
+    dips_shader.wgsl:129-168), picked at ``(w*w)/2 + 1`` — with
+    non-negative taps that is rank ``(w*w)//2 + 1 - 2w`` of the taps,
+    negative (= constant zero) at w == 3.
     """
     if window <= 1:
         return plane.astype(np.float32)
@@ -88,6 +96,17 @@ def spatial_median(plane: np.ndarray, window: int,
     p = window // 2
     padded = np.zeros((h + 2 * p, w + 2 * p), np.float32)
     padded[p:p + h, p:p + w] = plane
+    if quirk:
+        n2 = window * window
+        rank = n2 // 2 + 1 - 2 * window
+        if rank < 0:  # w == 3: the zeros cover the picked index
+            return np.zeros_like(plane, np.float32)
+        # taps at offsets [-p, p) in both axes; padded[dy:dy+h] has
+        # vertical offset dy - p, so dy, dx range over [0, w-1)
+        taps = np.stack([padded[dy:dy + h, dx:dx + w]
+                         for dy in range(window - 1)
+                         for dx in range(window - 1)])
+        return np.partition(taps, rank, axis=0)[rank]
     if approx:
         vtaps = np.stack([padded[dy:dy + h, p:p + w]
                           for dy in range(window)])
@@ -268,10 +287,23 @@ class DiPsOracle:
 
     def _filtered(self, frame_u8: np.ndarray) -> np.ndarray:
         """Integer-scale filtered plane (values in [0, 510]; medians are
-        selections, so integerness is preserved)."""
+        selections, so integerness is preserved).
+
+        ``quirk_compat`` additionally re-quantizes the plane to the uint8
+        grid (even integers on the [0, 510] scale, round-half-even): the
+        reference stores the filtered frame back through an rgba8unorm
+        texture before the temporal median reads it
+        (dips_shader.wgsl:187).  Its baseline path quantizes only after
+        its temporal median (pre_compute_shader.wgsl:131), but selection
+        commutes with the monotone rounding, so quantize-then-select is
+        identical."""
         plane = intensity_int(frame_u8, self.props.chroma)
-        return spatial_median(plane, self.props.window_size,
-                              self.props.approx_median)
+        phi = spatial_median(plane, self.props.window_size,
+                             self.props.approx_median,
+                             self.props.quirk_compat)
+        if self.props.quirk_compat:
+            phi = np.float32(2.0) * np.rint(phi * np.float32(0.5))
+        return phi
 
     # -- streaming API ----------------------------------------------------
     def process(self, frame_u8: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:

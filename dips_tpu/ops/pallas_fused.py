@@ -182,6 +182,18 @@ def _filtered_plane(props: DiPsProperties, i: int, cur_ref, up_ref, dn_ref,
         strip_ref[8 - p:8] = jnp.where(hb_in > 0, up, zerop)
         strip_ref[8 + bh:8 + bh + p] = jnp.where(
             hb_in < n_hb_per - 1, dn, zerop)
+    if props.quirk_compat:
+        # bug-for-bug reference filter (networks.quirk_window_select) +
+        # the rgba8unorm store-back quantization (even integers on the
+        # [0, 510] scale, half-to-even) before the temporal median
+        if window > 1:
+            vtaps = [strip_ref[8 + dy - p:8 + dy - p + bh]
+                     for dy in range(window - 1)]
+            phi = networks.quirk_window_select(vtaps, _shift_x,
+                                               jnp.minimum, jnp.maximum)
+        else:
+            phi = strip_ref[8:8 + bh]
+        return jnp.float32(2.0) * jnp.rint(phi * jnp.float32(0.5))
     if window > 1:
         vtaps = [strip_ref[8 + dy - p:8 + dy - p + bh]
                  for dy in range(window)]

@@ -120,14 +120,16 @@ def intensity_planar(rgb_u8: jnp.ndarray, chroma: ChromaFilter) -> jnp.ndarray:
 
 
 def spatial_median(planes: jnp.ndarray, window: int,
-                   approx: bool = False) -> jnp.ndarray:
+                   approx: bool = False, quirk: bool = False) -> jnp.ndarray:
     """(..., H, W) centered odd-window median, zero-padded borders.
 
     Uses the column-factored exact plan from ops/networks.py: the w vertical
     shifts are sorted once per plane (shared by every horizontal offset) and
     a rank-pruned merge network selects the median — no data-dependent sort.
     ``approx`` selects the separable approximation (networks.separable_median,
-    DiPsProperties.approx_median).
+    DiPsProperties.approx_median); ``quirk`` the reference's bug-for-bug
+    off-center rank select (networks.quirk_window_select,
+    DiPsProperties.quirk_compat).
     """
     if window <= 1:
         return planes
@@ -135,11 +137,15 @@ def spatial_median(planes: jnp.ndarray, window: int,
     h, w = planes.shape[-2], planes.shape[-1]
     pad = [(0, 0)] * (planes.ndim - 2) + [(p, p), (p, p)]
     padded = jnp.pad(planes, pad)
-    vtaps = [padded[..., dy:dy + h, :] for dy in range(window)]
 
     def shift(x, dx):
         return x[..., p + dx:p + dx + w]
 
+    if quirk:
+        vtaps = [padded[..., dy:dy + h, :] for dy in range(window - 1)]
+        return networks.quirk_window_select(vtaps, shift, jnp.minimum,
+                                            jnp.maximum)
+    vtaps = [padded[..., dy:dy + h, :] for dy in range(window)]
     fn = networks.separable_median if approx else networks.window_median
     return fn(vtaps, shift, jnp.minimum, jnp.maximum)
 
@@ -269,7 +275,13 @@ def batch_step(props: DiPsProperties, h: int, w: int,
     mask = valid_mask(hp, wp, h, w)
 
     planes = intensity_planar(raw, props.chroma)          # (T+B, Hp, Wp)
-    filtered = spatial_median(planes, props.window_size, props.approx_median)
+    filtered = spatial_median(planes, props.window_size, props.approx_median,
+                              props.quirk_compat)
+    if props.quirk_compat:
+        # rgba8unorm store-back of the filtered plane before the temporal
+        # median (dips_shader.wgsl:187): round to the uint8 grid = even
+        # integers on the [0, 510] scale, half-to-even
+        filtered = jnp.float32(2.0) * jnp.rint(filtered * jnp.float32(0.5))
     cur_all = temporal_median_windows(filtered, t)        # (B+1, Hp, Wp)
     prev, cur = cur_all[:-1], cur_all[1:]                 # each (B, Hp, Wp)
 

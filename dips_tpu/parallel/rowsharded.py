@@ -25,7 +25,8 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 from ..properties import DiPsMethod, DiPsProperties, OutputMode
 from ..ops import reference
-from ..ops.networks import separable_median, window_median
+from ..ops.networks import (quirk_window_select, separable_median,
+                            window_median)
 
 
 def _halo_exchange(slab: jnp.ndarray, p: int, axis: str) -> jnp.ndarray:
@@ -98,10 +99,18 @@ def _row_body(props, h, w, raw, baseline, flags, heatmap, valid, axis):
         def shift(x, dx):
             return x[..., p + dx:p + dx + wp]
 
-        med = separable_median if props.approx_median else window_median
-        filtered = med(vtaps, shift, jnp.minimum, jnp.maximum)
+        if props.quirk_compat:
+            filtered = quirk_window_select(vtaps[:window - 1], shift,
+                                           jnp.minimum, jnp.maximum)
+        else:
+            med = separable_median if props.approx_median else window_median
+            filtered = med(vtaps, shift, jnp.minimum, jnp.maximum)
     else:
         filtered = planes
+    if props.quirk_compat:
+        # rgba8unorm store-back quantization before the temporal median
+        # (see ops/reference.batch_step)
+        filtered = jnp.float32(2.0) * jnp.rint(filtered * jnp.float32(0.5))
     cur_all = reference.temporal_median_windows(filtered, t)
     prev, cur = cur_all[:-1], cur_all[1:]
 

@@ -158,6 +158,25 @@ class DiPsProperties:
     #: own order statistics near the median; see docs/DESIGN.md for
     #: measured deviation).  The exact median remains the default.
     approx_median: bool = False
+    #: Bug-for-bug compatibility with the reference ``dips`` crate's WGSL
+    #: spatial filter (SURVEY.md §7 "Reference quirks"): the off-center
+    #: ``(w-1)x(w-1)`` window (``for i in [-w/2, w/2)``,
+    #: dips_shader.wgsl:132-133), the ``2w`` structural zeros its
+    #: zero-initialised ``median_array`` contributes to the sort (the
+    #: ``2w - 1`` never-written slots plus the in-bounds slot ``w*w`` the
+    #: bubble sort's ``j + 1`` read touches, dips_shader.wgsl:151-166),
+    #: the ``(w*w/2)+1`` pick (dips_shader.wgsl:168), and the rgba8unorm
+    #: re-quantization of the filtered plane before the temporal median
+    #: (the store-back at dips_shader.wgsl:187).  Net effect at w=3: the
+    #: reference's "median filter" is constantly zero (six structural
+    #: zeros occupy the sorted array through index 5), so the diff map
+    #: degenerates to the baseline itself — replicated faithfully here
+    #: and pinned against a WGSL replica in tests/test_reference_quirks.py.
+    #: Default False = the documented clean semantics (true centered
+    #: odd-window median).  Median/emphasis modes only (the raw
+    #: ABSDIFF/THRESHOLD parity modes have no reference analogue and
+    #: ignore it); engine warm-up/capture scheduling is not emulated.
+    quirk_compat: bool = False
     #: Optional analysis region ``(y0, x0, y1, x1)`` (array order, end
     #: exclusive): per-frame STATISTICS, the changed-pixel count, the
     #: accumulated heatmap and therefore motion events consider only this
@@ -183,6 +202,10 @@ class DiPsProperties:
         object.__setattr__(
             self, "change_threshold",
             int(max(1, min(255, self.change_threshold))))
+        if self.quirk_compat and self.approx_median:
+            raise ValueError(
+                "quirk_compat replicates the reference's exact filter; it "
+                "cannot combine with approx_median")
         if self.roi is not None:
             roi = tuple(int(v) for v in self.roi)
             if len(roi) != 4:
@@ -246,6 +269,9 @@ class DiPsProperties:
 
     def with_approx_median(self, a: bool = True) -> "DiPsProperties":
         return dataclasses.replace(self, approx_median=bool(a))
+
+    def with_quirk_compat(self, q: bool = True) -> "DiPsProperties":
+        return dataclasses.replace(self, quirk_compat=bool(q))
 
     def with_roi(self, roi: "Sequence[int] | None") -> "DiPsProperties":
         return dataclasses.replace(
