@@ -127,6 +127,12 @@ class DiPsJob:
     #: None = wait forever — the right setting for sparse/bursty live
     #: sources (motion-triggered rtsp:// cameras) where silence is normal.
     decode_stall_s: Optional[float] = 30.0
+    #: on-device input decimation: analyze (and emit) at 1/k scale — the
+    #: k x k box mean runs inside the device layout prep, so a 4K feed
+    #: costs ~1080p device work and the host never resizes.  Output maps,
+    #: statistics, events and the written video are at the decimated
+    #: geometry; k must divide the input dimensions.
+    downscale: int = 1
     #: a pre-opened reader to use instead of opening ``video_path``
     #: (stream_dips takes ownership and closes it).  Lets callers probe
     #: fps/geometry without a second connect — network sources (rtsp/srt)
@@ -250,7 +256,8 @@ def stream_dips(job: DiPsJob) -> Iterator[Tuple[int, Optional[np.ndarray],
     from .io.gstreamer import open_video
     if job.input_layout not in ("planar", "hwc"):
         raise ValueError(f"unknown input_layout {job.input_layout!r}")
-    hwc_mode = job.input_layout == "hwc"
+    # downscale decimates inside the device layout prep: hwc path implied
+    hwc_mode = job.input_layout == "hwc" or job.downscale > 1
     reader = (job.reader if job.reader is not None
               else open_video(job.video_path, job.video_backend))
     # readers that decode natively to RGB skip the device channel swap
@@ -260,7 +267,8 @@ def stream_dips(job: DiPsJob) -> Iterator[Tuple[int, Optional[np.ndarray],
     try:
         engine = DiPsEngine(job.properties, reader.height, reader.width,
                             batch=job.batch, backend=job.backend,
-                            packed_wire=job.packed_wire, input_layout=layout)
+                            packed_wire=job.packed_wire, input_layout=layout,
+                            downscale=job.downscale)
     except Exception:
         reader.close()
         raise
@@ -450,6 +458,15 @@ def perform_dips(job: DiPsJob) -> np.ndarray:
     reader = (job.reader if job.reader is not None
               else open_video(job.video_path, job.video_backend))
     fps, w, h = reader.fps, reader.width, reader.height
+    if job.downscale > 1:
+        # the written video, event clips and pixel counts all live at the
+        # analysis geometry (the engine validates the same divisibility)
+        k = int(job.downscale)
+        if h % k or w % k:
+            reader.close()
+            raise ValueError(
+                f"downscale {k} must divide the input geometry {h}x{w}")
+        h, w = h // k, w // k
     caller_job = job
     job = dataclasses.replace(job, reader=reader)
 

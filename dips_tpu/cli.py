@@ -104,6 +104,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--packed-wire", action="store_true",
                    help="THRESHOLD output only: bit-pack masks on the "
                         "device before download (8x less D2H transfer)")
+    p.add_argument("--downscale", type=int, default=1, metavar="K",
+                   help="on-device input decimation: analyze (and write) "
+                        "at 1/K scale — K x K box mean inside the device "
+                        "layout prep, so a 4K feed costs ~1080p device "
+                        "work with no host resize.  K must divide the "
+                        "input dimensions")
     p.add_argument("--input-layout", choices=("planar", "hwc"),
                    default="planar",
                    help="'hwc': upload raw decoded frames and run the "
@@ -285,7 +291,12 @@ def main(argv: Optional[List[str]] = None) -> int:
         print("--flicker-png/--flicker-tau need --flicker-hz",
               file=sys.stderr)
         return 2
+    if args.downscale < 1:
+        print(f"--downscale must be >= 1, got {args.downscale}",
+              file=sys.stderr)
+        return 2
     for flag, val in (("--heatmap-png", args.heatmap_png),
+                      ("--downscale", args.downscale > 1),
                       ("--record-events", args.record_events),
                       ("--flicker-hz", args.flicker_hz is not None)):
         if val and (args.inputs or args.dat_dir or args.live
@@ -516,6 +527,7 @@ def main(argv: Optional[List[str]] = None) -> int:
                       pipeline_depth=args.pipeline_depth,
                       packed_wire=args.packed_wire,
                       input_layout=args.input_layout,
+                      downscale=args.downscale,
                       profile=args.profile, denoise_radius=args.denoise,
                       record_events=record)
         from .utils.profiling import trace

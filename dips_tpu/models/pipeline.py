@@ -50,7 +50,12 @@ class DiPsEngine:
       props: pipeline configuration (static; changing it means a new engine,
         mirroring the reference's pipeline-rebuild-on-change semantics,
         dips_alt/src/lib.rs:267-293).
-      height, width: true frame geometry.
+      height, width: true INPUT frame geometry.  With ``downscale = k > 1``
+        the engine decimates on device (k x k box mean inside the layout
+        prep) and the analysis geometry — maps, stats, heatmap, roi,
+        checkpoints — becomes ``height/k x width/k`` (``.height``/
+        ``.width``; the input dims stay on ``.in_height``/``.in_width``).
+        The hwc upload path is implied (planar auto-promotes).
       batch: frames per device dispatch (B).
       backend: "pallas" (fused TPU kernel), "xla" (portable jnp path), or
         "auto" (default: pallas on TPU, xla elsewhere — the fast path is
@@ -85,12 +90,35 @@ class DiPsEngine:
                  device: Optional[jax.Device] = None,
                  ring_carry: Optional[bool] = None,
                  packed_wire: bool = False,
-                 input_layout: str = "planar"):
+                 input_layout: str = "planar",
+                 downscale: int = 1):
         if height <= 0 or width <= 0:
             raise ValueError(f"bad geometry {height}x{width}")
         if batch < 1:
             raise ValueError("batch must be >= 1")
         self.props = props
+        #: on-device input decimation (``downscale = k > 1``): frames
+        #: arrive at the FULL ``height x width`` but the whole pipeline —
+        #: maps, statistics, heatmap, roi, checkpoints — runs at the
+        #: decimated ``height/k x width/k`` analysis geometry (a 4K feed
+        #: at 1080p cost).  The k x k box mean runs inside the device
+        #: layout prep (ops/reference.make_layout_prep), so the hwc
+        #: upload path is implied; ``in_height``/``in_width`` keep the
+        #: full input dims, ``height``/``width`` become the analysis dims.
+        self.downscale = int(downscale)
+        if self.downscale < 1:
+            raise ValueError(f"downscale must be >= 1, got {downscale}")
+        self.in_height, self.in_width = int(height), int(width)
+        if self.downscale > 1:
+            k = self.downscale
+            if height % k or width % k:
+                raise ValueError(
+                    f"downscale {k} must divide the input geometry "
+                    f"{height}x{width} (crop the stream or pick a "
+                    f"divisor)")
+            height, width = height // k, width // k
+            if input_layout == "planar":
+                input_layout = "hwc"  # decimation runs in the device prep
         self.height, self.width = int(height), int(width)
         # an out-of-bounds analysis region must fail HERE with the real
         # geometry in hand, not as a trace error mid-stream
@@ -114,7 +142,8 @@ class DiPsEngine:
         #: then does NO per-frame host work beyond a memcpy
         self.input_layout, self._swap_rb, self._hwc_prep = (
             reference.make_layout_prep(input_layout, self.height,
-                                       self.width, self.hp, self.wp))
+                                       self.width, self.hp, self.wp,
+                                       downscale=self.downscale))
         #: optional StageTimers: when set, dispatch/collect split their
         #: time into h2d (host->device upload), dispatch (async kernel
         #: launch) and d2h (device sync + download + interleave) stages.
@@ -217,10 +246,10 @@ class DiPsEngine:
                 raise ValueError(f"got {n} frames > batch {self.batch}")
             buf = self.new_batch_buffer()
             for i, f in enumerate(frames):
-                if f.shape != (self.height, self.width, 3):
+                if f.shape != (self.in_height, self.in_width, 3):
                     raise ValueError(
                         f"frame shape {f.shape} != "
-                        f"{(self.height, self.width, 3)}")
+                        f"{(self.in_height, self.in_width, 3)}")
                 buf[i] = f
             return self.process_buffer(buf, n, packed=packed)
         return self.process_planar([self._planarize(f) for f in frames],
@@ -235,7 +264,7 @@ class DiPsEngine:
         T otherwise); hwc layout — (B, H, W, 3) uint8, fill rows [0:n]
         with raw RGB frames (the device does the rest)."""
         if self.input_layout == "hwc":
-            return np.empty((self.batch, self.height, self.width, 3),
+            return np.empty((self.batch, self.in_height, self.in_width, 3),
                             np.uint8)
         return np.empty((self.tail_rows + self.batch, 3, self.hp, self.wp),
                         np.uint8)
@@ -293,8 +322,16 @@ class DiPsEngine:
             # runs on device.  The checkpoint tail stays RGB-planar
             # (portable): only the last min(t, n) frames pay a host
             # planarize.
-            pl = lambda f: native.planarize(f, self.hp, self.wp,
-                                            swap_rb=self._swap_rb)
+            if self.downscale > 1:
+                # checkpoint tails live at the analysis geometry: decimate
+                # on the host (bit-identical twin of the device pool)
+                # before planarizing — <= T frames per batch pay this
+                pl = lambda f: native.planarize(
+                    reference.pool_frame_host(f, self.downscale),
+                    self.hp, self.wp, swap_rb=self._swap_rb)
+            else:
+                pl = lambda f: native.planarize(f, self.hp, self.wp,
+                                                swap_rb=self._swap_rb)
             for i in range(n, b):
                 buf[i] = buf[n - 1]  # replicate last for padding
             if not self._tail:  # first batch: prefill ring with frame 0

@@ -60,8 +60,22 @@ def pad_geometry(h: int, w: int) -> Tuple[int, int]:
     return hp, wp
 
 
+def pool_frame_host(frame_u8: "np.ndarray", k: int) -> "np.ndarray":
+    """Host twin of the device decimation in :func:`make_layout_prep`:
+    uint8 (H, W, C) -> (H//k, W//k, C) by k x k box mean, rounded
+    half-to-even.  Bit-identical to the device path (exact integer sums,
+    the same f32 ``* 1/k**2`` multiply, the same ``rint``) — the engines
+    use it only for the <= T checkpoint-tail frames per batch."""
+    import numpy as np
+    h, w, c = frame_u8.shape
+    s = frame_u8.astype(np.int32).reshape(h // k, k, w // k, k, c)
+    s = s.sum(axis=(1, 3), dtype=np.int32)
+    v = np.rint(s.astype(np.float32) * np.float32(1.0 / (k * k)))
+    return v.astype(np.int32).astype(np.uint8)
+
+
 def make_layout_prep(layout: str, height: int, width: int,
-                     hp: int, wp: int):
+                     hp: int, wp: int, downscale: int = 1):
     """Input-layout contract shared by the engines (DiPsEngine and
     MultiStreamEngine must never drift apart on it).
 
@@ -72,16 +86,37 @@ def make_layout_prep(layout: str, height: int, width: int,
     taking uint8 HWC frames with ANY number of leading batch axes to
     padded planar ``(..., 3, Hp, Wp)`` — transpose + optional channel
     swap + (8, 128) pad fused into one XLA op (~40 us/frame @1080p,
-    BASELINE.md "device-side input layout")."""
+    BASELINE.md "device-side input layout").
+
+    ``downscale = k > 1`` (hwc layouts only): the prep takes FULL-RES
+    frames ``(..., height*k, width*k, 3)`` and decimates them on device
+    first — k x k box mean on the integer scale, rounded half-to-even
+    (``pool_frame_host`` is the bit-identical host twin) — so a 4K
+    camera analyzes at 1080p cost with no host resize pass.
+    ``height``/``width`` are always the ANALYSIS (post-scale) dims."""
     if layout not in ("planar", "hwc", "hwc_bgr"):
         raise ValueError(f"unknown input_layout {layout!r}")
     norm = "hwc" if layout.startswith("hwc") else layout
     swap = layout == "hwc_bgr"
+    k = int(downscale)
+    if k < 1:
+        raise ValueError(f"downscale must be >= 1, got {downscale}")
     if norm != "hwc":
+        if k > 1:
+            raise ValueError(
+                "downscale runs on the device and needs the hwc upload "
+                "path (input_layout='hwc'/'hwc_bgr')")
         return norm, swap, None
 
     def _prep(x):
         n = x.ndim - 3  # leading batch axes
+        if k > 1:
+            s = x.astype(jnp.int32).reshape(
+                *x.shape[:n], height, k, width, k, 3)
+            s = s.sum(axis=(n + 1, n + 3))
+            x = jnp.rint(s.astype(jnp.float32)
+                         * jnp.float32(1.0 / (k * k))
+                         ).astype(jnp.int32).astype(jnp.uint8)
         x = jnp.transpose(x, tuple(range(n)) + (n + 2, n, n + 1))
         if swap:
             x = x[..., ::-1, :, :]

@@ -56,6 +56,9 @@ CASES = [
      DiPsProperties(window_size=7, temporal_size=2,
                     filter=DiPsFilter.UNFILTERED, approx_median=True),
      True),
+    ("overall/colorize/w5 quirk-compat",
+     DiPsProperties(window_size=5, temporal_size=2,
+                    filter=DiPsFilter.UNFILTERED, quirk_compat=True), True),
     ("overall/absdiff + roi (analysis region)",
      DiPsProperties(output=OutputMode.ABSDIFF, temporal_size=2,
                     roi=(4, 10, 20, 120)), True),
