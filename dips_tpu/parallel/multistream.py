@@ -217,18 +217,36 @@ class MultiStreamEngine:
                  mesh: Optional[Mesh] = None, backend: str = "auto",
                  ring_carry: Optional[bool] = None,
                  packed_wire: bool = False,
-                 input_layout: str = "planar"):
+                 input_layout: str = "planar",
+                 downscale: int = 1):
         self.props = props
         if packed_wire and props.output != OutputMode.THRESHOLD:
             raise ValueError("packed_wire requires THRESHOLD output")
         self.packed_wire = bool(packed_wire)
         self._raw_mode = props.output in _RAW_MODES
+        #: on-device input decimation per stream (mirrors DiPsEngine):
+        #: frames arrive at the full input geometry, the pipeline runs at
+        #: height/k x width/k (the hwc upload path is implied)
+        self.downscale = int(downscale)
+        if self.downscale < 1:
+            raise ValueError(f"downscale must be >= 1, got {downscale}")
+        self.in_height, self.in_width = int(height), int(width)
+        if self.downscale > 1:
+            k = self.downscale
+            if height % k or width % k:
+                raise ValueError(
+                    f"downscale {k} must divide the input geometry "
+                    f"{height}x{width}")
+            height, width = height // k, width // k
+            if input_layout == "planar":
+                input_layout = "hwc"  # decimation runs in the device prep
         self.height, self.width = int(height), int(width)
         self.hp, self.wp = reference.pad_geometry(height, width)
         self.batch = int(batch)
         self.input_layout, self._swap_rb, self._hwc_prep = (
             reference.make_layout_prep(input_layout, self.height,
-                                       self.width, self.hp, self.wp))
+                                       self.width, self.hp, self.wp,
+                                       downscale=self.downscale))
         self.mesh = mesh if mesh is not None else stream_mesh()
         if "rows" in self.mesh.axis_names:
             # composite 2-D (stream x rows) grid: each device owns a
@@ -318,7 +336,7 @@ class MultiStreamEngine:
             sh, t, b = self._stage_rows(), self.props.temporal_size, \
                 self.batch
             if hwc:
-                buf = np.zeros((sh, b, self.height, self.width, 3),
+                buf = np.zeros((sh, b, self.in_height, self.in_width, 3),
                                np.uint8)
                 tails = (np.zeros((sh, t, 3, self.hp, self.wp), np.uint8)
                          if tr else None)
@@ -644,13 +662,20 @@ class MultiStreamEngine:
             try:
                 if hwc:
                     from .. import native
-                    pl = lambda f: native.planarize(
-                        f, self.hp, self.wp, swap_rb=self._swap_rb)
+                    if self.downscale > 1:
+                        # checkpoint tails at the analysis geometry (the
+                        # bit-identical host twin of the device pool)
+                        pl = lambda f: native.planarize(
+                            reference.pool_frame_host(f, self.downscale),
+                            self.hp, self.wp, swap_rb=self._swap_rb)
+                    else:
+                        pl = lambda f: native.planarize(
+                            f, self.hp, self.wp, swap_rb=self._swap_rb)
                     for f in frames:
-                        if f.shape != (self.height, self.width, 3):
+                        if f.shape != (self.in_height, self.in_width, 3):
                             raise ValueError(
                                 f"frame shape {f.shape} != "
-                                f"{(self.height, self.width, 3)}")
+                                f"{(self.in_height, self.in_width, 3)}")
                     # planar tail bookkeeping only (checkpoint format,
                     # always RGB planes)
                     planar = [pl(f) for f in frames[-t:]]

@@ -226,7 +226,7 @@ class StreamCoalescer:
     def __init__(self, props: DiPsProperties, height: int, width: int,
                  n_streams: int, batch: int = 1, backend: str = "auto",
                  window_ms: float = 2.0, n_devices: int = 1,
-                 input_layout: str = "planar"):
+                 input_layout: str = "planar", downscale: int = 1):
         from .parallel import MultiStreamEngine, stream_mesh
         # slots shard over the first n_devices chips (ICI-order mesh);
         # the default 1-device mesh serves a whole camera fleet from one
@@ -235,7 +235,8 @@ class StreamCoalescer:
         self.engine = MultiStreamEngine(props, height, width,
                                         n_streams=n_streams, batch=batch,
                                         mesh=mesh, backend=backend,
-                                        input_layout=input_layout)
+                                        input_layout=input_layout,
+                                        downscale=downscale)
         self.n_streams = int(n_streams)
         self.window_s = window_ms / 1e3
         self._cv = threading.Condition()
@@ -375,6 +376,7 @@ class _CoalescedSession:
         eng = co.engine
         self.props = eng.props
         self.height, self.width = eng.height, eng.width
+        self.in_height, self.in_width = eng.in_height, eng.in_width
         self.batch, self.backend = eng.batch, eng.backend
 
     @property
@@ -503,7 +505,15 @@ class DiPsServer:
                  autosave_dir: Optional[str] = None,
                  autosave_every: int = 256,
                  events: Optional[dict] = None,
-                 event_webhook: Optional[str] = None):
+                 event_webhook: Optional[str] = None,
+                 downscale: int = 1):
+        #: daemon-wide on-device input decimation (``--downscale K``):
+        #: every session's engine analyzes at 1/K scale (k x k box mean
+        #: inside the device layout prep — DiPsEngine.downscale).  Clients
+        #: keep sending full-res frames; reply maps/stats are at the
+        #: decimated geometry (``hello``'s config carries both).  Session
+        #: geometry keys (pooling, flexible sizing) stay in INPUT dims.
+        self.downscale = max(1, int(downscale))
         #: per-session motion-event segmentation (ops/events.py): a dict
         #: of MotionDetector kwargs (on_threshold may be "auto"; pixels is
         #: filled in per session from its geometry).  process replies gain
@@ -575,7 +585,7 @@ class DiPsServer:
             self._coalesce_cfg = dict(
                 n_streams=coalesce, batch=batch, backend=backend,
                 window_ms=coalesce_window_ms, n_devices=coalesce_devices,
-                input_layout=input_layout)
+                input_layout=input_layout, downscale=self.downscale)
             if not self.flexible:
                 self._coalescer = StreamCoalescer(props, height, width,
                                                   **self._coalesce_cfg)
@@ -584,12 +594,14 @@ class DiPsServer:
         elif self.flexible:
             self._mk_engine = lambda h, w, p=None: DiPsEngine(
                 p or props, h, w, batch=batch, backend=backend,
-                packed_wire=packed_wire, input_layout=input_layout)
+                packed_wire=packed_wire, input_layout=input_layout,
+                downscale=self.downscale)
             self.engine = None
         else:
             self._mk_engine = lambda p=None: DiPsEngine(
                 p or props, height, width, batch=batch, backend=backend,
-                packed_wire=packed_wire, input_layout=input_layout)
+                packed_wire=packed_wire, input_layout=input_layout,
+                downscale=self.downscale)
             #: the default session engine (kept for embedding/back-compat)
             self.engine = self._mk_engine()
         self.max_sessions = max(1, int(max_sessions))
@@ -684,10 +696,10 @@ class DiPsServer:
                 # drive one dummy frame through a slot to compile its step
                 if self._coalescer is not None:
                     ce = self._coalescer.engine
-                    if (h, w) != (ce.height, ce.width):
+                    if (h, w) != (ce.in_height, ce.in_width):
                         raise ValueError(
                             f"warm geometry {h}x{w} != fixed server "
-                            f"{ce.height}x{ce.width}")
+                            f"{ce.in_height}x{ce.in_width}")
                 # warming N geometries implies keeping N alive
                 self.max_geometries = max(self.max_geometries,
                                           len(geometries))
@@ -700,10 +712,10 @@ class DiPsServer:
                 log.info("warmed %dx%d", h, w)
                 continue
             if not self.flexible:
-                if (h, w) != (self.engine.height, self.engine.width):
+                if (h, w) != (self.engine.in_height, self.engine.in_width):
                     raise ValueError(
                         f"warm geometry {h}x{w} != fixed server "
-                        f"{self.engine.height}x{self.engine.width}")
+                        f"{self.engine.in_height}x{self.engine.in_width}")
                 eng = self.engine
             else:
                 eng = self._mk_engine(h, w)
@@ -1194,7 +1206,10 @@ class DiPsServer:
         if not self.flexible:
             self._pool.append(eng)
             return
-        self._pool.setdefault((eng.height, eng.width), []).append(eng)
+        # pool keys are INPUT geometry (what a session's frames look
+        # like); with daemon-wide downscale that differs from the
+        # engine's analysis dims
+        self._pool.setdefault((eng.in_height, eng.in_width), []).append(eng)
         total = sum(len(v) for v in self._pool.values())
         dropped = 0
         while total > self.max_pooled_engines:
@@ -1288,6 +1303,11 @@ class DiPsServer:
                 elif cmd == "load" and self.flexible:
                     try:  # peek the checkpoint's geometry to size the engine
                         geometry = self._peek_geometry(header["path"])
+                        if geometry is not None and self.downscale > 1:
+                            # checkpoints store ANALYSIS dims; sessions
+                            # are sized by their input geometry
+                            geometry = tuple(v * self.downscale
+                                             for v in geometry)
                     except Exception as e:
                         self._count("request_errors")
                         _send(client, {"ok": False, "error": str(e)})
@@ -1316,6 +1336,9 @@ class DiPsServer:
                         try:
                             geometry = self._peek_geometry(
                                 self._autosave_path(tok))
+                            if geometry is not None and self.downscale > 1:
+                                geometry = tuple(v * self.downscale
+                                                 for v in geometry)
                         except Exception:
                             pass
                     if not parked and geometry is None:
@@ -1327,6 +1350,7 @@ class DiPsServer:
                                 "config": {
                                     "height": None, "width": None,
                                     "flexible": True, "roi": None,
+                                    "downscale": self.downscale,
                                     "coalesced":
                                         self._coalesce_cfg is not None}})
                             continue
@@ -1391,6 +1415,15 @@ class DiPsServer:
                             "output": eng.props.output.name,
                             "roi": (list(eng.props.roi)
                                     if eng.props.roi else None),
+                            # height/width above are the ANALYSIS dims
+                            # (what replies are shaped as); with
+                            # downscale > 1, frames must arrive at
+                            # input_height/input_width
+                            "downscale": self.downscale,
+                            "input_height": getattr(eng, "in_height",
+                                                    eng.height),
+                            "input_width": getattr(eng, "in_width",
+                                                   eng.width),
                             "coalesced": isinstance(eng, _CoalescedSession),
                         }})
                 elif cmd == "process":
@@ -2016,6 +2049,7 @@ def main(argv=None) -> int:
                             metrics_port=args.metrics_port,
                             autosave_dir=args.autosave,
                             autosave_every=args.autosave_every,
+                            downscale=args.downscale,
                             events=(dict(on_threshold=args.event_on,
                                          off_threshold=args.event_off,
                                          metric=args.event_metric,

@@ -153,3 +153,23 @@ def test_cli_downscale(tmp_path):
     # downscale outside the single-run mode is rejected
     assert main([f"--input={path}", "--thumbnail",
                  str(tmp_path / "t.png"), "--downscale=2"]) == 2
+
+
+def test_multistream_downscale_matches_single():
+    """MultiStreamEngine(downscale=k) must equal per-stream DiPsEngine
+    downscale runs (the serving coalescer's decimation path)."""
+    from dips_tpu.parallel import MultiStreamEngine, stream_mesh
+    k = 2
+    r = np.random.default_rng(3)
+    clips = [r.integers(0, 256, (5, 16, 32, 3), np.uint8) for _ in range(2)]
+    props = DiPsProperties(window_size=3, temporal_size=2,
+                           filter=DiPsFilter.UNFILTERED)
+    ms = MultiStreamEngine(props, 16, 32, n_streams=2, batch=5,
+                           mesh=stream_mesh(1), backend="xla", downscale=k)
+    assert (ms.height, ms.width) == (8, 16)
+    out, stats, _ = ms.process_batch([list(c) for c in clips])
+    for si, clip in enumerate(clips):
+        eng = DiPsEngine(props, 16, 32, batch=5, backend="xla", downscale=k)
+        eo, es = eng.process_frames(list(clip))
+        np.testing.assert_array_equal(out[si], eo)
+        np.testing.assert_allclose(stats[si], es, atol=1e-6)

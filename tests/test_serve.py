@@ -2128,3 +2128,64 @@ def test_resilient_client_flicker_passthrough():
         assert amp.shape == (16, 24)
     finally:
         srv.shutdown()
+
+
+def test_serve_downscale_daemon():
+    """A --downscale daemon accepts full-res frames and replies at the
+    analysis geometry, matching a local downscale engine bit-for-bit;
+    flexible + fixed modes and the pooled-engine geometry keys agree."""
+    props = DiPsProperties(window_size=3, temporal_size=2,
+                           filter=DiPsFilter.UNFILTERED)
+    srv = DiPsServer(props, 32, 48, port=0, batch=2, downscale=2)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        clip = make_clip(n=4, h=32, w=48, seed=5)
+        cli = DiPsClient(srv.port)
+        info = cli.hello()
+        cfg = info["config"]
+        assert (cfg["height"], cfg["width"]) == (16, 24)
+        assert (cfg["input_height"], cfg["input_width"]) == (32, 48)
+        assert cfg["downscale"] == 2
+        outs, stats = cli.process_many(np.stack(clip[:2]))
+        assert outs.shape == (2, 16, 24, 3)
+        o2, s2 = cli.process_many(np.stack(clip[2:]))
+        cli.close()
+        eng = DiPsEngine(props, 32, 48, batch=2, downscale=2)
+        exp_out, exp_stats = eng.process_frames(list(clip))
+        np.testing.assert_array_equal(
+            np.concatenate([outs, o2]), exp_out)
+        np.testing.assert_allclose(
+            np.concatenate([stats, s2]), exp_stats, atol=1e-6)
+    finally:
+        srv.shutdown()
+
+
+def test_serve_downscale_flexible_pool_and_checkpoint(tmp_path):
+    """Flexible downscale daemon: sessions sized from full-res first
+    frames, pooled by INPUT geometry, checkpoints (analysis dims) load
+    back with the x-k geometry peek."""
+    props = DiPsProperties(window_size=1, temporal_size=2,
+                           filter=DiPsFilter.UNFILTERED)
+    srv = DiPsServer(props, None, None, port=0, batch=1, downscale=2,
+                     max_sessions=2)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        clip = make_clip(n=3, h=16, w=32, seed=7)
+        path = str(tmp_path / "sess.npz")
+        with DiPsClient(srv.port) as cli:
+            o, _ = cli.process(clip[0])
+            assert o.shape == (8, 16, 3)
+            cli.save(path)   # checkpoint at analysis dims (8, 16)
+        # a fresh session restores from the checkpoint: the daemon must
+        # size the engine from the peeked geometry x k
+        with DiPsClient(srv.port) as cli2:
+            fi = cli2.load(path)
+            assert fi == 1
+            o2, _ = cli2.process(clip[1])
+            assert o2.shape == (8, 16, 3)
+        with srv._pool_lock:
+            assert list(srv._pool) == [(16, 32)]  # input-geometry keys
+    finally:
+        srv.shutdown()
