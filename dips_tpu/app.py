@@ -604,7 +604,8 @@ def run_dips_on_files(input_paths: Sequence[str], output_dir: str,
                       mesh=None, input_layout: str = "planar",
                       video_backend: str = "auto",
                       events: Optional[dict] = None,
-                      collect_stats: bool = False):
+                      collect_stats: bool = False,
+                      downscale: int = 1):
     """Batched multi-stream differencing over many videos (BASELINE
     configs[3]): decode S files in lockstep, run the sharded multi-stream
     step over the device mesh, write one diff video per input.
@@ -622,6 +623,10 @@ def run_dips_on_files(input_paths: Sequence[str], output_dir: str,
     ``collect_stats=True`` appends a per-stream stats list to the return
     (``counts, [events,] stats_per_stream`` — each entry
     (n_i, NUM_STATS) for that stream's true frame count).
+
+    ``downscale=k`` decimates every stream on device (k x k box mean in
+    the layout prep): inputs decode at full resolution, the diff videos,
+    statistics and events land at the 1/k analysis geometry.
     """
     import os
     from .io.gstreamer import open_video, open_writer
@@ -657,7 +662,10 @@ def run_dips_on_files(input_paths: Sequence[str], output_dir: str,
         pad_streams = (-s) % n_dev  # stream axis: a multiple of its size
         eng = MultiStreamEngine(props, h, w, n_streams=s + pad_streams,
                                 batch=batch, mesh=mesh, backend=backend,
-                                input_layout=input_layout)
+                                input_layout=input_layout,
+                                downscale=downscale)
+        # outputs/stats/events land at the analysis geometry
+        h, w = eng.height, eng.width
 
         os.makedirs(output_dir, exist_ok=True)
         # inputs sharing a basename (camA/clip.avi + camB/clip.avi) must

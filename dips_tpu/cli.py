@@ -295,8 +295,14 @@ def main(argv: Optional[List[str]] = None) -> int:
         print(f"--downscale must be >= 1, got {args.downscale}",
               file=sys.stderr)
         return 2
+    if args.downscale > 1 and (args.dat_dir or args.live or args.thumbnail
+                               or args.subsample is not None):
+        # decimation is an engine feature of the run modes; thumbnail/
+        # subsample are host transcodes and the preview is 1:1
+        print("--downscale needs the --input/--output or --inputs modes",
+              file=sys.stderr)
+        return 2
     for flag, val in (("--heatmap-png", args.heatmap_png),
-                      ("--downscale", args.downscale > 1),
                       ("--record-events", args.record_events),
                       ("--flicker-hz", args.flicker_hz is not None)):
         if val and (args.inputs or args.dat_dir or args.live
@@ -387,7 +393,8 @@ def main(argv: Optional[List[str]] = None) -> int:
                                        input_layout=args.input_layout,
                                        video_backend=args.video_backend,
                                        events=ev_cfg,
-                                       collect_stats=want_stats)
+                                       collect_stats=want_stats,
+                                       downscale=args.downscale)
         except (DiPsError, NotImplementedError, ValueError) as e:
             # ValueError: engine/mesh configuration (row slab < halo,
             # pallas on a 2-D mesh, ...) — a user error, not a crash

@@ -173,3 +173,30 @@ def test_multistream_downscale_matches_single():
         eo, es = eng.process_frames(list(clip))
         np.testing.assert_array_equal(out[si], eo)
         np.testing.assert_allclose(stats[si], es, atol=1e-6)
+
+
+def test_cli_inputs_downscale(tmp_path):
+    """--inputs batch mode composes with --downscale (decimated outputs
+    per stream)."""
+    import cv2
+    from dips_tpu.cli import main
+    paths = []
+    rng = np.random.default_rng(4)
+    for s in range(2):
+        p = str(tmp_path / f"cam{s}.avi")
+        wr = cv2.VideoWriter(p, cv2.VideoWriter_fourcc(*"MJPG"), 30,
+                             (32, 16))
+        for _ in range(5):
+            wr.write(rng.integers(0, 256, (16, 32, 3), np.uint8))
+        wr.release()
+        paths.append(p)
+    outd = str(tmp_path / "out")
+    assert main(["--inputs", *paths, f"--output-dir={outd}",
+                 "--downscale=2", "--temporal=2", "--batch=5"]) == 0
+    import os
+    outs = sorted(os.listdir(outd))
+    assert len(outs) == 2
+    cap = cv2.VideoCapture(os.path.join(outd, outs[0]))
+    assert (int(cap.get(cv2.CAP_PROP_FRAME_WIDTH)),
+            int(cap.get(cv2.CAP_PROP_FRAME_HEIGHT))) == (16, 8)
+    cap.release()
