@@ -101,6 +101,17 @@ class DiPsJob:
     record_events: Optional[dict] = None
     #: run artifact: the recorded segments (span, frames, events, path)
     event_segments: Optional[list] = None
+    #: adaptive baseline refresh (ops/refresh.BaselineRefreshPolicy
+    #: kwargs): automates the reference's SnapShot button — when the scene
+    #: changes wholesale (lighting flip, camera bump, scene cut) the
+    #: policy re-pins the baseline so OVERALL mode recovers instead of
+    #: diffing hot forever.  Keys: ``threshold`` (changed fraction,
+    #: default 0.6), ``persist`` (consecutive frames, default 3),
+    #: ``cooldown`` (default persist + 2*batch — must cover the snapshot
+    #: latency), ``metric``.  OVERALL method only.
+    auto_refresh: Optional[dict] = None
+    #: run artifact: frame indices where the auto-refresh policy fired
+    baseline_refreshes: Optional[list] = None
     #: batches kept in flight on the device (2 = dispatch batch k+1 while
     #: batch k downloads — real double-buffering on PCIe-attached hosts
     #: where h2d and d2h ride separate DMA engines).  Default 1: on this
@@ -523,6 +534,29 @@ def perform_dips(job: DiPsJob) -> np.ndarray:
             writer.close()
             raise
 
+    refresher = None
+    if job.auto_refresh is not None:
+        try:  # a bad config must not leak the opened reader/writer
+            from .properties import DiPsMethod
+            from .ops.refresh import BaselineRefreshPolicy
+            if job.properties.method is not DiPsMethod.OVERALL:
+                raise ValueError(
+                    "auto_refresh re-pins the OVERALL baseline; "
+                    "method=per_frame has none")
+            cfg = dict(job.auto_refresh)
+            if cfg.get("metric", "changed_frac") == "changed_frac":
+                cfg.setdefault(
+                    "pixels", job.properties.analysis_pixels(h, w))
+            # must swallow the snapshot latency: up to 2 in-flight batches
+            # still diff against the old baseline after a trigger
+            cfg.setdefault(
+                "cooldown", cfg.get("persist", 3) + 2 * job.batch)
+            refresher = BaselineRefreshPolicy(**cfg)
+        except Exception:
+            reader.close()
+            writer.close()
+            raise
+
     stats_rows: List[np.ndarray] = []
     try:
         with writer:
@@ -535,6 +569,10 @@ def perform_dips(job: DiPsJob) -> np.ndarray:
                     emit(out, pts)
                 if recorder is not None:
                     recorder.feed(out, stats, idx)
+                if refresher is not None and refresher.feed(idx, stats):
+                    job.engine.snapshot()
+                    log.info("auto-refresh: baseline re-capture requested "
+                             "at frame %d", idx)
                 stats_rows.append(stats)
                 if idx % 100 == 0:
                     log.info("frame %d", idx)
@@ -552,6 +590,9 @@ def perform_dips(job: DiPsJob) -> np.ndarray:
         caller_job.frame_geometry = (h, w)
         caller_job.engine = job.engine
         caller_job.event_segments = job.event_segments
+        if refresher is not None:
+            caller_job.baseline_refreshes = job.baseline_refreshes = (
+                list(refresher.refreshes))
     if job.timers:
         log.info("%s", job.timers)
     return (np.stack(stats_rows) if stats_rows

@@ -161,6 +161,15 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--post-roll", type=int, default=30, metavar="N",
                    help="frames kept after each recorded event "
                         "(default 30)")
+    p.add_argument("--auto-refresh", metavar="FRAC[:PERSIST[:COOLDOWN]]",
+                   help="adaptive baseline refresh (overall method): "
+                        "re-capture the snapshot when at least FRAC of "
+                        "the analysis pixels stay changed for PERSIST "
+                        "consecutive frames (default 3), then hold off "
+                        "COOLDOWN frames (default covers the snapshot "
+                        "latency).  Automates the reference's SnapShot "
+                        "button for unattended scene changes; fired "
+                        "frame indices are printed after the run")
     p.add_argument("--event-cooldown", type=int, default=0, metavar="N",
                    help="sub-threshold frames tolerated inside one event "
                         "before it closes (default 0)")
@@ -302,8 +311,25 @@ def main(argv: Optional[List[str]] = None) -> int:
         print("--downscale needs the --input/--output or --inputs modes",
               file=sys.stderr)
         return 2
+    auto_refresh = None
+    if args.auto_refresh:
+        parts = args.auto_refresh.split(":")
+        try:
+            if not 1 <= len(parts) <= 3:
+                raise ValueError("too many fields")
+            auto_refresh = {"threshold": float(parts[0])}
+            if len(parts) > 1:
+                auto_refresh["persist"] = int(parts[1])
+            if len(parts) > 2:
+                auto_refresh["cooldown"] = int(parts[2])
+        except ValueError:
+            print(f"bad --auto-refresh {args.auto_refresh!r} "
+                  "(want FRAC[:PERSIST[:COOLDOWN]], e.g. 0.6:3:64)",
+                  file=sys.stderr)
+            return 2
     for flag, val in (("--heatmap-png", args.heatmap_png),
                       ("--record-events", args.record_events),
+                      ("--auto-refresh", args.auto_refresh),
                       ("--flicker-hz", args.flicker_hz is not None)):
         if val and (args.inputs or args.dat_dir or args.live
                     or args.thumbnail or args.subsample is not None):
@@ -536,7 +562,7 @@ def main(argv: Optional[List[str]] = None) -> int:
                       input_layout=args.input_layout,
                       downscale=args.downscale,
                       profile=args.profile, denoise_radius=args.denoise,
-                      record_events=record)
+                      record_events=record, auto_refresh=auto_refresh)
         from .utils.profiling import trace
         try:
             with trace(args.trace_dir):
@@ -550,6 +576,12 @@ def main(argv: Optional[List[str]] = None) -> int:
         frame_geometry = job.frame_geometry
         if args.profile and job.timers:
             print(job.timers)
+        if auto_refresh is not None and job.baseline_refreshes is not None:
+            if job.baseline_refreshes:
+                print("auto-refresh fired at frame(s): "
+                      + ", ".join(map(str, job.baseline_refreshes)))
+            else:
+                print("auto-refresh: no scene change detected")
         if args.record_events and job.event_segments is not None:
             import os
             with open(os.path.join(args.record_events,

@@ -1,0 +1,174 @@
+"""Adaptive baseline refresh (ops/refresh.BaselineRefreshPolicy) — the
+automated SnapShot button for unattended scene changes.
+
+The reference only re-captures on static refresh markers
+(dips_alt/src/lib.rs:668-670) or a human click (lib.rs:296-298); the
+policy here watches the per-frame stats the engine already downloads and
+re-pins the OVERALL baseline when the scene changes wholesale."""
+
+import numpy as np
+import pytest
+
+from dips_tpu import DiPsJob, DiPsProperties, perform_dips
+from dips_tpu.cli import main as cli_main
+from dips_tpu.io.synthetic import write_clip
+from dips_tpu.ops.refresh import BaselineRefreshPolicy
+from dips_tpu.properties import DiPsMethod
+
+
+def row(changed, mean_abs=0.1):
+    """Stats row (mean, mean|.|, max|.|, changed_count)."""
+    return np.array([0.0, mean_abs, 0.5, changed], np.float32)
+
+
+# ---------------------------------------------------------------- unit --
+
+def test_fires_after_persist_consecutive_hot_frames():
+    p = BaselineRefreshPolicy(threshold=0.5, persist=3, cooldown=10,
+                              pixels=100)
+    assert not p.feed(0, row(60))
+    assert not p.feed(1, row(60))
+    assert p.feed(2, row(60))            # 3rd consecutive hot frame
+    assert p.refreshes == [2]
+
+
+def test_low_frame_resets_the_persist_counter():
+    p = BaselineRefreshPolicy(threshold=0.5, persist=3, cooldown=10,
+                              pixels=100)
+    assert not p.feed(0, row(60))
+    assert not p.feed(1, row(60))
+    assert not p.feed(2, row(10))        # dip: restart the count
+    assert not p.feed(3, row(60))
+    assert not p.feed(4, row(60))
+    assert p.feed(5, row(60))
+    assert p.refreshes == [5]
+
+
+def test_cooldown_suppresses_and_does_not_accumulate():
+    p = BaselineRefreshPolicy(threshold=0.5, persist=2, cooldown=5,
+                              pixels=100)
+    assert not p.feed(0, row(60))
+    assert p.feed(1, row(60))
+    # frames 2..6 are inside the cooldown window: inert AND they must not
+    # pre-charge the persist counter for frame 7
+    for i in range(2, 7):
+        assert not p.feed(i, row(60))
+    assert not p.feed(7, row(60))        # first counted frame after cooldown
+    assert p.feed(8, row(60))            # persistently hot -> re-fires
+    assert p.refreshes == [1, 8]
+
+
+def test_changed_frac_normalisation_and_other_metrics():
+    p = BaselineRefreshPolicy(threshold=0.5, persist=1, pixels=1000)
+    assert not p.feed(0, row(400))       # 0.4 < 0.5
+    assert p.feed(1, row(500))           # 0.5 >= 0.5 (inclusive)
+    m = BaselineRefreshPolicy(threshold=0.2, persist=1,
+                              metric="mean_abs_diff")
+    assert not m.feed(0, row(0, mean_abs=0.1))
+    assert m.feed(1, row(0, mean_abs=0.3))
+
+
+def test_validation_errors():
+    with pytest.raises(ValueError):
+        BaselineRefreshPolicy(metric="changed_frac")     # needs pixels
+    with pytest.raises(ValueError):
+        BaselineRefreshPolicy(metric="bogus", pixels=10)
+    with pytest.raises(ValueError):
+        BaselineRefreshPolicy(threshold=0.0, pixels=10)
+    with pytest.raises(ValueError):
+        BaselineRefreshPolicy(threshold=1.5, pixels=10)  # frac > 1
+    with pytest.raises(ValueError):
+        BaselineRefreshPolicy(persist=0, pixels=10, threshold=0.5)
+    with pytest.raises(ValueError):
+        BaselineRefreshPolicy(cooldown=-1, pixels=10, threshold=0.5)
+
+
+# ---------------------------------------------------- end-to-end --------
+
+def scene_cut_clip(tmp_path, n_a=8, n_b=24, h=64, w=96):
+    """Solid scene A then a hard cut to solid scene B (MJPG-clean)."""
+    frames = np.empty((n_a + n_b, h, w, 3), np.uint8)
+    frames[:n_a] = 30
+    frames[n_a:] = 220
+    return write_clip(frames, str(tmp_path / "cut.avi")), n_a, n_b
+
+
+def test_perform_dips_recovers_from_a_scene_cut(tmp_path):
+    path, n_a, n_b = scene_cut_clip(tmp_path)
+    props = DiPsProperties(window_size=1, temporal_size=1)
+    pixels = 64 * 96
+
+    # without auto-refresh the post-cut frames diff hot forever
+    base = DiPsJob(properties=props, video_path=path,
+                   output_path=str(tmp_path / "plain.avi"), batch=4,
+                   backend="xla")
+    stats = perform_dips(base)
+    assert stats[-1, 3] / pixels > 0.9
+    assert base.baseline_refreshes is None  # artifact only when enabled
+
+    job = DiPsJob(properties=props, video_path=path,
+                  output_path=str(tmp_path / "auto.avi"), batch=4,
+                  backend="xla",
+                  auto_refresh=dict(threshold=0.5, persist=2))
+    stats = perform_dips(job)
+    assert stats.shape[0] == n_a + n_b
+    # fired shortly after the cut (persist=2 -> second hot frame)
+    assert job.baseline_refreshes == [n_a + 1]
+    # the snapshot lands on a following batch; the tail of the clip diffs
+    # against the NEW baseline and goes quiet
+    assert stats[-1, 3] / pixels < 0.05
+    assert stats[-4:, 3].max() / pixels < 0.05
+
+
+def test_per_frame_method_is_rejected(tmp_path):
+    path, _, _ = scene_cut_clip(tmp_path, n_a=4, n_b=4)
+    job = DiPsJob(properties=DiPsProperties(method=DiPsMethod.PER_FRAME),
+                  video_path=path,
+                  output_path=str(tmp_path / "o.avi"),
+                  auto_refresh=dict(threshold=0.5))
+    with pytest.raises(ValueError, match="per_frame"):
+        perform_dips(job)
+
+
+def test_bad_config_rejects_unknown_kwargs(tmp_path):
+    path, _, _ = scene_cut_clip(tmp_path, n_a=4, n_b=4)
+    job = DiPsJob(properties=DiPsProperties(), video_path=path,
+                  output_path=str(tmp_path / "o.avi"),
+                  auto_refresh=dict(threshold=0.5, bogus=1))
+    with pytest.raises(TypeError):
+        perform_dips(job)
+
+
+# ---------------------------------------------------------------- CLI --
+
+def test_cli_auto_refresh(tmp_path, capsys):
+    path, n_a, _ = scene_cut_clip(tmp_path)
+    rc = cli_main(["--input", path, "--output", str(tmp_path / "o.avi"),
+                   "--win_size", "1", "--temporal", "1", "--batch", "4",
+                   "--backend", "xla", "--auto-refresh", "0.5:2"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert f"auto-refresh fired at frame(s): {n_a + 1}" in out
+
+
+def test_cli_auto_refresh_quiet_run(tmp_path, capsys):
+    frames = np.full((8, 64, 96, 3), 30, np.uint8)
+    path = write_clip(frames, str(tmp_path / "still.avi"))
+    rc = cli_main(["--input", path, "--output", str(tmp_path / "o.avi"),
+                   "--backend", "xla", "--auto-refresh", "0.5"])
+    assert rc == 0
+    assert "no scene change detected" in capsys.readouterr().out
+
+
+def test_cli_auto_refresh_bad_values(tmp_path, capsys):
+    for bad in ("abc", "0.5:x", "0.5:2:3:4"):
+        rc = cli_main(["--input", "i.avi", "--output", "o.avi",
+                       "--auto-refresh", bad])
+        assert rc == 2, bad
+        assert "bad --auto-refresh" in capsys.readouterr().err
+
+
+def test_cli_auto_refresh_needs_single_input_mode(tmp_path, capsys):
+    rc = cli_main(["--live", "--auto-refresh", "0.5"])
+    assert rc == 2
+    assert "--auto-refresh" in capsys.readouterr().err
