@@ -313,15 +313,9 @@ def main(argv: Optional[List[str]] = None) -> int:
         return 2
     auto_refresh = None
     if args.auto_refresh:
-        parts = args.auto_refresh.split(":")
+        from .ops.refresh import parse_auto_refresh_arg
         try:
-            if not 1 <= len(parts) <= 3:
-                raise ValueError("too many fields")
-            auto_refresh = {"threshold": float(parts[0])}
-            if len(parts) > 1:
-                auto_refresh["persist"] = int(parts[1])
-            if len(parts) > 2:
-                auto_refresh["cooldown"] = int(parts[2])
+            auto_refresh = parse_auto_refresh_arg(args.auto_refresh)
         except ValueError:
             print(f"bad --auto-refresh {args.auto_refresh!r} "
                   "(want FRAC[:PERSIST[:COOLDOWN]], e.g. 0.6:3:64)",

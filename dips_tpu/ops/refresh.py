@@ -40,6 +40,22 @@ from typing import List, Optional
 from .events import METRICS
 
 
+def parse_auto_refresh_arg(value: str) -> dict:
+    """``FRAC[:PERSIST[:COOLDOWN]]`` (the --auto-refresh flag shared by
+    the CLI and the serving daemon) -> BaselineRefreshPolicy kwargs.
+    Raises ValueError on malformed input; range checks happen in the
+    policy constructor."""
+    parts = value.split(":")
+    if not 1 <= len(parts) <= 3:
+        raise ValueError("too many fields")
+    cfg = {"threshold": float(parts[0])}
+    if len(parts) > 1:
+        cfg["persist"] = int(parts[1])
+    if len(parts) > 2:
+        cfg["cooldown"] = int(parts[2])
+    return cfg
+
+
 class BaselineRefreshPolicy:
     """Streaming scene-change detector -> re-snapshot requests.
 

@@ -18,6 +18,9 @@ Header commands:
         (one request per device batch: amortises the per-request round
         trip the way the engine amortises per-frame dispatch)
   {"cmd": "snapshot"}                   -> {"ok"}   (re-pin the baseline)
+        (--events daemons add "events"/"event_open" to process replies;
+        --auto-refresh daemons add "baseline_refresh": the frame index
+        where this reply's stats re-pinned the session's baseline)
   {"cmd": "heatmap"}                    -> {"ok", "shape"} + f32 payload
   {"cmd": "flicker"}                    -> {"ok", "shape", "freq_hz",
         "frames"} + f32 amplitude payload (requires binding with
@@ -506,7 +509,8 @@ class DiPsServer:
                  autosave_every: int = 256,
                  events: Optional[dict] = None,
                  event_webhook: Optional[str] = None,
-                 downscale: int = 1):
+                 downscale: int = 1,
+                 auto_refresh: Optional[dict] = None):
         #: daemon-wide on-device input decimation (``--downscale K``):
         #: every session's engine analyzes at 1/K scale (k x k box mean
         #: inside the device layout prep — DiPsEngine.downscale).  Clients
@@ -529,6 +533,28 @@ class DiPsServer:
             if probe.get("metric") == "changed_frac":
                 probe.setdefault("pixels", 1)
             MotionDetector(**probe)
+        #: per-session adaptive baseline refresh (ops/refresh.py): a dict
+        #: of BaselineRefreshPolicy kwargs — each session gets its own
+        #: policy over its reply stats, and a wholesale scene change on
+        #: that camera re-pins ITS baseline (the automated SnapShot
+        #: button; unattended fleet cameras are exactly the use case).
+        #: The fired reply carries ``baseline_refresh``: the frame index.
+        #: OVERALL method only; None disables.
+        self.refresh_cfg = (dict(auto_refresh) if auto_refresh is not None
+                            else None)
+        if self.refresh_cfg is not None:
+            from .properties import DiPsMethod
+            if props.method is not DiPsMethod.OVERALL:
+                raise ValueError(
+                    "auto_refresh re-pins the OVERALL baseline; "
+                    "method=per_frame has none")
+            # validate NOW, same contract as event_cfg below
+            from .ops.refresh import BaselineRefreshPolicy
+            probe = dict(self.refresh_cfg)
+            if probe.get("metric", "changed_frac") == "changed_frac":
+                probe.setdefault("pixels", 1)
+            probe.setdefault("cooldown", 0)
+            BaselineRefreshPolicy(**probe)
         #: push alerts: every closed motion event is POSTed (JSON, async
         #: best-effort, bounded queue — see utils/webhook.py) to this URL,
         #: so a fleet gets notifications without polling process replies.
@@ -663,6 +689,10 @@ class DiPsServer:
                           # closed motion events across all sessions
                           # (served only when the daemon runs --events)
                           "motion_events": 0,
+                          # adaptive baseline re-pins across all sessions
+                          # (counts only when the daemon runs
+                          # --auto-refresh)
+                          "auto_refreshes": 0,
                           # --event-webhook delivery outcomes (stay zero
                           # without one configured)
                           "webhook_delivered": 0, "webhook_failed": 0,
@@ -983,6 +1013,44 @@ class DiPsServer:
             self._post_webhook(eng, closed)
         hdr["events"] = [e.to_dict() for e in closed]
         hdr["event_open"] = det.is_open
+
+    # -- per-session adaptive baseline refresh (ops/refresh.py) -----------
+    def _refresher_for(self, eng):
+        """Lazily attach a BaselineRefreshPolicy to the session's engine;
+        it parks/resumes with it, like the motion detector."""
+        pol = getattr(eng, "_refresher", None)
+        if pol is None:
+            from .ops.refresh import BaselineRefreshPolicy
+            cfg = dict(self.refresh_cfg)
+            if cfg.get("metric", "changed_frac") == "changed_frac":
+                cfg.setdefault(
+                    "pixels",
+                    eng.props.analysis_pixels(eng.height, eng.width))
+            # cover the snapshot latency: the re-capture lands on the
+            # NEXT dispatch, so up to one request's batch still diffs
+            # against the old baseline
+            cfg.setdefault("cooldown", cfg.get("persist", 3)
+                           + 2 * max(1, eng.batch))
+            pol = BaselineRefreshPolicy(**cfg)
+            eng._refresher = pol
+        return pol
+
+    def _apply_refresh(self, eng, hdr, n_frames: int) -> None:
+        """Feed this request's stats rows to the session's refresh policy;
+        a trigger requests ``eng.snapshot()`` (takes effect next dispatch)
+        and annotates the reply with the fired frame index."""
+        if self.refresh_cfg is None:
+            return
+        pol = self._refresher_for(eng)
+        start = eng.frame_index - n_frames
+        fired = None
+        for i, row in enumerate(hdr["stats"]):
+            if pol.feed(start + i, row):
+                fired = start + i
+        if fired is not None:
+            eng.snapshot()
+            self._count("auto_refreshes")
+            hdr["baseline_refresh"] = fired
 
     def _post_webhook(self, eng, events) -> None:
         """Fan closed events out to the --event-webhook URL (async,
@@ -1425,6 +1493,7 @@ class DiPsServer:
                             "input_width": getattr(eng, "in_width",
                                                    eng.width),
                             "coalesced": isinstance(eng, _CoalescedSession),
+                            "auto_refresh": self.refresh_cfg is not None,
                         }})
                 elif cmd == "process":
                     shape = tuple(header["shape"])
@@ -1433,6 +1502,7 @@ class DiPsServer:
                     hdr, body = _process_reply(eng, [frame], header)
                     self._observe_latency(time.monotonic() - t0)
                     self._apply_events(eng, hdr, n_frames)
+                    self._apply_refresh(eng, hdr, n_frames)
                     hdr["stats"] = hdr["stats"][0]
                     hdr["shape"] = hdr["shape"][1:]  # per-frame shape
                     _send(client, hdr, body)
@@ -1450,6 +1520,7 @@ class DiPsServer:
                     hdr, body = _process_reply(eng, frames, header)
                     self._observe_latency(time.monotonic() - t0)
                     self._apply_events(eng, hdr, n_frames)
+                    self._apply_refresh(eng, hdr, n_frames)
                     _send(client, hdr, body)
                     fl = getattr(eng, "_flicker", None)
                     if fl is not None:
@@ -1627,6 +1698,9 @@ class DiPsClient:
         #: only when the daemon runs with --events)
         self.last_events: list = []
         self.event_open: bool = False
+        #: frame index where the LAST process reply re-pinned the baseline
+        #: (--auto-refresh daemons), else None
+        self.last_refresh: Optional[int] = None
         self._sock = socket.create_connection((host, port))
 
     def __enter__(self) -> "DiPsClient":
@@ -1683,10 +1757,13 @@ class DiPsClient:
 
     def _note_events(self, h: dict) -> None:
         """On an --events daemon, every process reply carries the motion
-        events that closed plus the open flag; mirror them here."""
+        events that closed plus the open flag; mirror them here.  On an
+        --auto-refresh daemon, ``last_refresh`` is the frame index where
+        THIS reply re-pinned the session's baseline (None otherwise)."""
         if "events" in h:
             self.last_events = list(h["events"])
             self.event_open = bool(h.get("event_open"))
+        self.last_refresh = h.get("baseline_refresh")
 
     def process(self, frame: np.ndarray, packed: bool = False
                 ) -> Tuple[np.ndarray, np.ndarray]:
@@ -1900,6 +1977,12 @@ class ResilientDiPsClient:
     def event_open(self) -> bool:
         return bool(self._cli is not None and self._cli.event_open)
 
+    @property
+    def last_refresh(self) -> Optional[int]:
+        """Frame index where the last process reply re-pinned the baseline
+        (``--auto-refresh`` daemons), else None."""
+        return self._cli.last_refresh if self._cli is not None else None
+
     def hello(self) -> dict:
         return self._retry(lambda c: c.hello())
 
@@ -2016,6 +2099,15 @@ def main(argv=None) -> int:
                     help="POST every closed motion event to URL as JSON "
                          "(async best-effort with retries; outcomes in "
                          "the webhook_* metrics).  Requires --events")
+    ap.add_argument("--auto-refresh", default=None,
+                    metavar="FRAC[:PERSIST[:COOLDOWN]]",
+                    help="per-session adaptive baseline refresh: re-pin a "
+                         "session's snapshot when at least FRAC of its "
+                         "analysis pixels stay changed for PERSIST frames "
+                         "(default 3) — the automated SnapShot button for "
+                         "unattended fleet cameras.  The fired reply "
+                         "carries 'baseline_refresh' (frame index); "
+                         "fires count in the auto_refreshes metric")
     from .utils.compilecache import (add_compile_cache_flag,
                                      apply_compile_cache_flag)
     add_compile_cache_flag(ap)
@@ -2028,6 +2120,16 @@ def main(argv=None) -> int:
               "floor + margin/2) — drop it or use a fixed --event-on",
               file=sys.stderr)
         return 2
+    auto_refresh = None
+    if args.auto_refresh:
+        from .ops.refresh import parse_auto_refresh_arg
+        try:
+            auto_refresh = parse_auto_refresh_arg(args.auto_refresh)
+        except ValueError:
+            print(f"error: bad --auto-refresh {args.auto_refresh!r} "
+                  "(want FRAC[:PERSIST[:COOLDOWN]], e.g. 0.6:3:64)",
+                  file=sys.stderr)
+            return 2
     cache_dir = apply_compile_cache_flag(args)
     if cache_dir:
         print(f"compile cache: {cache_dir}", flush=True)
@@ -2056,7 +2158,8 @@ def main(argv=None) -> int:
                                          min_frames=args.event_min_frames,
                                          cooldown=args.event_cooldown)
                                     if args.events else None),
-                            event_webhook=args.event_webhook)
+                            event_webhook=args.event_webhook,
+                            auto_refresh=auto_refresh)
         if args.max_geometries is not None:
             server.max_geometries = max(1, args.max_geometries)
             server.max_pooled_engines = max(server.max_pooled_engines,

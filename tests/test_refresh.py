@@ -172,3 +172,93 @@ def test_cli_auto_refresh_needs_single_input_mode(tmp_path, capsys):
     rc = cli_main(["--live", "--auto-refresh", "0.5"])
     assert rc == 2
     assert "--auto-refresh" in capsys.readouterr().err
+
+
+# ------------------------------------------------------------ serving --
+
+def cut_frames(n_a, n_b, h=24, w=40):
+    frames = np.empty((n_a + n_b, h, w, 3), np.uint8)
+    frames[:n_a] = 30
+    frames[n_a:] = 220
+    return frames
+
+
+def test_serve_auto_refresh_per_session(tmp_path):
+    """Two fleet cameras on one daemon: a scene cut on cam-A re-pins ONLY
+    cam-A's baseline, annotated on the fired reply."""
+    import threading
+
+    from dips_tpu.serve import DiPsClient, DiPsServer
+
+    props = DiPsProperties(window_size=1, temporal_size=1)
+    srv = DiPsServer(props, 24, 40, port=0, batch=1, max_sessions=2,
+                     auto_refresh=dict(threshold=0.5, persist=2,
+                                       cooldown=2))
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        a = DiPsClient(srv.port, session="cam-A")
+        b = DiPsClient(srv.port, session="cam-B")
+        assert a.hello()["config"]["auto_refresh"] is True
+        frames_a = cut_frames(4, 8)
+        frames_b = np.full((12, 24, 40, 3), 30, np.uint8)  # still camera
+        fired = []
+        stats_a = []
+        for i in range(12):
+            _, s = a.process(frames_a[i])
+            stats_a.append(s)
+            if a.last_refresh is not None:
+                fired.append((i, a.last_refresh))
+            _, _ = b.process(frames_b[i])
+            assert b.last_refresh is None  # the still camera never fires
+        # cut at 4, persist 2 -> fires on frame 5's reply
+        assert fired == [(5, 5)]
+        px = 24 * 40
+        assert stats_a[4][3] / px > 0.9      # hot against the old baseline
+        assert stats_a[-1][3] / px < 0.05    # quiet against the new one
+        assert srv.metrics()["auto_refreshes"] == 1
+        a.close()
+        b.close()
+    finally:
+        srv.shutdown()
+
+
+def test_serve_auto_refresh_batched_and_coalesced():
+    """process_batch carries the annotation; coalesced slots refresh
+    independently too."""
+    import threading
+
+    from dips_tpu.serve import DiPsClient, DiPsServer
+
+    props = DiPsProperties(window_size=1, temporal_size=1)
+    srv = DiPsServer(props, 24, 40, port=0, batch=4, max_sessions=2,
+                     coalesce=2,
+                     auto_refresh=dict(threshold=0.5, persist=2,
+                                       cooldown=6))
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        cli = DiPsClient(srv.port, session="cam-A")
+        frames = cut_frames(4, 12)
+        _, stats = cli.process_many(frames[:8])
+        assert cli.last_refresh == 5  # cut at 4, persist 2
+        _, stats2 = cli.process_many(frames[8:])
+        assert cli.last_refresh is None
+        px = 24 * 40
+        assert stats2[-1][3] / px < 0.05  # re-pinned: tail is quiet
+        cli.close()
+    finally:
+        srv.shutdown()
+
+
+def test_serve_auto_refresh_rejects_per_frame_and_bad_cfg():
+    from dips_tpu.serve import DiPsServer, main as serve_main
+
+    with pytest.raises(ValueError, match="per_frame"):
+        DiPsServer(DiPsProperties(method=DiPsMethod.PER_FRAME), 24, 40,
+                   port=0, auto_refresh=dict(threshold=0.5))
+    with pytest.raises(ValueError):
+        DiPsServer(DiPsProperties(), 24, 40, port=0,
+                   auto_refresh=dict(threshold=0.0))
+    assert serve_main(["--height", "24", "--width", "40",
+                       "--auto-refresh", "nope"]) == 2
