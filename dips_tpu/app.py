@@ -646,7 +646,8 @@ def run_dips_on_files(input_paths: Sequence[str], output_dir: str,
                       video_backend: str = "auto",
                       events: Optional[dict] = None,
                       collect_stats: bool = False,
-                      downscale: int = 1):
+                      downscale: int = 1,
+                      auto_refresh: Optional[dict] = None):
     """Batched multi-stream differencing over many videos (BASELINE
     configs[3]): decode S files in lockstep, run the sharded multi-stream
     step over the device mesh, write one diff video per input.
@@ -668,6 +669,12 @@ def run_dips_on_files(input_paths: Sequence[str], output_dir: str,
     ``downscale=k`` decimates every stream on device (k x k box mean in
     the layout prep): inputs decode at full resolution, the diff videos,
     statistics and events land at the 1/k analysis geometry.
+
+    ``auto_refresh``: optional BaselineRefreshPolicy kwargs (see
+    ops/refresh.py) — each stream gets its own adaptive baseline refresh,
+    so a wholesale scene change on one input re-pins only ITS baseline
+    (OVERALL method only).  Appends a per-stream list of fired frame
+    indices to the return.
     """
     import os
     from .io.gstreamer import open_video, open_writer
@@ -727,6 +734,20 @@ def run_dips_on_files(input_paths: Sequence[str], output_dir: str,
                 cfg.setdefault("pixels", props.analysis_pixels(h, w))
             detectors = [MotionDetector(**cfg) for _ in range(s)]
             stream_events: list = [[] for _ in range(s)]
+        refreshers = None
+        if auto_refresh is not None:
+            from .properties import DiPsMethod
+            from .ops.refresh import BaselineRefreshPolicy
+            if props.method is not DiPsMethod.OVERALL:
+                raise ValueError(
+                    "auto_refresh re-pins the OVERALL baseline; "
+                    "method=per_frame has none")
+            rcfg = dict(auto_refresh)
+            if rcfg.get("metric", "changed_frac") == "changed_frac":
+                rcfg.setdefault("pixels", props.analysis_pixels(h, w))
+            # the re-capture lands on the NEXT batch dispatch
+            rcfg.setdefault("cooldown", rcfg.get("persist", 3) + 2 * batch)
+            refreshers = [BaselineRefreshPolicy(**rcfg) for _ in range(s)]
         stream_stats: Optional[list] = ([[] for _ in range(s)]
                                         if collect_stats else None)
         done = [False] * s
@@ -765,6 +786,14 @@ def run_dips_on_files(input_paths: Sequence[str], output_dir: str,
                     stream_events[si] += detectors[si].update(
                         stats[si, :n],
                         start_index=eng.frame_cursors[si] - n)
+                if refreshers is not None and n:
+                    start = eng.frame_cursors[si] - n
+                    if any([refreshers[si].feed(start + k, stats[si, k])
+                            for k in range(n)]):
+                        eng.snapshot(stream=si)
+                        log.info("auto-refresh: stream %d baseline "
+                                 "re-capture at frame %d", si,
+                                 refreshers[si].refreshes[-1])
                 if stream_stats is not None and n:
                     stream_stats[si].append(stats[si, :n])
     finally:
@@ -787,6 +816,8 @@ def run_dips_on_files(input_paths: Sequence[str], output_dir: str,
         out.append([np.concatenate(rows) if rows
                     else np.zeros((0, _NS), np.float32)
                     for rows in stream_stats])
+    if refreshers is not None:
+        out.append([list(r.refreshes) for r in refreshers])
     return out[0] if len(out) == 1 else tuple(out)
 
 

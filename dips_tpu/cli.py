@@ -169,7 +169,8 @@ def build_parser() -> argparse.ArgumentParser:
                         "COOLDOWN frames (default covers the snapshot "
                         "latency).  Automates the reference's SnapShot "
                         "button for unattended scene changes; fired "
-                        "frame indices are printed after the run")
+                        "frame indices are printed after the run.  In "
+                        "--inputs mode each stream gets its own policy")
     p.add_argument("--event-cooldown", type=int, default=0, metavar="N",
                    help="sub-threshold frames tolerated inside one event "
                         "before it closes (default 0)")
@@ -321,9 +322,15 @@ def main(argv: Optional[List[str]] = None) -> int:
                   "(want FRAC[:PERSIST[:COOLDOWN]], e.g. 0.6:3:64)",
                   file=sys.stderr)
             return 2
+    if args.auto_refresh and (args.dat_dir or args.live or args.thumbnail
+                              or args.subsample is not None):
+        # dat/subsample/thumbnail have no streaming baseline; the live
+        # preview has the interactive SnapShot key instead
+        print("--auto-refresh needs the --input/--output or --inputs "
+              "modes", file=sys.stderr)
+        return 2
     for flag, val in (("--heatmap-png", args.heatmap_png),
                       ("--record-events", args.record_events),
-                      ("--auto-refresh", args.auto_refresh),
                       ("--flicker-hz", args.flicker_hz is not None)):
         if val and (args.inputs or args.dat_dir or args.live
                     or args.thumbnail or args.subsample is not None):
@@ -414,21 +421,20 @@ def main(argv: Optional[List[str]] = None) -> int:
                                        video_backend=args.video_backend,
                                        events=ev_cfg,
                                        collect_stats=want_stats,
-                                       downscale=args.downscale)
+                                       downscale=args.downscale,
+                                       auto_refresh=auto_refresh)
         except (DiPsError, NotImplementedError, ValueError) as e:
             # ValueError: engine/mesh configuration (row slab < halo,
             # pallas on a 2-D mesh, ...) — a user error, not a crash
             print(f"error: {e}", file=sys.stderr)
             return 1
-        per_stream = per_stats = None
-        if ev_cfg is not None and want_stats:
-            counts, per_stream, per_stats = result
-        elif ev_cfg is not None:
-            counts, per_stream = result
-        elif want_stats:
-            counts, per_stats = result
-        else:
-            counts = result
+        # run_dips_on_files appends optional elements in a fixed order:
+        # counts, [events,] [stats,] [refreshes]
+        res = list(result) if isinstance(result, tuple) else [result]
+        counts = res.pop(0)
+        per_stream = res.pop(0) if ev_cfg is not None else None
+        per_stats = res.pop(0) if want_stats else None
+        per_refresh = res.pop(0) if auto_refresh is not None else None
         # duplicate input paths must not collapse to one JSON key
         # (mirrors the output-basename disambiguation): suffix dups
         # with their stream index
@@ -449,6 +455,14 @@ def main(argv: Optional[List[str]] = None) -> int:
                                for row in rows]
                            for k, rows in zip(keys, per_stats)}, f)
             print(f"per-stream stats written: {args.stats_json}")
+        if per_refresh is not None:
+            hot = {k: idxs for k, idxs in zip(keys, per_refresh) if idxs}
+            if hot:
+                for k, idxs in hot.items():
+                    print(f"auto-refresh fired on {k} at frame(s): "
+                          + ", ".join(map(str, idxs)))
+            else:
+                print("auto-refresh: no scene change detected")
         failed = [i for i, c in enumerate(counts) if c < 0]
         ok_total = int(sum(c for c in counts if c >= 0))
         print(f"processed {len(counts)} streams "

@@ -174,6 +174,59 @@ def test_cli_auto_refresh_needs_single_input_mode(tmp_path, capsys):
     assert "--auto-refresh" in capsys.readouterr().err
 
 
+# ------------------------------------------------- multi-video batch --
+
+def test_run_dips_on_files_per_stream_refresh(tmp_path):
+    """Scene cut on stream 0 only re-pins stream 0's baseline; the return
+    gains one fired-index list per stream."""
+    from dips_tpu.app import run_dips_on_files
+
+    h, w = 32, 48
+    cut = np.empty((16, h, w, 3), np.uint8)
+    cut[:6] = 30
+    cut[6:] = 220
+    still = np.full((16, h, w, 3), 30, np.uint8)
+    p0 = write_clip(cut, str(tmp_path / "cut.avi"))
+    p1 = write_clip(still, str(tmp_path / "still.avi"))
+    props = DiPsProperties(window_size=1, temporal_size=1)
+    counts, stats, refreshes = run_dips_on_files(
+        [p0, p1], str(tmp_path / "out"), properties=props, batch=4,
+        backend="xla", collect_stats=True,
+        auto_refresh=dict(threshold=0.5, persist=2))
+    assert list(counts) == [16, 16]
+    assert refreshes == [[7], []]  # cut at 6, persist 2; still never fires
+    px = h * w
+    assert stats[0][6, 3] / px > 0.9      # hot against the old baseline
+    assert stats[0][-1, 3] / px < 0.05    # re-pinned: tail quiet
+    assert stats[1][:, 3].max() == 0      # untouched stream stays zero
+
+
+def test_run_dips_on_files_refresh_rejects_per_frame(tmp_path):
+    from dips_tpu.app import run_dips_on_files
+
+    clip = np.full((4, 32, 48, 3), 30, np.uint8)
+    p = write_clip(clip, str(tmp_path / "c.avi"))
+    with pytest.raises(ValueError, match="per_frame"):
+        run_dips_on_files(
+            [p], str(tmp_path / "out"),
+            properties=DiPsProperties(method=DiPsMethod.PER_FRAME),
+            backend="xla", auto_refresh=dict(threshold=0.5))
+
+
+def test_cli_inputs_auto_refresh(tmp_path, capsys):
+    h, w = 32, 48
+    cut = np.empty((16, h, w, 3), np.uint8)
+    cut[:6] = 30
+    cut[6:] = 220
+    p0 = write_clip(cut, str(tmp_path / "cut.avi"))
+    rc = cli_main(["--inputs", p0, "--output-dir", str(tmp_path / "out"),
+                   "--win_size", "1", "--temporal", "1", "--batch", "4",
+                   "--backend", "xla", "--auto-refresh", "0.5:2"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert f"auto-refresh fired on {p0} at frame(s): 7" in out
+
+
 # ------------------------------------------------------------ serving --
 
 def cut_frames(n_a, n_b, h=24, w=40):
