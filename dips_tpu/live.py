@@ -23,6 +23,9 @@ frame cursor carry over — ref redip closure, dips_alt/src/lib.rs:267-293):
   m        toggle method overall <-> per_frame
   e        toggle motion-EVENT detection (auto noise-floor; "MOTION" in
            the title while one is open, closed events print to stdout)
+  a        toggle adaptive baseline AUTO-REFRESH (ops/refresh.py): a
+           wholesale scene change re-pins the snapshot automatically —
+           the hands-free sibling of the 's' key (overall method only)
   q / ESC  quit
 """
 
