@@ -358,6 +358,11 @@ def main():
                     help="bench the stacked multi-stream aggregate for S "
                          "streams of --height x --width instead of the "
                          "single-stream kernels")
+    ap.add_argument("--compile-cache", action=argparse.BooleanOptionalAction,
+                    default=True,
+                    help="persist compiled executables (~/.cache/dips_tpu/"
+                         "xla or $DIPS_COMPILE_CACHE) so repeat runs skip "
+                         "jit compilation (default: on)")
     ap.add_argument("--backend-timeout", type=float, default=600.0,
                     metavar="S",
                     help="seconds to wait for jax backend init; a dead "
@@ -366,6 +371,15 @@ def main():
                          "the caller with no artifact at all — on timeout "
                          "print an error JSON line and exit 1")
     args = ap.parse_args()
+
+    # Persistent XLA compile cache, ON by default (opt out with
+    # --no-compile-cache): the driver runs this harness cold every round,
+    # and without the cache the first absdiff-ring compile alone costs
+    # minutes (BASELINE.md "Cold start").  Must happen before any compile.
+    if args.compile_cache:
+        from dips_tpu.utils.compilecache import enable_compile_cache
+        cache_dir = enable_compile_cache()
+        log(f"compile cache: {cache_dir}")
 
     # Backend watchdog BEFORE any jax backend touch (doctor.py owns the
     # probe): every mode below initialises the backend, and a hang here

@@ -129,6 +129,12 @@ def main(argv=None) -> int:
     import jax
     jax.config.update("jax_platforms", "cpu")
 
+    # Persistent compile cache (keyed on platform, so CPU entries never
+    # collide with the TPU ones bench.py writes): the driver dry-runs this
+    # cold every round.
+    from dips_tpu.utils.compilecache import enable_compile_cache
+    enable_compile_cache()
+
     run(n)
     print("DRYRUN-OK")
     return 0

@@ -170,7 +170,8 @@ def build_parser() -> argparse.ArgumentParser:
                         "latency).  Automates the reference's SnapShot "
                         "button for unattended scene changes; fired "
                         "frame indices are printed after the run.  In "
-                        "--inputs mode each stream gets its own policy")
+                        "--inputs mode each stream gets its own policy; "
+                        "with --live it arms the preview's 'a' toggle")
     p.add_argument("--event-cooldown", type=int, default=0, metavar="N",
                    help="sub-threshold frames tolerated inside one event "
                         "before it closes (default 0)")
@@ -322,12 +323,12 @@ def main(argv: Optional[List[str]] = None) -> int:
                   "(want FRAC[:PERSIST[:COOLDOWN]], e.g. 0.6:3:64)",
                   file=sys.stderr)
             return 2
-    if args.auto_refresh and (args.dat_dir or args.live or args.thumbnail
+    if args.auto_refresh and (args.dat_dir or args.thumbnail
                               or args.subsample is not None):
-        # dat/subsample/thumbnail have no streaming baseline; the live
-        # preview has the interactive SnapShot key instead
-        print("--auto-refresh needs the --input/--output or --inputs "
-              "modes", file=sys.stderr)
+        # dat/subsample/thumbnail have no streaming baseline (--live DOES:
+        # it starts the preview with the policy armed; 'a' toggles it)
+        print("--auto-refresh needs the --input/--output, --inputs or "
+              "--live modes", file=sys.stderr)
         return 2
     for flag, val in (("--heatmap-png", args.heatmap_png),
                       ("--record-events", args.record_events),
@@ -516,7 +517,8 @@ def main(argv: Optional[List[str]] = None) -> int:
             except DiPsError as e:
                 print(f"error: {e}", file=sys.stderr)
                 return 1
-        return run_live(props, backend=args.backend, reader=reader)
+        return run_live(props, backend=args.backend, reader=reader,
+                        auto_refresh=auto_refresh)
     else:
         if not (args.input and args.output):
             print("need --input and --output (see --help)", file=sys.stderr)

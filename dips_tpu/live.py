@@ -53,13 +53,20 @@ class LiveController:
     the run loop consumes.
     """
 
-    def __init__(self, props: DiPsProperties):
+    def __init__(self, props: DiPsProperties,
+                 auto_refresh: Optional[dict] = None):
         self.props = props
         self.snapshot_requested = False
         self.quit = False
         #: motion-event detection toggle ('e'); the run loop owns the
         #: detector itself (it needs the frame geometry)
         self.events_enabled = False
+        #: adaptive baseline auto-refresh toggle ('a'); the run loop owns
+        #: the BaselineRefreshPolicy (it needs the analysis-pixel count).
+        #: ``auto_refresh`` pre-enables it with policy kwargs (--auto-
+        #: refresh --live); 'a' then toggles the same configuration.
+        self.auto_refresh_cfg = dict(auto_refresh or {})
+        self.auto_refresh_enabled = auto_refresh is not None
 
     def _cycle(self, cycle, current):
         return cycle[(cycle.index(current) + 1) % len(cycle)]
@@ -83,6 +90,9 @@ class LiveController:
         if key == "e":
             self.events_enabled = not self.events_enabled
             return False  # a detector toggle never rebuilds the engine
+        if key == "a":
+            self.auto_refresh_enabled = not self.auto_refresh_enabled
+            return False  # policy toggle, not a pipeline change
         if key == "o":
             new = p.with_colorize(not p.colorize)
         elif key == "f":
@@ -124,7 +134,8 @@ class LiveController:
                 f"filt={p.filter.name.lower()} chroma={p.chroma.name.lower()} "
                 f"w={p.window_size} t={p.temporal_size} "
                 f"sens={p.sensitivity:g} scalar={p.sigmoid_horizontal_scalar:g}"
-                + (" events=auto" if self.events_enabled else ""))
+                + (" events=auto" if self.events_enabled else "")
+                + (" refresh=auto" if self.auto_refresh_enabled else ""))
 
 
 def rebuild_engine(old: DiPsEngine, props: DiPsProperties,
@@ -166,8 +177,12 @@ def _to_bgr(out):
 
 def run_live(props: DiPsProperties, camera: int = 0, batch: int = 1,
              backend: str = "auto",
-             reader: Optional[object] = None) -> int:
-    """The preview loop; ``reader`` is injectable for tests."""
+             reader: Optional[object] = None,
+             auto_refresh: Optional[dict] = None) -> int:
+    """The preview loop; ``reader`` is injectable for tests.
+    ``auto_refresh`` (BaselineRefreshPolicy kwargs, from --auto-refresh)
+    starts with adaptive baseline refresh enabled; the 'a' key toggles it
+    either way."""
     import os
     import cv2
     from .io.video import open_camera
@@ -192,9 +207,10 @@ def run_live(props: DiPsProperties, camera: int = 0, batch: int = 1,
         reader.close()
         return 1
 
-    ctl = LiveController(props)
+    ctl = LiveController(props, auto_refresh=auto_refresh)
     engine = None
     detector = None
+    refresher = None
     try:
         while not ctl.quit:
             frame = reader.read()
@@ -224,6 +240,21 @@ def run_live(props: DiPsProperties, camera: int = 0, batch: int = 1,
                     title += "  [MOTION]"
             else:
                 detector = None
+            if ctl.auto_refresh_enabled and (
+                    ctl.props.method == DiPsMethod.OVERALL):
+                if refresher is None:
+                    from .ops.refresh import BaselineRefreshPolicy
+                    cfg = dict(ctl.auto_refresh_cfg)
+                    cfg.setdefault("cooldown",
+                                   cfg.get("persist", 3) + 2 * batch)
+                    refresher = BaselineRefreshPolicy(
+                        pixels=engine.analysis_pixels, **cfg)
+                if refresher.feed(engine.frame_index - 1, stats[0]):
+                    engine.snapshot()
+                    print(f"auto-refresh: baseline re-pinned at frame "
+                          f"{engine.frame_index - 1}")
+            else:
+                refresher = None
             shown = _to_bgr(outs[0])
             if ctl.props.roi is not None:
                 # outline the analysis region so the operator sees what
@@ -236,7 +267,8 @@ def run_live(props: DiPsProperties, camera: int = 0, batch: int = 1,
             key = cv2.waitKey(1) & 0xFF
             if key != 0xFF and ctl.handle_key(int(key)):
                 engine = rebuild_engine(engine, ctl.props, backend)
-                detector = None  # new pixel math = new noise floor
+                detector = None   # new pixel math = new noise floor
+                refresher = None  # ditto for the refresh policy
             if ctl.snapshot_requested and engine is not None:
                 engine.snapshot()
                 ctl.snapshot_requested = False

@@ -125,3 +125,16 @@ class BaselineRefreshPolicy:
         self._cool_until = idx + 1 + self.cooldown
         self.refreshes.append(idx)
         return True
+
+    def suppress_until(self, idx: int) -> None:
+        """Extend the cooldown so no trigger fires before frame ``idx``.
+
+        For batch consumers whose snapshot lands only after the whole
+        request (the serving daemon's process_many): a fire mid-request
+        keeps diffing the old baseline until the request ends, so the
+        fire-relative cooldown alone can re-trigger on its own latency
+        within one large request.  Calling
+        ``suppress_until(engine.frame_index + pol.cooldown)`` after the
+        request re-bases the window on when the snapshot actually lands."""
+        self._cool_until = max(self._cool_until, int(idx))
+        self._hot = 0

@@ -1043,14 +1043,20 @@ class DiPsServer:
             return
         pol = self._refresher_for(eng)
         start = eng.frame_index - n_frames
-        fired = None
+        fired = []
         for i, row in enumerate(hdr["stats"]):
             if pol.feed(start + i, row):
-                fired = start + i
-        if fired is not None:
+                fired.append(start + i)
+                self._count("auto_refreshes")  # one per policy fire, so
+                # the metric matches pol.refreshes even in large requests
+        if fired:
             eng.snapshot()
-            self._count("auto_refreshes")
-            hdr["baseline_refresh"] = fired
+            hdr["baseline_refresh"] = fired[-1]   # back-compat scalar
+            hdr["baseline_refreshes"] = fired     # every fired index
+            # the snapshot lands only at the NEXT dispatch (after this
+            # whole request): re-base the cooldown on the request end so
+            # the policy cannot re-trigger on its own landing latency
+            pol.suppress_until(eng.frame_index + pol.cooldown)
 
     def _post_webhook(self, eng, events) -> None:
         """Fan closed events out to the --event-webhook URL (async,

@@ -44,6 +44,20 @@ def enable_compile_cache(path: Optional[str] = None) -> str:
     resolved = os.path.abspath(os.path.expanduser(path or default_cache_dir()))
     os.makedirs(resolved, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", resolved)
+    # jax initializes its persistent cache AT MOST ONCE, on the first
+    # compile: if any compile already happened in this process with no
+    # cache dir configured, the init latched "disabled" and the config
+    # update above would be silently ignored.  reset_cache() drops the
+    # latch so the next compile re-initializes against the new dir.
+    try:
+        from jax._src import compilation_cache as _cc
+        active = getattr(_cc, "_cache", None)
+        if getattr(_cc, "_cache_initialized", False) and (
+                active is None
+                or str(getattr(active, "_path", "")) != resolved):
+            _cc.reset_cache()
+    except Exception:
+        pass  # internal API drift: worst case is the pre-existing behavior
     # Cache everything: a daemon restart should hit for every kernel it
     # compiled before, not only the slow ones.
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)

@@ -10,6 +10,7 @@ installed jax/libtpu/dips_tpu stack produces correct results on this host.
 from __future__ import annotations
 
 import argparse
+import json
 import time
 
 import numpy as np
@@ -69,7 +70,15 @@ CASES = [
 ]
 
 
-def _run_stacked(verbose: bool) -> int:
+def _record(results, case: str, ok: bool, t0: float, error=None):
+    """Append one machine-readable case outcome (``--json`` artifact)."""
+    if results is not None:
+        results.append({"case": case, "ok": bool(ok),
+                        "seconds": round(time.time() - t0, 2),
+                        **({"error": str(error)[:500]} if error else {})})
+
+
+def _run_stacked(verbose: bool, results=None) -> int:
     """Stacked-stream kernels (MultiStreamEngine's per-shard path): two
     streams in one kernel instance must match per-stream runs on THIS
     device."""
@@ -117,14 +126,16 @@ def _run_stacked(verbose: bool) -> int:
         if verbose:
             print(f"  PASS {'stacked 2-stream kernels':<40s} "
                   f"({time.time() - t0:.1f}s)")
+        _record(results, "stacked 2-stream kernels", True, t0)
         return 0
     except Exception as e:
         if verbose:
             print(f"  FAIL {'stacked 2-stream kernels':<40s} {e}")
+        _record(results, "stacked 2-stream kernels", False, t0, e)
         return 1
 
 
-def _run_hwc(frames, verbose: bool) -> int:
+def _run_hwc(frames, verbose: bool, results=None) -> int:
     """Device-side input layout on silicon: an ``hwc_bgr`` engine (raw
     bytes up, transpose+pad+BGR swap on device) must be BIT-EXACT vs the
     host-planarize engine — the transform is pure layout, any deviation
@@ -144,14 +155,16 @@ def _run_hwc(frames, verbose: bool) -> int:
         if verbose:
             print(f"  PASS input-layout hwc_bgr (bit-exact)      "
                   f"({time.time() - t0:.1f}s)")
+        _record(results, "input-layout hwc_bgr", True, t0)
         return 0
     except Exception as e:
         if verbose:
             print(f"  FAIL input-layout hwc_bgr                   {e}")
+        _record(results, "input-layout hwc_bgr", False, t0, e)
         return 1
 
 
-def soak(n_frames: int = 512, verbose: bool = True) -> int:
+def soak(n_frames: int = 512, verbose: bool = True, results=None) -> int:
     """On-device streaming soak: run ``n_frames`` through BOTH step
     protocols (ring-carry vs tail) with refresh markers and a mid-stream
     checkpoint/restore, asserting batch-by-batch equality.
@@ -222,15 +235,18 @@ def soak(n_frames: int = 512, verbose: bool = True) -> int:
         if verbose:
             print(f"  PASS soak {n_frames}f ring-vs-tail + ckpt replay "
                   f"({time.time() - t0:.1f}s)")
+        _record(results, f"soak {n_frames}f ring-vs-tail + ckpt", True, t0)
         return 0
     except Exception as e:
         if verbose:
             print(f"  FAIL soak: {e}")
+        _record(results, f"soak {n_frames}f ring-vs-tail + ckpt", False,
+                t0, e)
         return 1
 
 
 def run(backend: str = "pallas", quick: bool = False,
-        verbose: bool = True) -> int:
+        verbose: bool = True, results=None) -> int:
     import jax
     frames = _clip(n=6 if quick else 10)
     h, w = frames.shape[1:3]
@@ -281,13 +297,15 @@ def run(backend: str = "pallas", quick: bool = False,
             np.testing.assert_allclose(eng.heatmap(), o.heatmap, atol=1e-3)
             if verbose:
                 print(f"  PASS {name_m:<40s} ({time.time() - t0:.1f}s)")
+            _record(results, name_m, True, t0)
         except Exception as e:
             failures += 1
             if verbose:
                 print(f"  FAIL {name_m:<40s} {e}")
+            _record(results, name_m, False, t0, e)
     if backend == "pallas" and not quick:
-        failures += _run_stacked(verbose)
-        failures += _run_hwc(frames, verbose)
+        failures += _run_stacked(verbose, results)
+        failures += _run_hwc(frames, verbose, results)
     if verbose:
         print("PASS: device numerics match the oracle" if not failures
               else f"FAIL: {failures} case(s) diverged")
@@ -306,14 +324,47 @@ def main(argv=None) -> int:
                     help="streaming soak: N frames (default 512) through "
                          "both step protocols with markers + mid-stream "
                          "checkpoint replay, asserting equality")
+    ap.add_argument("--json", metavar="PATH", default=None,
+                    help="write a machine-readable result artifact (per-"
+                         "case pass/fail + environment) to PATH")
+    ap.add_argument("--with-soak", type=int, nargs="?", const=512,
+                    default=None, metavar="N",
+                    help="ALSO run the N-frame soak after the case matrix "
+                         "(one artifact covering both)")
     from .utils.compilecache import (add_compile_cache_flag,
                                      apply_compile_cache_flag)
     add_compile_cache_flag(ap)
     args = ap.parse_args(argv)
     apply_compile_cache_flag(args)
+
+    results = [] if args.json else None
+    t0 = time.time()
     if args.soak is not None:
-        return soak(args.soak)
-    return run(args.backend, args.quick)
+        rc = soak(args.soak, results=results)
+    else:
+        rc = run(args.backend, args.quick, results=results)
+        if args.with_soak is not None and rc == 0:
+            rc |= soak(args.with_soak, results=results)
+    if args.json:
+        import jax
+        doc = {
+            "tool": "dips_tpu.validate",
+            "backend_arg": args.backend,
+            "jax_backend": jax.default_backend(),
+            "devices": [str(d) for d in jax.devices()],
+            "jax_version": jax.__version__,
+            "quick": bool(args.quick),
+            "ok": rc == 0,
+            "cases": results,
+            "passed": sum(1 for r in results if r["ok"]),
+            "failed": sum(1 for r in results if not r["ok"]),
+            "elapsed_s": round(time.time() - t0, 1),
+        }
+        with open(args.json, "w") as f:
+            json.dump(doc, f, indent=1)
+            f.write("\n")
+        print(f"wrote {args.json}")
+    return rc
 
 
 if __name__ == "__main__":

@@ -289,3 +289,63 @@ def test_run_live_roi_overlay_and_pixels(monkeypatch):
     bad = props.with_roi((0, 0, h + 5, w))
     rc = live_mod.run_live(bad, reader=Reader(frames))
     assert rc == 1
+
+
+def test_controller_auto_refresh_toggle():
+    """'a' toggles adaptive baseline refresh without a rebuild; the HUD
+    reflects it; --auto-refresh pre-arms it (ADVICE r2: the documented
+    key must exist)."""
+    ctl = LiveController(DiPsProperties())
+    assert not ctl.auto_refresh_enabled
+    assert ctl.handle_key("a") is False          # never rebuilds
+    assert ctl.auto_refresh_enabled
+    assert "refresh=auto" in ctl.status_line()
+    assert ctl.handle_key("a") is False
+    assert not ctl.auto_refresh_enabled
+    assert "refresh=auto" not in ctl.status_line()
+    armed = LiveController(DiPsProperties(),
+                           auto_refresh={"threshold": 0.5, "persist": 2})
+    assert armed.auto_refresh_enabled
+    assert armed.auto_refresh_cfg == {"threshold": 0.5, "persist": 2}
+
+
+def test_run_live_auto_refresh_repins_baseline(monkeypatch, capsys):
+    """A wholesale scene cut during the stubbed-display preview fires the
+    policy: the snapshot is re-pinned (printed) and the post-cut diff
+    goes quiet against the new baseline."""
+    import cv2
+    from dips_tpu import live as live_mod
+
+    h, w = 16, 24
+    frames = ([np.full((h, w, 3), 30, np.uint8)] * 6
+              + [np.full((h, w, 3), 220, np.uint8)] * 10)
+
+    class Reader:
+        def __init__(self, fs):
+            self.fs = list(fs)
+
+        def read(self):
+            return self.fs.pop(0) if self.fs else None
+
+        def close(self):
+            pass
+
+    shown = []
+    monkeypatch.setenv("DISPLAY", ":0")
+    monkeypatch.setattr(cv2, "namedWindow", lambda *a, **k: None)
+    monkeypatch.setattr(cv2, "imshow", lambda _w, img: shown.append(img))
+    monkeypatch.setattr(cv2, "setWindowTitle", lambda *a: None)
+    monkeypatch.setattr(cv2, "waitKey", lambda _ms: 0xFF)
+    monkeypatch.setattr(cv2, "destroyAllWindows", lambda: None)
+
+    props = DiPsProperties(window_size=1, temporal_size=1,
+                           filter=DiPsFilter.UNFILTERED,
+                           output=OutputMode.ABSDIFF)
+    rc = live_mod.run_live(
+        props, reader=Reader(frames),
+        auto_refresh={"threshold": 0.5, "persist": 2, "cooldown": 2})
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "auto-refresh: baseline re-pinned" in out
+    # after the re-pin the 220-frames diff against a 220 baseline: quiet
+    assert shown[-1].max() == 0

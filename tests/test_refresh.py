@@ -169,9 +169,28 @@ def test_cli_auto_refresh_bad_values(tmp_path, capsys):
 
 
 def test_cli_auto_refresh_needs_single_input_mode(tmp_path, capsys):
-    rc = cli_main(["--live", "--auto-refresh", "0.5"])
+    # dat/thumbnail/subsample have no streaming baseline -> rejected
+    rc = cli_main(["--dat-dir", str(tmp_path), "--output",
+                   str(tmp_path / "o.avi"), "--auto-refresh", "0.5"])
     assert rc == 2
     assert "--auto-refresh" in capsys.readouterr().err
+
+
+def test_cli_auto_refresh_live_arms_the_preview(monkeypatch):
+    """--auto-refresh composes with --live since r3: it arms the preview's
+    'a' toggle (ADVICE r2) — the parsed policy kwargs reach run_live."""
+    seen = {}
+
+    def fake_run_live(props, backend="auto", reader=None, auto_refresh=None):
+        seen["auto_refresh"] = auto_refresh
+        return 0
+
+    import dips_tpu.live as live_mod
+    monkeypatch.setattr(live_mod, "run_live", fake_run_live)
+    rc = cli_main(["--live", "--auto-refresh", "0.5:2:8"])
+    assert rc == 0
+    assert seen["auto_refresh"] == {"threshold": 0.5, "persist": 2,
+                                    "cooldown": 8}
 
 
 # ------------------------------------------------- multi-video batch --
@@ -315,3 +334,22 @@ def test_serve_auto_refresh_rejects_per_frame_and_bad_cfg():
                    auto_refresh=dict(threshold=0.0))
     assert serve_main(["--height", "24", "--width", "40",
                        "--auto-refresh", "nope"]) == 2
+
+
+def test_suppress_until_extends_the_cool_window():
+    """suppress_until re-bases the cooldown on when the snapshot actually
+    lands (serve: a fire mid-request diffs the old baseline until the
+    request ends) — no trigger before the given index, and it never
+    SHRINKS an already-longer window."""
+    p = BaselineRefreshPolicy(threshold=0.5, persist=2, cooldown=2,
+                              pixels=100)
+    assert not p.feed(0, row(60))
+    assert p.feed(1, row(60))            # fires; cool until 1+1+2 = 4
+    p.suppress_until(8)                  # request ended at 6, cooldown 2
+    for i in range(2, 8):
+        assert not p.feed(i, row(60))    # hot but suppressed
+    assert not p.feed(8, row(60))        # persist restarts at 8
+    assert p.feed(9, row(60))
+    assert p.refreshes == [1, 9]
+    p.suppress_until(5)                  # never shrinks
+    assert not p.feed(10, row(60))

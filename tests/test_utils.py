@@ -120,6 +120,28 @@ def test_enable_compile_cache_writes_entries(tmp_path, _cache_config_guard):
     assert enable_compile_cache(str(d)) == str(d)
 
 
+def test_enable_compile_cache_after_prior_compiles(tmp_path,
+                                                   _cache_config_guard):
+    """Enabling the cache AFTER this process already compiled something
+    must still take effect: jax latches its persistent-cache init on the
+    first compile, and without the reset in enable_compile_cache a
+    dir configured later is silently ignored (the full-suite ordering
+    bug — any earlier test's compile disabled the cache for good)."""
+    import jax
+    import jax.numpy as jnp
+    from dips_tpu.utils.compilecache import enable_compile_cache
+
+    # force the latch: one compile with whatever state the suite left
+    jax.jit(lambda x: x - jnp.float32(0.25))(
+        jnp.ones((8, 128), jnp.float32)).block_until_ready()
+
+    d = tmp_path / "late-cache"
+    enable_compile_cache(str(d))
+    jax.jit(lambda x: x * jnp.float32(7.0) + 2)(
+        jnp.ones((8, 128), jnp.float32)).block_until_ready()
+    assert any(d.iterdir()), "late-enabled cache wrote no entries"
+
+
 def test_compile_cache_flag_plumbing(tmp_path, monkeypatch,
                                      _cache_config_guard):
     import argparse
