@@ -67,7 +67,8 @@ def bench_device(props, h, w, batch, iters=(10, 60), ring=False):
     from dips_tpu.ops.reference import pad_geometry
     from dips_tpu.properties import OutputMode
 
-    raw_mode = props.output in (OutputMode.ABSDIFF, OutputMode.THRESHOLD)
+    raw_mode = props.output in (OutputMode.ABSDIFF, OutputMode.THRESHOLD,
+                                OutputMode.STATS_ONLY)
     hp, wp = pad_geometry(h, w)
     t = props.temporal_size
     rng = np.random.default_rng(0)
@@ -128,8 +129,10 @@ def bench_device(props, h, w, batch, iters=(10, 60), ring=False):
             state, acc = carry
             out, stats, state = step(raw, state, flags)
             # consume outputs so nothing is dead-code-eliminated
-            return state, acc + stats.sum() + out[0, 0, 0, 0].astype(
-                jnp.float32)
+            # (STATS_ONLY has a zero-channel out: nothing to consume)
+            o = (out[0, 0, 0, 0].astype(jnp.float32) if out.size
+                 else jnp.float32(0))
+            return state, acc + stats.sum() + o
         return lax.fori_loop(0, n, body, (state, jnp.float32(0)))
 
     t0 = time.time()
@@ -344,6 +347,10 @@ def main():
     ap.add_argument("--full-pipeline-headline", action="store_true",
                     help="report the median/colorize pipeline as the "
                          "headline instead of the absdiff parity mode")
+    ap.add_argument("--stats-only", action="store_true",
+                    help="ALSO bench OutputMode.STATS_ONLY (the no-map "
+                         "events-fleet mode: statistics + heatmap, zero "
+                         "output DMA) and report it as the headline")
     ap.add_argument("--e2e", action="store_true",
                     help="measured end-to-end decode-to-diff-map fps on a "
                          "real clip (file decode included) instead of the "
@@ -455,8 +462,19 @@ def main():
     absdiff_fps = bench_device(raw_props, h, w, args.batch, ring=args.ring)
     log("full fused pipeline (median/sigmoid/colorize/stats/heatmap):")
     full_fps = bench_device(full_props, h, w, args.batch, ring=args.ring)
+    stats_only_fps = None
+    if args.stats_only:
+        so_props = DiPsProperties(output=OutputMode.STATS_ONLY,
+                                  method=method,
+                                  temporal_size=args.temporal)
+        log("STATS_ONLY mode (no map, stats+heatmap only):")
+        stats_only_fps = bench_device(so_props, h, w, args.batch,
+                                      ring=args.ring)
 
-    if args.full_pipeline_headline:
+    if args.stats_only:
+        value, metric = (stats_only_fps,
+                         f"{h}p_{name}_stats_only_fps_per_chip")
+    elif args.full_pipeline_headline:
         value, metric = full_fps, f"{h}p_{name}_full_pipeline_fps_per_chip"
     else:
         value, metric = absdiff_fps, f"{h}p_{name}_fps_per_chip"

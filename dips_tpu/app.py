@@ -456,8 +456,27 @@ def stream_dips(job: DiPsJob) -> Iterator[Tuple[int, Optional[np.ndarray],
 
 def perform_dips(job: DiPsJob) -> np.ndarray:
     """Run the whole job: input video -> diff-map video; returns per-frame
-    stats (N, NUM_STATS).  (ref: perform_dips, dips/src/lib.rs:252-257.)"""
-    if not job.output_path:
+    stats (N, NUM_STATS).  (ref: perform_dips, dips/src/lib.rs:252-257.)
+
+    STATS_ONLY output (``props.out_channels == 0``) runs the whole
+    pipeline with the map suppressed end to end: no output video is
+    written (``output_path`` must be unset), the return value / stats
+    artifacts / heatmap / auto-refresh are the products."""
+    stats_only = job.properties.out_channels == 0
+    if stats_only:
+        if job.output_path:
+            raise OutputPathError(
+                "output_path set with OutputMode.STATS_ONLY — the mode "
+                "writes no video (drop the output, or pick absdiff/"
+                "threshold)")
+        if job.record_events:
+            raise ValueError(
+                "record_events writes diff-map clips; STATS_ONLY has no "
+                "maps to record (use events/stats artifacts instead)")
+        if job.denoise_radius:
+            raise ValueError("denoise filters diff maps; STATS_ONLY has "
+                             "none")
+    elif not job.output_path:
         raise OutputPathError("no output path set (DiPsJob.with_output_path)")
     if not job.video_path:
         raise VideoPathError("no video path set")
@@ -481,25 +500,34 @@ def perform_dips(job: DiPsJob) -> np.ndarray:
     caller_job = job
     job = dataclasses.replace(job, reader=reader)
 
-    try:
-        writer = open_writer(job.output_path, fps, w, h, job.encoding,
-                             job.video_backend)
-    except Exception:
-        reader.close()
-        raise
-    from .io.gstreamer import GstVideoWriter
-    from .io.video import CfrRetimer
-    gst_writer = isinstance(writer, GstVideoWriter)
-    retimer = CfrRetimer(fps) if (job.retime_vfr and not gst_writer) else None
+    if stats_only:
+        import contextlib
+        writer = contextlib.nullcontext()
+        writer.close = lambda: None
 
-    def emit(out, pts):
-        if gst_writer:
-            writer.write(out, pts=pts)  # VFR-preserving: PTS ride through
-        elif retimer is not None:
-            for f in retimer.feed(out, pts):
-                writer.write(f)
-        else:
-            writer.write(out)
+        def emit(out, pts):
+            pass  # no maps, nothing to encode
+    else:
+        try:
+            writer = open_writer(job.output_path, fps, w, h, job.encoding,
+                                 job.video_backend)
+        except Exception:
+            reader.close()
+            raise
+        from .io.gstreamer import GstVideoWriter
+        from .io.video import CfrRetimer
+        gst_writer = isinstance(writer, GstVideoWriter)
+        retimer = (CfrRetimer(fps)
+                   if (job.retime_vfr and not gst_writer) else None)
+
+        def emit(out, pts):
+            if gst_writer:
+                writer.write(out, pts=pts)  # VFR-preserving: PTS ride
+            elif retimer is not None:
+                for f in retimer.feed(out, pts):
+                    writer.write(f)
+            else:
+                writer.write(out)
 
     recorder = None
     if job.record_events:
@@ -715,16 +743,19 @@ def run_dips_on_files(input_paths: Sequence[str], output_dir: str,
         # outputs/stats/events land at the analysis geometry
         h, w = eng.height, eng.width
 
-        os.makedirs(output_dir, exist_ok=True)
-        # inputs sharing a basename (camA/clip.avi + camB/clip.avi) must
-        # not overwrite each other's output: disambiguate by stream index
-        stems = [os.path.splitext(os.path.basename(p))[0]
-                 for p in input_paths]
-        dup = {t for t in stems if stems.count(t) > 1}
-        for si, stem in enumerate(stems):
-            name = (f"{stem}.{si}" if stem in dup else stem) + ".dips.avi"
-            writers.append(open_writer(os.path.join(output_dir, name),
-                                       fps, w, h, enc, video_backend))
+        stats_only = props.out_channels == 0
+        if not stats_only:  # STATS_ONLY: no diff videos, no writers at all
+            os.makedirs(output_dir, exist_ok=True)
+            # inputs sharing a basename (camA/clip.avi + camB/clip.avi)
+            # must not overwrite each other's output: disambiguate by
+            # stream index
+            stems = [os.path.splitext(os.path.basename(p))[0]
+                     for p in input_paths]
+            dup = {t for t in stems if stems.count(t) > 1}
+            for si, stem in enumerate(stems):
+                name = (f"{stem}.{si}" if stem in dup else stem) + ".dips.avi"
+                writers.append(open_writer(os.path.join(output_dir, name),
+                                           fps, w, h, enc, video_backend))
         counts = np.zeros(s, np.int64)
         detectors = None
         if events is not None:
@@ -779,8 +810,9 @@ def run_dips_on_files(input_paths: Sequence[str], output_dir: str,
                         done[si] = True
                     continue
                 n = len(feeds[si])
-                for k in range(n):
-                    writers[si].write(out[si, k])
+                if not stats_only:
+                    for k in range(n):
+                        writers[si].write(out[si, k])
                 counts[si] += n
                 if detectors is not None and n:
                     stream_events[si] += detectors[si].update(

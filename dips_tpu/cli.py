@@ -73,8 +73,12 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=["overall", "per_frame"],
                    help="diff vs pinned snapshot or vs previous frame")
     p.add_argument("--output-mode", default=None,
-                   choices=["colorize", "grayscale", "absdiff", "threshold"],
-                   help="overrides --colorize with absdiff/threshold modes")
+                   choices=["colorize", "grayscale", "absdiff", "threshold",
+                            "stats_only"],
+                   help="overrides --colorize with absdiff/threshold modes; "
+                        "stats_only suppresses the diff map entirely "
+                        "(statistics/events/heatmap only — no output "
+                        "video, far higher chip throughput)")
     p.add_argument("--sensitivity", type=float, default=5.0)
     p.add_argument("--temporal", type=int, default=4,
                    help="temporal median ring length, 1..16")
@@ -297,6 +301,26 @@ def main(argv: Optional[List[str]] = None) -> int:
               file=sys.stderr)
         return 2
 
+    stats_only = args.output_mode == "stats_only"
+    if stats_only:
+        if args.output or args.output_dir:
+            print("--output-mode stats_only writes no diff video — drop "
+                  "--output/--output-dir (stats/events/heatmap artifacts "
+                  "are the products)", file=sys.stderr)
+            return 2
+        for flag, val in (("--record-events", args.record_events),
+                          ("--denoise", args.denoise),
+                          ("--packed-wire", args.packed_wire),
+                          ("--live", args.live),
+                          ("--dat-dir", args.dat_dir),
+                          ("--thumbnail", args.thumbnail),
+                          ("--subsample", args.subsample is not None),
+                          ("--retime-vfr", args.retime_vfr)):
+            if val:
+                print(f"{flag} needs diff maps; --output-mode stats_only "
+                      f"suppresses them", file=sys.stderr)
+                return 2
+
     if (args.flicker_png or args.flicker_tau is not None) \
             and args.flicker_hz is None:
         print("--flicker-png/--flicker-tau need --flicker-hz",
@@ -389,8 +413,9 @@ def main(argv: Optional[List[str]] = None) -> int:
         return 2
 
     if args.inputs:
-        if not args.output_dir:
-            print("--inputs requires --output-dir", file=sys.stderr)
+        if not args.output_dir and not stats_only:
+            print("--inputs requires --output-dir (or --output-mode "
+                  "stats_only for a no-video fleet run)", file=sys.stderr)
             return 2
         from .app import run_dips_on_files
         from .errors import DiPsError
@@ -414,7 +439,7 @@ def main(argv: Optional[List[str]] = None) -> int:
         ev_cfg = _detector_cfg(args) if args.events_json else None
         want_stats = bool(args.stats_json)
         try:
-            result = run_dips_on_files(args.inputs, args.output_dir,
+            result = run_dips_on_files(args.inputs, args.output_dir or ".",
                                        enc, props,
                                        batch=args.batch,
                                        backend=args.backend, mesh=mesh,
@@ -466,8 +491,8 @@ def main(argv: Optional[List[str]] = None) -> int:
                 print("auto-refresh: no scene change detected")
         failed = [i for i, c in enumerate(counts) if c < 0]
         ok_total = int(sum(c for c in counts if c >= 0))
-        print(f"processed {len(counts)} streams "
-              f"({ok_total} frames) -> {args.output_dir}")
+        print(f"processed {len(counts)} streams ({ok_total} frames) -> "
+              + (args.output_dir if not stats_only else "stats only"))
         if failed:
             print(f"WARNING: {len(failed)} stream(s) failed and were "
                   f"isolated (outputs truncated): "
@@ -520,8 +545,9 @@ def main(argv: Optional[List[str]] = None) -> int:
         return run_live(props, backend=args.backend, reader=reader,
                         auto_refresh=auto_refresh)
     else:
-        if not (args.input and args.output):
-            print("need --input and --output (see --help)", file=sys.stderr)
+        if not args.input or (not args.output and not stats_only):
+            print("need --input and --output (see --help; --output-mode "
+                  "stats_only runs without --output)", file=sys.stderr)
             return 2
         from .app import DiPsJob, perform_dips
         enc = _parse_encoding(args.encoding)
@@ -600,7 +626,8 @@ def main(argv: Optional[List[str]] = None) -> int:
             print(f"{len(job.event_segments)} event segment(s) "
                   f"recorded -> {args.record_events}")
 
-    print(f"processed {stats.shape[0]} frames -> {args.output}")
+    print(f"processed {stats.shape[0]} frames -> "
+          + (args.output if args.output else "stats only"))
     if args.stats_json:
         from .ops.oracle import STAT_NAMES
         rows = [dict(zip(STAT_NAMES, map(float, row))) for row in stats]

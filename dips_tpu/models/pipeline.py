@@ -40,7 +40,8 @@ from ..ops.oracle import NUM_STATS
 from ..ops.reference import pad_geometry
 from .. import native
 
-_RAW_MODES = (OutputMode.ABSDIFF, OutputMode.THRESHOLD)
+_RAW_MODES = (OutputMode.ABSDIFF, OutputMode.THRESHOLD,
+              OutputMode.STATS_ONLY)
 
 
 class DiPsEngine:

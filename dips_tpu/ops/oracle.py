@@ -311,7 +311,8 @@ class DiPsOracle:
         idx = self.frame_index
         self.frame_index += 1
 
-        if p.output in (OutputMode.ABSDIFF, OutputMode.THRESHOLD):
+        if p.output in (OutputMode.ABSDIFF, OutputMode.THRESHOLD,
+                        OutputMode.STATS_ONLY):
             return self._process_raw(frame_u8, idx)
 
         filt = self._filtered(frame_u8)
@@ -391,6 +392,10 @@ class DiPsOracle:
                          * np.float32(1.0 / (3 * 255.0)))
         if p.output == OutputMode.ABSDIFF:
             return d_u8, stats
+        if p.output == OutputMode.STATS_ONLY:
+            # no map: stats/heatmap identical to ABSDIFF, output is the
+            # zero-channel (H, W, 0) array (engines return the same shape)
+            return np.zeros(frame_u8.shape[:2] + (0,), np.uint8), stats
         return (threshold_mask_u8(frame_u8, baseline, p.change_threshold),
                 stats)
 

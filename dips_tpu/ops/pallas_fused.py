@@ -893,6 +893,12 @@ def _make_raw_kernel(props: DiPsProperties, t: int, b: int,
     # default kernel keeps its maskless shape (and speed).
     overall = props.method == DiPsMethod.OVERALL
     threshold_mode = props.output == OutputMode.THRESHOLD
+    # STATS_ONLY: no output planes AT ALL — the out blocks, their
+    # BlockSpecs and the per-frame output writes disappear, so the
+    # kernel's only HBM writes are the 4 KB stats tiles and the carried
+    # state flush.  The absdiff kernel is output-DMA-bound (the output
+    # chain hides everything else), so this is the fleet fast path.
+    emit_maps = props.output != OutputMode.STATS_ONLY
     thr = props.change_threshold
     # OVERALL needs no temporal context at all (diff vs the pinned raw
     # baseline): the kernel's frame axis covers ONLY the B new frames and
@@ -925,7 +931,7 @@ def _make_raw_kernel(props: DiPsProperties, t: int, b: int,
         prev_in_ref = next(it) if carry_prev else None  # u8 (3, BH, Wp)
         base_in_ref = next(it)                  # u8 (3, BH, Wp)
         heat_in_ref = next(it)                  # f32 (BH, Wp)
-        out_ref = next(it)                      # u8 (F, C, BH, Wp)
+        out_ref = next(it) if emit_maps else None  # u8 (F, C, BH, Wp)
         stats_ref = next(it)                    # f32 (F, 1, 8, 128)
         prev_out_ref = next(it) if carry_prev else None  # u8 (3, BH, Wp)
         base_out_ref = next(it)                 # u8 (3, BH, Wp)
@@ -1027,7 +1033,9 @@ def _make_raw_kernel(props: DiPsProperties, t: int, b: int,
                     * jnp.float32(1.0 / (3 * 255.0))
                     * valid_ref[si, m].astype(jnp.float32))
 
-                if threshold_mode:
+                if not emit_maps:
+                    pass  # STATS_ONLY: no map writes at all
+                elif threshold_mode:
                     out_ref[i, 0] = jnp.where(
                         dmax >= thr, jnp.int32(255),
                         jnp.int32(0)).astype(jnp.uint8)
@@ -1079,13 +1087,14 @@ def _absdiff_step_impl(props: DiPsProperties, h: int, w: int, s: int,
     b = raw.shape[0] - (0 if ring else t)
     hp_tot, wp = raw.shape[-2], raw.shape[-1]
     hp = hp_tot // s
+    emit_maps = props.output != OutputMode.STATS_ONLY
     c = 1 if props.output == OutputMode.THRESHOLD else 3
     if ring:
         fpb = _ring_frames_per_step(b, hp, wp)
     else:
         fpb = _frames_per_step(t, b)
         assert t % fpb == 0 and b % fpb == 0, (t, b, fpb)
-    bh = _raw_block_rows(hp, wp, fpb, c)
+    bh = _raw_block_rows(hp, wp, fpb, c if emit_maps else 0)
     n_hb_per = hp // bh
     n_hb = s * n_hb_per
 
@@ -1125,11 +1134,11 @@ def _absdiff_step_impl(props: DiPsProperties, h: int, w: int, s: int,
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec(
+            *([pl.BlockSpec(
                 (fpb, c, bh, wp),
                 lambda hb, f, *_: (jnp.clip(f - warm, 0, b // fpb - 1), 0,
                                    hb, 0),
-                memory_space=pltpu.VMEM),
+                memory_space=pltpu.VMEM)] if emit_maps else []),
             pl.BlockSpec(
                 (fpb, 1, 8, 128),
                 lambda hb, f, *_: (jnp.clip(f - warm, 0, b // fpb - 1), hb,
@@ -1151,7 +1160,8 @@ def _absdiff_step_impl(props: DiPsProperties, h: int, w: int, s: int,
         kernel,
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((b, c, hp_tot, wp), jnp.uint8),
+            *([jax.ShapeDtypeStruct((b, c, hp_tot, wp), jnp.uint8)]
+              if emit_maps else []),
             jax.ShapeDtypeStruct((b, n_hb, 8, 128), jnp.float32),
             *prev_shapes,
             jax.ShapeDtypeStruct((3, hp_tot, wp), jnp.uint8),
@@ -1160,6 +1170,10 @@ def _absdiff_step_impl(props: DiPsProperties, h: int, w: int, s: int,
         interpret=jax.default_backend() == "cpu",
     )(*scalars, raw, *([prev] if carry_prev else []), baseline_raw, heatmap)
 
+    if not emit_maps:
+        # the zero-channel output array costs nothing; it keeps the
+        # return contract shape-compatible for every consumer
+        outs = [jnp.zeros((b, 0, hp_tot, wp), jnp.uint8), *outs]
     if carry_prev:
         out, parts, new_prev, new_baseline, new_heatmap = outs
     else:

@@ -366,7 +366,8 @@ def absdiff_step(props: DiPsProperties, h: int, w: int,
     paths report comparable reductions.
 
     Args/returns as :func:`batch_step`, with ``baseline_raw`` uint8
-    ``(3, Hp, Wp)`` and C = 3 (ABSDIFF) or 1 (THRESHOLD).
+    ``(3, Hp, Wp)`` and C = 3 (ABSDIFF), 1 (THRESHOLD) or 0 (STATS_ONLY:
+    no map — statistics and heatmap only, the events-fleet shape).
     """
     t = props.temporal_size
     new = raw[t:]                                          # (B, 3, Hp, Wp)
@@ -413,6 +414,9 @@ def absdiff_step(props: DiPsProperties, h: int, w: int,
     if props.output == OutputMode.THRESHOLD:
         out = jnp.where(dmax >= jnp.uint8(props.change_threshold),
                         jnp.uint8(255), jnp.uint8(0))
+    elif props.output == OutputMode.STATS_ONLY:
+        # zero-channel output: nothing to compute, (near-)nothing to move
+        out = jnp.zeros((d_u8.shape[0], 0) + d_u8.shape[2:], jnp.uint8)
     else:
         out = d_u8
     return out, stats, new_baseline, heatmap

@@ -29,7 +29,8 @@ from ..properties import DiPsProperties, OutputMode
 from ..ops import reference
 from ..ops.oracle import NUM_STATS
 
-_RAW_MODES = (OutputMode.ABSDIFF, OutputMode.THRESHOLD)
+_RAW_MODES = (OutputMode.ABSDIFF, OutputMode.THRESHOLD,
+              OutputMode.STATS_ONLY)
 
 
 def stream_mesh(n_devices: Optional[int] = None,

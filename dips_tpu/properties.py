@@ -72,6 +72,16 @@ class OutputMode(enum.Enum):
     ABSDIFF = 2
     #: Binary mask ``255 * (|cur - baseline| >= threshold)`` on uint8.
     THRESHOLD = 3
+    #: No diff map at all: the raw integer absdiff pipeline (same baseline
+    #: capture/refresh semantics and the same statistics + heatmap as
+    #: ABSDIFF) with the map output suppressed END TO END — the kernel
+    #: writes no output planes and the D2H transfer carries only the
+    #: ~128 B of per-frame statistics.  The shape an events/stats-only
+    #: camera fleet runs: the absdiff kernel is output-DMA-bound, so
+    #: dropping the map raises chip throughput well past the parity
+    #: mode's DMA ceiling (BASELINE.md "stats-only").  ``out_channels``
+    #: is 0; engines return (n, H, W, 0) output arrays.
+    STATS_ONLY = 4
 
 
 class Encoding(enum.Enum):
@@ -300,11 +310,14 @@ class DiPsProperties:
     @property
     def out_channels(self) -> int:
         # ABSDIFF is per-channel on the raw frames (3 for RGB input, matching
-        # cv2.absdiff); THRESHOLD and GRAYSCALE are single-plane.
+        # cv2.absdiff); THRESHOLD and GRAYSCALE are single-plane;
+        # STATS_ONLY emits no map at all.
         if self.output == OutputMode.COLORIZE:
             return 3
         if self.output == OutputMode.ABSDIFF:
             return 3
+        if self.output == OutputMode.STATS_ONLY:
+            return 0
         return 1
 
 

@@ -60,6 +60,9 @@ CASES = [
     ("overall/colorize/w5 quirk-compat",
      DiPsProperties(window_size=5, temporal_size=2,
                     filter=DiPsFilter.UNFILTERED, quirk_compat=True), True),
+    ("overall/stats_only (no-map fleet mode)",
+     DiPsProperties(output=OutputMode.STATS_ONLY, temporal_size=2,
+                    refresh_markers=(5,)), True),
     ("overall/absdiff + roi (analysis region)",
      DiPsProperties(output=OutputMode.ABSDIFF, temporal_size=2,
                     roi=(4, 10, 20, 120)), True),
