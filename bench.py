@@ -81,7 +81,15 @@ def bench_device(props, h, w, batch, iters=(10, 60), ring=False):
         baseline = jnp.zeros((hp, wp), jnp.float32)
     heatmap = jnp.zeros((hp, wp), jnp.float32)
     flags = jnp.zeros((batch,), bool).at[0].set(True)
-    valid = jnp.ones((batch,), bool)
+    # valid/off/seed are CLOSED OVER by the jitted loop below, so they
+    # must be HOST (numpy) values: a closed-over jax.Array becomes an
+    # MLIR constant at lowering time, and materialising it calls
+    # Array._value — a device->host fetch that costs MINUTES per array
+    # through the axon relay on a fresh process (measured 90-260s each;
+    # this alone was the round-2 "598.8s compile+warmup" regression —
+    # BASELINE.md "Cold start anatomy").  Everything passed as an
+    # ARGUMENT (raw, state, flags) is immune.
+    valid = np.ones((batch,), bool)
     if jax.default_backend() == "cpu":
         if ring:
             raise SystemExit("--ring requires the TPU (Pallas) backend")
@@ -89,8 +97,8 @@ def bench_device(props, h, w, batch, iters=(10, 60), ring=False):
     else:
         mod = pallas_fused
     if ring:
-        off = jnp.int32(0)
-        seed = jnp.int32(0)
+        off = np.int32(0)   # closed over: host values (see `valid` above)
+        seed = np.int32(0)
         if raw_mode:
             rstep = pallas_fused.absdiff_step_ring.__wrapped__
             prev0 = jnp.zeros((3, hp, wp), jnp.uint8)
@@ -261,9 +269,12 @@ def bench_multistream(s, h, w, batch, temporal=4):
         rng.integers(0, 256, (s, batch, 3, hp, wp), np.uint8))
     baseline = jnp.zeros((s, 3, hp, wp), jnp.uint8)
     heatmap = jnp.zeros((s, hp, wp), jnp.float32)
-    flags = jnp.zeros((s, batch), bool).at[:, 0].set(True)
-    valid = jnp.ones((s, batch), bool)
-    seeds = jnp.zeros((s,), jnp.int32)
+    # closed over by the jitted loop: HOST values (see bench_device —
+    # a closed-over jax.Array costs minutes of D2H at lowering time)
+    flags = np.zeros((s, batch), bool)
+    flags[:, 0] = True
+    valid = np.ones((s, batch), bool)
+    seeds = np.zeros((s,), np.int32)
     on_cpu = jax.default_backend() == "cpu"
 
     def step(raw, bl, hm):

@@ -121,10 +121,17 @@ def _ring_measure_factory(window: int, h: int, w: int, t: int, b: int,
     # matters on relayed dev links (a 1080p b=64 random batch is ~400 MB,
     # tens of minutes at degraded tunnel bandwidth)
     raw = jnp.zeros((b, 3, hp, wp), jnp.uint8)
-    flags = jnp.zeros((1, b), bool).at[0, 0].set(True)
-    valid = jnp.ones((1, b), bool)
-    off = jnp.zeros((1,), jnp.int32)
-    seed = jnp.zeros((1,), jnp.int32)
+    # flags/valid/off/seed are CLOSED OVER by each probe's fresh jit
+    # closure: they must be HOST (numpy) arrays.  A closed-over
+    # jax.Array becomes an MLIR constant at lowering time and
+    # materialising it is a device->host fetch costing MINUTES through
+    # the axon relay — per probe (bench.py "Cold start anatomy").
+    import numpy as np
+    flags = np.zeros((1, b), bool)
+    flags[0, 0] = True
+    valid = np.ones((1, b), bool)
+    off = np.zeros((1,), np.int32)
+    seed = np.zeros((1,), np.int32)
     state0 = (jnp.zeros((t, hp, wp), jnp.float32),   # ring
               jnp.zeros((hp, wp), jnp.float32),      # prev
               jnp.zeros((hp, wp), jnp.float32),      # baseline
@@ -175,9 +182,11 @@ def _raw_measure_factory(h: int, w: int, t: int, b: int):
                            method=DiPsMethod.OVERALL)
     hp, wp = pad_geometry(h, w)
     raw = jnp.zeros((b, 3, hp, wp), jnp.uint8)  # see _ring_measure_factory
-    flags = jnp.zeros((1, b), bool).at[0, 0].set(True)
-    valid = jnp.ones((1, b), bool)
-    seeds = jnp.zeros((1,), jnp.int32)
+    import numpy as np
+    flags = np.zeros((1, b), bool)  # closed over: HOST arrays (see
+    flags[0, 0] = True              # _ring_measure_factory)
+    valid = np.ones((1, b), bool)
+    seeds = np.zeros((1,), np.int32)
     base0 = jnp.zeros((3, hp, wp), jnp.uint8)
     heat0 = jnp.zeros((hp, wp), jnp.float32)
 
