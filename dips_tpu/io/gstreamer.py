@@ -5,12 +5,25 @@ The reference builds ``filesrc -> decodebin -> queue -> videoconvert ->
 videoscale -> appsink(RGBA, sync=false)`` for ingest and ``appsrc ->
 videoconvert -> avimux -> filesink`` for egress with PTS/duration
 propagation (frame_extractor.rs:151-183, 242-262); this backend mirrors
-both via PyGObject when present.  GStreamer is typically absent on TPU
-hosts (including this image), so everything is gated: :func:`available`
-reports the backend state, and the classes raise ``DecodeError`` /
-``EncodeError`` with a clear message when the stack is missing.  The
-OpenCV backend (io/video.py) is the default either way; tests exercise
-these code paths through a fake-Gst shim (:func:`_set_gst_for_testing`).
+both via PyGObject when present, and falls back to the in-tree ctypes
+binding (:mod:`.gstbind`) when the C libraries exist without ``gi`` —
+this image's exact situation, so ``--video-backend gstreamer`` runs the
+REAL stack here.  Everything stays gated: :func:`available` reports the
+backend state, and the classes raise ``DecodeError`` / ``EncodeError``
+with a clear message when the stack is missing entirely.
+
+Backend selection nuance: ``available()`` (what ``open_video('auto')``
+consults) is true for PyGObject installs but treats the ctypes binding
+as EXPLICIT-ONLY by default (opt in to auto with ``DIPS_GST_CTYPES=1``):
+this image ships only the base plugin set (no avidemux/qtdemux/jpeg), so
+auto-routing every local .avi through GStreamer would break decodes that
+OpenCV handles fine.  An explicit ``backend="gstreamer"`` always uses
+whichever binding loads.
+
+The OpenCV backend (io/video.py) is the default either way; tests
+exercise these code paths through a fake-Gst shim
+(:func:`_set_gst_for_testing`) plus a real-stack suite
+(tests/test_gstreamer_real.py) that runs whenever the C libraries load.
 """
 
 from __future__ import annotations
@@ -36,8 +49,17 @@ def _load():
         from gi.repository import Gst, GstApp  # noqa: F401
         Gst.init(None)
         _gst = Gst
+        return _gst
     except Exception as e:  # ImportError, ValueError from require_version
-        _gst_err = f"GStreamer unavailable: {e}"
+        gi_err = e
+    try:
+        # no PyGObject: bind the C libraries directly (gstbind.py) — the
+        # real stack, same facade surface
+        from .gstbind import load_gst
+        _gst = load_gst()
+    except Exception as e2:
+        _gst_err = (f"GStreamer unavailable: gi: {gi_err}; "
+                    f"ctypes: {e2}")
     return _gst
 
 
@@ -49,9 +71,22 @@ def _set_gst_for_testing(fake) -> None:
     _gst_err = None if fake is not None else "GStreamer unavailable: reset"
 
 
+def _is_ctypes_backend() -> bool:
+    return getattr(_gst, "BINDING", None) == "ctypes"
+
+
 def available() -> bool:
-    """True when PyGObject + GStreamer 1.0 are importable."""
-    return _load() is not None
+    """True when the GStreamer backend should be AUTO-selected: PyGObject
+    installs always; the ctypes binding only with ``DIPS_GST_CTYPES=1``
+    (explicit ``backend="gstreamer"`` bypasses this gate — see the module
+    docstring for why auto keeps OpenCV on base-plugin-only images)."""
+    import os
+    if _load() is None:
+        return False
+    if _is_ctypes_backend() and os.environ.get(
+            "DIPS_GST_CTYPES", "0") in ("", "0"):
+        return False
+    return True
 
 
 #: URI schemes routed through ``uridecodebin`` — network cameras / streams
@@ -315,13 +350,27 @@ class GstVideoWriter:
         from fractions import Fraction
         fr = Fraction(self.fps).limit_denominator(1001)
         num, den = max(fr.numerator, 1), max(fr.denominator, 1)
+        # The reference muxes raw RGB into AVI (frame_extractor.rs:176).
+        # Base-plugin-only installs (this image) have no avimux: fall back
+        # to theoraenc+oggmux when those exist (a real, playable encode;
+        # recorded in ``fallback_used``) rather than failing the write.
+        mux = 'videoconvert ! avimux'
+        probe = getattr(gst, "element_available", None)
+        if probe is not None and not probe("avimux"):
+            if probe("theoraenc") and probe("oggmux"):
+                mux = 'videoconvert ! theoraenc ! oggmux'
+                self.fallback_used = "theora+ogg"
+            else:
+                raise EncodeError(
+                    "GStreamer has neither avimux nor theoraenc+oggmux "
+                    "in its plugin registry; use the OpenCV writer")
         # filesink location is set as a property (never interpolated — see
         # the reader) and the caps string contains only validated integers
         self._pipeline = gst.parse_launch(
             f'appsrc name=src format=time is-live=false block=true '
             f'caps=video/x-raw,format=RGB,width={self.width},'
             f'height={self.height},framerate={num}/{den} '
-            f'! videoconvert ! avimux ! filesink name=out')
+            f'! {mux} ! filesink name=out')
         self._pipeline.get_by_name("out").set_property("location", path)
         self._src = self._pipeline.get_by_name("src")
         self._pipeline.set_state(gst.State.PLAYING)
