@@ -101,16 +101,17 @@ def run(n_devices: int) -> None:
     gmesh = grid_mesh(s_ax, r_ax)
     gh = 8 * r_ax
     ghp, gwp = pad_geometry(gh, 24)
-    gstep = make_grid_step(props, gh, 24, gmesh)
     graw = jnp.asarray(
         rng.integers(0, 256, (s_ax, t + b, 3, ghp, gwp), np.uint8))
-    gout, gstats, _, _, gscalar = gstep(
-        graw, jnp.zeros((s_ax, ghp, gwp), jnp.float32),
-        jnp.asarray([[True, False]] * s_ax),
-        jnp.zeros((s_ax, ghp, gwp), jnp.float32),
-        jnp.ones((s_ax, b), bool))
-    assert gout.shape[:2] == (s_ax, b)
-    assert np.isfinite(np.asarray(gstats)).all() and np.isfinite(gscalar)
+    for gbackend in ("xla", "pallas"):  # both 2-D shard bodies must compile
+        gstep = make_grid_step(props, gh, 24, gmesh, backend=gbackend)
+        gout, gstats, _, _, gscalar = gstep(
+            graw, jnp.zeros((s_ax, ghp, gwp), jnp.float32),
+            jnp.asarray([[True, False]] * s_ax),
+            jnp.zeros((s_ax, ghp, gwp), jnp.float32),
+            jnp.ones((s_ax, b), bool))
+        assert gout.shape[:2] == (s_ax, b)
+        assert np.isfinite(np.asarray(gstats)).all() and np.isfinite(gscalar)
 
 
 def main(argv=None) -> int:

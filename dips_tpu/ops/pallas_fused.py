@@ -335,13 +335,23 @@ def _emit_median_frame(props: DiPsProperties, i: int, m, si, cur,
 
 
 def _make_kernel(props: DiPsProperties, h: int, w: int, t: int, b: int,
-                 bh: int, wp: int, n_hb: int, fpb: int, s: int = 1):
+                 bh: int, wp: int, n_hb: int, fpb: int, s: int = 1,
+                 dyn_rows: bool = False):
     """``s`` > 1 = stacked-stream mode: the row axis carries s independent
     streams of n_hb/s row blocks each.  One kernel instance processes all
     of them (each row block's scratch is already independent), instead of
     vmap dispatching s kernel instances — measured ~2x multi-stream
     throughput on chip.  Capture/valid flags become per-stream (s, B) and
-    halos stop at stream boundaries."""
+    halos stop at stream boundaries.
+
+    ``dyn_rows``: row-slab mode (parallel/grid2d.py) — the stats/heatmap
+    mask's row window comes from a traced scalar-prefetch pair
+    (section-LOCAL [lo, hi), shared by every stacked section) instead of
+    the static roi row bounds; column bounds stay static.  This is the
+    ONLY kernel-side difference between a full-height stream and a
+    halo-extended row slab: everything after the spatial filter is
+    row-local, so slab halo rows just compute garbage that the caller
+    masks (stats) or slices away (outputs)."""
     window = props.window_size
     p = window // 2
     overall = props.method == DiPsMethod.OVERALL
@@ -355,6 +365,8 @@ def _make_kernel(props: DiPsProperties, h: int, w: int, t: int, b: int,
         # inputs: cur [, up, dn when p > 0], base_in, heat_in
         # outputs: out, stats, base_out, heat_out
         # scratch: ring, base, prev, heat, mask, strip
+        if dyn_rows:
+            rowb_ref, *refs = refs              # SMEM (2,) int32
         if p > 0:
             (cur_ref, up_ref, dn_ref, base_in_ref, heat_in_ref,
              out_ref, stats_ref, base_out_ref, heat_out_ref,
@@ -384,6 +396,8 @@ def _make_kernel(props: DiPsProperties, h: int, w: int, t: int, b: int,
             # to the true geometry; the default roi IS the full frame, so
             # this stays the plain validity mask without one
             y0, x0, y1, x1 = props.roi_bounds(h, w)
+            if dyn_rows:  # slab mode: roi rows folded into the bounds
+                y0, y1 = rowb_ref[0], rowb_ref[1]
             mask_ref[:] = ((rows >= y0) & (rows < y1) & (cols >= x0)
                            & (cols < x1)).astype(jnp.float32)
 
@@ -425,12 +439,20 @@ def _make_kernel(props: DiPsProperties, h: int, w: int, t: int, b: int,
 
 
 def _batch_step_impl(props: DiPsProperties, h: int, w: int, s: int,
-                     raw, baseline, flags2d, heatmap, valid2d):
+                     raw, baseline, flags2d, heatmap, valid2d,
+                     row_bounds=None):
     """Shared body: ``s`` streams stacked along the row axis.
 
     raw (T+B, 3, s*Hp, Wp) u8, baseline/heatmap (s*Hp, Wp) f32,
     flags/valid (s, B) -> (out (B, C, s*Hp, Wp) u8, stats (s, B, 4) f32,
-    new baseline, new heatmap)."""
+    new baseline, new heatmap).
+
+    ``row_bounds`` (traced i32 (2,), optional): row-slab mode — each
+    stacked section is a halo-extended horizontal slab and the
+    stats/heatmap mask row window is [row_bounds[0], row_bounds[1]) in
+    section-LOCAL rows (the caller folds the global roi/validity rows
+    in); sums stay scaled by the FULL-image analysis_pixels so per-slab
+    stats psum to the single-device values (parallel/grid2d.py)."""
     t = props.temporal_size
     b = raw.shape[0] - t
     hp_tot, wp = raw.shape[-2], raw.shape[-1]
@@ -448,13 +470,18 @@ def _batch_step_impl(props: DiPsProperties, h: int, w: int, s: int,
 
     flags_i32 = flags2d.astype(jnp.int32)
     valid_i32 = valid2d.astype(jnp.int32)
-    kernel = _make_kernel(props, h, w, t, b, bh, wp, n_hb, fpb, s)
+    dyn_rows = row_bounds is not None
+    scalars = [flags_i32, valid_i32]
+    if dyn_rows:
+        scalars.append(row_bounds.astype(jnp.int32))
+    kernel = _make_kernel(props, h, w, t, b, bh, wp, n_hb, fpb, s,
+                          dyn_rows=dyn_rows)
     has_halo = props.window_size > 1
     halo_specs = _halo_specs(props.window_size, fpb, wp, bh8, n8_per,
                              n_hb_per)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=len(scalars),
         grid=(n_hb, (t + b) // fpb),
         in_specs=[
             pl.BlockSpec((fpb, 3, bh, wp), lambda hb, f, *_: (f, 0, hb, 0),
@@ -501,7 +528,7 @@ def _batch_step_impl(props: DiPsProperties, h: int, w: int, s: int,
             jax.ShapeDtypeStruct((hp_tot, wp), jnp.float32),
         ],
         interpret=jax.default_backend() == "cpu",
-    )(flags_i32, valid_i32,
+    )(*scalars,
       *((raw, raw, raw) if has_halo else (raw,)), baseline, heatmap)
 
     stats = _reduce_stats(parts, b, s, n_hb_per,
@@ -658,18 +685,21 @@ def _ring_geometry(hp: int, wp: int, window: int, t: int, b: int,
 
 
 def _make_ring_kernel(props: DiPsProperties, h: int, w: int, t: int, b: int,
-                      bh: int, wp: int, n_hb: int, fpb: int, s: int = 1):
+                      bh: int, wp: int, n_hb: int, fpb: int, s: int = 1,
+                      dyn_rows: bool = False):
     """Ring-carry median-pipeline kernel (see the section comment above).
     Carried state (ring/prev/baseline/heatmap) lives directly in the
     fs-invariant output blocks — seeded from the input blocks at fs == 0,
     flushed to HBM once after the last frame step — so it costs no VMEM
-    scratch."""
+    scratch.  ``dyn_rows``: row-slab mask window, see _make_kernel."""
     window = props.window_size
     p = window // 2
     overall = props.method == DiPsMethod.OVERALL
     n_hb_per = n_hb // s
 
     def kernel(flags_ref, valid_ref, off_ref, seed_ref, *refs):
+        if dyn_rows:
+            rowb_ref, *refs = refs              # SMEM (2,) int32
         # inputs: cur [, up, dn], ring_in [, prev_in], base_in, heat_in
         # outputs: out, stats, ring (working) [, prev (working)],
         #          base (working), heat (working)
@@ -709,6 +739,8 @@ def _make_ring_kernel(props: DiPsProperties, h: int, w: int, t: int, b: int,
             # to the true geometry; the default roi IS the full frame, so
             # this stays the plain validity mask without one
             y0, x0, y1, x1 = props.roi_bounds(h, w)
+            if dyn_rows:  # slab mode: roi rows folded into the bounds
+                y0, y1 = rowb_ref[0], rowb_ref[1]
             mask_ref[:] = ((rows >= y0) & (rows < y1) & (cols >= x0)
                            & (cols < x1)).astype(jnp.float32)
 
@@ -748,13 +780,18 @@ def _make_ring_kernel(props: DiPsProperties, h: int, w: int, t: int, b: int,
 
 def _batch_step_ring_impl(props: DiPsProperties, h: int, w: int, s: int,
                           raw, ring, prev, baseline, flags2d, heatmap,
-                          valid2d, offsets, seeds):
+                          valid2d, offsets, seeds, row_bounds=None):
     """Shared ring-carry body; ``s`` streams stacked along the row axis.
 
     raw (B, 3, s*Hp, Wp) u8, ring (T, s*Hp, Wp) f32, prev/baseline/heatmap
     (s*Hp, Wp) f32, flags/valid (s, B) bool, offsets/seeds (s,) i32 ->
     (out (B, C, s*Hp, Wp) u8, stats (s, B, 4) f32, new ring, new prev,
-    new baseline, new heatmap)."""
+    new baseline, new heatmap).
+
+    ``row_bounds``: row-slab mask window (see _batch_step_impl) — carried
+    ring/prev/baseline state is then the halo-EXTENDED slab shape; its
+    extension rows hold zero-halo garbage that no owned row ever reads
+    (everything after the spatial filter is row-local)."""
     t = props.temporal_size
     b = raw.shape[0]
     hp_tot, wp = raw.shape[-2], raw.shape[-1]
@@ -772,7 +809,12 @@ def _batch_step_ring_impl(props: DiPsProperties, h: int, w: int, s: int,
     valid_i32 = valid2d.astype(jnp.int32)
     off_i32 = offsets.astype(jnp.int32)
     seed_i32 = seeds.astype(jnp.int32)
-    kernel = _make_ring_kernel(props, h, w, t, b, bh, wp, n_hb, fpb, s)
+    dyn_rows = row_bounds is not None
+    scalars = [flags_i32, valid_i32, off_i32, seed_i32]
+    if dyn_rows:
+        scalars.append(row_bounds.astype(jnp.int32))
+    kernel = _make_ring_kernel(props, h, w, t, b, bh, wp, n_hb, fpb, s,
+                               dyn_rows=dyn_rows)
     has_halo = props.window_size > 1
     halo_specs = _halo_specs(props.window_size, fpb, wp, bh8, n8_per,
                              n_hb_per)
@@ -785,7 +827,7 @@ def _batch_step_ring_impl(props: DiPsProperties, h: int, w: int, s: int,
                    else [jax.ShapeDtypeStruct((hp_tot, wp), jnp.float32)])
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=4,
+        num_scalar_prefetch=len(scalars),
         grid=(n_hb, b // fpb),
         in_specs=[
             pl.BlockSpec((fpb, 3, bh, wp), lambda hb, f, *_: (f, 0, hb, 0),
@@ -825,7 +867,7 @@ def _batch_step_ring_impl(props: DiPsProperties, h: int, w: int, s: int,
             jax.ShapeDtypeStruct((hp_tot, wp), jnp.float32),
         ],
         interpret=jax.default_backend() == "cpu",
-    )(flags_i32, valid_i32, off_i32, seed_i32,
+    )(*scalars,
       *((raw, raw, raw) if has_halo else (raw,)), ring,
       *([] if overall else [prev]), baseline, heatmap)
 

@@ -8,6 +8,15 @@ over both axes — all collectives ride ICI.
 
 This is the deployment shape for "many huge streams": e.g. 16 chips as a
 (4 streams x 4 slabs) grid.
+
+Two shard bodies: the portable XLA body (``_row_body``, any backend) and
+the fused Pallas stacked-slab body (``backend="pallas"``): each shard
+halo-exchanges an 8-row band of the raw input over ICI, folds its local
+streams' EXTENDED slabs along the row axis of ONE stacked kernel instance
+(ops/pallas_fused.py stacked mode with a dynamic mask row window), then
+slices the owned rows back out.  Everything after the spatial median is
+row-local, so the extension rows compute discarded garbage and the owned
+rows are bit-identical to the full-height kernel.
 """
 
 from __future__ import annotations
@@ -20,6 +29,11 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 from ..properties import DiPsProperties, OutputMode
 from .rowsharded import _row_body
+
+#: rows added above AND below each slab for the Pallas body: one 8-row
+#: block keeps every section 8-aligned and covers the widest stencil halo
+#: (window 7 -> p = 3 <= 8)
+_EXT = 8
 
 
 def grid_mesh(n_streams_axis: int, n_rows_axis: int,
@@ -34,27 +48,122 @@ def grid_mesh(n_streams_axis: int, n_rows_axis: int,
     return Mesh(arr, ("stream", "rows"))
 
 
-def make_grid_step(props: DiPsProperties, h: int, w: int, mesh: Mesh):
+def _halo_extend_u8(slab: jnp.ndarray, axis: str) -> jnp.ndarray:
+    """(..., Hs, W) u8 -> (..., Hs + 2*_EXT, W): an 8-row band from each
+    row-neighbour over ICI (zero at the global top/bottom edges — the
+    pipeline's zero out-of-bounds stencil semantics)."""
+    n = lax.axis_size(axis)
+    idx = lax.axis_index(axis)
+    # my bottom band DOWN (to idx+1) -> his top extension
+    down = [(i, (i + 1) % n) for i in range(n)]
+    top = lax.ppermute(slab[..., -_EXT:, :], axis, down)
+    # my top band UP (to idx-1) -> his bottom extension
+    up = [(i, (i - 1) % n) for i in range(n)]
+    bot = lax.ppermute(slab[..., :_EXT, :], axis, up)
+    zero = jnp.zeros_like(top)
+    top = jnp.where(idx == 0, zero, top)
+    bot = jnp.where(idx == n - 1, zero, bot)
+    return jnp.concatenate([top, slab, bot], axis=-2)
+
+
+def _slab_row_bounds(props: DiPsProperties, h: int, w: int, hs: int,
+                     axis: str) -> jnp.ndarray:
+    """Section-local [lo, hi) mask row window for this shard's slab: the
+    global roi/validity rows intersected with the owned range, shifted by
+    the extension offset.  Traced (depends on the shard's row index)."""
+    row0 = lax.axis_index(axis) * hs  # global index of first owned row
+    y0, _, y1, _ = props.roi_bounds(h, w)  # global rows, clipped to h
+    lo = jnp.clip(jnp.int32(y0) - row0, 0, hs) + _EXT
+    hi = jnp.clip(jnp.int32(y1) - row0, 0, hs) + _EXT
+    return jnp.stack([lo, hi]).astype(jnp.int32)
+
+
+def _combine_slab_stats(stats: jnp.ndarray, axis: str) -> jnp.ndarray:
+    """(s, B, 4) per-slab partials -> full-frame stats replicated on every
+    rows shard (matching _row_body's in-body reduction convention): the
+    mean/mean-abs/count partials are sums over owned rows only, the max a
+    max over them."""
+    return jnp.stack([
+        lax.psum(stats[..., 0], axis),
+        lax.psum(stats[..., 1], axis),
+        lax.pmax(stats[..., 2], axis),
+        lax.psum(stats[..., 3], axis),
+    ], axis=-1)
+
+
+def _pallas_slab_body(props, h, w, raw, baseline, flags, heatmap, valid,
+                      axis):
+    """Stacked Pallas shard body on halo-extended row slabs (tail
+    protocol).  raw (S_l, T+B, 3, Hs, Wp) u8, baseline/heatmap
+    (S_l, Hs, Wp) f32, flags/valid (S_l, B) -> (out (S_l, B, C, Hs, Wp),
+    stats (S_l, B, 4) full-frame, new baseline, new heatmap)."""
+    from ..ops import pallas_fused
+
+    s_l, tb = raw.shape[0], raw.shape[1]
+    hs, wp = raw.shape[-2], raw.shape[-1]
+    hse = hs + 2 * _EXT
+    raw_e = _halo_extend_u8(raw, axis)
+    # fold local streams' extended slabs along the row axis of ONE kernel
+    raw_st = raw_e.transpose(1, 2, 0, 3, 4).reshape(tb, 3, s_l * hse, wp)
+    zp = ((0, 0), (_EXT, _EXT), (0, 0))
+    bl_st = jnp.pad(baseline, zp).reshape(s_l * hse, wp)
+    hm_st = jnp.pad(heatmap, zp).reshape(s_l * hse, wp)
+    bounds = _slab_row_bounds(props, h, w, hs, axis)
+    out, stats, nb, nh = pallas_fused._batch_step_impl(
+        props, h, w, s_l, raw_st, bl_st, flags, hm_st, valid,
+        row_bounds=bounds)
+    b, c = out.shape[0], out.shape[1]
+    out = (out.reshape(b, c, s_l, hse, wp)[..., _EXT:_EXT + hs, :]
+           .transpose(2, 0, 1, 3, 4))
+    nb = nb.reshape(s_l, hse, wp)[:, _EXT:_EXT + hs]
+    nh = nh.reshape(s_l, hse, wp)[:, _EXT:_EXT + hs]
+    return out, _combine_slab_stats(stats, axis), nb, nh
+
+
+def slab_rows_ok(hp: int, rows_ax: int) -> bool:
+    """True when the Pallas slab body can run: every slab 8-row aligned."""
+    return hp % (8 * rows_ax) == 0
+
+
+def make_grid_step(props: DiPsProperties, h: int, w: int, mesh: Mesh,
+                   backend: str = "xla"):
     """Jitted step over a ("stream", "rows") mesh.
 
     Maps raw u8 (S, T+B, 3, Hp, Wp), baseline (S, Hp, Wp), flags (S, B),
     heatmap (S, Hp, Wp), valid (S, B) -> (out (S, B, C, Hp, Wp),
     stats (S, B, NUM_STATS), new baseline, new heatmap, global scalar).
     S must divide by the stream axis, Hp by the rows axis.
+
+    ``backend``: "xla" = the portable vmap'd row-slab body; "pallas" = the
+    fused stacked kernel on halo-extended slabs (TPU; slabs must be 8-row
+    aligned — ``slab_rows_ok``).
     """
-    if props.output in (OutputMode.ABSDIFF, OutputMode.THRESHOLD):
+    if props.output in (OutputMode.ABSDIFF, OutputMode.THRESHOLD,
+                        OutputMode.STATS_ONLY):
         raise ValueError("2-D grid applies to the median pipeline modes")
+    if backend == "pallas":
+        from ..ops.reference import pad_geometry
+        hp = pad_geometry(h, w)[0]
+        rows_ax = mesh.shape["rows"]
+        if not slab_rows_ok(hp, rows_ax):
+            raise ValueError(
+                f"pallas 2-D grid needs 8-row-aligned slabs: padded height "
+                f"{hp} / {rows_ax} row shards = {hp / rows_ax} rows")
 
     def per_shard(raw, baseline, flags, heatmap, valid):
-        # raw: (S_local, T+B, 3, Hs, Wp) — vmap the row-slab body over the
-        # local stream axis; collectives inside reference the "rows" axis
-        # name, which vmap passes through untouched.
-        def one_stream(r, bl, fl, hm, vd):
-            return _row_body(props, h, w, r, bl, fl, hm, vd, "rows")
-        out, stats, new_b, new_h = jax.vmap(one_stream)(
-            raw, baseline, flags, heatmap, valid)
+        if backend == "pallas":
+            out, stats, new_b, new_h = _pallas_slab_body(
+                props, h, w, raw, baseline, flags, heatmap, valid, "rows")
+        else:
+            # raw: (S_local, T+B, 3, Hs, Wp) — vmap the row-slab body over
+            # the local stream axis; collectives inside reference the
+            # "rows" axis name, which vmap passes through untouched.
+            def one_stream(r, bl, fl, hm, vd):
+                return _row_body(props, h, w, r, bl, fl, hm, vd, "rows")
+            out, stats, new_b, new_h = jax.vmap(one_stream)(
+                raw, baseline, flags, heatmap, valid)
         # valid-slot-masked global mean (stats are already row-reduced inside
-        # _row_body, so the extra "rows" psum cancels between total and count)
+        # the body, so the extra "rows" psum cancels between total and count)
         vw = valid.astype(jnp.float32)
         total = lax.psum(lax.psum(jnp.sum(stats[..., 1] * vw), "rows"),
                          "stream")

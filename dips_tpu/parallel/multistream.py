@@ -251,27 +251,33 @@ class MultiStreamEngine:
         self.mesh = mesh if mesh is not None else stream_mesh()
         if "rows" in self.mesh.axis_names:
             # composite 2-D (stream x rows) grid: each device owns a
-            # horizontal slab of a subset of streams (grid2d.make_grid_step,
-            # XLA body — explicitly requesting pallas here would silently
-            # drop the request, so reject it instead)
-            if backend == "pallas":
-                raise ValueError(
-                    "backend='pallas' is not available on a 2-D "
-                    "(stream x rows) mesh; use backend='auto'/'xla' or a "
-                    "1-D stream mesh")
+            # horizontal slab of a subset of streams (grid2d.make_grid_step)
+            # with a choice of shard body: the fused Pallas stacked-slab
+            # kernel (halo-extended slabs, TPU) or the portable XLA body
             if ring_carry:
                 raise ValueError(
                     "ring_carry is not available on a 2-D (stream x rows) "
-                    "mesh (XLA body)")
-            from .grid2d import make_grid_step
+                    "mesh (tail protocol only)")
+            from .grid2d import make_grid_step, slab_rows_ok
             n_shard = self.mesh.shape["stream"]
             rows_ax = self.mesh.shape["rows"]
             if self.hp % rows_ax:
                 raise ValueError(
                     f"rows axis {rows_ax} must divide the padded height "
                     f"{self.hp}")
-            self._step = make_grid_step(props, height, width, self.mesh)
-            resolved = "xla"
+            raw_mode = props.output in _RAW_MODES
+            resolved = backend
+            if resolved == "auto":
+                resolved = ("pallas" if jax.default_backend() == "tpu"
+                            and not raw_mode
+                            and slab_rows_ok(self.hp, rows_ax) else "xla")
+            if resolved == "pallas" and raw_mode:
+                raise ValueError(
+                    "backend='pallas' on a 2-D mesh applies to the median "
+                    "pipeline modes (raw modes have no stencil: use a 1-D "
+                    "stream mesh)")
+            self._step = make_grid_step(props, height, width, self.mesh,
+                                        backend=resolved)
         else:
             n_shard = self.mesh.devices.size
             resolved = backend

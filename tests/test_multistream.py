@@ -417,11 +417,18 @@ def test_stream_mesh_overrequest_rejected():
         stream_mesh(n_devices=99)
 
 
-def test_grid_mesh_rejects_explicit_pallas():
+def test_grid_mesh_accepts_explicit_pallas():
+    """The 2-D grid runs the fused stacked-slab kernel when asked (full
+    parity coverage in test_grid2d_pallas.py); ring_carry stays rejected
+    (tail protocol only on the 2-D grid)."""
     from dips_tpu.parallel.grid2d import grid_mesh
-    with pytest.raises(ValueError, match="pallas"):
+    eng = MultiStreamEngine(DiPsProperties(), 32, 40, n_streams=2, batch=2,
+                            mesh=grid_mesh(2, 4), backend="pallas")
+    assert eng.backend == "pallas"
+    with pytest.raises(ValueError, match="ring_carry"):
         MultiStreamEngine(DiPsProperties(), 32, 40, n_streams=2, batch=2,
-                          mesh=grid_mesh(2, 4), backend="pallas")
+                          mesh=grid_mesh(2, 4), backend="pallas",
+                          ring_carry=True)
 
 
 def test_per_stream_snapshot():
