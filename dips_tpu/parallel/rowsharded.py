@@ -50,7 +50,7 @@ def _halo_exchange(slab: jnp.ndarray, p: int, axis: str) -> jnp.ndarray:
 
 
 def make_rowsharded_step(props: DiPsProperties, h: int, w: int, mesh: Mesh,
-                         axis: str = "rows"):
+                         axis: str = "rows", backend: str = "xla"):
     """Jitted single-stream step with the H axis sharded over ``mesh``.
 
     Maps raw u8 (T+B, 3, Hp, Wp), baseline f32 (Hp, Wp), flags (B,),
@@ -58,12 +58,33 @@ def make_rowsharded_step(props: DiPsProperties, h: int, w: int, mesh: Mesh,
     stats (B, NUM_STATS), new baseline, new heatmap); Hp must divide evenly
     by the mesh size.  Median/emphasis modes only (raw modes have no stencil
     and gain nothing from row sharding).
+
+    ``backend``: "xla" = the portable row-slab body; "pallas" = the fused
+    stacked-slab kernel on halo-extended slabs (grid2d._pallas_slab_body
+    with a single stream; slabs must be 8-row aligned).
     """
-    if props.output in (OutputMode.ABSDIFF, OutputMode.THRESHOLD):
+    if props.output in (OutputMode.ABSDIFF, OutputMode.THRESHOLD,
+                        OutputMode.STATS_ONLY):
         raise ValueError("row sharding applies to the median pipeline modes")
-    def per_shard(raw, baseline, flags, heatmap, valid):
-        return _row_body(props, h, w, raw, baseline, flags, heatmap, valid,
-                         axis)
+    if backend == "pallas":
+        from ..ops.reference import pad_geometry
+        from .grid2d import slab_rows_ok
+        hp = pad_geometry(h, w)[0]
+        if not slab_rows_ok(hp, mesh.shape[axis]):
+            raise ValueError(
+                f"pallas row sharding needs 8-row-aligned slabs: padded "
+                f"height {hp} / {mesh.shape[axis]} shards")
+
+        def per_shard(raw, baseline, flags, heatmap, valid):
+            from .grid2d import _pallas_slab_body
+            out, stats, nb, nh = _pallas_slab_body(
+                props, h, w, raw[None], baseline[None], flags[None],
+                heatmap[None], valid[None], axis)
+            return out[0], stats[0], nb[0], nh[0]
+    else:
+        def per_shard(raw, baseline, flags, heatmap, valid):
+            return _row_body(props, h, w, raw, baseline, flags, heatmap,
+                             valid, axis)
 
     sharded = jax.shard_map(
         per_shard, mesh=mesh,

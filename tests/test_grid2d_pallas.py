@@ -180,3 +180,36 @@ def test_grid_raw_mode_pallas_rejected():
     with pytest.raises(ValueError, match="median"):
         MultiStreamEngine(props, 32, 40, n_streams=2, batch=2,
                           mesh=grid_mesh(2, 4), backend="pallas")
+
+
+def test_rowsharded_pallas_bit_identical():
+    """make_rowsharded_step(backend='pallas') == full-height pallas kernel
+    (single giant stream spatially split over 8 shards)."""
+    from dips_tpu.parallel.rowsharded import make_rowsharded_step
+    from jax.sharding import Mesh
+    props = DiPsProperties(window_size=3, temporal_size=2,
+                           filter=DiPsFilter.UNFILTERED)
+    h, w, b = 64, 40, 4
+    raw, flags, valid, hp, wp = _inputs(props, h, w, 1, b)
+    raw, flags, valid = raw[0], flags[0], valid[0]
+    mesh = Mesh(np.asarray(jax.devices()[:8]), ("rows",))
+    step = make_rowsharded_step(props, h, w, mesh, backend="pallas")
+    out, stats, nb, nh = step(raw, jnp.zeros((hp, wp), jnp.float32), flags,
+                              jnp.zeros((hp, wp), jnp.float32), valid)
+    eo, es, eb, eh = pallas_fused.batch_step(
+        props, h, w, raw, jnp.zeros((hp, wp), jnp.float32), flags,
+        jnp.zeros((hp, wp), jnp.float32), valid)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(eo))
+    np.testing.assert_allclose(np.asarray(stats), np.asarray(es), atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(nb), np.asarray(eb))
+    np.testing.assert_array_equal(np.asarray(nh), np.asarray(eh))
+
+
+def test_rowsharded_pallas_alignment_guard():
+    from dips_tpu.parallel.rowsharded import make_rowsharded_step
+    from jax.sharding import Mesh
+    props = DiPsProperties(window_size=3, temporal_size=2)
+    mesh = Mesh(np.asarray(jax.devices()[:8]), ("rows",))
+    # hp = 24 over 8 shards -> 3-row slabs: not 8-aligned
+    with pytest.raises(ValueError, match="8-row-aligned"):
+        make_rowsharded_step(props, 24, 40, mesh, backend="pallas")
