@@ -71,10 +71,13 @@ def bench_device(props, h, w, batch, iters=(10, 60), ring=False):
                                 OutputMode.STATS_ONLY)
     hp, wp = pad_geometry(h, w)
     t = props.temporal_size
-    rng = np.random.default_rng(0)
     tail = 0 if ring else t
-    raw = jnp.asarray(
-        rng.integers(0, 256, (tail + batch, 3, hp, wp), np.uint8))
+    # zeros, not random: every kernel here is data-independent (integer
+    # absdiff / min-max selection networks / fixed-size DMA), and the dev
+    # relay COMPRESSES uploads — a 400 MB random (incompressible) batch
+    # costs 1-2 MINUTES of "compile+warmup" that is really just H2D
+    # (measured 126.6s -> seconds, BASELINE.md "Cold start anatomy")
+    raw = jnp.zeros((tail + batch, 3, hp, wp), jnp.uint8)
     if raw_mode:
         baseline = jnp.zeros((3, hp, wp), jnp.uint8)
     else:
@@ -227,8 +230,9 @@ def bench_e2e(h, w, n_frames, batch, decode_workers, mode="absdiff",
     log(f"  CPU e2e baseline (decode + cv2.absdiff): {cpu_fps:.0f} fps")
 
     backend = "xla" if jax.default_backend() == "cpu" else "pallas"
-    out_mode = (OutputMode.ABSDIFF if mode == "absdiff"
-                else OutputMode.THRESHOLD)
+    out_mode = {"absdiff": OutputMode.ABSDIFF,
+                "stats-only": OutputMode.STATS_ONLY}.get(
+                    mode, OutputMode.THRESHOLD)
     props = DiPsProperties(output=out_mode, temporal_size=temporal)
 
     def run(profile):
@@ -264,9 +268,8 @@ def bench_multistream(s, h, w, batch, temporal=4):
     hp, wp = pad_geometry(h, w)
     t = temporal
     props = DiPsProperties(output=OutputMode.ABSDIFF, temporal_size=t)
-    rng = np.random.default_rng(0)
-    raw = jnp.asarray(
-        rng.integers(0, 256, (s, batch, 3, hp, wp), np.uint8))
+    # zeros: data-independent kernels + compressing relay (see bench_device)
+    raw = jnp.zeros((s, batch, 3, hp, wp), jnp.uint8)
     baseline = jnp.zeros((s, 3, hp, wp), jnp.uint8)
     heatmap = jnp.zeros((s, hp, wp), jnp.float32)
     # closed over by the jitted loop: HOST values (see bench_device —
@@ -368,9 +371,12 @@ def main():
                          "device-resident kernel rate")
     ap.add_argument("--e2e-frames", type=int, default=150)
     ap.add_argument("--e2e-mode", default="absdiff",
-                    choices=["absdiff", "threshold", "threshold-packed"],
+                    choices=["absdiff", "threshold", "threshold-packed",
+                             "stats-only"],
                     help="e2e output mode; threshold-packed bit-packs the "
-                         "masks on device before D2H (8x less transfer)")
+                         "masks on device before D2H (8x less transfer); "
+                         "stats-only suppresses maps entirely (the fleet "
+                         "events/metrics shape: ~128 B/frame D2H)")
     ap.add_argument("--decode-workers", type=int, default=1)
     ap.add_argument("--streams", type=int, metavar="S",
                     help="bench the stacked multi-stream aggregate for S "

@@ -409,6 +409,13 @@ class DiPsEngine:
         if packed and not self.packed_wire:
             raise ValueError("packed collect requires packed_wire=True")
         with self._stage("d2h"):
+            if out.shape[1] == 0:
+                # STATS_ONLY: no map bytes exist on device — do NOT issue
+                # a zero-size D2H (a no-op locally, but a degenerate
+                # transfer that can stall for minutes through remote-device
+                # relays); only the stats travel
+                out_np = np.empty((n, self.height, self.width, 0), np.uint8)
+                return out_np, np.asarray(stats[:n])
             out_np = np.asarray(out[:n])
             if packed:
                 return out_np, np.asarray(stats[:n])

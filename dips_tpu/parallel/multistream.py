@@ -772,6 +772,12 @@ class MultiStreamEngine:
             packed = np.asarray(wire.pack_mask(out[:, :n]))
             out = wire.unpack_mask(packed)[
                 :, :, :, :self.height, :self.width]
+        elif out.shape[2] == 0:
+            # STATS_ONLY: no map bytes on device — skip the zero-size D2H
+            # (degenerate transfers can stall for minutes through remote-
+            # device relays); only stats/heatmap travel
+            out = np.empty((out.shape[0], n, 0, self.height, self.width),
+                           np.uint8)
         else:
             # download the PADDED array and crop on the host: slicing the
             # minor dims on device would make the D2H minor dim the true
