@@ -40,6 +40,28 @@ from ..ops.oracle import NUM_STATS
 from ..ops.reference import pad_geometry
 from .. import native
 
+
+@jax.jit
+def _pad_lanes(x: jnp.ndarray) -> jnp.ndarray:
+    """Pad the minor dim to 128 lanes on device before a D2H fetch.
+
+    Remote-device relays pay a catastrophic per-shape setup cost for
+    transfers whose minor dim is not 128-aligned (measured: the FIRST
+    (64, 4) f32 stats fetch took 640 s through the axon tunnel where the
+    (64, 128) padded fetch took 24 ms; ops/wire.py documents the same
+    pathology for mask columns).  32 KB of padding is free; the un-pad is
+    a host slice."""
+    return jnp.pad(x, [(0, 0)] * (x.ndim - 1)
+                   + [(0, 128 - x.shape[-1] % 128)])
+
+
+def _fetch_stats(stats: jnp.ndarray, n: int) -> np.ndarray:
+    """Lane-aligned device->host fetch of a (..., NUM_STATS) stats array."""
+    k = stats.shape[-1]
+    if k % 128 == 0 or jax.default_backend() == "cpu":
+        return np.asarray(stats[:n])
+    return np.asarray(_pad_lanes(stats[:n]))[..., :k]
+
 _RAW_MODES = (OutputMode.ABSDIFF, OutputMode.THRESHOLD,
               OutputMode.STATS_ONLY)
 
@@ -415,7 +437,7 @@ class DiPsEngine:
                 # transfer that can stall for minutes through remote-device
                 # relays); only the stats travel
                 out_np = np.empty((n, self.height, self.width, 0), np.uint8)
-                return out_np, np.asarray(stats[:n])
+                return out_np, _fetch_stats(stats, n)
             out_np = np.asarray(out[:n])
             if packed:
                 return out_np, np.asarray(stats[:n])
@@ -431,7 +453,7 @@ class DiPsEngine:
             else:
                 out_np = np.moveaxis(
                     out_np[:, :, :self.height, :self.width], 1, -1)
-            stats_np = np.asarray(stats[:n])
+            stats_np = _fetch_stats(stats, n)
         return out_np, stats_np
 
 

@@ -785,4 +785,14 @@ class MultiStreamEngine:
             # ops/wire.py documents (~2000x slower on the dev tunnel)
             out = self._fetch(out, n)[:, :, :, :self.height, :self.width]
         out = np.moveaxis(out, 2, -1)
-        return out, self._fetch(stats, n), float(gmean)
+        return out, self._fetch_stats(stats, n), float(gmean)
+
+    def _fetch_stats(self, stats, n: int) -> np.ndarray:
+        """Lane-aligned stats D2H (see models/pipeline._pad_lanes: an
+        unaligned-minor-dim fetch pays a catastrophic per-shape setup
+        through remote-device relays)."""
+        k = stats.shape[-1]
+        if k % 128 == 0 or jax.default_backend() == "cpu":
+            return self._fetch(stats, n)
+        from ..models.pipeline import _pad_lanes
+        return self._fetch(_pad_lanes(stats), n)[..., :k]

@@ -138,6 +138,88 @@ def _run_stacked(verbose: bool, results=None) -> int:
         return 1
 
 
+def _run_slab(verbose: bool, results=None) -> int:
+    """Row-slab kernel variant (parallel/grid2d.py's pallas body): the
+    dynamic mask-row-window lowering (SMEM bounds) must be bit-identical
+    to the static full-height kernel ON THIS DEVICE.  Emulates a 2-shard
+    row split on one chip: the halo-extended slabs are built exactly as
+    the ppermute exchange would deliver them (real neighbour rows
+    interior, zeros at the global edges)."""
+    import jax.numpy as jnp
+    from .ops import pallas_fused
+    from .ops.reference import pad_geometry
+
+    t0 = time.time()
+    try:
+        t, b, h, w = 2, 4, 32, 140
+        hp, wp = pad_geometry(h, w)
+        hs = hp // 2  # 16-row slabs (8-aligned)
+        ext = 8
+        props = DiPsProperties(window_size=3, temporal_size=t,
+                               filter=DiPsFilter.UNFILTERED,
+                               roi=(4, 10, 28, 120))
+        r = np.random.default_rng(2)
+        raw = r.integers(0, 256, (t + b, 3, hp, wp), np.uint8)
+        raw[..., h:, :] = 0
+        raw[..., w:] = 0
+        flags = np.zeros((b,), bool)
+        flags[0] = True
+        valid = np.ones((1, b), bool)
+        zrow = np.zeros((t + b, 3, ext, wp), np.uint8)
+        # slab 0: zero top halo | rows [0,16) | real rows [16,24)
+        # slab 1: real rows [8,16) | rows [16,32) | zero bottom halo
+        slab0 = np.concatenate([zrow, raw[..., :hs, :],
+                                raw[..., hs:hs + ext, :]], axis=2)
+        slab1 = np.concatenate([raw[..., hs - ext:hs, :], raw[..., hs:, :],
+                                zrow], axis=2)
+        y0, x0, y1, x1 = props.roi_bounds(h, w)
+        outs, statss, nbs, nhs = [], [], [], []
+        for k, slab in enumerate((slab0, slab1)):
+            row0 = k * hs
+            lo = np.clip(y0 - row0, 0, hs) + ext
+            hi = np.clip(y1 - row0, 0, hs) + ext
+            o, st, nb, nh = pallas_fused._batch_step_impl(
+                props, h, w, 1, jnp.asarray(slab),
+                jnp.zeros((hs + 2 * ext, wp), jnp.float32),
+                jnp.asarray(flags[None]),
+                jnp.zeros((hs + 2 * ext, wp), jnp.float32),
+                jnp.asarray(valid),
+                row_bounds=jnp.asarray([lo, hi], np.int32))
+            outs.append(np.asarray(o)[..., ext:ext + hs, :])
+            statss.append(np.asarray(st[0]))
+            nbs.append(np.asarray(nb)[ext:ext + hs])
+            nhs.append(np.asarray(nh)[ext:ext + hs])
+        got_out = np.concatenate(outs, axis=-2)
+        got_stats = statss[0] + statss[1]          # sum-partials add
+        got_nb = np.concatenate(nbs, axis=-2)
+        got_nh = np.concatenate(nhs, axis=-2)
+
+        eo, es, eb, eh = pallas_fused.batch_step(
+            props, h, w, jnp.asarray(raw), jnp.zeros((hp, wp), jnp.float32),
+            jnp.asarray(flags), jnp.zeros((hp, wp), jnp.float32),
+            jnp.asarray(valid[0]))
+        assert (got_out == np.asarray(eo)).all(), "slab out != full kernel"
+        np.testing.assert_allclose(got_stats[:, :2], np.asarray(es)[:, :2],
+                                   atol=1e-5)
+        np.testing.assert_allclose(
+            np.maximum(statss[0][:, 2], statss[1][:, 2]),
+            np.asarray(es)[:, 2], atol=1e-6)       # max combines by max
+        np.testing.assert_allclose(got_stats[:, 3], np.asarray(es)[:, 3],
+                                   atol=0)
+        assert (got_nb == np.asarray(eb)).all(), "slab baseline diverged"
+        assert (got_nh == np.asarray(eh)).all(), "slab heatmap diverged"
+        if verbose:
+            print(f"  PASS {'row-slab dyn-bounds kernel':<40s} "
+                  f"({time.time() - t0:.1f}s)")
+        _record(results, "row-slab dyn-bounds kernel", True, t0)
+        return 0
+    except Exception as e:
+        if verbose:
+            print(f"  FAIL {'row-slab dyn-bounds kernel':<40s} {e}")
+        _record(results, "row-slab dyn-bounds kernel", False, t0, e)
+        return 1
+
+
 def _run_hwc(frames, verbose: bool, results=None) -> int:
     """Device-side input layout on silicon: an ``hwc_bgr`` engine (raw
     bytes up, transpose+pad+BGR swap on device) must be BIT-EXACT vs the
@@ -308,6 +390,7 @@ def run(backend: str = "pallas", quick: bool = False,
             _record(results, name_m, False, t0, e)
     if backend == "pallas" and not quick:
         failures += _run_stacked(verbose, results)
+        failures += _run_slab(verbose, results)
         failures += _run_hwc(frames, verbose, results)
     if verbose:
         print("PASS: device numerics match the oracle" if not failures

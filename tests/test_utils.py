@@ -335,3 +335,22 @@ def test_doctor_survives_broken_section(monkeypatch):
     assert set(info) >= {"jax", "native", "opencv", "autotune",
                          "compile_cache"}
     assert info["opencv"]["ok"]
+
+
+def test_pad_lanes_stats_fetch_round_trip():
+    """The lane-aligned stats D2H helper (models/pipeline._pad_lanes) pads
+    the minor dim to 128 and the fetch slice restores the values exactly
+    (the CPU backend skips the pad at runtime — force the padded path)."""
+    import jax.numpy as jnp
+    from dips_tpu.models.pipeline import _pad_lanes
+
+    stats = jnp.arange(64 * 4, dtype=jnp.float32).reshape(64, 4) / 7.0
+    padded = _pad_lanes(stats)
+    assert padded.shape == (64, 128)
+    import numpy as np
+    np.testing.assert_array_equal(np.asarray(padded)[:, :4],
+                                  np.asarray(stats))
+    assert (np.asarray(padded)[:, 4:] == 0).all()
+    # 3-D multistream shape (S, B, NUM_STATS)
+    s3 = jnp.ones((2, 8, 4), jnp.float32)
+    assert _pad_lanes(s3).shape == (2, 8, 128)
