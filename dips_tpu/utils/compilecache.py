@@ -24,6 +24,45 @@ from typing import Optional
 _DEFAULT_DIR = os.path.join("~", ".cache", "dips_tpu", "xla")
 
 
+def _host_fingerprint() -> str:
+    """A short digest of the host CPU (machine arch + feature flags).
+
+    XLA:CPU persists AOT-compiled x86 executables whose cache key does
+    not cover the full host feature set: an entry written on one machine
+    can be loaded on another with fewer features, where it aborts with
+    SIGILL instead of recompiling (the AOT loader only warns).  Cache
+    directories that may hold CPU executables are therefore partitioned
+    per host fingerprint; TPU executables are device code and survive
+    host swaps, so they stay shared.
+    """
+    import hashlib
+    import platform as _plat
+
+    feats = ""
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.lower().startswith(("flags", "features")):
+                    feats = " ".join(sorted(line.split(":", 1)[1].split()))
+                    break
+    except OSError:
+        pass
+    raw = f"{_plat.machine()}|{feats}".encode()
+    return hashlib.sha256(raw).hexdigest()[:12]
+
+
+def _platform_selection() -> str:
+    """The explicitly selected jax platform ('' when auto-detected)."""
+    sel = ""
+    try:
+        import jax
+        sel = getattr(jax.config, "jax_platforms", None) or ""
+    except Exception:
+        pass
+    sel = sel or os.environ.get("JAX_PLATFORMS", "")
+    return sel.split(",")[0].strip().lower()
+
+
 def default_cache_dir() -> str:
     """The cache directory used when none is given: the
     ``DIPS_COMPILE_CACHE`` environment variable, else
@@ -34,7 +73,10 @@ def default_cache_dir() -> str:
 def enable_compile_cache(path: Optional[str] = None) -> str:
     """Enable JAX's persistent compilation cache rooted at ``path``.
 
-    Returns the absolute cache directory.  Every compile (including the
+    Returns the absolute EFFECTIVE cache directory: the root itself, or
+    a per-host subdirectory when the process is pinned to the CPU
+    backend (see :func:`_host_fingerprint` for why CPU executables must
+    not cross hosts).  Every compile (including the
     sub-second CPU ones exercised by tests) is cached: the cache lives in
     a dedicated directory, so the usual "don't cache trivial compiles"
     heuristics only cost restart latency here.
@@ -42,6 +84,12 @@ def enable_compile_cache(path: Optional[str] = None) -> str:
     import jax
 
     resolved = os.path.abspath(os.path.expanduser(path or default_cache_dir()))
+    if _platform_selection() == "cpu":
+        # Processes pinned to the CPU backend (tests, the hermetic
+        # multichip dryrun) compile x86 AOT executables that must not
+        # cross hosts — see _host_fingerprint.  Auto/TPU processes share
+        # the root so device executables stay warm across host swaps.
+        resolved = os.path.join(resolved, "host-" + _host_fingerprint())
     os.makedirs(resolved, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", resolved)
     # jax initializes its persistent cache AT MOST ONCE, on the first

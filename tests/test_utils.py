@@ -1,5 +1,6 @@
 """utils: circular index parity and stage timers."""
 
+import os
 import time
 
 import pytest
@@ -109,15 +110,20 @@ def test_enable_compile_cache_writes_entries(tmp_path, _cache_config_guard):
 
     d = tmp_path / "xla-cache"
     got = enable_compile_cache(str(d))
-    assert got == str(d) and d.is_dir()
-    assert jax.config.jax_compilation_cache_dir == str(d)
+    # the suite pins jax to the CPU platform (conftest), so the cache is
+    # partitioned under a per-host subdir: x86 AOT executables written on
+    # one machine can SIGILL on another (the loader only warns)
+    assert os.path.dirname(got) == str(d)
+    assert os.path.basename(got).startswith("host-")
+    assert os.path.isdir(got)
+    assert jax.config.jax_compilation_cache_dir == got
 
     # a fresh jit lowers + compiles -> at least one persisted executable
     f = jax.jit(lambda x: x * 3 - jnp.float32(1.5))
     f(jnp.ones((8, 128), jnp.float32)).block_until_ready()
-    assert any(d.iterdir()), "no cache entries written"
+    assert os.listdir(got), "no cache entries written"
     # idempotent re-enable
-    assert enable_compile_cache(str(d)) == str(d)
+    assert enable_compile_cache(str(d)) == got
 
 
 def test_enable_compile_cache_after_prior_compiles(tmp_path,
@@ -136,10 +142,10 @@ def test_enable_compile_cache_after_prior_compiles(tmp_path,
         jnp.ones((8, 128), jnp.float32)).block_until_ready()
 
     d = tmp_path / "late-cache"
-    enable_compile_cache(str(d))
+    got = enable_compile_cache(str(d))
     jax.jit(lambda x: x * jnp.float32(7.0) + 2)(
         jnp.ones((8, 128), jnp.float32)).block_until_ready()
-    assert any(d.iterdir()), "late-enabled cache wrote no entries"
+    assert os.listdir(got), "late-enabled cache wrote no entries"
 
 
 def test_compile_cache_flag_plumbing(tmp_path, monkeypatch,
@@ -157,21 +163,41 @@ def test_compile_cache_flag_plumbing(tmp_path, monkeypatch,
     monkeypatch.delenv("DIPS_COMPILE_CACHE", raising=False)
     assert apply_compile_cache_flag(ap.parse_args([])) is None
 
-    # explicit dir
+    # explicit dir (cpu-pinned suite -> per-host subdir of it)
     d = tmp_path / "explicit"
     got = apply_compile_cache_flag(
         ap.parse_args(["--compile-cache", str(d)]))
-    assert got == str(d) and d.is_dir()
+    assert os.path.dirname(got) == str(d) and d.is_dir()
 
     # bare flag -> default dir (routed through env for the test)
     envd = tmp_path / "from-env"
     monkeypatch.setenv("DIPS_COMPILE_CACHE", str(envd))
     assert default_cache_dir() == str(envd)
-    assert apply_compile_cache_flag(ap.parse_args(["--compile-cache"])) \
-        == str(envd)
+    assert os.path.dirname(apply_compile_cache_flag(
+        ap.parse_args(["--compile-cache"]))) == str(envd)
 
     # env-only opt-in (no CLI flag at all)
-    assert apply_compile_cache_flag(ap.parse_args([])) == str(envd)
+    assert os.path.dirname(
+        apply_compile_cache_flag(ap.parse_args([]))) == str(envd)
+
+
+def test_compile_cache_host_partition_cpu_only(tmp_path, monkeypatch,
+                                               _cache_config_guard):
+    """Per-host partitioning applies ONLY to CPU-pinned processes: TPU
+    executables are host-portable and must stay warm across host swaps,
+    while x86 AOT entries can SIGILL on a host with fewer CPU features."""
+    from dips_tpu.utils import compilecache as cc
+
+    d = tmp_path / "shared"
+    monkeypatch.setattr(cc, "_platform_selection", lambda: "tpu")
+    assert cc.enable_compile_cache(str(d)) == str(d)
+
+    monkeypatch.setattr(cc, "_platform_selection", lambda: "cpu")
+    got = cc.enable_compile_cache(str(d))
+    assert os.path.dirname(got) == str(d) and got != str(d)
+    # deterministic on a given host
+    assert cc.enable_compile_cache(str(d)) == got
+    assert cc._host_fingerprint() == cc._host_fingerprint()
 
 
 def test_cli_and_serve_accept_compile_cache_flag():
