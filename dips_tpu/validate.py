@@ -249,6 +249,39 @@ def _run_hwc(frames, verbose: bool, results=None) -> int:
         return 1
 
 
+def _run_downscale(frames, verbose: bool, results=None) -> int:
+    """On-device input decimation on silicon: a ``downscale=2`` engine fed
+    full-res frames must be BIT-exact vs a plain engine fed host-pooled
+    frames (`reference.pool_frame_host` is the decimate's host twin —
+    checkpoint tails depend on the two staying identical).  The CPU suite
+    pins this on the interpreter (tests/test_downscale.py); this gate
+    proves the fused layout-prep + box-mean lowering on Mosaic."""
+    from .ops import reference
+    h, w = frames.shape[1:3]
+    k = 2
+    props = DiPsProperties(window_size=3, temporal_size=2,
+                           filter=DiPsFilter.UNFILTERED)
+    t0 = time.time()
+    try:
+        ek = DiPsEngine(props, h, w, batch=4, backend="pallas", downscale=k)
+        e1 = DiPsEngine(props, h // k, w // k, batch=4, backend="pallas")
+        ok_, sk = ek.process_frames(list(frames))
+        o1, s1 = e1.process_frames(
+            [reference.pool_frame_host(f, k) for f in frames])
+        assert np.array_equal(ok_, o1), "downscale maps != pre-pooled maps"
+        np.testing.assert_allclose(sk, s1, atol=1e-6)
+        if verbose:
+            print(f"  PASS on-device downscale=2 (bit-exact)     "
+                  f"({time.time() - t0:.1f}s)")
+        _record(results, "on-device downscale=2", True, t0)
+        return 0
+    except Exception as e:
+        if verbose:
+            print(f"  FAIL on-device downscale=2                  {e}")
+        _record(results, "on-device downscale=2", False, t0, e)
+        return 1
+
+
 def soak(n_frames: int = 512, verbose: bool = True, results=None) -> int:
     """On-device streaming soak: run ``n_frames`` through BOTH step
     protocols (ring-carry vs tail) with refresh markers and a mid-stream
@@ -392,6 +425,7 @@ def run(backend: str = "pallas", quick: bool = False,
         failures += _run_stacked(verbose, results)
         failures += _run_slab(verbose, results)
         failures += _run_hwc(frames, verbose, results)
+        failures += _run_downscale(frames, verbose, results)
     if verbose:
         print("PASS: device numerics match the oracle" if not failures
               else f"FAIL: {failures} case(s) diverged")
