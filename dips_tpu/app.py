@@ -458,7 +458,8 @@ def perform_dips(job: DiPsJob) -> np.ndarray:
     """Run the whole job: input video -> diff-map video; returns per-frame
     stats (N, NUM_STATS).  (ref: perform_dips, dips/src/lib.rs:252-257.)
 
-    STATS_ONLY output (``props.out_channels == 0``) runs the whole
+    Map suppression (``props.out_channels == 0``: OutputMode.STATS_ONLY,
+    or ``emit_maps=False`` on any pipeline) runs the whole configured
     pipeline with the map suppressed end to end: no output video is
     written (``output_path`` must be unset), the return value / stats
     artifacts / heatmap / auto-refresh are the products."""
@@ -466,15 +467,17 @@ def perform_dips(job: DiPsJob) -> np.ndarray:
     if stats_only:
         if job.output_path:
             raise OutputPathError(
-                "output_path set with OutputMode.STATS_ONLY — the mode "
-                "writes no video (drop the output, or pick absdiff/"
-                "threshold)")
+                "output_path set with a map-suppressed pipeline "
+                "(STATS_ONLY / emit_maps=False) — it writes no video "
+                "(drop the output, or re-enable maps)")
         if job.record_events:
             raise ValueError(
-                "record_events writes diff-map clips; STATS_ONLY has no "
-                "maps to record (use events/stats artifacts instead)")
+                "record_events writes diff-map clips; a map-suppressed "
+                "pipeline (STATS_ONLY / emit_maps=False) has no maps to "
+                "record (use events/stats artifacts instead)")
         if job.denoise_radius:
-            raise ValueError("denoise filters diff maps; STATS_ONLY has "
+            raise ValueError("denoise filters diff maps; a map-suppressed "
+                             "pipeline (STATS_ONLY / emit_maps=False) has "
                              "none")
     elif not job.output_path:
         raise OutputPathError("no output path set (DiPsJob.with_output_path)")

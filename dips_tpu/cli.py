@@ -79,6 +79,15 @@ def build_parser() -> argparse.ArgumentParser:
                         "stats_only suppresses the diff map entirely "
                         "(statistics/events/heatmap only — no output "
                         "video, far higher chip throughput)")
+    p.add_argument("--no-maps", action="store_true",
+                   help="suppress diff-map output for ANY pipeline "
+                        "(emit_maps=False): the full configured pipeline "
+                        "(spatial/temporal medians, emphasis, colorize/"
+                        "grayscale stats semantics) still runs, but no map "
+                        "bytes are computed or transferred — median-"
+                        "filtered statistics/events/heatmap at stats-only "
+                        "egress cost.  --output-mode stats_only is the "
+                        "raw-absdiff shorthand (skips the medians too)")
     p.add_argument("--sensitivity", type=float, default=5.0)
     p.add_argument("--temporal", type=int, default=4,
                    help="temporal median ring length, 1..16")
@@ -251,6 +260,7 @@ def props_from_args(args: argparse.Namespace) -> DiPsProperties:
         approx_median=args.approx_median,
         quirk_compat=getattr(args, "quirk_compat", False),
         roi=_parse_roi(args.roi),
+        emit_maps=not getattr(args, "no_maps", False),
     )
 
 
@@ -301,10 +311,12 @@ def main(argv: Optional[List[str]] = None) -> int:
               file=sys.stderr)
         return 2
 
-    stats_only = args.output_mode == "stats_only"
+    stats_only = args.output_mode == "stats_only" or args.no_maps
     if stats_only:
+        why = ("--output-mode stats_only" if args.output_mode == "stats_only"
+               else "--no-maps")
         if args.output or args.output_dir:
-            print("--output-mode stats_only writes no diff video — drop "
+            print(f"{why} writes no diff video — drop "
                   "--output/--output-dir (stats/events/heatmap artifacts "
                   "are the products)", file=sys.stderr)
             return 2
@@ -317,8 +329,8 @@ def main(argv: Optional[List[str]] = None) -> int:
                           ("--subsample", args.subsample is not None),
                           ("--retime-vfr", args.retime_vfr)):
             if val:
-                print(f"{flag} needs diff maps; --output-mode stats_only "
-                      f"suppresses them", file=sys.stderr)
+                print(f"{flag} needs diff maps; {why} suppresses them",
+                      file=sys.stderr)
                 return 2
 
     if (args.flicker_png or args.flicker_tau is not None) \

@@ -157,8 +157,10 @@ class DiPsEngine:
         if ring_carry and self.backend != "pallas":
             raise ValueError("ring_carry requires the pallas backend")
         self.ring_carry = bool(ring_carry)
-        if packed_wire and props.output != OutputMode.THRESHOLD:
-            raise ValueError("packed_wire requires THRESHOLD output")
+        if packed_wire and (props.output != OutputMode.THRESHOLD
+                            or props.out_channels == 0):
+            raise ValueError("packed_wire requires THRESHOLD output with "
+                             "emit_maps=True (there must be masks to pack)")
         self.packed_wire = bool(packed_wire)
         #: "hwc_bgr" accepts frames in cv2's native BGR order and folds the
         #: channel swap into the device transpose (free) — the decode path

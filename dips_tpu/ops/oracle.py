@@ -329,12 +329,15 @@ class DiPsOracle:
                 self._baseline = cur
                 self._prev_filtered = cur
                 self._accumulate(np.zeros_like(cur))
+                stats0 = frame_stats(np.zeros_like(cur), p.change_threshold)
+                if p.out_channels == 0:  # emit_maps=False: stats only
+                    return np.zeros(cur.shape + (0,), np.uint8), stats0
                 disp = cur * INTENSITY_SCALE
                 out = quantize_u8(np.broadcast_to(
                     disp[..., None], disp.shape + (p.out_channels,)))
                 if p.out_channels == 1:
                     out = out[..., 0]
-                return out, frame_stats(np.zeros_like(cur), p.change_threshold)
+                return out, stats0
             baseline = self._baseline
         else:  # PER_FRAME
             baseline = self._prev_filtered if idx > 0 else cur
@@ -345,6 +348,10 @@ class DiPsOracle:
         self._accumulate(raw_diff)
         sl = self._roi_slices(*raw_diff.shape)
         stats = frame_stats(raw_diff[sl], p.change_threshold)
+        if p.out_channels == 0:
+            # emit_maps=False: full median pipeline, no map — stats and
+            # heatmap are identical to the map-emitting run
+            return np.zeros(raw_diff.shape + (0,), np.uint8), stats
         d = emphasize(raw_diff, p.filter, p.sigmoid_horizontal_scalar,
                       p.sensitivity)
         if p.output == OutputMode.COLORIZE:
@@ -390,12 +397,13 @@ class DiPsOracle:
         # heatmap in the same channel-mean units
         self._accumulate(d_u8.astype(np.float32).sum(axis=-1)
                          * np.float32(1.0 / (3 * 255.0)))
+        if p.out_channels == 0:
+            # STATS_ONLY (or raw + emit_maps=False): stats/heatmap identical
+            # to ABSDIFF, output is the zero-channel (H, W, 0) array
+            # (engines return the same shape)
+            return np.zeros(frame_u8.shape[:2] + (0,), np.uint8), stats
         if p.output == OutputMode.ABSDIFF:
             return d_u8, stats
-        if p.output == OutputMode.STATS_ONLY:
-            # no map: stats/heatmap identical to ABSDIFF, output is the
-            # zero-channel (H, W, 0) array (engines return the same shape)
-            return np.zeros(frame_u8.shape[:2] + (0,), np.uint8), stats
         return (threshold_mask_u8(frame_u8, baseline, p.change_threshold),
                 stats)
 

@@ -258,6 +258,11 @@ def _emit_median_frame(props: DiPsProperties, i: int, m, si, cur,
     flags only for the n real frames) — the carried OVERALL baseline
     crosses batches even in the tail protocol, so a flagged padding
     replica WOULD corrupt it.
+
+    ``out_ref is None`` (``props.emit_maps`` False, out_channels == 0):
+    the emphasis/quantize/map-write half is skipped entirely — baseline
+    capture, statistics and heatmap are untouched, so a fleet gets
+    median-filtered, emphasis-domain stats with no map egress at all.
     """
     overall = props.method == DiPsMethod.OVERALL
     colorize = props.output == OutputMode.COLORIZE
@@ -292,6 +297,9 @@ def _emit_median_frame(props: DiPsProperties, i: int, m, si, cur,
                                    jnp.sum((am >= thr)
                                            .astype(jnp.float32))])
     heat_ref[:] = heat_ref[:] + am * vw.astype(jnp.float32)
+
+    if out_ref is None:  # emit_maps=False: no emphasis/quantize/map writes
+        return
 
     d = emphasize(raw_diff, props.filter,
                   props.sigmoid_horizontal_scalar,
@@ -355,6 +363,7 @@ def _make_kernel(props: DiPsProperties, h: int, w: int, t: int, b: int,
     window = props.window_size
     p = window // 2
     overall = props.method == DiPsMethod.OVERALL
+    emit_maps = props.out_channels > 0
     warm = t // fpb            # number of pure warm-up grid steps
     n_steps = (t + b) // fpb
     n_hb_per = n_hb // s       # row blocks per stream
@@ -363,21 +372,20 @@ def _make_kernel(props: DiPsProperties, h: int, w: int, t: int, b: int,
                valid_ref,                       # SMEM (S, B) int32
                *refs):
         # inputs: cur [, up, dn when p > 0], base_in, heat_in
-        # outputs: out, stats, base_out, heat_out
+        # outputs: [out when emit_maps,] stats, base_out, heat_out
         # scratch: ring, base, prev, heat, mask, strip
         if dyn_rows:
             rowb_ref, *refs = refs              # SMEM (2,) int32
-        if p > 0:
-            (cur_ref, up_ref, dn_ref, base_in_ref, heat_in_ref,
-             out_ref, stats_ref, base_out_ref, heat_out_ref,
-             ring_ref, base_ref, prev_ref, heat_ref, mask_ref,
-             strip_ref) = refs
-        else:
-            (cur_ref, base_in_ref, heat_in_ref,
-             out_ref, stats_ref, base_out_ref, heat_out_ref,
-             ring_ref, base_ref, prev_ref, heat_ref, mask_ref,
-             strip_ref) = refs
-            up_ref = dn_ref = None  # window 1: no stencil, no halo inputs
+        it = iter(refs)
+        cur_ref = next(it)
+        up_ref = next(it) if p > 0 else None
+        dn_ref = next(it) if p > 0 else None
+        base_in_ref = next(it)
+        heat_in_ref = next(it)
+        out_ref = next(it) if emit_maps else None
+        (stats_ref, base_out_ref, heat_out_ref,
+         ring_ref, base_ref, prev_ref, heat_ref, mask_ref,
+         strip_ref) = it
         hb = pl.program_id(0)
         fs = pl.program_id(1)
         si = hb // n_hb_per          # which stream this row block belongs to
@@ -493,11 +501,11 @@ def _batch_step_impl(props: DiPsProperties, h: int, w: int, s: int,
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec(
+            *([pl.BlockSpec(
                 (fpb, c, bh, wp),
                 lambda hb, f, *_: (jnp.clip(f - warm, 0, b // fpb - 1), 0,
                                    hb, 0),
-                memory_space=pltpu.VMEM),
+                memory_space=pltpu.VMEM)] if c > 0 else []),
             pl.BlockSpec(
                 (fpb, 1, 8, 128),
                 lambda hb, f, *_: (jnp.clip(f - warm, 0, b // fpb - 1), hb,
@@ -518,11 +526,12 @@ def _batch_step_impl(props: DiPsProperties, h: int, w: int, s: int,
         ],
     )
 
-    out, parts, new_baseline, new_heatmap = pl.pallas_call(
+    outs = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((b, c, hp_tot, wp), jnp.uint8),
+            *([jax.ShapeDtypeStruct((b, c, hp_tot, wp), jnp.uint8)]
+              if c > 0 else []),
             jax.ShapeDtypeStruct((b, n_hb, 8, 128), jnp.float32),
             jax.ShapeDtypeStruct((hp_tot, wp), jnp.float32),
             jax.ShapeDtypeStruct((hp_tot, wp), jnp.float32),
@@ -530,6 +539,11 @@ def _batch_step_impl(props: DiPsProperties, h: int, w: int, s: int,
         interpret=jax.default_backend() == "cpu",
     )(*scalars,
       *((raw, raw, raw) if has_halo else (raw,)), baseline, heatmap)
+    if c == 0:
+        # the zero-channel output array costs nothing; it keeps the
+        # return contract shape-compatible for every consumer
+        outs = [jnp.zeros((b, 0, hp_tot, wp), jnp.uint8), *outs]
+    out, parts, new_baseline, new_heatmap = outs
 
     stats = _reduce_stats(parts, b, s, n_hb_per,
                           jnp.float32(1.0 / props.analysis_pixels(h, w)))
@@ -695,14 +709,15 @@ def _make_ring_kernel(props: DiPsProperties, h: int, w: int, t: int, b: int,
     window = props.window_size
     p = window // 2
     overall = props.method == DiPsMethod.OVERALL
+    emit_maps = props.out_channels > 0
     n_hb_per = n_hb // s
 
     def kernel(flags_ref, valid_ref, off_ref, seed_ref, *refs):
         if dyn_rows:
             rowb_ref, *refs = refs              # SMEM (2,) int32
         # inputs: cur [, up, dn], ring_in [, prev_in], base_in, heat_in
-        # outputs: out, stats, ring (working) [, prev (working)],
-        #          base (working), heat (working)
+        # outputs: [out when emit_maps,] stats, ring (working)
+        #          [, prev (working)], base (working), heat (working)
         # scratch: mask, strip
         it = iter(refs)
         cur_ref = next(it)
@@ -712,7 +727,7 @@ def _make_ring_kernel(props: DiPsProperties, h: int, w: int, t: int, b: int,
         prev_in_ref = None if overall else next(it)
         base_in_ref = next(it)
         heat_in_ref = next(it)
-        out_ref = next(it)
+        out_ref = next(it) if emit_maps else None
         stats_ref = next(it)
         ring_ref = next(it)
         prev_ref = None if overall else next(it)
@@ -839,9 +854,9 @@ def _batch_step_ring_impl(props: DiPsProperties, h: int, w: int, s: int,
             plane_spec,
         ],
         out_specs=[
-            pl.BlockSpec((fpb, c, bh, wp),
-                         lambda hb, f, *_: (f, 0, hb, 0),
-                         memory_space=pltpu.VMEM),
+            *([pl.BlockSpec((fpb, c, bh, wp),
+                            lambda hb, f, *_: (f, 0, hb, 0),
+                            memory_space=pltpu.VMEM)] if c > 0 else []),
             pl.BlockSpec((fpb, 1, 8, 128), lambda hb, f, *_: (f, hb, 0, 0),
                          memory_space=pltpu.VMEM),
             ring_spec,
@@ -859,7 +874,8 @@ def _batch_step_ring_impl(props: DiPsProperties, h: int, w: int, s: int,
         kernel,
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((b, c, hp_tot, wp), jnp.uint8),
+            *([jax.ShapeDtypeStruct((b, c, hp_tot, wp), jnp.uint8)]
+              if c > 0 else []),
             jax.ShapeDtypeStruct((b, n_hb, 8, 128), jnp.float32),
             jax.ShapeDtypeStruct((t, hp_tot, wp), jnp.float32),
             *prev_shapes,
@@ -871,6 +887,9 @@ def _batch_step_ring_impl(props: DiPsProperties, h: int, w: int, s: int,
       *((raw, raw, raw) if has_halo else (raw,)), ring,
       *([] if overall else [prev]), baseline, heatmap)
 
+    if c == 0:
+        # zero-channel output keeps the return contract shape-compatible
+        outs = [jnp.zeros((b, 0, hp_tot, wp), jnp.uint8), *outs]
     if overall:
         out, parts, new_ring, new_baseline, new_heatmap = outs
         new_prev = prev
@@ -935,12 +954,12 @@ def _make_raw_kernel(props: DiPsProperties, t: int, b: int,
     # default kernel keeps its maskless shape (and speed).
     overall = props.method == DiPsMethod.OVERALL
     threshold_mode = props.output == OutputMode.THRESHOLD
-    # STATS_ONLY: no output planes AT ALL — the out blocks, their
-    # BlockSpecs and the per-frame output writes disappear, so the
-    # kernel's only HBM writes are the 4 KB stats tiles and the carried
-    # state flush.  The absdiff kernel is output-DMA-bound (the output
-    # chain hides everything else), so this is the fleet fast path.
-    emit_maps = props.output != OutputMode.STATS_ONLY
+    # STATS_ONLY / emit_maps=False: no output planes AT ALL — the out
+    # blocks, their BlockSpecs and the per-frame output writes disappear,
+    # so the kernel's only HBM writes are the 4 KB stats tiles and the
+    # carried state flush.  The absdiff kernel is output-DMA-bound (the
+    # output chain hides everything else), so this is the fleet fast path.
+    emit_maps = props.out_channels > 0
     thr = props.change_threshold
     # OVERALL needs no temporal context at all (diff vs the pinned raw
     # baseline): the kernel's frame axis covers ONLY the B new frames and
@@ -1129,7 +1148,7 @@ def _absdiff_step_impl(props: DiPsProperties, h: int, w: int, s: int,
     b = raw.shape[0] - (0 if ring else t)
     hp_tot, wp = raw.shape[-2], raw.shape[-1]
     hp = hp_tot // s
-    emit_maps = props.output != OutputMode.STATS_ONLY
+    emit_maps = props.out_channels > 0
     c = 1 if props.output == OutputMode.THRESHOLD else 3
     if ring:
         fpb = _ring_frames_per_step(b, hp, wp)

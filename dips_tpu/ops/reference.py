@@ -339,6 +339,11 @@ def batch_step(props: DiPsProperties, h: int, w: int,
     vw = valid.astype(jnp.float32)[:, None, None]
     heatmap = heatmap + jnp.sum(jnp.abs(dm) * vw, axis=0)
 
+    if props.out_channels == 0:
+        # emit_maps=False: full median pipeline ran for stats/heatmap,
+        # no emphasis/quantize and a zero-channel output (no map bytes)
+        out = jnp.zeros((raw_diff.shape[0], 0, hp, wp), jnp.uint8)
+        return out, stats, new_baseline, heatmap
     d = emphasize(raw_diff, props.filter, props.sigmoid_horizontal_scalar,
                   props.sensitivity)
     # (Stats need no special-casing: the scan pins the baseline *before*
@@ -411,12 +416,13 @@ def absdiff_step(props: DiPsProperties, h: int, w: int,
     heatmap = heatmap + jnp.sum(
         jnp.sum(af, axis=1) * jnp.float32(1.0 / (3 * 255.0)) * vw, axis=0)
 
-    if props.output == OutputMode.THRESHOLD:
+    if props.out_channels == 0:
+        # STATS_ONLY or emit_maps=False: zero-channel output — nothing to
+        # compute, (near-)nothing to move
+        out = jnp.zeros((d_u8.shape[0], 0) + d_u8.shape[2:], jnp.uint8)
+    elif props.output == OutputMode.THRESHOLD:
         out = jnp.where(dmax >= jnp.uint8(props.change_threshold),
                         jnp.uint8(255), jnp.uint8(0))
-    elif props.output == OutputMode.STATS_ONLY:
-        # zero-channel output: nothing to compute, (near-)nothing to move
-        out = jnp.zeros((d_u8.shape[0], 0) + d_u8.shape[2:], jnp.uint8)
     else:
         out = d_u8
     return out, stats, new_baseline, heatmap

@@ -221,8 +221,10 @@ class MultiStreamEngine:
                  input_layout: str = "planar",
                  downscale: int = 1):
         self.props = props
-        if packed_wire and props.output != OutputMode.THRESHOLD:
-            raise ValueError("packed_wire requires THRESHOLD output")
+        if packed_wire and (props.output != OutputMode.THRESHOLD
+                            or props.out_channels == 0):
+            raise ValueError("packed_wire requires THRESHOLD output with "
+                             "emit_maps=True (there must be masks to pack)")
         self.packed_wire = bool(packed_wire)
         self._raw_mode = props.output in _RAW_MODES
         #: on-device input decimation per stream (mirrors DiPsEngine):

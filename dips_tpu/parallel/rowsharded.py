@@ -170,6 +170,10 @@ def _row_body(props, h, w, raw, baseline, flags, heatmap, valid, axis):
     vw = valid.astype(jnp.float32)[:, None, None]
     heatmap = heatmap + jnp.sum(a * vw, axis=0)
 
+    if props.out_channels == 0:
+        # emit_maps=False: median-pipeline stats/heatmap, zero-channel maps
+        out = jnp.zeros((raw_diff.shape[0], 0, hs, wp), jnp.uint8)
+        return out, stats, new_baseline, heatmap
     d = reference.emphasize(raw_diff, props.filter,
                             props.sigmoid_horizontal_scalar,
                             props.sensitivity)

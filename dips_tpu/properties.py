@@ -195,6 +195,18 @@ class DiPsProperties:
     #: restricts the reductions, not the pixel math).  ``None`` = whole
     #: frame.  Engines validate the bounds against their geometry.
     roi: "Tuple[int, int, int, int] | None" = None
+    #: Map suppression, ORTHOGONAL to the pipeline choice: ``False`` keeps
+    #: the full configured pipeline — spatial/temporal medians, emphasis
+    #: domain, COLORIZE vs GRAYSCALE stats semantics — but emits NO diff
+    #: maps at all (``out_channels`` = 0; kernels drop their output blocks
+    #: and the D2H transfer carries ~128 B/frame of statistics).  This is
+    #: how a fleet gets *median-filtered, emphasis-domain* statistics and
+    #: events (the robust-to-noise signal of the reference's median
+    #: stages, dips_shader.wgsl:172-240) without paying map egress.
+    #: ``OutputMode.STATS_ONLY`` remains the RAW-domain shorthand: it is
+    #: exactly ``ABSDIFF`` + ``emit_maps=False`` (integer absdiff stats,
+    #: no filtering) and ignores window/temporal/filter by design.
+    emit_maps: bool = True
 
     def __post_init__(self):
         object.__setattr__(self, "window_size", clamp_window(self.window_size))
@@ -212,6 +224,7 @@ class DiPsProperties:
         object.__setattr__(
             self, "change_threshold",
             int(max(1, min(255, self.change_threshold))))
+        object.__setattr__(self, "emit_maps", bool(self.emit_maps))
         if self.quirk_compat and self.approx_median:
             raise ValueError(
                 "quirk_compat replicates the reference's exact filter; it "
@@ -287,6 +300,9 @@ class DiPsProperties:
         return dataclasses.replace(
             self, roi=None if roi is None else tuple(roi))
 
+    def with_emit_maps(self, e: bool = True) -> "DiPsProperties":
+        return dataclasses.replace(self, emit_maps=bool(e))
+
     def roi_bounds(self, h: int, w: int) -> Tuple[int, int, int, int]:
         """The analysis rectangle validated against a concrete geometry:
         ``(y0, x0, y1, x1)`` (the full frame when ``roi`` is None), or
@@ -311,13 +327,13 @@ class DiPsProperties:
     def out_channels(self) -> int:
         # ABSDIFF is per-channel on the raw frames (3 for RGB input, matching
         # cv2.absdiff); THRESHOLD and GRAYSCALE are single-plane;
-        # STATS_ONLY emits no map at all.
+        # STATS_ONLY and emit_maps=False emit no map at all.
+        if self.output == OutputMode.STATS_ONLY or not self.emit_maps:
+            return 0
         if self.output == OutputMode.COLORIZE:
             return 3
         if self.output == OutputMode.ABSDIFF:
             return 3
-        if self.output == OutputMode.STATS_ONLY:
-            return 0
         return 1
 
 

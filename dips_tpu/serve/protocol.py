@@ -92,7 +92,8 @@ def _process_reply(eng, frames, header: dict) -> Tuple[dict, bytes]:
     """
     from ..properties import OutputMode
     want = bool(header.get("packed")
-                and eng.props.output == OutputMode.THRESHOLD)
+                and eng.props.output == OutputMode.THRESHOLD
+                and eng.props.out_channels > 0)
     if want and eng.packed_wire:
         outs, stats = eng.process_frames(list(frames), packed=True)
         body = outs.tobytes()  # (N, 1, Hp//8, Wp) device-packed planes
