@@ -113,6 +113,31 @@ def run(n_devices: int) -> None:
         assert gout.shape[:2] == (s_ax, b)
         assert np.isfinite(np.asarray(gstats)).all() and np.isfinite(gscalar)
 
+    # 3b. ring-carry on the 2-D grid (carried slab state + per-batch raw
+    # halo exchange) through the full engine surface, two batches so the
+    # carried ring state actually crosses a step boundary
+    geng = MultiStreamEngine(props, gh, 24, n_streams=s_ax, batch=b,
+                             mesh=gmesh, backend="pallas", ring_carry=True)
+    assert geng.ring_carry
+    gfeeds = [[rng.integers(0, 256, (gh, 24, 3), np.uint8)
+               for _ in range(b)] for _ in range(s_ax)]
+    for _ in range(2):
+        gout, gstats, ggm = geng.process_batch(gfeeds)
+        assert gout.shape == (s_ax, b, gh, 24, 3)
+        assert np.isfinite(gstats).all() and np.isfinite(ggm)
+
+    # 3c. ring-carry row-sharded single stream
+    from dips_tpu.parallel import make_rowsharded_ring_step
+    rstep = make_rowsharded_ring_step(props, hh, 24, rows_mesh)
+    rout, rstats, rr, rp, rb2, rh2 = rstep(
+        jnp.asarray(rng.integers(0, 256, (b, 3, hp, wp), np.uint8)),
+        jnp.zeros((t, hp, wp), jnp.float32),
+        jnp.zeros((hp, wp), jnp.float32),
+        jnp.zeros((hp, wp), jnp.float32),
+        jnp.asarray([True, False]), jnp.zeros((hp, wp), jnp.float32),
+        jnp.ones((b,), bool), jnp.int32(0), jnp.int32(1))
+    assert rout.shape[0] == b and np.isfinite(np.asarray(rstats)).all()
+
 
 def main(argv=None) -> int:
     args = sys.argv[1:] if argv is None else argv

@@ -943,7 +943,7 @@ def batch_step_ring_stacked(props: DiPsProperties, h: int, w: int, s: int,
 
 def _make_raw_kernel(props: DiPsProperties, t: int, b: int,
                      fpb: int, n_hb_per: int = 1, ring: bool = False,
-                     roi_geom=None):
+                     roi_geom=None, dyn_rows: bool = False):
     # Needs no geometry: the raw kernel has no stencil (no validity mask,
     # no halos — zero padding is zero in both operands, so it contributes
     # nothing to any reduction), so only the grid/step split (t, b, fpb)
@@ -952,6 +952,10 @@ def _make_raw_kernel(props: DiPsProperties, t: int, b: int,
     # (bh, wp, h, w) to mask the statistic/heatmap reductions (outputs
     # stay full-frame).  The mask trace exists only in roi mode, so the
     # default kernel keeps its maskless shape (and speed).
+    # ``dyn_rows`` (row-slab mode, roi only): the mask's ROW window comes
+    # from a traced scalar-prefetch pair [lo, hi) in slab-LOCAL rows (the
+    # caller folds the global roi rows in); columns stay static — exactly
+    # the median kernels' slab contract (parallel/rowsharded.py).
     overall = props.method == DiPsMethod.OVERALL
     threshold_mode = props.output == OutputMode.THRESHOLD
     # STATS_ONLY / emit_maps=False: no output planes AT ALL — the out

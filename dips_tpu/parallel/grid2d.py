@@ -120,6 +120,109 @@ def _pallas_slab_body(props, h, w, raw, baseline, flags, heatmap, valid,
     return out, _combine_slab_stats(stats, axis), nb, nh
 
 
+def _pallas_slab_body_ring(props, h, w, raw, ring, prev, baseline, flags,
+                           heatmap, valid, offsets, seeds, axis):
+    """Ring-carry stacked Pallas shard body on halo-extended row slabs.
+
+    raw (S_l, B, 3, Hs, Wp) u8 — ONLY the B new frames (no tail upload);
+    ring (S_l, T, Hs, Wp), prev/baseline/heatmap (S_l, Hs, Wp) f32 carried
+    device state in OWNED-slab coordinates; flags/valid (S_l, B),
+    offsets/seeds (S_l,) -> (out (S_l, B, C, Hs, Wp), stats (S_l, B, 4)
+    full-frame, new ring, new prev, new baseline, new heatmap).
+
+    Carried state stays in owned coordinates across batches: everything
+    after the spatial filter is row-local (ops/pallas_fused.py slab-mode
+    contract), so the _EXT extension rows' carried values are inert
+    garbage — they are zero-padded in and sliced off every batch, which
+    keeps host state shapes identical to the 1-D-mesh ring step (same
+    reset/checkpoint/heatmap plumbing).  Only the RAW input needs real
+    neighbour rows, exchanged per batch over ICI."""
+    from ..ops import pallas_fused
+
+    s_l, b = raw.shape[0], raw.shape[1]
+    t = ring.shape[1]
+    hs, wp = raw.shape[-2], raw.shape[-1]
+    hse = hs + 2 * _EXT
+    raw_e = _halo_extend_u8(raw, axis)             # (S_l, B, 3, Hse, Wp)
+    raw_st = raw_e.transpose(1, 2, 0, 3, 4).reshape(b, 3, s_l * hse, wp)
+    zp = ((0, 0), (_EXT, _EXT), (0, 0))
+    ring_st = (jnp.pad(ring, ((0, 0),) + zp)
+               .transpose(1, 0, 2, 3).reshape(t, s_l * hse, wp))
+    pv_st = jnp.pad(prev, zp).reshape(s_l * hse, wp)
+    bl_st = jnp.pad(baseline, zp).reshape(s_l * hse, wp)
+    hm_st = jnp.pad(heatmap, zp).reshape(s_l * hse, wp)
+    bounds = _slab_row_bounds(props, h, w, hs, axis)
+    out, stats, nr, npv, nb, nh = pallas_fused._batch_step_ring_impl(
+        props, h, w, s_l, raw_st, ring_st, pv_st, bl_st, flags, hm_st,
+        valid, offsets, seeds, row_bounds=bounds)
+    c = out.shape[1]
+    own = slice(_EXT, _EXT + hs)
+    out = (out.reshape(b, c, s_l, hse, wp)[..., own, :]
+           .transpose(2, 0, 1, 3, 4))
+    nr = nr.reshape(t, s_l, hse, wp)[..., own, :].transpose(1, 0, 2, 3)
+    npv = npv.reshape(s_l, hse, wp)[:, own]
+    nb = nb.reshape(s_l, hse, wp)[:, own]
+    nh = nh.reshape(s_l, hse, wp)[:, own]
+    return out, _combine_slab_stats(stats, axis), nr, npv, nb, nh
+
+
+def make_grid_ring_step(props: DiPsProperties, h: int, w: int, mesh: Mesh):
+    """Ring-carry twin of :func:`make_grid_step` (Pallas body only).
+
+    Same call signature as multistream.make_sharded_ring_step's median
+    path — raw (S, B, 3, Hp, Wp), ring (S, T, Hp, Wp), prev/baseline/
+    heatmap (S, Hp, Wp), flags/valid (S, B), offsets/seeds (S,) ->
+    (out, stats, new ring, new prev, new baseline, new heatmap, global
+    scalar) — so ``MultiStreamEngine.process_batch`` and checkpoint
+    rebuild use it unchanged; only the mesh layout differs (each device
+    owns a horizontal slab of a subset of streams, raw-input halos ride
+    ICI per batch).  No tail re-upload, no tail re-filtering: the 1-D
+    ring protocol's T/(T+B) win now applies to the 2-D grid."""
+    if props.output in (OutputMode.ABSDIFF, OutputMode.THRESHOLD,
+                        OutputMode.STATS_ONLY):
+        raise ValueError("2-D grid applies to the median pipeline modes")
+    from ..ops.reference import pad_geometry
+    hp = pad_geometry(h, w)[0]
+    rows_ax = mesh.shape["rows"]
+    if not slab_rows_ok(hp, rows_ax):
+        raise ValueError(
+            f"pallas 2-D grid needs 8-row-aligned slabs: padded height "
+            f"{hp} / {rows_ax} row shards = {hp / rows_ax} rows")
+
+    def per_shard(raw, ring, prev, baseline, flags, heatmap, valid,
+                  offsets, seeds):
+        out, stats, nr, npv, nb, nh = _pallas_slab_body_ring(
+            props, h, w, raw, ring, prev, baseline, flags, heatmap, valid,
+            offsets, seeds, "rows")
+        vw = valid.astype(jnp.float32)
+        total = lax.psum(lax.psum(jnp.sum(stats[..., 1] * vw), "rows"),
+                         "stream")
+        count = lax.psum(lax.psum(jnp.sum(vw), "rows"), "stream")
+        return (out, stats, nr, npv, nb, nh,
+                total / jnp.maximum(count, 1.0))
+
+    sharded = jax.shard_map(
+        per_shard, mesh=mesh,
+        in_specs=(P("stream", None, None, "rows", None),   # raw
+                  P("stream", None, "rows", None),         # ring
+                  P("stream", "rows", None),               # prev
+                  P("stream", "rows", None),               # baseline
+                  P("stream"),                             # flags
+                  P("stream", "rows", None),               # heatmap
+                  P("stream"),                             # valid
+                  P("stream"),                             # offsets
+                  P("stream")),                            # seeds
+        out_specs=(P("stream", None, None, "rows", None),  # out
+                   P("stream", None, None),                # stats (row-dup)
+                   P("stream", None, "rows", None),        # ring
+                   P("stream", "rows", None),              # prev
+                   P("stream", "rows", None),              # baseline
+                   P("stream", "rows", None),              # heatmap
+                   P()),                                   # global scalar
+        check_vma=False)
+    return jax.jit(sharded, donate_argnums=(1, 2, 3, 5))
+
+
 def slab_rows_ok(hp: int, rows_ax: int) -> bool:
     """True when the Pallas slab body can run: every slab 8-row aligned."""
     return hp % (8 * rows_ax) == 0

@@ -255,12 +255,10 @@ class MultiStreamEngine:
             # composite 2-D (stream x rows) grid: each device owns a
             # horizontal slab of a subset of streams (grid2d.make_grid_step)
             # with a choice of shard body: the fused Pallas stacked-slab
-            # kernel (halo-extended slabs, TPU) or the portable XLA body
-            if ring_carry:
-                raise ValueError(
-                    "ring_carry is not available on a 2-D (stream x rows) "
-                    "mesh (tail protocol only)")
-            from .grid2d import make_grid_step, slab_rows_ok
+            # kernel (halo-extended slabs, TPU; ring-carry or tail
+            # protocol) or the portable XLA body (tail only)
+            from .grid2d import (make_grid_ring_step, make_grid_step,
+                                 slab_rows_ok)
             n_shard = self.mesh.shape["stream"]
             rows_ax = self.mesh.shape["rows"]
             if self.hp % rows_ax:
@@ -278,8 +276,18 @@ class MultiStreamEngine:
                     "backend='pallas' on a 2-D mesh applies to the median "
                     "pipeline modes (raw modes have no stencil: use a 1-D "
                     "stream mesh)")
-            self._step = make_grid_step(props, height, width, self.mesh,
-                                        backend=resolved)
+            if ring_carry is None:
+                ring_carry = resolved == "pallas"
+            if ring_carry and (resolved != "pallas" or raw_mode):
+                raise ValueError(
+                    "ring_carry on a 2-D mesh requires the pallas backend "
+                    "and a median pipeline mode")
+            if ring_carry:
+                self._step = make_grid_ring_step(props, height, width,
+                                                 self.mesh)
+            else:
+                self._step = make_grid_step(props, height, width, self.mesh,
+                                            backend=resolved)
         else:
             n_shard = self.mesh.devices.size
             resolved = backend

@@ -96,6 +96,55 @@ def make_rowsharded_step(props: DiPsProperties, h: int, w: int, mesh: Mesh,
     return jax.jit(sharded, donate_argnums=(1, 3))
 
 
+def make_rowsharded_ring_step(props: DiPsProperties, h: int, w: int,
+                              mesh: Mesh, axis: str = "rows"):
+    """Ring-carry twin of :func:`make_rowsharded_step` (Pallas body only):
+    the filtered temporal ring, PER_FRAME previous plane, baseline and
+    heatmap are carried device state sharded over ``axis``; the input is
+    ONLY the B new frames (no tail re-upload, no tail re-filtering — the
+    1-D ring protocol's T/(T+B) win on a row-sharded single stream).
+
+    Maps raw u8 (B, 3, Hp, Wp), ring f32 (T, Hp, Wp), prev/baseline/
+    heatmap f32 (Hp, Wp), flags/valid (B,), offset/seed i32 scalars ->
+    (out u8 (B, C, Hp, Wp), stats (B, NUM_STATS), new ring, new prev,
+    new baseline, new heatmap) — DiPsEngine's ring-step signature with
+    the row axis sharded.  Slabs must be 8-row aligned."""
+    if props.output in (OutputMode.ABSDIFF, OutputMode.THRESHOLD,
+                        OutputMode.STATS_ONLY):
+        raise ValueError("row sharding applies to the median pipeline modes")
+    from .grid2d import _pallas_slab_body_ring, slab_rows_ok
+    hp = reference.pad_geometry(h, w)[0]
+    if not slab_rows_ok(hp, mesh.shape[axis]):
+        raise ValueError(
+            f"pallas row sharding needs 8-row-aligned slabs: padded "
+            f"height {hp} / {mesh.shape[axis]} shards")
+
+    def per_shard(raw, ring, prev, baseline, flags, heatmap, valid,
+                  offset, seed):
+        out, stats, nr, npv, nb, nh = _pallas_slab_body_ring(
+            props, h, w, raw[None], ring[None], prev[None], baseline[None],
+            flags[None], heatmap[None], valid[None], offset[None],
+            seed[None], axis)
+        return out[0], stats[0], nr[0], npv[0], nb[0], nh[0]
+
+    sharded = jax.shard_map(
+        per_shard, mesh=mesh,
+        in_specs=(P(None, None, axis, None),      # raw (B, 3, Hp, Wp)
+                  P(None, axis, None),            # ring (T, Hp, Wp)
+                  P(axis, None),                  # prev
+                  P(axis, None),                  # baseline
+                  P(None),                        # flags
+                  P(axis, None),                  # heatmap
+                  P(None),                        # valid
+                  P(),                            # offset scalar
+                  P()),                           # seed scalar
+        out_specs=(P(None, None, axis, None), P(None),
+                   P(None, axis, None), P(axis, None), P(axis, None),
+                   P(axis, None)),
+        check_vma=False)
+    return jax.jit(sharded, donate_argnums=(1, 2, 3, 5))
+
+
 def _row_body(props, h, w, raw, baseline, flags, heatmap, valid, axis):
     """Single-stream row-slab pipeline body (shared with rowsharded.py's
     per_shard, factored for vmap over streams).

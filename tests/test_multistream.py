@@ -419,15 +419,20 @@ def test_stream_mesh_overrequest_rejected():
 
 def test_grid_mesh_accepts_explicit_pallas():
     """The 2-D grid runs the fused stacked-slab kernel when asked (full
-    parity coverage in test_grid2d_pallas.py); ring_carry stays rejected
-    (tail protocol only on the 2-D grid)."""
+    parity coverage in test_grid2d_pallas.py / test_grid2d_ring.py).
+    ring_carry defaults ON for the pallas body (auto, matching the 1-D
+    mesh) and stays rejected on the xla body."""
     from dips_tpu.parallel.grid2d import grid_mesh
     eng = MultiStreamEngine(DiPsProperties(), 32, 40, n_streams=2, batch=2,
                             mesh=grid_mesh(2, 4), backend="pallas")
-    assert eng.backend == "pallas"
+    assert eng.backend == "pallas" and eng.ring_carry
+    tail = MultiStreamEngine(DiPsProperties(), 32, 40, n_streams=2, batch=2,
+                             mesh=grid_mesh(2, 4), backend="pallas",
+                             ring_carry=False)
+    assert not tail.ring_carry
     with pytest.raises(ValueError, match="ring_carry"):
         MultiStreamEngine(DiPsProperties(), 32, 40, n_streams=2, batch=2,
-                          mesh=grid_mesh(2, 4), backend="pallas",
+                          mesh=grid_mesh(2, 4), backend="xla",
                           ring_carry=True)
 
 
