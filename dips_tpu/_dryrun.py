@@ -138,6 +138,25 @@ def run(n_devices: int) -> None:
         jnp.ones((b,), bool), jnp.int32(0), jnp.int32(1))
     assert rout.shape[0] == b and np.isfinite(np.asarray(rstats)).all()
 
+    # 4. raw (absdiff) modes on the rows mesh: no halo, stats over ICI —
+    # the 8K-class single-enormous-stream shape (tiny stand-in geometry),
+    # tail + ring protocols
+    from dips_tpu.properties import OutputMode
+    rawp = DiPsProperties(output=OutputMode.ABSDIFF, temporal_size=t)
+    astep = make_rowsharded_step(rawp, hh, 24, rows_mesh, backend="pallas")
+    araw = jnp.asarray(rng.integers(0, 256, (t + b, 3, hp, wp), np.uint8))
+    aout, astats, _, _ = astep(
+        araw, jnp.zeros((3, hp, wp), jnp.uint8), jnp.asarray([True, False]),
+        jnp.zeros((hp, wp), jnp.float32), jnp.ones((b,), bool))
+    assert aout.shape[0] == b and np.isfinite(np.asarray(astats)).all()
+    arstep = make_rowsharded_ring_step(rawp, hh, 24, rows_mesh)
+    aout2, astats2, _, _, _ = arstep(
+        araw[t:], jnp.zeros((3, hp, wp), jnp.uint8),
+        jnp.zeros((3, hp, wp), jnp.uint8), jnp.asarray([True, False]),
+        jnp.zeros((hp, wp), jnp.float32), jnp.ones((b,), bool),
+        jnp.int32(1))
+    assert aout2.shape[0] == b and np.isfinite(np.asarray(astats2)).all()
+
 
 def main(argv=None) -> int:
     args = sys.argv[1:] if argv is None else argv

@@ -982,7 +982,8 @@ def _make_raw_kernel(props: DiPsProperties, t: int, b: int,
     carry_prev = ring and not overall
 
     def kernel(*args):
-        # scalar prefetch: flags, valid [, seeds when ring]  (S, B)/(S,) i32
+        # scalar prefetch: flags, valid [, seeds when ring]
+        #                  [, row_bounds when dyn_rows]  (S, B)/(S,) i32
         # inputs: cur [, prev_in when carry_prev], base_in, heat_in
         # outputs: out, stats [, prev_out when carry_prev], base_out,
         #          heat_out; scratch: base, ref32, heat
@@ -991,6 +992,9 @@ def _make_raw_kernel(props: DiPsProperties, t: int, b: int,
         else:
             flags_ref, valid_ref, *refs = args
             seed_ref = None
+        rowb_ref = None
+        if dyn_rows:
+            rowb_ref, *refs = refs              # SMEM (2,) int32
         it = iter(refs)
         cur_ref = next(it)                      # u8 (F, 3, BH, Wp)
         prev_in_ref = next(it) if carry_prev else None  # u8 (3, BH, Wp)
@@ -1073,6 +1077,8 @@ def _make_raw_kernel(props: DiPsProperties, t: int, b: int,
                     # below keep the unmasked planes
                     bh_, wp_, h_, w_ = roi_geom
                     y0, x0, y1, x1 = props.roi_bounds(h_, w_)
+                    if dyn_rows:  # slab mode: roi rows folded into bounds
+                        y0, y1 = rowb_ref[0], rowb_ref[1]
                     rows = (lax.broadcasted_iota(jnp.int32, (bh_, wp_), 0)
                             + hb_in * bh_)
                     cols = lax.broadcasted_iota(jnp.int32, (bh_, wp_), 1)
@@ -1143,11 +1149,19 @@ def _raw_block_rows(hp: int, wp: int, fpb: int, c: int) -> int:
 
 def _absdiff_step_impl(props: DiPsProperties, h: int, w: int, s: int,
                        raw, baseline_raw, flags2d, heatmap, valid2d,
-                       prev=None, seeds=None, ring: bool = False):
+                       prev=None, seeds=None, ring: bool = False,
+                       row_bounds=None):
     """Shared body; ``s`` streams stacked along the row axis (see
     ``_batch_step_impl``).  ``ring`` selects the ring-carry protocol: raw
     covers only the B new frames and PER_FRAME's previous raw frame is the
-    carried ``prev`` state (u8 (3, s*Hp, Wp))."""
+    carried ``prev`` state (u8 (3, s*Hp, Wp)).
+
+    ``row_bounds`` (traced i32 (2,), roi mode only): row-slab mode — the
+    roi mask's row window is [row_bounds[0], row_bounds[1]) in slab-LOCAL
+    rows (parallel/rowsharded.py folds the global roi rows in); only the
+    statistic/heatmap reductions are affected, outputs stay slab-local
+    full planes.  Without an roi the raw kernel is maskless and needs no
+    bounds at all (zero padding is zero in both operands)."""
     t = props.temporal_size
     b = raw.shape[0] - (0 if ring else t)
     hp_tot, wp = raw.shape[-2], raw.shape[-1]
@@ -1165,9 +1179,14 @@ def _absdiff_step_impl(props: DiPsProperties, h: int, w: int, s: int,
 
     flags_i32 = flags2d.astype(jnp.int32)
     valid_i32 = valid2d.astype(jnp.int32)
+    dyn_rows = row_bounds is not None
+    if dyn_rows and props.roi is None:
+        raise ValueError("row_bounds applies only with an roi (the raw "
+                         "kernel is maskless otherwise)")
     kernel = _make_raw_kernel(
         props, t, b, fpb, n_hb_per, ring,
-        roi_geom=None if props.roi is None else (bh, wp, h, w))
+        roi_geom=None if props.roi is None else (bh, wp, h, w),
+        dyn_rows=dyn_rows)
     carry_prev = ring and props.method != DiPsMethod.OVERALL
 
     # OVERALL skips the tail entirely (see _make_raw_kernel): the grid's
@@ -1185,6 +1204,8 @@ def _absdiff_step_impl(props: DiPsProperties, h: int, w: int, s: int,
     scalars = [flags_i32, valid_i32]
     if ring:
         scalars.append(seeds.astype(jnp.int32))
+    if dyn_rows:
+        scalars.append(row_bounds.astype(jnp.int32))
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=len(scalars),

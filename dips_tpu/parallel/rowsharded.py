@@ -53,19 +53,28 @@ def make_rowsharded_step(props: DiPsProperties, h: int, w: int, mesh: Mesh,
                          axis: str = "rows", backend: str = "xla"):
     """Jitted single-stream step with the H axis sharded over ``mesh``.
 
-    Maps raw u8 (T+B, 3, Hp, Wp), baseline f32 (Hp, Wp), flags (B,),
-    heatmap (Hp, Wp), valid (B,) -> (out u8 (B, C, Hp, Wp),
-    stats (B, NUM_STATS), new baseline, new heatmap); Hp must divide evenly
-    by the mesh size.  Median/emphasis modes only (raw modes have no stencil
-    and gain nothing from row sharding).
+    Maps raw u8 (T+B, 3, Hp, Wp), baseline (Hp, Wp) f32 (median modes) or
+    (3, Hp, Wp) u8 (raw modes), flags (B,), heatmap (Hp, Wp), valid (B,)
+    -> (out u8 (B, C, Hp, Wp), stats (B, NUM_STATS), new baseline, new
+    heatmap); Hp must divide evenly by the mesh size.
+
+    Median/emphasis modes exchange the spatial stencil's halo rows over
+    ICI; RAW modes (absdiff/threshold/stats-only) have no stencil, so no
+    halo at all — each shard diffs its slab independently and only the
+    statistic reductions ride ICI (psum/pmax).  Row-sharding a raw mode
+    is a BANDWIDTH play, not a stencil one: the absdiff kernel is
+    HBM-DMA-bound (BASELINE.md roofline: ~55% of the v5e pin rate), so R
+    row shards scale aggregate HBM bandwidth ~Rx for one enormous stream
+    (the 8K-class deployment this module's docstring motivates).
 
     ``backend``: "xla" = the portable row-slab body; "pallas" = the fused
-    stacked-slab kernel on halo-extended slabs (grid2d._pallas_slab_body
-    with a single stream; slabs must be 8-row aligned).
+    slab kernels (median: halo-extended stacked kernel, raw: the maskless
+    integer kernel per slab; slabs must be 8-row aligned).
     """
-    if props.output in (OutputMode.ABSDIFF, OutputMode.THRESHOLD,
-                        OutputMode.STATS_ONLY):
-        raise ValueError("row sharding applies to the median pipeline modes")
+    raw_mode = props.output in (OutputMode.ABSDIFF, OutputMode.THRESHOLD,
+                                OutputMode.STATS_ONLY)
+    if raw_mode:
+        return _make_rowsharded_raw_step(props, h, w, mesh, axis, backend)
     if backend == "pallas":
         from ..ops.reference import pad_geometry
         from .grid2d import slab_rows_ok
@@ -96,6 +105,107 @@ def make_rowsharded_step(props: DiPsProperties, h: int, w: int, mesh: Mesh,
     return jax.jit(sharded, donate_argnums=(1, 3))
 
 
+def _raw_slab_bounds(props, h, w, hs: int, axis: str):
+    """Shard-local roi row window [lo, hi) for a raw slab (no halo
+    extension, so no offset — contrast grid2d._slab_row_bounds)."""
+    row0 = lax.axis_index(axis) * hs
+    y0, _, y1, _ = props.roi_bounds(h, w)
+    lo = jnp.clip(jnp.int32(y0) - row0, 0, hs)
+    hi = jnp.clip(jnp.int32(y1) - row0, 0, hs)
+    return jnp.stack([lo, hi]).astype(jnp.int32)
+
+
+def _raw_row_body(props, h, w, raw, baseline, flags, heatmap, valid, axis):
+    """Portable XLA raw (absdiff/threshold/stats-only) slab body: integer
+    diff on the owned rows, roi masking in GLOBAL row coordinates,
+    statistics reduced over ``axis`` (psum/pmax).  Mirrors
+    ops/reference.absdiff_step's conventions slab-locally."""
+    t = props.temporal_size
+    hs, wp = raw.shape[-2], raw.shape[-1]
+    row0 = lax.axis_index(axis) * hs
+    new = raw[t:]
+    prev_raw = raw[t - 1:-1]
+    if props.method == DiPsMethod.OVERALL:
+        new_baseline, baselines = reference.capture_scan(baseline, new,
+                                                         flags)
+    else:
+        new_baseline = baseline
+        baselines = prev_raw
+
+    signed = baselines.astype(jnp.int16) - new.astype(jnp.int16)
+    d16 = jnp.abs(signed)
+    d_u8 = d16.astype(jnp.uint8)
+    dmax = jnp.max(d_u8, axis=1, keepdims=True)
+
+    inv = jnp.float32(1.0 / (3 * props.analysis_pixels(h, w) * 255))
+    sf = signed.astype(jnp.float32)
+    af = d16.astype(jnp.float32)
+    changed = (dmax[:, 0] >= jnp.uint8(props.change_threshold)
+               ).astype(jnp.float32)
+    if props.roi is not None:
+        y0, x0, y1, x1 = props.roi_bounds(h, w)
+        rows = lax.broadcasted_iota(jnp.int32, (hs, wp), 0) + row0
+        cols = lax.broadcasted_iota(jnp.int32, (hs, wp), 1)
+        rm = ((rows >= y0) & (rows < y1) & (cols >= x0)
+              & (cols < x1)).astype(jnp.float32)
+        sf = sf * rm
+        af = af * rm
+        changed = changed * rm
+    stats = jnp.stack([
+        lax.psum(jnp.sum(sf, axis=(1, 2, 3)), axis) * inv,
+        lax.psum(jnp.sum(af, axis=(1, 2, 3)), axis) * inv,
+        lax.pmax(jnp.max(af, axis=(1, 2, 3)), axis) * jnp.float32(1 / 255.),
+        lax.psum(jnp.sum(changed, axis=(1, 2)), axis),
+    ], axis=-1)
+    vw = valid.astype(jnp.float32)[:, None, None]
+    heatmap = heatmap + jnp.sum(
+        jnp.sum(af, axis=1) * jnp.float32(1.0 / (3 * 255.0)) * vw, axis=0)
+
+    if props.out_channels == 0:
+        out = jnp.zeros((d_u8.shape[0], 0, hs, wp), jnp.uint8)
+    elif props.output == OutputMode.THRESHOLD:
+        out = jnp.where(dmax >= jnp.uint8(props.change_threshold),
+                        jnp.uint8(255), jnp.uint8(0))
+    else:
+        out = d_u8
+    return out, stats, new_baseline, heatmap
+
+
+def _make_rowsharded_raw_step(props, h, w, mesh, axis, backend):
+    """Raw-mode body of :func:`make_rowsharded_step` (no halo; the stats
+    collectives are the only ICI traffic).  Baseline is u8 (3, Hp, Wp)."""
+    from .grid2d import _combine_slab_stats, slab_rows_ok
+    if backend == "pallas":
+        from ..ops import pallas_fused
+        hp = reference.pad_geometry(h, w)[0]
+        if not slab_rows_ok(hp, mesh.shape[axis]):
+            raise ValueError(
+                f"pallas row sharding needs 8-row-aligned slabs: padded "
+                f"height {hp} / {mesh.shape[axis]} shards")
+
+        def per_shard(raw, baseline, flags, heatmap, valid):
+            hs = raw.shape[-2]
+            bounds = (None if props.roi is None
+                      else _raw_slab_bounds(props, h, w, hs, axis))
+            out, stats, nb, nh = pallas_fused._absdiff_step_impl(
+                props, h, w, 1, raw, baseline, flags[None], heatmap,
+                valid[None], row_bounds=bounds)
+            return out, _combine_slab_stats(stats, axis)[0], nb, nh
+    else:
+        def per_shard(raw, baseline, flags, heatmap, valid):
+            return _raw_row_body(props, h, w, raw, baseline, flags,
+                                 heatmap, valid, axis)
+
+    sharded = jax.shard_map(
+        per_shard, mesh=mesh,
+        in_specs=(P(None, None, axis, None), P(None, axis, None), P(None),
+                  P(axis, None), P(None)),
+        out_specs=(P(None, None, axis, None), P(None), P(None, axis, None),
+                   P(axis, None)),
+        check_vma=False)
+    return jax.jit(sharded, donate_argnums=(1, 3))
+
+
 def make_rowsharded_ring_step(props: DiPsProperties, h: int, w: int,
                               mesh: Mesh, axis: str = "rows"):
     """Ring-carry twin of :func:`make_rowsharded_step` (Pallas body only):
@@ -104,14 +214,18 @@ def make_rowsharded_ring_step(props: DiPsProperties, h: int, w: int,
     ONLY the B new frames (no tail re-upload, no tail re-filtering — the
     1-D ring protocol's T/(T+B) win on a row-sharded single stream).
 
-    Maps raw u8 (B, 3, Hp, Wp), ring f32 (T, Hp, Wp), prev/baseline/
-    heatmap f32 (Hp, Wp), flags/valid (B,), offset/seed i32 scalars ->
-    (out u8 (B, C, Hp, Wp), stats (B, NUM_STATS), new ring, new prev,
-    new baseline, new heatmap) — DiPsEngine's ring-step signature with
-    the row axis sharded.  Slabs must be 8-row aligned."""
+    Median modes map raw u8 (B, 3, Hp, Wp), ring f32 (T, Hp, Wp),
+    prev/baseline/heatmap f32 (Hp, Wp), flags/valid (B,), offset/seed i32
+    scalars -> (out u8 (B, C, Hp, Wp), stats (B, NUM_STATS), new ring,
+    new prev, new baseline, new heatmap) — DiPsEngine's ring-step
+    signature with the row axis sharded.  RAW modes (no stencil, no ring
+    array) instead map raw, prev u8 (3, Hp, Wp), baseline u8 (3, Hp, Wp),
+    flags, heatmap, valid, seed -> (out, stats, new prev, new baseline,
+    new heatmap) — absdiff_step_ring's signature.  Slabs must be 8-row
+    aligned."""
     if props.output in (OutputMode.ABSDIFF, OutputMode.THRESHOLD,
                         OutputMode.STATS_ONLY):
-        raise ValueError("row sharding applies to the median pipeline modes")
+        return _make_rowsharded_raw_ring_step(props, h, w, mesh, axis)
     from .grid2d import _pallas_slab_body_ring, slab_rows_ok
     hp = reference.pad_geometry(h, w)[0]
     if not slab_rows_ok(hp, mesh.shape[axis]):
@@ -228,3 +342,41 @@ def _row_body(props, h, w, raw, baseline, flags, heatmap, valid, axis):
                             props.sensitivity)
     out = reference.render_output(props, d, cur, flags)
     return out, stats, new_baseline, heatmap
+
+
+def _make_rowsharded_raw_ring_step(props, h, w, mesh, axis):
+    """Raw-mode ring body of :func:`make_rowsharded_ring_step`: the
+    previous raw frame (PER_FRAME) and baseline are carried device state
+    sharded over ``axis``; input = B new frames only, no halo (Pallas)."""
+    from ..ops import pallas_fused
+    from .grid2d import _combine_slab_stats, slab_rows_ok
+    hp = reference.pad_geometry(h, w)[0]
+    if not slab_rows_ok(hp, mesh.shape[axis]):
+        raise ValueError(
+            f"pallas row sharding needs 8-row-aligned slabs: padded "
+            f"height {hp} / {mesh.shape[axis]} shards")
+
+    def per_shard(raw, prev, baseline, flags, heatmap, valid, seed):
+        hs = raw.shape[-2]
+        bounds = (None if props.roi is None
+                  else _raw_slab_bounds(props, h, w, hs, axis))
+        out, stats, npv, nb, nh = pallas_fused._absdiff_step_impl(
+            props, h, w, 1, raw, baseline, flags[None], heatmap,
+            valid[None], prev=prev, seeds=seed[None], ring=True,
+            row_bounds=bounds)
+        return (out, _combine_slab_stats(stats, axis)[0], npv, nb, nh)
+
+    sharded = jax.shard_map(
+        per_shard, mesh=mesh,
+        in_specs=(P(None, None, axis, None),      # raw (B, 3, Hp, Wp)
+                  P(None, axis, None),            # prev u8 (3, Hp, Wp)
+                  P(None, axis, None),            # baseline u8 (3, Hp, Wp)
+                  P(None),                        # flags
+                  P(axis, None),                  # heatmap
+                  P(None),                        # valid
+                  P()),                           # seed scalar
+        out_specs=(P(None, None, axis, None), P(None),
+                   P(None, axis, None), P(None, axis, None),
+                   P(axis, None)),
+        check_vma=False)
+    return jax.jit(sharded, donate_argnums=(1, 2, 4))
