@@ -352,6 +352,11 @@ def main():
     ap.add_argument("--temporal", type=int, default=4)
     ap.add_argument("--approx-median", action="store_true",
                     help="bench the separable approximate spatial median")
+    ap.add_argument("--iters", default="10,60", metavar="N1,N2",
+                    help="two-point-fit loop lengths (default 10,60). "
+                         "Raise for high-fps configs: the fit delta must "
+                         "dominate the ~30 ms dispatch-RPC noise of the "
+                         "dev relay (e.g. 60,360 at 1080p absdiff)")
     ap.add_argument("--ring", action=argparse.BooleanOptionalAction,
                     default=None,
                     help="bench the ring-carry kernels (device-carried "
@@ -418,6 +423,21 @@ def main():
         }))
         sys.exit(1)
 
+    # Warm the relay's D2H fetch path ONCE, explicitly attributed.  The
+    # FIRST device->host fetch in a process pays a one-time relay channel
+    # setup — measured 193.8 s for a PRE-compile (8,128) zeros fetch in a
+    # process that had run NO kernel at all, after which a full
+    # compile+run+fetch of the bench loop took 2.6 s and a second distinct
+    # executable 0.1 s (BASELINE.md "Cold start anatomy", round 4).  It is
+    # per-PROCESS and environmental (tunnel channel bring-up), not
+    # per-kernel, so without this line it lands inside whichever kernel's
+    # "compile+warmup" happens to run first and misattributes the floor.
+    import jax.numpy as _jnp
+    t0 = time.time()
+    np.asarray(_jnp.zeros((8, 128), _jnp.float32))
+    log(f"relay D2H warmup: {time.time() - t0:.1f}s "
+        f"(one-time per-process fetch-path setup, environmental)")
+
     if args.streams:
         rng = np.random.default_rng(0)
         frames = [rng.integers(0, 256, (args.height, args.width, 3),
@@ -470,15 +490,27 @@ def main():
     if args.ring is None:
         args.ring = jax.default_backend() != "cpu"
 
+    try:
+        iters = tuple(int(v) for v in args.iters.split(","))
+        assert len(iters) == 2 and 0 < iters[0] < iters[1]
+    except (ValueError, AssertionError):
+        print(json.dumps({"metric": "bad_iters", "value": 0.0,
+                          "unit": "frames/s/chip", "vs_baseline": 0.0,
+                          "error": f"--iters wants N1,N2 ascending, got "
+                                   f"{args.iters!r}"}))
+        sys.exit(2)
+
     raw_props = DiPsProperties(output=OutputMode.ABSDIFF, method=method,
                                temporal_size=args.temporal)
     full_props = DiPsProperties(window_size=args.window, method=method,
                                 temporal_size=args.temporal,
                                 approx_median=args.approx_median)
     log("ABSDIFF parity mode (bit-exact vs cv2.absdiff):")
-    absdiff_fps = bench_device(raw_props, h, w, args.batch, ring=args.ring)
+    absdiff_fps = bench_device(raw_props, h, w, args.batch, iters=iters,
+                               ring=args.ring)
     log("full fused pipeline (median/sigmoid/colorize/stats/heatmap):")
-    full_fps = bench_device(full_props, h, w, args.batch, ring=args.ring)
+    full_fps = bench_device(full_props, h, w, args.batch, iters=iters,
+                            ring=args.ring)
     stats_only_fps = None
     if args.stats_only:
         so_props = DiPsProperties(output=OutputMode.STATS_ONLY,
@@ -486,7 +518,7 @@ def main():
                                   temporal_size=args.temporal)
         log("STATS_ONLY mode (no map, stats+heatmap only):")
         stats_only_fps = bench_device(so_props, h, w, args.batch,
-                                      ring=args.ring)
+                                      iters=iters, ring=args.ring)
 
     if args.stats_only:
         value, metric = (stats_only_fps,

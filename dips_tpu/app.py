@@ -678,7 +678,8 @@ def run_dips_on_files(input_paths: Sequence[str], output_dir: str,
                       events: Optional[dict] = None,
                       collect_stats: bool = False,
                       downscale: int = 1,
-                      auto_refresh: Optional[dict] = None):
+                      auto_refresh: Optional[dict] = None,
+                      flicker: Optional[dict] = None):
     """Batched multi-stream differencing over many videos (BASELINE
     configs[3]): decode S files in lockstep, run the sharded multi-stream
     step over the device mesh, write one diff video per input.
@@ -706,6 +707,13 @@ def run_dips_on_files(input_paths: Sequence[str], output_dir: str,
     so a wholesale scene change on one input re-pins only ITS baseline
     (OVERALL method only).  Appends a per-stream list of fired frame
     indices to the return.
+
+    ``flicker``: optional dict(freq_hz=..., tau_frames=None) — per-stream
+    flicker maps via ONE FleetFlickerAnalyzer (all streams' demodulator
+    planes updated in one device dispatch per round, ops/analysis.py;
+    fps comes from the shared reader clock).  Appends a (S, H_in, W_in)
+    array of amplitude maps to the return (full INPUT geometry — the
+    analyzer sees the decoded frames, before any downscale).
     """
     import os
     from .io.gstreamer import open_video, open_writer
@@ -784,6 +792,16 @@ def run_dips_on_files(input_paths: Sequence[str], output_dir: str,
             refreshers = [BaselineRefreshPolicy(**rcfg) for _ in range(s)]
         stream_stats: Optional[list] = ([[] for _ in range(s)]
                                         if collect_stats else None)
+        fleet_flicker = None
+        if flicker is not None:
+            from .ops.analysis import FleetFlickerAnalyzer
+            fcfg = dict(flicker)
+            fleet_flicker = FleetFlickerAnalyzer(s, chroma=props.chroma)
+            fleet_flicker.configure_all(
+                float(fcfg.pop("freq_hz")), fps,
+                tau_frames=fcfg.pop("tau_frames", None))
+            if fcfg:
+                raise ValueError(f"unknown flicker options {sorted(fcfg)}")
         done = [False] * s
         while not all(done):
             feeds = []
@@ -802,6 +820,12 @@ def run_dips_on_files(input_paths: Sequence[str], output_dir: str,
             if not any(feeds):
                 break
             out, stats, _ = eng.process_batch(feeds)
+            if fleet_flicker is not None:
+                # one stacked scan dispatch for the whole fleet round;
+                # failed streams stop feeding below, so gate them here too
+                fleet_flicker.update(
+                    [fd if si < s and si not in eng.failed else []
+                     for si, fd in enumerate(feeds[:s])])
             for si in range(s):
                 if si in eng.failed:
                     # isolated stream: stop decoding/writing it — its buffer
@@ -853,6 +877,8 @@ def run_dips_on_files(input_paths: Sequence[str], output_dir: str,
                     for rows in stream_stats])
     if refreshers is not None:
         out.append([list(r.refreshes) for r in refreshers])
+    if fleet_flicker is not None:
+        out.append(fleet_flicker.amplitudes())
     return out[0] if len(out) == 1 else tuple(out)
 
 

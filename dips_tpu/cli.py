@@ -369,12 +369,17 @@ def main(argv: Optional[List[str]] = None) -> int:
     for flag, val in (("--heatmap-png", args.heatmap_png),
                       ("--record-events", args.record_events),
                       ("--flicker-hz", args.flicker_hz is not None)):
-        if val and (args.inputs or args.dat_dir or args.live
-                    or args.thumbnail or args.subsample is not None):
+        # --flicker-hz also runs in --inputs mode (one FleetFlickerAnalyzer
+        # over all streams, ops/analysis.py); the other flags stay
+        # single-stream
+        inputs_ok = flag == "--flicker-hz" and args.inputs
+        if val and not inputs_ok and (
+                args.inputs or args.dat_dir or args.live
+                or args.thumbnail or args.subsample is not None):
             # every one of those modes either has no single engine/stream
             # or exits before the artifact tail — rejecting beats
             # silently writing nothing
-            print(f"{flag} needs the --input/--output mode",
+            print(f"{flag} needs the --input/--output or --inputs modes",
                   file=sys.stderr)
             return 2
     for flag, val in (("--stats-json", args.stats_json),
@@ -450,6 +455,9 @@ def main(argv: Optional[List[str]] = None) -> int:
                 return 1
         ev_cfg = _detector_cfg(args) if args.events_json else None
         want_stats = bool(args.stats_json)
+        flicker_cfg = (dict(freq_hz=args.flicker_hz,
+                            tau_frames=args.flicker_tau)
+                       if args.flicker_hz is not None else None)
         try:
             result = run_dips_on_files(args.inputs, args.output_dir or ".",
                                        enc, props,
@@ -460,7 +468,8 @@ def main(argv: Optional[List[str]] = None) -> int:
                                        events=ev_cfg,
                                        collect_stats=want_stats,
                                        downscale=args.downscale,
-                                       auto_refresh=auto_refresh)
+                                       auto_refresh=auto_refresh,
+                                       flicker=flicker_cfg)
         except (DiPsError, NotImplementedError, ValueError) as e:
             # ValueError: engine/mesh configuration (row slab < halo,
             # pallas on a 2-D mesh, ...) — a user error, not a crash
@@ -473,6 +482,7 @@ def main(argv: Optional[List[str]] = None) -> int:
         per_stream = res.pop(0) if ev_cfg is not None else None
         per_stats = res.pop(0) if want_stats else None
         per_refresh = res.pop(0) if auto_refresh is not None else None
+        per_flicker = res.pop(0) if flicker_cfg is not None else None
         # duplicate input paths must not collapse to one JSON key
         # (mirrors the output-basename disambiguation): suffix dups
         # with their stream index
@@ -501,6 +511,33 @@ def main(argv: Optional[List[str]] = None) -> int:
                           + ", ".join(map(str, idxs)))
             else:
                 print("auto-refresh: no scene change detected")
+        if per_flicker is not None:
+            import numpy as np
+            for k, amp in zip(keys, per_flicker):
+                py, px = np.unravel_index(int(np.argmax(amp)), amp.shape)
+                print(f"flicker @ {args.flicker_hz:g} Hz [{k}]: peak "
+                      f"amplitude {float(amp[py, px]):.1f} at x={px} "
+                      f"y={py}, mean {float(amp.mean()):.2f}")
+            if args.flicker_png:
+                from .report import _require_matplotlib
+                try:
+                    _require_matplotlib()
+                except RuntimeError as e:
+                    print(f"error: {e}", file=sys.stderr)
+                    return 1
+                import matplotlib.pyplot as plt
+                import os as _os
+                root, ext = _os.path.splitext(args.flicker_png)
+                for si, amp in enumerate(per_flicker):
+                    fig, ax = plt.subplots(
+                        figsize=(6, 6 * amp.shape[0] / amp.shape[1]))
+                    im = ax.imshow(amp, cmap="Blues")
+                    ax.set_axis_off()
+                    fig.colorbar(im, ax=ax, shrink=0.8)
+                    path = f"{root}.{si}{ext or '.png'}"
+                    fig.savefig(path, dpi=110, bbox_inches="tight")
+                    plt.close(fig)
+                    print(f"flicker map written: {path}")
         failed = [i for i, c in enumerate(counts) if c < 0]
         ok_total = int(sum(c for c in counts if c >= 0))
         print(f"processed {len(counts)} streams ({ok_total} frames) -> "

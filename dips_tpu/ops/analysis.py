@@ -284,6 +284,231 @@ class FlickerAnalyzer:
             self._init_state(*self._geometry)
 
 
+@functools.partial(jax.jit, static_argnums=(0,), donate_argnums=(1,))
+def _flicker_update_fleet(chroma_value: int, state, frames_u8: jnp.ndarray,
+                          coeffs: jnp.ndarray, gates: jnp.ndarray,
+                          alpha: jnp.ndarray):
+    """Fleet twin of :func:`_flicker_update`: S streams' demodulator planes
+    updated in ONE scan dispatch.
+
+    ``state`` = (zr, zi, m), each (S, H, W) f32; ``frames_u8``
+    (N, S, H, W, 3) uint8; ``coeffs`` (3, N, S) f32 (cos, sin, bias
+    denominator per frame PER STREAM — streams advance on independent
+    cursors); ``gates`` (N, S) f32 — 0 marks a padding replica, whose
+    stream's state must stay bit-identically untouched; ``alpha`` (S,)
+    f32 per-stream EWMA decay (streams may analyze different
+    frequencies/time constants).
+
+    Per active stream the arithmetic is exactly :func:`_flicker_update`'s
+    (the same elementwise chain broadcast over the stream axis), so fleet
+    maps are BIT-IDENTICAL to per-stream analyzers — asserted in tests.
+    """
+    from ..properties import ChromaFilter
+    chroma = ChromaFilter(chroma_value)
+    a3 = alpha[:, None, None]
+    k3 = 1.0 - a3
+
+    def step(carry, xs):
+        zr, zi, m = carry
+        frame, c, s, denom, g = xs
+        f = frame.astype(jnp.int32)
+        r, gr, b = f[..., 0], f[..., 1], f[..., 2]
+        if chroma == ChromaFilter.RED:
+            v = 2 * r
+        elif chroma == ChromaFilter.GREEN:
+            v = 2 * gr
+        elif chroma == ChromaFilter.BLUE:
+            v = 2 * b
+        else:
+            v = (jnp.maximum(jnp.maximum(r, gr), b)
+                 + jnp.minimum(jnp.minimum(r, gr), b))
+        x = v.astype(jnp.float32)
+        live = (g > 0)[:, None, None]
+        m_new = a3 * m + k3 * x
+        centered = x - m_new / denom[:, None, None]
+        zr_new = a3 * zr + k3 * centered * c[:, None, None]
+        zi_new = a3 * zi - k3 * centered * s[:, None, None]
+        return (jnp.where(live, zr_new, zr), jnp.where(live, zi_new, zi),
+                jnp.where(live, m_new, m)), None
+
+    new_state, _ = jax.lax.scan(
+        step, state, (frames_u8, coeffs[0], coeffs[1], coeffs[2], gates))
+    return new_state
+
+
+class FleetFlickerAnalyzer:
+    """Per-stream flicker maps for a WHOLE fleet in one device dispatch.
+
+    :class:`FlickerAnalyzer` carries one stream's demodulator planes; at
+    fleet scale (``MultiStreamEngine`` / ``--inputs`` batch mode /
+    coalesced serve slots) per-stream analyzers would pay one device
+    dispatch per stream per batch.  This class stacks S streams' carry
+    planes as (S, H, W) and updates them all in one ``lax.scan`` dispatch
+    (``_flicker_update_fleet``), with per-stream frequency/fps/tau,
+    independent frame cursors (staggered starts, stalls) and per-frame
+    validity gating — maps are bit-identical to per-stream analyzers.
+
+    Streams start unconfigured; :meth:`configure` arms one (a serving slot
+    binding flicker_hz, or all streams at once for a uniform fleet).
+    :meth:`update` takes the same ragged per-stream frame lists the
+    multi-stream engines consume.
+    """
+
+    def __init__(self, n_streams: int, chroma=None):
+        from ..properties import ChromaFilter
+        if n_streams < 1:
+            raise ValueError(f"n_streams must be >= 1, got {n_streams}")
+        self.n_streams = int(n_streams)
+        self.chroma = ChromaFilter.ALL if chroma is None else chroma
+        self._enabled = [False] * self.n_streams
+        self._freq = np.zeros(self.n_streams, np.float64)
+        self._fps = np.zeros(self.n_streams, np.float64)
+        self._omega = np.zeros(self.n_streams, np.float64)
+        self._alpha = np.ones(self.n_streams, np.float64)  # inert until
+        self._tau = np.zeros(self.n_streams, np.float64)   # configured
+        self.frames_seen = [0] * self.n_streams
+        self._geometry: Optional[Tuple[int, int]] = None
+        self._state = None
+
+    # -- configuration ------------------------------------------------------
+    def configure(self, stream: int, freq_hz: float, fps: float,
+                  tau_frames: Optional[float] = None) -> None:
+        """Arm one stream's analyzer (validation mirrors FlickerAnalyzer);
+        re-configuring an armed stream resets its window."""
+        if not (math.isfinite(fps) and fps > 0):
+            raise ValueError(f"fps must be positive, got {fps!r}")
+        if not 0 < freq_hz < fps / 2:
+            raise ValueError(
+                f"freq_hz must lie in (0, fps/2) = (0, {fps / 2:g}) to be "
+                f"resolvable at {fps:g} fps, got {freq_hz!r}")
+        if tau_frames is None:
+            tau_frames = max(16.0, 4.0 * fps / freq_hz)
+        if not (math.isfinite(tau_frames) and tau_frames >= 2.0):
+            raise ValueError(
+                f"tau_frames must be finite and >= 2, got {tau_frames!r}")
+        self._freq[stream] = freq_hz
+        self._fps[stream] = fps
+        self._tau[stream] = tau_frames
+        self._omega[stream] = 2.0 * math.pi * freq_hz / fps
+        self._alpha[stream] = math.exp(-1.0 / tau_frames)
+        self._enabled[stream] = True
+        self.reset_stream(stream)
+
+    def configure_all(self, freq_hz: float, fps: float,
+                      tau_frames: Optional[float] = None) -> None:
+        for si in range(self.n_streams):
+            self.configure(si, freq_hz, fps, tau_frames)
+
+    def config(self, stream: int) -> "Tuple[float, float, float] | None":
+        """(freq_hz, fps, tau_frames) of an armed stream, else None."""
+        if not self._enabled[stream]:
+            return None
+        return (float(self._freq[stream]), float(self._fps[stream]),
+                float(self._tau[stream]))
+
+    def reset_stream(self, stream: int) -> None:
+        self.frames_seen[stream] = 0
+        if self._state is not None:
+            self._state = tuple(p.at[stream].set(0.0) for p in self._state)
+
+    def disable(self, stream: int) -> None:
+        self._enabled[stream] = False
+        self.reset_stream(stream)
+
+    # -- streaming ----------------------------------------------------------
+    def _init_state(self, h: int, w: int) -> None:
+        s = self.n_streams
+        self._state = (jnp.zeros((s, h, w), jnp.float32),
+                       jnp.zeros((s, h, w), jnp.float32),
+                       jnp.zeros((s, h, w), jnp.float32))
+
+    def update(self, frames_per_stream) -> None:
+        """Feed one fleet round: a sequence of S per-stream frame lists
+        (uint8 RGB (H, W, 3) each; empty/short lists allowed — ragged
+        tails are gated off).  Unconfigured streams' frames are ignored.
+        One device dispatch per distinct round length N."""
+        if len(frames_per_stream) != self.n_streams:
+            raise ValueError(f"expected {self.n_streams} streams, got "
+                             f"{len(frames_per_stream)}")
+        counts = [len(f) if self._enabled[si] else 0
+                  for si, f in enumerate(frames_per_stream)]
+        n = max(counts, default=0)
+        if n == 0:
+            return
+        for si, frames in enumerate(frames_per_stream):
+            for f in frames:
+                f = np.asarray(f)
+                if f.ndim != 3 or f.shape[-1] != 3 or f.dtype != np.uint8:
+                    raise ValueError(
+                        f"stream {si}: expected uint8 RGB (H, W, 3), got "
+                        f"{f.dtype} {f.shape}")
+                if self._geometry is None:
+                    self._geometry = f.shape[:2]
+                if f.shape[:2] != self._geometry:
+                    raise ValueError(
+                        f"stream {si}: frame geometry {f.shape[:2]} != "
+                        f"fleet geometry {self._geometry}")
+        if self._state is None:
+            self._init_state(*self._geometry)
+        h, w = self._geometry
+        s = self.n_streams
+        stacked = np.zeros((n, s, h, w, 3), np.uint8)
+        gates = np.zeros((n, s), np.float32)
+        coeffs = np.zeros((3, n, s), np.float32)
+        j = np.arange(n, dtype=np.float64)
+        for si in range(s):
+            n_si = counts[si]
+            if n_si == 0:
+                continue
+            for k in range(n_si):
+                stacked[k, si] = frames_per_stream[si][k]
+            gates[:n_si, si] = 1.0
+            a, om, n0 = (self._alpha[si], self._omega[si],
+                         self.frames_seen[si])
+            phase = math.fmod(om * n0, 2.0 * math.pi) + om * j
+            denom = np.maximum(1.0 - a ** (n0 + j + 1.0), 1e-12)
+            coeffs[0, :, si] = np.cos(phase)
+            coeffs[1, :, si] = np.sin(phase)
+            coeffs[2, :, si] = denom
+            self.frames_seen[si] += n_si
+        self._state = _flicker_update_fleet(
+            self.chroma.value, self._state, jnp.asarray(stacked),
+            jnp.asarray(coeffs), jnp.asarray(gates),
+            jnp.asarray(self._alpha.astype(np.float32)))
+
+    # -- readout ------------------------------------------------------------
+    def power(self, stream: int) -> np.ndarray:
+        """(H, W) f32 squared oscillation amplitude for one stream (same
+        startup-bias correction as FlickerAnalyzer.power)."""
+        if not self._enabled[stream]:
+            raise RuntimeError(f"stream {stream} has no flicker analyzer "
+                               f"(configure it first)")
+        if self._state is None or self.frames_seen[stream] == 0:
+            raise RuntimeError(f"stream {stream}: no frames streamed yet")
+        zr, zi, _ = self._state
+        # python float, not np.float64: NEP-50 would promote the f32
+        # planes to float64 and break bit-identity with FlickerAnalyzer
+        corr = float(max(
+            1e-12, 1.0 - self._alpha[stream] ** self.frames_seen[stream]))
+        z2 = (np.asarray(zr[stream]) ** 2 + np.asarray(zi[stream]) ** 2)
+        return 4.0 * z2 / (corr * corr)
+
+    def amplitude(self, stream: int) -> np.ndarray:
+        return np.sqrt(self.power(stream))
+
+    def amplitudes(self) -> np.ndarray:
+        """(S, H, W) f32 amplitude maps (zero planes for unarmed/fresh
+        streams)."""
+        if self._state is None or self._geometry is None:
+            raise RuntimeError("no frames streamed yet")
+        h, w = self._geometry
+        out = np.zeros((self.n_streams, h, w), np.float32)
+        for si in range(self.n_streams):
+            if self._enabled[si] and self.frames_seen[si]:
+                out[si] = self.amplitude(si)
+        return out
+
+
 @functools.partial(jax.jit, static_argnums=(1,))
 def denoise_frames(frames_u8: jnp.ndarray, radius: int) -> jnp.ndarray:
     """Batched FFT low-pass denoise of uint8 frames (N, H, W, C) -> uint8.

@@ -42,6 +42,13 @@ class AnalyticsMixin:
                     f"{old.fps:g} fps; reset it before binding "
                     f"{float(hz):g} Hz @ {float(fps):g} fps")
             return  # resume keeps the accumulated window
+        if hasattr(eng, "bind_flicker"):
+            # coalesced slot: arm the coalescer's FLEET analyzer (one
+            # stacked dispatch updates every armed slot per batch) — the
+            # returned view duck-types FlickerAnalyzer for the read path
+            # and no-ops update() (the coalescer feeds the frames)
+            eng._flicker = eng.bind_flicker(float(hz), float(fps))
+            return
         from ..ops.analysis import FlickerAnalyzer
         eng._flicker = FlickerAnalyzer(float(hz), float(fps),
                                        batch=eng.batch)

@@ -55,6 +55,12 @@ class StreamCoalescer:
         #: them (mean fill = how well requests coalesce; guarded by _cv)
         self.dispatches = 0
         self.frames_folded = 0
+        #: fleet flicker (ops/analysis.FleetFlickerAnalyzer): ONE stacked
+        #: scan dispatch updates every armed slot's demodulator planes per
+        #: coalesced batch — per-session FlickerAnalyzers would pay one
+        #: device dispatch per session per request.  Lazily created on the
+        #: first bind; guarded by _elock like the engine.
+        self._fleet_flicker = None
         self._stopped = False
         self._thread = threading.Thread(target=self._run, daemon=True)
         self._thread.start()
@@ -81,7 +87,49 @@ class StreamCoalescer:
             if not park:
                 with self._elock:
                     self.engine.reset_stream(slot)
+                    if self._fleet_flicker is not None:
+                        self._fleet_flicker.disable(slot)
                 self._free.append(slot)
+
+    # -- per-slot flicker (fleet analyzer, one dispatch per batch) ---------
+    def bind_flicker(self, slot: int, freq_hz: float, fps: float) -> None:
+        """Arm (or resume) a slot's flicker analysis.  Rebinding with the
+        SAME (freq, fps) keeps the accumulated window (session resume);
+        a different configuration raises, mirroring the per-session
+        analyzer's contract (serve/analytics._bind_flicker)."""
+        with self._elock:
+            if self._fleet_flicker is None:
+                from ..ops.analysis import FleetFlickerAnalyzer
+                self._fleet_flicker = FleetFlickerAnalyzer(self.n_streams)
+            old = self._fleet_flicker.config(slot)
+            if old is not None:
+                if (old[0], old[1]) != (float(freq_hz), float(fps)):
+                    raise ValueError(
+                        f"session already analyzes {old[0]:g} Hz @ "
+                        f"{old[1]:g} fps; reset it before binding "
+                        f"{float(freq_hz):g} Hz @ {float(fps):g} fps")
+                return  # resume keeps the accumulated window
+            self._fleet_flicker.configure(slot, float(freq_hz), float(fps))
+
+    def flicker_state(self, slot: int):
+        """(amplitude map, freq_hz, frames_seen) for an armed slot."""
+        with self._elock:
+            fl = self._fleet_flicker
+            if fl is None or fl.config(slot) is None:
+                raise ValueError("slot has no flicker analyzer")
+            return (fl.amplitude(slot), fl.config(slot)[0],
+                    fl.frames_seen[slot])
+
+    def flicker_frames_seen(self, slot: int) -> int:
+        with self._elock:
+            fl = self._fleet_flicker
+            return (0 if fl is None or fl.config(slot) is None
+                    else fl.frames_seen[slot])
+
+    def unbind_flicker(self, slot: int) -> None:
+        with self._elock:
+            if self._fleet_flicker is not None:
+                self._fleet_flicker.disable(slot)
 
     def submit(self, slot: int, frames) -> Tuple[np.ndarray, np.ndarray]:
         """Block until ``frames`` (<= engine.batch) have been dispatched in
@@ -126,6 +174,13 @@ class StreamCoalescer:
                 feeds = [batch.get(si, []) for si in range(self.n_streams)]
                 with self._elock:
                     outs, stats, _ = self.engine.process_batch(feeds)
+                    if self._fleet_flicker is not None:
+                        # one stacked scan for every armed slot's planes;
+                        # isolated slots' frames are gated off below via
+                        # revive(), their flicker window just stalls
+                        self._fleet_flicker.update(
+                            [fd if si not in self.engine.failed else []
+                             for si, fd in enumerate(feeds)])
                     for si, frames in batch.items():
                         err = self.engine.failed.get(si)
                         if err is not None:
@@ -149,6 +204,10 @@ class StreamCoalescer:
     def reset_slot(self, slot: int) -> None:
         with self._elock:
             self.engine.reset_stream(slot)
+            if self._fleet_flicker is not None:
+                # mirrors the dedicated-engine reset (server.py sets
+                # eng._flicker = None): the window restarts on next bind
+                self._fleet_flicker.disable(slot)
 
     def heatmap(self, slot: int) -> np.ndarray:
         with self._elock:
@@ -220,3 +279,35 @@ class _CoalescedSession:
 
     def load(self, path: str) -> None:
         self._co.load_slot(self.slot, path)
+
+    def bind_flicker(self, freq_hz: float, fps: float) -> "_SlotFlicker":
+        """Arm this slot's flicker analysis on the coalescer's FLEET
+        analyzer (one stacked dispatch per batch) and return the
+        FlickerAnalyzer-shaped view ``_serve_client`` reads/feeds."""
+        self._co.bind_flicker(self.slot, freq_hz, fps)
+        return _SlotFlicker(self._co, self.slot, float(freq_hz),
+                            float(fps))
+
+
+class _SlotFlicker:
+    """FlickerAnalyzer-shaped view of one coalescer slot's share of the
+    fleet analyzer: reads pass through; ``update`` is a NO-OP because the
+    coalescer's dispatch loop already feeds every armed slot's frames in
+    one stacked scan (feeding here would double-count them)."""
+
+    def __init__(self, co: StreamCoalescer, slot: int, freq_hz: float,
+                 fps: float):
+        self._co = co
+        self.slot = slot
+        self.freq_hz = freq_hz
+        self.fps = fps
+
+    @property
+    def frames_seen(self) -> int:
+        return self._co.flicker_frames_seen(self.slot)
+
+    def update(self, frames) -> None:
+        pass  # fed by the coalescer's dispatch loop (see class docstring)
+
+    def amplitude(self) -> np.ndarray:
+        return self._co.flicker_state(self.slot)[0]

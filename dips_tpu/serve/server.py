@@ -661,6 +661,11 @@ class DiPsServer(SessionMixin, AnalyticsMixin):
                     # restarts (an open event cannot span a state swap)
                     eng._motion_det = None
                     eng._flicker = None  # rebound from the next request
+                    if isinstance(eng, _CoalescedSession):
+                        # the fleet analyzer's slot must restart too (a
+                        # rebind would otherwise resume the pre-load
+                        # window across the state swap)
+                        eng._co.unbind_flicker(eng.slot)
                     _send(client, {"ok": True,
                                    "frame_index": eng.frame_index})
                 elif cmd == "reset":
