@@ -151,7 +151,13 @@ def bench_device(props, h, w, batch, iters=(10, 60), ring=False):
     log(f"  compile+warmup: {time.time() - t0:.1f}s")
     n1, n2 = iters
     per_step = -1.0
-    while per_step <= 0:
+    # the fit's time DELTA must dominate the relay's per-call dispatch
+    # noise (~30 ms RPC, additive): a short loop pair at a fast config
+    # once read 57k fps where 6x longer loops read the true 37k (a +53%
+    # artifact).  min-of-3 bounds the noise, the floor bounds the
+    # sensitivity: delta >= 0.25 s caps the distortion at a few percent.
+    _MIN_DELTA_S = 0.25
+    while True:
         times = []
         for n in (n1, n2):
             # min of 3: the tunnel's dispatch-RPC noise is purely additive,
@@ -161,9 +167,12 @@ def bench_device(props, h, w, batch, iters=(10, 60), ring=False):
                 _timed(lambda: float(loop(n, raw, state0, flags)[1]))
                 for _ in range(3)))
         per_step = (times[1] - times[0]) / (n2 - n1)  # two-point fit
-        if per_step <= 0:
-            n1, n2 = n1 * 4, n2 * 4
-            log(f"  non-positive fit, escalating to iters=({n1}, {n2})")
+        if per_step > 0 and times[1] - times[0] >= _MIN_DELTA_S:
+            break
+        n1, n2 = n1 * 4, n2 * 4
+        delta = times[1] - times[0]
+        log(f"  {'non-positive' if per_step <= 0 else 'noise-dominated'} "
+            f"fit (delta {delta:.3f}s), escalating to iters=({n1}, {n2})")
     fps = batch / per_step
     log(f"  {per_step / batch * 1e3:.4f} ms/frame -> {fps:.0f} fps/chip")
     return fps
@@ -315,15 +324,15 @@ def bench_multistream(s, h, w, batch, temporal=4):
     float(loop(2, raw, baseline, heatmap)[2])
     log(f"  compile+warmup: {time.time() - t0:.1f}s")
     n1, n2 = 5, 25
-    per_step = -1.0
-    while per_step <= 0:
+    while True:
         times = [min(_timed(lambda: float(loop(n, raw, baseline,
                                                heatmap)[2]))
                      for _ in range(3)) for n in (n1, n2)]
         per_step = (times[1] - times[0]) / (n2 - n1)
-        if per_step <= 0:
-            n1, n2 = n1 * 4, n2 * 4
-            log(f"  non-positive fit, escalating to iters=({n1}, {n2})")
+        if per_step > 0 and times[1] - times[0] >= 0.25:  # see bench_device
+            break
+        n1, n2 = n1 * 4, n2 * 4
+        log(f"  noisy/non-positive fit, escalating to iters=({n1}, {n2})")
     agg = s * batch / per_step
     log(f"  {s} x {w}x{h} stacked: {agg:.0f} fps aggregate "
         f"({agg / s:.0f} fps/stream)")
@@ -370,6 +379,11 @@ def main():
                     help="ALSO bench OutputMode.STATS_ONLY (the no-map "
                          "events-fleet mode: statistics + heatmap, zero "
                          "output DMA) and report it as the headline")
+    ap.add_argument("--no-maps", action="store_true",
+                    help="ALSO bench the full median pipeline with "
+                         "emit_maps=False (median-filtered stats/heatmap, "
+                         "no map computation or egress) and report it as "
+                         "the headline")
     ap.add_argument("--e2e", action="store_true",
                     help="measured end-to-end decode-to-diff-map fps on a "
                          "real clip (file decode included) instead of the "
@@ -519,8 +533,16 @@ def main():
         log("STATS_ONLY mode (no map, stats+heatmap only):")
         stats_only_fps = bench_device(so_props, h, w, args.batch,
                                       iters=iters, ring=args.ring)
+    no_maps_fps = None
+    if args.no_maps:
+        log("median pipeline, emit_maps=False (filtered stats, no maps):")
+        no_maps_fps = bench_device(full_props.with_emit_maps(False), h, w,
+                                   args.batch, iters=iters, ring=args.ring)
 
-    if args.stats_only:
+    if args.no_maps:
+        value, metric = (no_maps_fps,
+                         f"{h}p_{name}_median_no_maps_fps_per_chip")
+    elif args.stats_only:
         value, metric = (stats_only_fps,
                          f"{h}p_{name}_stats_only_fps_per_chip")
     elif args.full_pipeline_headline:

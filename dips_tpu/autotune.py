@@ -84,7 +84,9 @@ def _two_point_fit(run: Callable[[int], None], iters: Tuple[int, int],
                    repeats: int = 3) -> float:
     """Seconds per loop iteration: min-of-``repeats`` two-point fit (the
     bench.py methodology — tunnel dispatch noise is additive, so the min
-    of repeated runs and the n2-n1 delta cancel it)."""
+    of repeated runs and the n2-n1 delta cancel it).  The delta must also
+    DOMINATE the ~30 ms per-call RPC noise (bench.py measured a +53%
+    artifact from a noise-sized delta), or probes would be misranked."""
     n1, n2 = iters
     while True:
         times = []
@@ -97,10 +99,11 @@ def _two_point_fit(run: Callable[[int], None], iters: Tuple[int, int],
                 best = dt if best is None else min(best, dt)
             times.append(best)
         per = (times[1] - times[0]) / (n2 - n1)
-        if per > 0:
+        if per > 0 and times[1] - times[0] >= 0.25:
             return per
         n1, n2 = n1 * 4, n2 * 4
-        log.info("non-positive fit, escalating to iters=(%d, %d)", n1, n2)
+        log.info("noisy/non-positive fit, escalating to iters=(%d, %d)",
+                 n1, n2)
 
 
 def _ring_measure_factory(window: int, h: int, w: int, t: int, b: int,
@@ -219,6 +222,110 @@ def _raw_measure_factory(h: int, w: int, t: int, b: int):
     return measure, hp, wp
 
 
+def _stacked_ring_measure_factory(window: int, h: int, w: int, t: int,
+                                  b: int, s: int, approx: bool = False):
+    """measure(fpb, bh) -> seconds/step for the STACKED median ring kernel
+    (s streams folded along the row axis — the coalesced-serving shape)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from jax import lax
+    from .ops import pallas_fused
+
+    props = DiPsProperties(window_size=window, temporal_size=t,
+                           method=DiPsMethod.OVERALL,
+                           output=OutputMode.COLORIZE, approx_median=approx)
+    hp, wp = pad_geometry(h, w)
+    raw = jnp.zeros((b, 3, s * hp, wp), jnp.uint8)  # zeros: see
+    flags = np.zeros((s, b), bool)                  # _ring_measure_factory
+    flags[:, 0] = True                              # (closed-over = HOST)
+    valid = np.ones((s, b), bool)
+    off = np.zeros((s,), np.int32)
+    seed = np.zeros((s,), np.int32)
+    state0 = (jnp.zeros((t, s * hp, wp), jnp.float32),
+              jnp.zeros((s * hp, wp), jnp.float32),
+              jnp.zeros((s * hp, wp), jnp.float32),
+              jnp.zeros((s * hp, wp), jnp.float32))
+
+    def measure(fpb: int, bh: int) -> float:
+        @jax.jit  # fresh closure per probe
+        def loop(n, raw, st):
+            def body(_, carry):
+                (rg, pv, bl, hm), acc = carry
+                out, stats, rg, pv, bl, hm = (
+                    pallas_fused._batch_step_ring_impl(
+                        props, h, w, s, raw, rg, pv, bl, flags, hm, valid,
+                        off, seed))
+                return (rg, pv, bl, hm), acc + stats.sum() + out.ravel()[
+                    0].astype(jnp.float32)
+            return lax.fori_loop(0, n, body, (st, jnp.float32(0)))
+
+        old = pallas_fused._RING_GEOMETRY_OVERRIDE
+        pallas_fused._RING_GEOMETRY_OVERRIDE = (fpb, bh)
+        try:
+            try:
+                float(loop(2, raw, state0)[1])
+            except Exception as e:
+                if _looks_oom(e):
+                    raise ProbeOOM(f"bh={bh}: {str(e)[:160]}") from None
+                raise
+            return _two_point_fit(
+                lambda n: float(loop(n, raw, state0)[1]), (4, 12))
+        finally:
+            pallas_fused._RING_GEOMETRY_OVERRIDE = old
+
+    return measure, hp, wp
+
+
+def _stacked_raw_measure_factory(h: int, w: int, t: int, b: int, s: int):
+    """measure(bh) -> seconds/step for the STACKED raw absdiff ring
+    kernel at a forced block height."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from jax import lax
+    from .ops import pallas_fused
+
+    props = DiPsProperties(output=OutputMode.ABSDIFF, temporal_size=t,
+                           method=DiPsMethod.OVERALL)
+    hp, wp = pad_geometry(h, w)
+    raw = jnp.zeros((b, 3, s * hp, wp), jnp.uint8)
+    flags = np.zeros((s, b), bool)   # closed over: HOST arrays
+    flags[:, 0] = True
+    valid = np.ones((s, b), bool)
+    seeds = np.zeros((s,), np.int32)
+    base0 = jnp.zeros((3, s * hp, wp), jnp.uint8)
+    heat0 = jnp.zeros((s * hp, wp), jnp.float32)
+
+    def measure(bh: int) -> float:
+        @jax.jit  # fresh closure per probe
+        def loop(n, raw, bl, hm):
+            def body(_, carry):
+                bl, hm, acc = carry
+                out, stats, _, bl, hm = pallas_fused._absdiff_step_impl(
+                    props, h, w, s, raw, bl, flags, hm, valid, prev=bl,
+                    seeds=seeds, ring=True)
+                return bl, hm, acc + stats.sum() + out.ravel()[0].astype(
+                    jnp.float32)
+            return lax.fori_loop(0, n, body, (bl, hm, jnp.float32(0)))
+
+        old = pallas_fused._RAW_BH_OVERRIDE
+        pallas_fused._RAW_BH_OVERRIDE = bh
+        try:
+            try:
+                float(loop(2, raw, base0, heat0)[2])
+            except Exception as e:
+                if _looks_oom(e):
+                    raise ProbeOOM(f"bh={bh}: {str(e)[:160]}") from None
+                raise
+            return _two_point_fit(
+                lambda n: float(loop(n, raw, base0, heat0)[2]), (5, 15))
+        finally:
+            pallas_fused._RAW_BH_OVERRIDE = old
+
+    return measure, hp, wp
+
+
 def probe_ring_caps(windows=(3, 5, 7), h: int = 1080, w: int = 1920,
                     t: int = 4, b: int = 64,
                     measure_factory=_ring_measure_factory) -> dict:
@@ -299,6 +406,27 @@ def probe_raw_target(h: int = 1080, w: int = 1920, t: int = 4, b: int = 64,
     return {"target_bytes": bh * in_row_bytes, "bh": bh, "fps": b / sec}
 
 
+def probe_stacked_ring_caps(s: int, windows=(3,), h: int = 1080,
+                            w: int = 1920, t: int = 4,
+                            b: int = 64) -> dict:
+    """Stacked-shape twin of :func:`probe_ring_caps` (s streams folded
+    along the row axis — what the serve coalescer dispatches)."""
+    return probe_ring_caps(
+        windows, h, w, t, b,
+        measure_factory=lambda win, h2, w2, t2, b2:
+            _stacked_ring_measure_factory(win, h2, w2, t2, b2, s))
+
+
+def probe_stacked_raw_target(s: int, h: int = 1080, w: int = 1920,
+                             t: int = 4, b: int = 64,
+                             max_probes: int = 6) -> Optional[dict]:
+    """Stacked-shape twin of :func:`probe_raw_target`."""
+    return probe_raw_target(
+        h, w, t, b, max_probes=max_probes,
+        measure_factory=lambda h2, w2, t2, b2:
+            _stacked_raw_measure_factory(h2, w2, t2, b2, s))
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(
         prog="dips-autotune",
@@ -312,6 +440,15 @@ def main(argv=None) -> int:
     ap.add_argument("--batch", type=int, default=64)
     ap.add_argument("--skip-ring", action="store_true")
     ap.add_argument("--skip-raw", action="store_true")
+    ap.add_argument("--stacked", type=int, metavar="S", default=None,
+                    help="ALSO probe the S-stream STACKED kernels (the "
+                         "coalesced-serving shape: s streams folded along "
+                         "the row axis) and persist stacked_* overrides "
+                         "the coalescer's engine consumes.  Probe count "
+                         "is bounded: one OOM-edge walk per --windows "
+                         "entry (<= the row-block divisor ladder, "
+                         "typically 3-6 compiles) + <= 6 timed raw "
+                         "probes; see OPERATIONS.md")
     ap.add_argument("--dry-run", action="store_true",
                     help="measure and report, but do not write the cache")
     from .utils.compilecache import (add_compile_cache_flag,
@@ -349,14 +486,41 @@ def main(argv=None) -> int:
             print(f"  raw target: {raw['target_bytes']} bytes "
                   f"(bh={raw['bh']}, {raw['fps']:.0f} fps)", file=sys.stderr)
 
+    stacked_caps = {}
+    stacked_raw = None
+    if args.stacked:
+        s = max(2, int(args.stacked))
+        if not args.skip_ring:
+            res = probe_stacked_ring_caps(s, tuple(args.windows),
+                                          args.height, args.width,
+                                          args.temporal, args.batch)
+            for win, r in res.items():
+                print(f"  stacked[{s}] ring w{win}: cap {r['cap']} "
+                      f"(bh={r['bh']}, {r['fps'] * s:.0f} fps aggregate)",
+                      file=sys.stderr)
+                stacked_caps[win] = r["cap"]
+        if not args.skip_raw:
+            stacked_raw = probe_stacked_raw_target(
+                s, args.height, args.width, args.temporal, args.batch)
+            if stacked_raw:
+                print(f"  stacked[{s}] raw target: "
+                      f"{stacked_raw['target_bytes']} bytes "
+                      f"(bh={stacked_raw['bh']}, "
+                      f"{stacked_raw['fps'] * s:.0f} fps aggregate)",
+                      file=sys.stderr)
+
     if args.dry_run:
         print("dry run: cache not written", file=sys.stderr)
         return 0
     path = tuning.save(
         kind, ring_caps=ring_caps or None,
         raw_target=raw["target_bytes"] if raw else None,
+        stacked_ring_caps=stacked_caps or None,
+        stacked_raw_target=(stacked_raw["target_bytes"]
+                            if stacked_raw else None),
         meta={"geometry": f"{args.width}x{args.height}",
               "temporal": args.temporal, "batch": args.batch,
+              **({"stacked": int(args.stacked)} if args.stacked else {}),
               "tool": "dips_tpu.autotune"})
     print(f"saved: {path}")
     return 0

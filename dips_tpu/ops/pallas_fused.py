@@ -619,6 +619,8 @@ def _ring_frames_per_step(b: int, hp: int = 0, wp: int = 0) -> int:
     up to and including 720p's padded geometry (720*1408 ~ 1.01 Mpx), 8
     for larger; always a divisor of B.
     """
+    if _RAW_FPB_OVERRIDE is not None:  # joint-sweep probe hook
+        return _RAW_FPB_OVERRIDE
     target = 4 if hp * wp and hp * wp <= 1_100_000 else 8
     f = 1
     for d in range(2, min(b, target) + 1):
@@ -646,6 +648,12 @@ def _ring_frames_per_step(b: int, hp: int = 0, wp: int = 0) -> int:
 # cap edge — verified on silicon: pf w3 1408*40 ok (25.7k), pf w3
 # 2048*24 ok (12.0k), pf w5 2048*24 ok (5.0k), pf w7 896*40 ok (11.1k).
 _RING_BH_PRODUCT_CAPS = {1: 56_320, 3: 56_320, 5: 52_000, 7: 39_000}
+#: the device kind the baked caps were measured on: on THIS kind a
+#: smaller autotuned cap cannot shrink the pick (both are silicon lower
+#: bounds of the same edge — an autotune walk on a coarse divisor ladder,
+#: e.g. 1080p's 24->40 jump, measures 49152 where the true edge is 56320,
+#: and preferring it would regress e.g. the 720p bh=40 pick to 24)
+_PINNED_DEVICE_KIND = "TPU v5 lite"
 
 # Probe hooks for ops/autotune.py ONLY: when set, the pickers return these
 # verbatim.  Autotune builds a FRESH jit closure per probe (a module-level
@@ -653,11 +661,17 @@ _RING_BH_PRODUCT_CAPS = {1: 56_320, 3: 56_320, 5: 52_000, 7: 39_000}
 # the static args, not on this variable).
 _RING_GEOMETRY_OVERRIDE: "Tuple[int, int] | None" = None   # (fpb, bh)
 _RAW_BH_OVERRIDE: "int | None" = None                      # bh
+_RAW_FPB_OVERRIDE: "int | None" = None                     # frames/step
 
 
 def _ring_geometry(hp: int, wp: int, window: int, t: int, b: int,
-                   approx: bool = False) -> Tuple[int, int]:
-    """(fpb, bh) for the median ring kernel.
+                   approx: bool = False, s: int = 1) -> Tuple[int, int]:
+    """(fpb, bh) for the median ring kernel.  ``s`` > 1 (stacked-stream
+    mode) consults the stacked-shape autotune key first
+    (``tuning.stacked_ring_cap``, ``python -m dips_tpu.autotune
+    --stacked S``) before the single-stream cap path — per-block VMEM is
+    stream-count-independent, but Mosaic's scheduling across s x n_hb
+    row blocks can move the measured edge.
 
     Deliberately independent of the output-channel count and of
     OVERALL/PER_FRAME: the caps were pinned with c=3 and re-verified at
@@ -682,9 +696,18 @@ def _ring_geometry(hp: int, wp: int, window: int, t: int, b: int,
     # PER_FRAME fits too: pf approx-w7 896*48 ok (52.5k), 2048*24 (9.9k)
     win_key = 3 if approx else window
     # a measured per-device-kind cap (python -m dips_tpu.autotune)
-    # overrides the baked-in v5e pin
-    cap = (tuning.ring_product_cap(win_key)
-           or _RING_BH_PRODUCT_CAPS[win_key])
+    # overrides the baked-in v5e pin; stacked shapes prefer their own
+    # measured key when one exists.  On the PINNED kind the baked cap is
+    # itself a silicon lower bound, so the larger of the two wins.
+    measured = ((tuning.stacked_ring_cap(win_key) if s > 1 else None)
+                or tuning.ring_product_cap(win_key))
+    baked = _RING_BH_PRODUCT_CAPS[win_key]
+    if measured is None:
+        cap = baked
+    elif tuning._device_kind() == _PINNED_DEVICE_KIND:
+        cap = max(measured, baked)
+    else:
+        cap = measured
     if t > 4:  # ring in+working blocks are 12*t bytes/row-col at t=4 pins
         cap = cap * (48 + 12 * 4) // (48 + 12 * t)
     fpb = min(b, 8)
@@ -814,7 +837,7 @@ def _batch_step_ring_impl(props: DiPsProperties, h: int, w: int, s: int,
     c = props.out_channels
     overall = props.method == DiPsMethod.OVERALL
     fpb, bh = _ring_geometry(hp, wp, props.window_size, t, b,
-                             approx=props.approx_median)
+                             approx=props.approx_median, s=s)
     n_hb_per = hp // bh
     n_hb = s * n_hb_per
     n8_per = hp // 8
@@ -1126,12 +1149,13 @@ def _make_raw_kernel(props: DiPsProperties, t: int, b: int,
     return kernel
 
 
-def _raw_block_rows(hp: int, wp: int, fpb: int, c: int) -> int:
+def _raw_block_rows(hp: int, wp: int, fpb: int, c: int, s: int = 1) -> int:
     """Row-block height for the raw (absdiff/threshold) kernel: the divisor
     of Hp (>= the row floor where possible) whose input block
     (3 x F x bh x Wp bytes) is nearest the measured DMA sweet spot (ties:
     larger block); a per-device-kind measured target
-    (python -m dips_tpu.autotune) overrides the baked-in v5e pin."""
+    (python -m dips_tpu.autotune) overrides the baked-in v5e pin, and
+    stacked shapes (``s`` > 1) prefer their own ``--stacked`` key."""
     if _RAW_BH_OVERRIDE is not None:  # autotune probe (see above)
         return _RAW_BH_OVERRIDE
     # per-row VMEM: cur in + out (u8, F-deep, dbl-buffered), 2 u8 base
@@ -1139,7 +1163,8 @@ def _raw_block_rows(hp: int, wp: int, fpb: int, c: int) -> int:
     bytes_per_row = wp * (3 * fpb * 2 + c * fpb * 2 + 3 * 4 + 4 * 5 + 4 * 6)
     max_rows = max(_VMEM_BUDGET_RAW // bytes_per_row, 8)
     in_row_bytes = 3 * fpb * wp
-    target_bytes = tuning.raw_target_bytes() or _RAW_TARGET_BLOCK_BYTES
+    target_bytes = ((tuning.stacked_raw_target_bytes() if s > 1 else None)
+                    or tuning.raw_target_bytes() or _RAW_TARGET_BLOCK_BYTES)
     cands = [8 * d for d in range(1, hp // 8 + 1)
              if hp % (8 * d) == 0 and 8 * d <= max_rows]
     pool = [cd for cd in cands if cd >= _RAW_MIN_ROWS] or cands or [8]
@@ -1173,7 +1198,7 @@ def _absdiff_step_impl(props: DiPsProperties, h: int, w: int, s: int,
     else:
         fpb = _frames_per_step(t, b)
         assert t % fpb == 0 and b % fpb == 0, (t, b, fpb)
-    bh = _raw_block_rows(hp, wp, fpb, c if emit_maps else 0)
+    bh = _raw_block_rows(hp, wp, fpb, c if emit_maps else 0, s=s)
     n_hb_per = hp // bh
     n_hb = s * n_hb_per
 

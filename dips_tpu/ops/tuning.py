@@ -19,6 +19,8 @@ Cache location: ``$DIPS_TPU_AUTOTUNE_CACHE`` or
     {"TPU v6 lite": {
         "ring_caps": {"3": 56320, "5": 52000, "7": 39000},
         "raw_target_bytes": 512000,
+        "stacked_ring_caps": {"3": 56320},        # --stacked S probes
+        "stacked_raw_target_bytes": 512000,       # (coalesced shapes)
         "meta": {...provenance...}}}
 
 This module is import-cycle free (no jax/pallas imports at module level):
@@ -128,35 +130,74 @@ def raw_target_bytes(kind: Optional[str] = None) -> Optional[int]:
         return None
 
 
+def stacked_ring_cap(window: int,
+                     kind: Optional[str] = None) -> Optional[int]:
+    """Measured wp*bh product cap for the STACKED median ring kernel
+    (s streams folded along the row axis — the coalesced-serving
+    production shape, ``python -m dips_tpu.autotune --stacked S``), or
+    None (fall back to the single-stream cap/pins).  Per-block VMEM is
+    stream-count-independent, but Mosaic's scheduling across s x n_hb
+    row blocks can move the real edge — hence a separate measured key."""
+    caps = device_entry(kind).get("stacked_ring_caps", {})
+    if not isinstance(caps, dict):
+        return None
+    v = caps.get(str(window))
+    try:
+        return int(v) if v else None
+    except (TypeError, ValueError):
+        log.warning("ignoring malformed stacked ring cap %r for window %d",
+                    v, window)
+        return None
+
+
+def stacked_raw_target_bytes(kind: Optional[str] = None) -> Optional[int]:
+    """Measured input-block sweet spot for the STACKED raw kernel, or
+    None (fall back to the single-stream target/pin)."""
+    v = device_entry(kind).get("stacked_raw_target_bytes")
+    try:
+        return int(v) if v else None
+    except (TypeError, ValueError):
+        log.warning("ignoring malformed stacked_raw_target_bytes %r", v)
+        return None
+
+
 def save(kind: str, ring_caps: Optional[dict] = None,
          raw_target: Optional[int] = None,
+         stacked_ring_caps: Optional[dict] = None,
+         stacked_raw_target: Optional[int] = None,
          meta: Optional[dict] = None) -> str:
     """Merge measurements for ``kind`` into the cache file; returns the
     path written.  Partial updates keep the other family's entries.
 
-    Ring caps merge by MAX: a cap is "largest wp*bh plane observed to
-    compile", and any passing compile is a valid lower bound of the true
-    VMEM edge — so probing several geometries (whose divisor ladders are
-    coarse in different places) accumulates the least-conservative safe
-    cap.  The raw target is a timed optimum (not monotone-safe): the last
-    run wins, so run autotune at the geometry you deploy."""
+    Ring caps (plain and stacked) merge by MAX: a cap is "largest wp*bh
+    plane observed to compile", and any passing compile is a valid lower
+    bound of the true VMEM edge — so probing several geometries (whose
+    divisor ladders are coarse in different places) accumulates the
+    least-conservative safe cap.  The raw targets are timed optima (not
+    monotone-safe): the last run wins, so run autotune at the geometry
+    you deploy."""
     path = cache_path()
     invalidate()        # re-read the FILE: another process (a concurrent
     data = _load().copy()  # autotune run) may have written since we loaded
     raw_entry = data.get(kind, {})
     entry = dict(raw_entry) if isinstance(raw_entry, dict) else {}
-    if ring_caps:
-        prior = entry.get("ring_caps", {})
+    for key, caps in (("ring_caps", ring_caps),
+                      ("stacked_ring_caps", stacked_ring_caps)):
+        if not caps:
+            continue
+        prior = entry.get(key, {})
         merged = dict(prior) if isinstance(prior, dict) else {}
-        for k, v in ring_caps.items():
+        for k, v in caps.items():
             try:
                 prev = int(merged.get(str(k), 0))
             except (TypeError, ValueError):
                 prev = 0
             merged[str(k)] = max(int(v), prev)
-        entry["ring_caps"] = merged
+        entry[key] = merged
     if raw_target:
         entry["raw_target_bytes"] = int(raw_target)
+    if stacked_raw_target:
+        entry["stacked_raw_target_bytes"] = int(stacked_raw_target)
     if meta:
         entry["meta"] = meta
     data[kind] = entry

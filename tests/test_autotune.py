@@ -46,6 +46,84 @@ def test_store_roundtrip(cache):
         assert "meta" in json.load(f)["TPU vX"]
 
 
+def test_store_stacked_keys(cache):
+    """--stacked probes persist their own keys; the stacked pickers
+    prefer them and fall back to the single-stream keys."""
+    tuning.save("TPU vX", ring_caps={3: 50_000}, raw_target=500_000,
+                stacked_ring_caps={3: 40_000}, stacked_raw_target=300_000)
+    assert tuning.stacked_ring_cap(3, kind="TPU vX") == 40_000
+    assert tuning.stacked_ring_cap(5, kind="TPU vX") is None
+    assert tuning.stacked_raw_target_bytes(kind="TPU vX") == 300_000
+    # max-merge applies to stacked caps too
+    tuning.save("TPU vX", stacked_ring_caps={3: 30_000, 5: 20_000})
+    assert tuning.stacked_ring_cap(3, kind="TPU vX") == 40_000
+    assert tuning.stacked_ring_cap(5, kind="TPU vX") == 20_000
+    # single-stream keys untouched
+    assert tuning.ring_product_cap(3, kind="TPU vX") == 50_000
+    assert tuning.raw_target_bytes(kind="TPU vX") == 500_000
+
+
+def test_stacked_geometry_prefers_stacked_keys(cache, monkeypatch):
+    from dips_tpu.ops import pallas_fused, tuning as tn
+    monkeypatch.setattr(tn, "_device_kind", lambda: "TPU vST")
+    tn.save("TPU vST", ring_caps={3: 2048 * 72},
+            stacked_ring_caps={3: 2048 * 40})
+    # single-stream pick uses the plain cap; stacked pick its own key
+    assert pallas_fused._ring_geometry(1080, 2048, 3, 4, 64) == (8, 72)
+    assert pallas_fused._ring_geometry(1080, 2048, 3, 4, 64, s=2) == (8, 40)
+    # no stacked key for w5 -> falls back to the plain cap path
+    tn.save("TPU vST", ring_caps={5: 2048 * 24})
+    assert pallas_fused._ring_geometry(1080, 2048, 5, 4, 64, s=2) == (8, 24)
+    # raw picker: stacked target wins only when present
+    tn.save("TPU vST", raw_target=2 * 1024 * 1024)
+    assert pallas_fused._raw_block_rows(960, 2048, 8, 3, s=2) == 32
+    tn.save("TPU vST", stacked_raw_target=500_000)
+    assert pallas_fused._raw_block_rows(960, 2048, 8, 3, s=2) == 16
+    assert pallas_fused._raw_block_rows(960, 2048, 8, 3) == 32
+
+
+def test_pinned_kind_caps_floor_at_baked_pins(cache, monkeypatch):
+    """On the device kind the baked caps were measured on, a SMALLER
+    autotuned cap (a coarse-ladder lower bound, e.g. 1080p's 24->40 jump
+    stopping at 49152 where the true edge is 56320) must not shrink the
+    pick — both are silicon lower bounds, the max wins.  On any OTHER
+    kind the measured cap is authoritative."""
+    from dips_tpu.ops import pallas_fused
+    pin = pallas_fused._PINNED_DEVICE_KIND
+    monkeypatch.setattr(tuning, "_device_kind", lambda: pin)
+    tuning.save(pin, ring_caps={3: 2048 * 24})  # 49152 < baked 56320
+    # 720p-class: wp=1408, hp=720 -> baked cap allows bh=40
+    assert pallas_fused._ring_geometry(720, 1408, 3, 4, 64)[1] == 40
+    # a LARGER measured cap still wins on the pinned kind
+    tuning.save(pin, ring_caps={3: 1408 * 48})
+    assert pallas_fused._ring_geometry(720, 1408, 3, 4, 64)[1] == 48
+    # other kinds: measured-only (may be smaller than the v5e pins)
+    monkeypatch.setattr(tuning, "_device_kind", lambda: "TPU vOTHER")
+    tuning.save("TPU vOTHER", ring_caps={3: 1408 * 24})
+    assert pallas_fused._ring_geometry(720, 1408, 3, 4, 64)[1] == 24
+
+
+def test_probe_stacked_with_fake_measure(monkeypatch):
+    """probe_stacked_* delegate to the plain probes with stacked
+    factories; the s parameter reaches the factory."""
+    seen = {}
+
+    def fake_factory(win, h, w, t, b, s, approx=False):
+        seen["s"] = s
+
+        def measure(fpb, bh):
+            if bh > 16:
+                raise ProbeOOM(f"bh={bh}")
+            return 0.001 * bh
+        return measure, 48, 2048
+
+    monkeypatch.setattr(autotune, "_stacked_ring_measure_factory",
+                        fake_factory)
+    res = autotune.probe_stacked_ring_caps(4, windows=(3,), h=48, w=1920,
+                                           b=64)
+    assert res[3]["cap"] == 16 * 2048 and seen["s"] == 4
+
+
 def test_store_corrupt_file_is_ignored(cache):
     with open(cache, "w") as f:
         f.write("{not json")

@@ -243,9 +243,11 @@ def test_rowsharded_ring_guards():
     from dips_tpu.parallel.rowsharded import make_rowsharded_ring_step
     from jax.sharding import Mesh
     mesh = Mesh(np.asarray(jax.devices()[:8]), ("rows",))
-    with pytest.raises(ValueError, match="median"):
+    # raw modes route to the raw ring body (tests/test_rowsharded_raw.py);
+    # misaligned slabs are rejected on both bodies
+    with pytest.raises(ValueError, match="8-row-aligned"):
         make_rowsharded_ring_step(
-            DiPsProperties(output=OutputMode.ABSDIFF), 64, 40, mesh)
+            DiPsProperties(output=OutputMode.ABSDIFF), 24, 40, mesh)
     with pytest.raises(ValueError, match="8-row-aligned"):
         make_rowsharded_ring_step(
             DiPsProperties(window_size=3, temporal_size=2), 24, 40, mesh)
