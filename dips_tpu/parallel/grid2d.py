@@ -35,6 +35,21 @@ from .rowsharded import _row_body
 #: (window 7 -> p = 3 <= 8)
 _EXT = 8
 
+#: each extended section is additionally zero-padded at the BOTTOM to a
+#: multiple of this, so the kernel's row-block ladder (divisors of the
+#: section height) keeps {8, 16, 24, 48} available.  Without it the
+#: ladder can degenerate — 1080p/1 shard gives hse = 1096 = 8 x 137
+#: (137 prime), forcing bh=8, measured 0.66x the full-height kernel's
+#: rate; padded to 1104 the optimal bh=24 is available again.  The
+#: padding rows sit BELOW the bottom halo band: no owned row ever reads
+#: them (stencil reach p <= 3 < _EXT) and the mask window excludes them.
+_SECTION_ROUND = 48
+
+
+def _section_height(hs: int) -> int:
+    """Padded extended-section height for a hs-row owned slab."""
+    return -(-(hs + 2 * _EXT) // _SECTION_ROUND) * _SECTION_ROUND
+
 
 def grid_mesh(n_streams_axis: int, n_rows_axis: int,
               devices=None) -> Mesh:
@@ -101,11 +116,13 @@ def _pallas_slab_body(props, h, w, raw, baseline, flags, heatmap, valid,
 
     s_l, tb = raw.shape[0], raw.shape[1]
     hs, wp = raw.shape[-2], raw.shape[-1]
-    hse = hs + 2 * _EXT
+    hse = _section_height(hs)
+    extra = hse - (hs + 2 * _EXT)     # bottom ladder padding (zeros)
     raw_e = _halo_extend_u8(raw, axis)
+    raw_e = jnp.pad(raw_e, ((0, 0),) * 3 + ((0, extra), (0, 0)))
     # fold local streams' extended slabs along the row axis of ONE kernel
     raw_st = raw_e.transpose(1, 2, 0, 3, 4).reshape(tb, 3, s_l * hse, wp)
-    zp = ((0, 0), (_EXT, _EXT), (0, 0))
+    zp = ((0, 0), (_EXT, _EXT + extra), (0, 0))
     bl_st = jnp.pad(baseline, zp).reshape(s_l * hse, wp)
     hm_st = jnp.pad(heatmap, zp).reshape(s_l * hse, wp)
     bounds = _slab_row_bounds(props, h, w, hs, axis)
@@ -142,10 +159,12 @@ def _pallas_slab_body_ring(props, h, w, raw, ring, prev, baseline, flags,
     s_l, b = raw.shape[0], raw.shape[1]
     t = ring.shape[1]
     hs, wp = raw.shape[-2], raw.shape[-1]
-    hse = hs + 2 * _EXT
+    hse = _section_height(hs)
+    extra = hse - (hs + 2 * _EXT)     # bottom ladder padding (zeros)
     raw_e = _halo_extend_u8(raw, axis)             # (S_l, B, 3, Hse, Wp)
+    raw_e = jnp.pad(raw_e, ((0, 0),) * 3 + ((0, extra), (0, 0)))
     raw_st = raw_e.transpose(1, 2, 0, 3, 4).reshape(b, 3, s_l * hse, wp)
-    zp = ((0, 0), (_EXT, _EXT), (0, 0))
+    zp = ((0, 0), (_EXT, _EXT + extra), (0, 0))
     ring_st = (jnp.pad(ring, ((0, 0),) + zp)
                .transpose(1, 0, 2, 3).reshape(t, s_l * hse, wp))
     pv_st = jnp.pad(prev, zp).reshape(s_l * hse, wp)
