@@ -31,11 +31,12 @@ def assert_close(exp_out, exp_stats, got_out, got_stats, exact, npix):
     fuses FMAs / distributes constant multiplies, so equal inputs can drift
     by 1 ulp and flip a x.5 rounding tie — SURVEY.md §7 'uint8 fidelity')."""
     assert got_out.shape == exp_out.shape
-    diff = np.abs(got_out.astype(np.int16) - exp_out.astype(np.int16))
-    assert diff.max() <= 1, f"u8 mismatch > 1 LSB (max {diff.max()})"
-    if exact:  # min/max-only math: no ties unless values collide exactly
-        frac = (diff != 0).mean()
-        assert frac <= 0.5, f"excessive tie flips ({frac:.2%})"
+    if got_out.size:  # emit_maps=False: zero-channel maps, shape-only
+        diff = np.abs(got_out.astype(np.int16) - exp_out.astype(np.int16))
+        assert diff.max() <= 1, f"u8 mismatch > 1 LSB (max {diff.max()})"
+        if exact:  # min/max-only math: no ties unless values collide
+            frac = (diff != 0).mean()
+            assert frac <= 0.5, f"excessive tie flips ({frac:.2%})"
     np.testing.assert_allclose(got_stats[:, :3], exp_stats[:, :3],
                                atol=1e-5, rtol=1e-4)
     # changed-pixel counts may flip on knife-edge pixels only

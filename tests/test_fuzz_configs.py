@@ -37,6 +37,7 @@ def _random_props(r: np.random.Generator, h: int = 0,
                                        replace=False)),
         change_threshold=int(r.integers(1, 60)),
         quirk_compat=bool(r.integers(0, 4) == 0),  # the bug-for-bug mode
+        emit_maps=bool(r.integers(0, 4) != 0),     # sometimes: no-map run
     )
 
 
