@@ -369,6 +369,7 @@ class FleetFlickerAnalyzer:
         self.frames_seen = [0] * self.n_streams
         self._geometry: Optional[Tuple[int, int]] = None
         self._state = None
+        self._staging: dict = {}   # round length n -> reusable host buffer
 
     # -- configuration ------------------------------------------------------
     def configure(self, stream: int, freq_hz: float, fps: float,
@@ -452,7 +453,17 @@ class FleetFlickerAnalyzer:
             self._init_state(*self._geometry)
         h, w = self._geometry
         s = self.n_streams
-        stacked = np.zeros((n, s, h, w, 3), np.uint8)
+        # persistent staging per round length n: at fleet scale the
+        # stacked buffer is large, and a fresh allocation + page faults
+        # every round is real hot-path cost.  Stale bytes from earlier
+        # rounds need NO re-zeroing — every (frame, stream) cell the
+        # current round does not fill is gated off inside the kernel
+        # (uint8 bytes cannot poison anything through a zero gate), and
+        # jnp.asarray copies the buffer before this method returns.
+        stacked = self._staging.get(n)
+        if stacked is None:
+            stacked = self._staging[n] = np.empty((n, s, h, w, 3),
+                                                  np.uint8)
         gates = np.zeros((n, s), np.float32)
         coeffs = np.zeros((3, n, s), np.float32)
         j = np.arange(n, dtype=np.float64)

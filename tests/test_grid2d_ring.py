@@ -132,10 +132,13 @@ def test_grid_ring_roi_stats():
                                    atol=1e-6)
 
 
-def test_engine_2d_mesh_ring_carry():
+@pytest.mark.parametrize("layout", ["planar", "hwc"])
+def test_engine_2d_mesh_ring_carry(layout):
     """MultiStreamEngine on a 2-D mesh with ring_carry matches the tail
     grid engine through the full engine surface (multi-batch: the carried
-    ring state must reproduce the tail protocol's history)."""
+    ring state must reproduce the tail protocol's history), in both
+    input layouts (hwc = device-side transpose+pad before the grid
+    step)."""
     from dips_tpu.parallel.multistream import MultiStreamEngine
     props = DiPsProperties(window_size=3, temporal_size=2,
                            filter=DiPsFilter.UNFILTERED)
@@ -147,7 +150,7 @@ def test_engine_2d_mesh_ring_carry():
     for ring in (True, False):
         eng = MultiStreamEngine(props, h, w, n_streams=2, batch=4,
                                 mesh=grid_mesh(2, 4), backend="pallas",
-                                ring_carry=ring)
+                                ring_carry=ring, input_layout=layout)
         assert eng.ring_carry is ring
         outs, stats = [], []
         for k in (0, 1):
