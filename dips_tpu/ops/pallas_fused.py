@@ -166,11 +166,21 @@ def _stats_tile(vals) -> jnp.ndarray:
 
 
 def _filtered_plane(props: DiPsProperties, i: int, cur_ref, up_ref, dn_ref,
-                    strip_ref, hb_in, n_hb_per: int, bh: int, wp: int):
+                    strip_ref, hb_in, n_hb_per: int, bh: int, wp: int,
+                    bandtop_ref=None, bandbot_ref=None):
     """Shared front half of the median-pipeline kernels: intensity strip
     with p-row halos (zero at image/stream boundaries), then the spatial
     median (exact selection network or the separable approximation).
-    Returns the filtered plane phi for within-block frame ``i``."""
+    Returns the filtered plane phi for within-block frame ``i``.
+
+    ``bandtop_ref``/``bandbot_ref`` (slab-band mode, parallel/grid2d.py):
+    8-row neighbour bands that replace the ZERO boundary fill — at the
+    first/last row block of a stream section the stencil taps read the
+    adjacent shard's rows (ppermuted over ICI by the caller) instead of
+    zeros, so a row-sharded slab computes bit-identically to its rows in
+    the full-height kernel with NO halo-extended input copy.  The bands
+    are zeroed by the caller at the global top/bottom edge (the
+    pipeline's zero out-of-bounds semantics)."""
     window = props.window_size
     p = window // 2
     strip_ref[8:8 + bh] = _intensity_i(cur_ref[i], props.chroma)
@@ -178,10 +188,14 @@ def _filtered_plane(props: DiPsProperties, i: int, cur_ref, up_ref, dn_ref,
         # convert only the p halo rows the stencil actually reads
         up = _intensity_i(up_ref[i, :, 8 - p:8], props.chroma)
         dn = _intensity_i(dn_ref[i, :, 0:p], props.chroma)
-        zerop = jnp.zeros((p, wp), jnp.float32)
-        strip_ref[8 - p:8] = jnp.where(hb_in > 0, up, zerop)
+        if bandtop_ref is not None:
+            topfill = _intensity_i(bandtop_ref[i, :, 8 - p:8], props.chroma)
+            botfill = _intensity_i(bandbot_ref[i, :, 0:p], props.chroma)
+        else:
+            topfill = botfill = jnp.zeros((p, wp), jnp.float32)
+        strip_ref[8 - p:8] = jnp.where(hb_in > 0, up, topfill)
         strip_ref[8 + bh:8 + bh + p] = jnp.where(
-            hb_in < n_hb_per - 1, dn, zerop)
+            hb_in < n_hb_per - 1, dn, botfill)
     if props.quirk_compat:
         # bug-for-bug reference filter (networks.quirk_window_select) +
         # the rgba8unorm store-back quantization (even integers on the
@@ -344,7 +358,7 @@ def _emit_median_frame(props: DiPsProperties, i: int, m, si, cur,
 
 def _make_kernel(props: DiPsProperties, h: int, w: int, t: int, b: int,
                  bh: int, wp: int, n_hb: int, fpb: int, s: int = 1,
-                 dyn_rows: bool = False):
+                 dyn_rows: bool = False, slab_bands: bool = False):
     """``s`` > 1 = stacked-stream mode: the row axis carries s independent
     streams of n_hb/s row blocks each.  One kernel instance processes all
     of them (each row block's scratch is already independent), instead of
@@ -359,7 +373,11 @@ def _make_kernel(props: DiPsProperties, h: int, w: int, t: int, b: int,
     ONLY kernel-side difference between a full-height stream and a
     halo-extended row slab: everything after the spatial filter is
     row-local, so slab halo rows just compute garbage that the caller
-    masks (stats) or slices away (outputs)."""
+    masks (stats) or slices away (outputs).
+
+    ``slab_bands``: slab-band mode — two extra 8-row band inputs feed the
+    stencil's boundary taps (see _filtered_plane), so slabs stay in OWNED
+    coordinates with no halo extension at all."""
     window = props.window_size
     p = window // 2
     overall = props.method == DiPsMethod.OVERALL
@@ -371,7 +389,8 @@ def _make_kernel(props: DiPsProperties, h: int, w: int, t: int, b: int,
     def kernel(flags_ref,                       # SMEM (S, B) int32
                valid_ref,                       # SMEM (S, B) int32
                *refs):
-        # inputs: cur [, up, dn when p > 0], base_in, heat_in
+        # inputs: cur [, up, dn when p > 0] [, bandtop, bandbot],
+        #         base_in, heat_in
         # outputs: [out when emit_maps,] stats, base_out, heat_out
         # scratch: ring, base, prev, heat, mask, strip
         if dyn_rows:
@@ -380,6 +399,8 @@ def _make_kernel(props: DiPsProperties, h: int, w: int, t: int, b: int,
         cur_ref = next(it)
         up_ref = next(it) if p > 0 else None
         dn_ref = next(it) if p > 0 else None
+        bandtop_ref = next(it) if slab_bands else None
+        bandbot_ref = next(it) if slab_bands else None
         base_in_ref = next(it)
         heat_in_ref = next(it)
         out_ref = next(it) if emit_maps else None
@@ -414,7 +435,8 @@ def _make_kernel(props: DiPsProperties, h: int, w: int, t: int, b: int,
 
             # ---- intensity strip + spatial median (shared helper) ------
             phi = _filtered_plane(props, i, cur_ref, up_ref, dn_ref,
-                                  strip_ref, hb_in, n_hb_per, bh, wp)
+                                  strip_ref, hb_in, n_hb_per, bh, wp,
+                                  bandtop_ref, bandbot_ref)
 
             # ---- temporal ring (carried across sequential steps) -------
             ring_ref[lax.rem(gf, t)] = phi
@@ -448,7 +470,7 @@ def _make_kernel(props: DiPsProperties, h: int, w: int, t: int, b: int,
 
 def _batch_step_impl(props: DiPsProperties, h: int, w: int, s: int,
                      raw, baseline, flags2d, heatmap, valid2d,
-                     row_bounds=None):
+                     row_bounds=None, bands=None):
     """Shared body: ``s`` streams stacked along the row axis.
 
     raw (T+B, 3, s*Hp, Wp) u8, baseline/heatmap (s*Hp, Wp) f32,
@@ -456,11 +478,16 @@ def _batch_step_impl(props: DiPsProperties, h: int, w: int, s: int,
     new baseline, new heatmap).
 
     ``row_bounds`` (traced i32 (2,), optional): row-slab mode — each
-    stacked section is a halo-extended horizontal slab and the
-    stats/heatmap mask row window is [row_bounds[0], row_bounds[1]) in
-    section-LOCAL rows (the caller folds the global roi/validity rows
-    in); sums stay scaled by the FULL-image analysis_pixels so per-slab
-    stats psum to the single-device values (parallel/grid2d.py)."""
+    stacked section is a horizontal slab and the stats/heatmap mask row
+    window is [row_bounds[0], row_bounds[1]) in section-LOCAL rows (the
+    caller folds the global roi/validity rows in); sums stay scaled by
+    the FULL-image analysis_pixels so per-slab stats psum to the
+    single-device values (parallel/grid2d.py).
+
+    ``bands``: slab-BAND mode — ``(bandtop, bandbot)`` u8
+    (T+B, 3, s*8, Wp) neighbour bands feed the stencil's boundary taps
+    directly (see _batch_step_ring_impl), so slabs stay in OWNED
+    coordinates (no halo-extended copy, no output slice)."""
     t = props.temporal_size
     b = raw.shape[0] - t
     hp_tot, wp = raw.shape[-2], raw.shape[-1]
@@ -479,11 +506,14 @@ def _batch_step_impl(props: DiPsProperties, h: int, w: int, s: int,
     flags_i32 = flags2d.astype(jnp.int32)
     valid_i32 = valid2d.astype(jnp.int32)
     dyn_rows = row_bounds is not None
+    slab_bands = bands is not None
+    if slab_bands and props.window_size <= 1:
+        raise ValueError("slab bands apply only to stencil windows (> 1)")
     scalars = [flags_i32, valid_i32]
     if dyn_rows:
         scalars.append(row_bounds.astype(jnp.int32))
     kernel = _make_kernel(props, h, w, t, b, bh, wp, n_hb, fpb, s,
-                          dyn_rows=dyn_rows)
+                          dyn_rows=dyn_rows, slab_bands=slab_bands)
     has_halo = props.window_size > 1
     halo_specs = _halo_specs(props.window_size, fpb, wp, bh8, n8_per,
                              n_hb_per)
@@ -495,6 +525,7 @@ def _batch_step_impl(props: DiPsProperties, h: int, w: int, s: int,
             pl.BlockSpec((fpb, 3, bh, wp), lambda hb, f, *_: (f, 0, hb, 0),
                          memory_space=pltpu.VMEM),
             *halo_specs,
+            *(_band_specs(fpb, wp, n_hb_per) if slab_bands else []),
             pl.BlockSpec((bh, wp), lambda hb, f, *_: (hb, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((bh, wp), lambda hb, f, *_: (hb, 0),
@@ -538,7 +569,8 @@ def _batch_step_impl(props: DiPsProperties, h: int, w: int, s: int,
         ],
         interpret=jax.default_backend() == "cpu",
     )(*scalars,
-      *((raw, raw, raw) if has_halo else (raw,)), baseline, heatmap)
+      *((raw, raw, raw) if has_halo else (raw,)),
+      *(bands if slab_bands else ()), baseline, heatmap)
     if c == 0:
         # the zero-channel output array costs nothing; it keeps the
         # return contract shape-compatible for every consumer
@@ -723,12 +755,14 @@ def _ring_geometry(hp: int, wp: int, window: int, t: int, b: int,
 
 def _make_ring_kernel(props: DiPsProperties, h: int, w: int, t: int, b: int,
                       bh: int, wp: int, n_hb: int, fpb: int, s: int = 1,
-                      dyn_rows: bool = False):
+                      dyn_rows: bool = False, slab_bands: bool = False):
     """Ring-carry median-pipeline kernel (see the section comment above).
     Carried state (ring/prev/baseline/heatmap) lives directly in the
     fs-invariant output blocks — seeded from the input blocks at fs == 0,
     flushed to HBM once after the last frame step — so it costs no VMEM
-    scratch.  ``dyn_rows``: row-slab mask window, see _make_kernel."""
+    scratch.  ``dyn_rows``: row-slab mask window, see _make_kernel.
+    ``slab_bands``: two extra 8-row band inputs replace the zero boundary
+    fill of the spatial stencil (see _filtered_plane)."""
     window = props.window_size
     p = window // 2
     overall = props.method == DiPsMethod.OVERALL
@@ -738,7 +772,8 @@ def _make_ring_kernel(props: DiPsProperties, h: int, w: int, t: int, b: int,
     def kernel(flags_ref, valid_ref, off_ref, seed_ref, *refs):
         if dyn_rows:
             rowb_ref, *refs = refs              # SMEM (2,) int32
-        # inputs: cur [, up, dn], ring_in [, prev_in], base_in, heat_in
+        # inputs: cur [, up, dn] [, bandtop, bandbot], ring_in
+        #         [, prev_in], base_in, heat_in
         # outputs: [out when emit_maps,] stats, ring (working)
         #          [, prev (working)], base (working), heat (working)
         # scratch: mask, strip
@@ -746,6 +781,8 @@ def _make_ring_kernel(props: DiPsProperties, h: int, w: int, t: int, b: int,
         cur_ref = next(it)
         up_ref = next(it) if p > 0 else None
         dn_ref = next(it) if p > 0 else None
+        bandtop_ref = next(it) if slab_bands else None
+        bandbot_ref = next(it) if slab_bands else None
         ring_in_ref = next(it)
         prev_in_ref = None if overall else next(it)
         base_in_ref = next(it)
@@ -787,7 +824,8 @@ def _make_ring_kernel(props: DiPsProperties, h: int, w: int, t: int, b: int,
 
             # ---- intensity strip + spatial median (shared helper) ------
             phi = _filtered_plane(props, i, cur_ref, up_ref, dn_ref,
-                                  strip_ref, hb_in, n_hb_per, bh, wp)
+                                  strip_ref, hb_in, n_hb_per, bh, wp,
+                                  bandtop_ref, bandbot_ref)
 
             # ---- carried ring: slot = (cursor + frame) mod T, writes
             # gated on valid so padding replicas can't pollute state ------
@@ -816,9 +854,19 @@ def _make_ring_kernel(props: DiPsProperties, h: int, w: int, t: int, b: int,
     return kernel
 
 
+def _band_specs(fpb: int, wp: int, n_hb_per: int):
+    """BlockSpecs of the two 8-row slab-band inputs (b-frames, 3, s*8, wp):
+    constant over a stream section's row blocks, indexed by stream."""
+    def band_idx(hb, f, *_):
+        return (f, 0, hb // n_hb_per, 0)
+    return [pl.BlockSpec((fpb, 3, 8, wp), band_idx,
+                         memory_space=pltpu.VMEM)] * 2
+
+
 def _batch_step_ring_impl(props: DiPsProperties, h: int, w: int, s: int,
                           raw, ring, prev, baseline, flags2d, heatmap,
-                          valid2d, offsets, seeds, row_bounds=None):
+                          valid2d, offsets, seeds, row_bounds=None,
+                          bands=None):
     """Shared ring-carry body; ``s`` streams stacked along the row axis.
 
     raw (B, 3, s*Hp, Wp) u8, ring (T, s*Hp, Wp) f32, prev/baseline/heatmap
@@ -826,10 +874,17 @@ def _batch_step_ring_impl(props: DiPsProperties, h: int, w: int, s: int,
     (out (B, C, s*Hp, Wp) u8, stats (s, B, 4) f32, new ring, new prev,
     new baseline, new heatmap).
 
-    ``row_bounds``: row-slab mask window (see _batch_step_impl) — carried
-    ring/prev/baseline state is then the halo-EXTENDED slab shape; its
-    extension rows hold zero-halo garbage that no owned row ever reads
-    (everything after the spatial filter is row-local)."""
+    ``row_bounds``: row-slab mask window (see _batch_step_impl) — with the
+    legacy extended-slab construction the carried ring/prev/baseline state
+    is the halo-EXTENDED slab shape; its extension rows hold zero-halo
+    garbage that no owned row ever reads (everything after the spatial
+    filter is row-local).
+
+    ``bands``: slab-BAND mode (the default sharded construction,
+    parallel/grid2d.py) — ``(bandtop, bandbot)`` u8 (B, 3, s*8, Wp)
+    neighbour bands that feed the stencil's boundary taps directly, so
+    raw, carried state and outputs all stay in OWNED slab coordinates
+    (no extended-input copy, no state pad/slice, no output slice)."""
     t = props.temporal_size
     b = raw.shape[0]
     hp_tot, wp = raw.shape[-2], raw.shape[-1]
@@ -848,11 +903,14 @@ def _batch_step_ring_impl(props: DiPsProperties, h: int, w: int, s: int,
     off_i32 = offsets.astype(jnp.int32)
     seed_i32 = seeds.astype(jnp.int32)
     dyn_rows = row_bounds is not None
+    slab_bands = bands is not None
+    if slab_bands and props.window_size <= 1:
+        raise ValueError("slab bands apply only to stencil windows (> 1)")
     scalars = [flags_i32, valid_i32, off_i32, seed_i32]
     if dyn_rows:
         scalars.append(row_bounds.astype(jnp.int32))
     kernel = _make_ring_kernel(props, h, w, t, b, bh, wp, n_hb, fpb, s,
-                               dyn_rows=dyn_rows)
+                               dyn_rows=dyn_rows, slab_bands=slab_bands)
     has_halo = props.window_size > 1
     halo_specs = _halo_specs(props.window_size, fpb, wp, bh8, n8_per,
                              n_hb_per)
@@ -871,6 +929,7 @@ def _batch_step_ring_impl(props: DiPsProperties, h: int, w: int, s: int,
             pl.BlockSpec((fpb, 3, bh, wp), lambda hb, f, *_: (f, 0, hb, 0),
                          memory_space=pltpu.VMEM),
             *halo_specs,
+            *(_band_specs(fpb, wp, n_hb_per) if slab_bands else []),
             ring_spec,
             *prev_specs,
             plane_spec,
@@ -907,7 +966,8 @@ def _batch_step_ring_impl(props: DiPsProperties, h: int, w: int, s: int,
         ],
         interpret=jax.default_backend() == "cpu",
     )(*scalars,
-      *((raw, raw, raw) if has_halo else (raw,)), ring,
+      *((raw, raw, raw) if has_halo else (raw,)),
+      *(bands if slab_bands else ()), ring,
       *([] if overall else [prev]), baseline, heatmap)
 
     if c == 0:

@@ -63,33 +63,41 @@ def grid_mesh(n_streams_axis: int, n_rows_axis: int,
     return Mesh(arr, ("stream", "rows"))
 
 
-def _halo_extend_u8(slab: jnp.ndarray, axis: str) -> jnp.ndarray:
-    """(..., Hs, W) u8 -> (..., Hs + 2*_EXT, W): an 8-row band from each
-    row-neighbour over ICI (zero at the global top/bottom edges — the
-    pipeline's zero out-of-bounds stencil semantics)."""
+def _band_exchange_u8(slab: jnp.ndarray, axis: str):
+    """(..., Hs, W) u8 -> (top (..., 8, W), bot (..., 8, W)): the 8-row
+    bands adjacent to this shard's slab, fetched from the row-neighbours
+    over ICI (zero at the global top/bottom edges — the pipeline's zero
+    out-of-bounds stencil semantics)."""
     n = lax.axis_size(axis)
     idx = lax.axis_index(axis)
-    # my bottom band DOWN (to idx+1) -> his top extension
+    # my bottom band DOWN (to idx+1) -> the rows above his slab
     down = [(i, (i + 1) % n) for i in range(n)]
     top = lax.ppermute(slab[..., -_EXT:, :], axis, down)
-    # my top band UP (to idx-1) -> his bottom extension
+    # my top band UP (to idx-1) -> the rows below his slab
     up = [(i, (i - 1) % n) for i in range(n)]
     bot = lax.ppermute(slab[..., :_EXT, :], axis, up)
     zero = jnp.zeros_like(top)
-    top = jnp.where(idx == 0, zero, top)
-    bot = jnp.where(idx == n - 1, zero, bot)
+    return (jnp.where(idx == 0, zero, top),
+            jnp.where(idx == n - 1, zero, bot))
+
+
+def _halo_extend_u8(slab: jnp.ndarray, axis: str) -> jnp.ndarray:
+    """(..., Hs, W) u8 -> (..., Hs + 2*_EXT, W): the neighbour bands
+    concatenated around the slab (the legacy "extended" construction)."""
+    top, bot = _band_exchange_u8(slab, axis)
     return jnp.concatenate([top, slab, bot], axis=-2)
 
 
 def _slab_row_bounds(props: DiPsProperties, h: int, w: int, hs: int,
-                     axis: str) -> jnp.ndarray:
+                     axis: str, ext: int = _EXT) -> jnp.ndarray:
     """Section-local [lo, hi) mask row window for this shard's slab: the
     global roi/validity rows intersected with the owned range, shifted by
-    the extension offset.  Traced (depends on the shard's row index)."""
+    the extension offset (0 in band mode — owned coordinates).  Traced
+    (depends on the shard's row index)."""
     row0 = lax.axis_index(axis) * hs  # global index of first owned row
     y0, _, y1, _ = props.roi_bounds(h, w)  # global rows, clipped to h
-    lo = jnp.clip(jnp.int32(y0) - row0, 0, hs) + _EXT
-    hi = jnp.clip(jnp.int32(y1) - row0, 0, hs) + _EXT
+    lo = jnp.clip(jnp.int32(y0) - row0, 0, hs) + ext
+    hi = jnp.clip(jnp.int32(y1) - row0, 0, hs) + ext
     return jnp.stack([lo, hi]).astype(jnp.int32)
 
 
@@ -135,6 +143,83 @@ def _pallas_slab_body(props, h, w, raw, baseline, flags, heatmap, valid,
     nb = nb.reshape(s_l, hse, wp)[:, _EXT:_EXT + hs]
     nh = nh.reshape(s_l, hse, wp)[:, _EXT:_EXT + hs]
     return out, _combine_slab_stats(stats, axis), nb, nh
+
+
+def _pallas_slab_body_bands(props, h, w, raw, baseline, flags, heatmap,
+                            valid, axis):
+    """Band-mode stacked Pallas shard body (tail protocol): raw, carried
+    state and outputs all stay in OWNED slab coordinates.  Instead of
+    halo-extending the input, the two 8-row neighbour bands ride ICI as
+    separate thin kernel inputs that feed the stencil's boundary taps
+    (ops/pallas_fused._filtered_plane), so the extended-input copy, the
+    state pads and the owned-row output slice all vanish — the slab
+    kernel's data movement is exactly the full-height kernel's plus
+    8/Hs of band traffic.  Owned rows are bit-identical to the
+    full-height kernel (same taps, same order).
+
+    raw (S_l, T+B, 3, Hs, Wp) u8, baseline/heatmap (S_l, Hs, Wp) f32,
+    flags/valid (S_l, B) -> (out (S_l, B, C, Hs, Wp), stats (S_l, B, 4)
+    full-frame, new baseline, new heatmap)."""
+    from ..ops import pallas_fused
+
+    s_l, tb = raw.shape[0], raw.shape[1]
+    hs, wp = raw.shape[-2], raw.shape[-1]
+    raw_st = raw.transpose(1, 2, 0, 3, 4).reshape(tb, 3, s_l * hs, wp)
+    bands = None
+    if props.window_size > 1:
+        top, bot = _band_exchange_u8(raw, axis)    # (S_l, T+B, 3, 8, Wp)
+        bands = (top.transpose(1, 2, 0, 3, 4).reshape(tb, 3, s_l * 8, wp),
+                 bot.transpose(1, 2, 0, 3, 4).reshape(tb, 3, s_l * 8, wp))
+    bl_st = baseline.reshape(s_l * hs, wp)
+    hm_st = heatmap.reshape(s_l * hs, wp)
+    bounds = _slab_row_bounds(props, h, w, hs, axis, ext=0)
+    out, stats, nb, nh = pallas_fused._batch_step_impl(
+        props, h, w, s_l, raw_st, bl_st, flags, hm_st, valid,
+        row_bounds=bounds, bands=bands)
+    b, c = out.shape[0], out.shape[1]
+    out = out.reshape(b, c, s_l, hs, wp).transpose(2, 0, 1, 3, 4)
+    return (out, _combine_slab_stats(stats, axis),
+            nb.reshape(s_l, hs, wp), nh.reshape(s_l, hs, wp))
+
+
+def _pallas_slab_body_ring_bands(props, h, w, raw, ring, prev, baseline,
+                                 flags, heatmap, valid, offsets, seeds,
+                                 axis):
+    """Band-mode ring-carry stacked Pallas shard body: the ring twin of
+    :func:`_pallas_slab_body_bands` — B new frames in, carried
+    ring/prev/baseline/heatmap state in OWNED slab coordinates throughout
+    (no pad/slice round trips at all; only the two 8-row raw bands ride
+    ICI per batch).
+
+    raw (S_l, B, 3, Hs, Wp) u8; ring (S_l, T, Hs, Wp),
+    prev/baseline/heatmap (S_l, Hs, Wp) f32; flags/valid (S_l, B);
+    offsets/seeds (S_l,) -> (out (S_l, B, C, Hs, Wp), stats (S_l, B, 4)
+    full-frame, new ring, new prev, new baseline, new heatmap)."""
+    from ..ops import pallas_fused
+
+    s_l, b = raw.shape[0], raw.shape[1]
+    t = ring.shape[1]
+    hs, wp = raw.shape[-2], raw.shape[-1]
+    raw_st = raw.transpose(1, 2, 0, 3, 4).reshape(b, 3, s_l * hs, wp)
+    bands = None
+    if props.window_size > 1:
+        top, bot = _band_exchange_u8(raw, axis)      # (S_l, B, 3, 8, Wp)
+        bands = (top.transpose(1, 2, 0, 3, 4).reshape(b, 3, s_l * 8, wp),
+                 bot.transpose(1, 2, 0, 3, 4).reshape(b, 3, s_l * 8, wp))
+    ring_st = ring.transpose(1, 0, 2, 3).reshape(t, s_l * hs, wp)
+    pv_st = prev.reshape(s_l * hs, wp)
+    bl_st = baseline.reshape(s_l * hs, wp)
+    hm_st = heatmap.reshape(s_l * hs, wp)
+    bounds = _slab_row_bounds(props, h, w, hs, axis, ext=0)
+    out, stats, nr, npv, nb, nh = pallas_fused._batch_step_ring_impl(
+        props, h, w, s_l, raw_st, ring_st, pv_st, bl_st, flags, hm_st,
+        valid, offsets, seeds, row_bounds=bounds, bands=bands)
+    c = out.shape[1]
+    out = out.reshape(b, c, s_l, hs, wp).transpose(2, 0, 1, 3, 4)
+    nr = nr.reshape(t, s_l, hs, wp).transpose(1, 0, 2, 3)
+    return (out, _combine_slab_stats(stats, axis), nr,
+            npv.reshape(s_l, hs, wp), nb.reshape(s_l, hs, wp),
+            nh.reshape(s_l, hs, wp))
 
 
 def _pallas_slab_body_ring(props, h, w, raw, ring, prev, baseline, flags,
@@ -185,7 +270,8 @@ def _pallas_slab_body_ring(props, h, w, raw, ring, prev, baseline, flags,
     return out, _combine_slab_stats(stats, axis), nr, npv, nb, nh
 
 
-def make_grid_ring_step(props: DiPsProperties, h: int, w: int, mesh: Mesh):
+def make_grid_ring_step(props: DiPsProperties, h: int, w: int, mesh: Mesh,
+                        slab_impl: str = "bands"):
     """Ring-carry twin of :func:`make_grid_step` (Pallas body only).
 
     Same call signature as multistream.make_sharded_ring_step's median
@@ -196,10 +282,19 @@ def make_grid_ring_step(props: DiPsProperties, h: int, w: int, mesh: Mesh):
     rebuild use it unchanged; only the mesh layout differs (each device
     owns a horizontal slab of a subset of streams, raw-input halos ride
     ICI per batch).  No tail re-upload, no tail re-filtering: the 1-D
-    ring protocol's T/(T+B) win now applies to the 2-D grid."""
+    ring protocol's T/(T+B) win now applies to the 2-D grid.
+
+    ``slab_impl``: "bands" (default) feeds the stencil's slab-boundary
+    taps from two thin 8-row neighbour-band kernel inputs — raw, carried
+    state and outputs stay in OWNED coordinates, eliminating the
+    extended construction's ~1 GB/batch of copy traffic (measured +49%
+    at 1080p (1x1), BASELINE.md); "extended" keeps the round-3/4
+    halo-extended construction (same bit-exact results)."""
     if props.output in (OutputMode.ABSDIFF, OutputMode.THRESHOLD,
                         OutputMode.STATS_ONLY):
         raise ValueError("2-D grid applies to the median pipeline modes")
+    if slab_impl not in ("bands", "extended"):
+        raise ValueError(f"unknown slab_impl {slab_impl!r}")
     from ..ops.reference import pad_geometry
     hp = pad_geometry(h, w)[0]
     rows_ax = mesh.shape["rows"]
@@ -207,10 +302,12 @@ def make_grid_ring_step(props: DiPsProperties, h: int, w: int, mesh: Mesh):
         raise ValueError(
             f"pallas 2-D grid needs 8-row-aligned slabs: padded height "
             f"{hp} / {rows_ax} row shards = {hp / rows_ax} rows")
+    ring_body = (_pallas_slab_body_ring_bands if slab_impl == "bands"
+                 else _pallas_slab_body_ring)
 
     def per_shard(raw, ring, prev, baseline, flags, heatmap, valid,
                   offsets, seeds):
-        out, stats, nr, npv, nb, nh = _pallas_slab_body_ring(
+        out, stats, nr, npv, nb, nh = ring_body(
             props, h, w, raw, ring, prev, baseline, flags, heatmap, valid,
             offsets, seeds, "rows")
         vw = valid.astype(jnp.float32)
@@ -248,7 +345,7 @@ def slab_rows_ok(hp: int, rows_ax: int) -> bool:
 
 
 def make_grid_step(props: DiPsProperties, h: int, w: int, mesh: Mesh,
-                   backend: str = "xla"):
+                   backend: str = "xla", slab_impl: str = "bands"):
     """Jitted step over a ("stream", "rows") mesh.
 
     Maps raw u8 (S, T+B, 3, Hp, Wp), baseline (S, Hp, Wp), flags (S, B),
@@ -257,12 +354,17 @@ def make_grid_step(props: DiPsProperties, h: int, w: int, mesh: Mesh,
     S must divide by the stream axis, Hp by the rows axis.
 
     ``backend``: "xla" = the portable vmap'd row-slab body; "pallas" = the
-    fused stacked kernel on halo-extended slabs (TPU; slabs must be 8-row
-    aligned — ``slab_rows_ok``).
+    fused stacked kernel on row slabs (TPU; slabs must be 8-row aligned —
+    ``slab_rows_ok``).  ``slab_impl`` (pallas only): "bands" (default) =
+    owned-coordinate slabs with thin neighbour-band halo inputs;
+    "extended" = the legacy halo-extended construction (see
+    :func:`make_grid_ring_step`).
     """
     if props.output in (OutputMode.ABSDIFF, OutputMode.THRESHOLD,
                         OutputMode.STATS_ONLY):
         raise ValueError("2-D grid applies to the median pipeline modes")
+    if slab_impl not in ("bands", "extended"):
+        raise ValueError(f"unknown slab_impl {slab_impl!r}")
     if backend == "pallas":
         from ..ops.reference import pad_geometry
         hp = pad_geometry(h, w)[0]
@@ -271,10 +373,12 @@ def make_grid_step(props: DiPsProperties, h: int, w: int, mesh: Mesh,
             raise ValueError(
                 f"pallas 2-D grid needs 8-row-aligned slabs: padded height "
                 f"{hp} / {rows_ax} row shards = {hp / rows_ax} rows")
+    tail_body = (_pallas_slab_body_bands if slab_impl == "bands"
+                 else _pallas_slab_body)
 
     def per_shard(raw, baseline, flags, heatmap, valid):
         if backend == "pallas":
-            out, stats, new_b, new_h = _pallas_slab_body(
+            out, stats, new_b, new_h = tail_body(
                 props, h, w, raw, baseline, flags, heatmap, valid, "rows")
         else:
             # raw: (S_local, T+B, 3, Hs, Wp) — vmap the row-slab body over

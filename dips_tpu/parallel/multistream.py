@@ -255,8 +255,9 @@ class MultiStreamEngine:
             # composite 2-D (stream x rows) grid: each device owns a
             # horizontal slab of a subset of streams (grid2d.make_grid_step)
             # with a choice of shard body: the fused Pallas stacked-slab
-            # kernel (halo-extended slabs, TPU; ring-carry or tail
-            # protocol) or the portable XLA body (tail only)
+            # kernel (owned-coordinate slabs with neighbour-band halo
+            # inputs, TPU; ring-carry or tail protocol) or the portable
+            # XLA body (tail only)
             from .grid2d import (make_grid_ring_step, make_grid_step,
                                  slab_rows_ok)
             n_shard = self.mesh.shape["stream"]

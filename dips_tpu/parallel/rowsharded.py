@@ -50,7 +50,8 @@ def _halo_exchange(slab: jnp.ndarray, p: int, axis: str) -> jnp.ndarray:
 
 
 def make_rowsharded_step(props: DiPsProperties, h: int, w: int, mesh: Mesh,
-                         axis: str = "rows", backend: str = "xla"):
+                         axis: str = "rows", backend: str = "xla",
+                         slab_impl: str = "bands"):
     """Jitted single-stream step with the H axis sharded over ``mesh``.
 
     Maps raw u8 (T+B, 3, Hp, Wp), baseline (Hp, Wp) f32 (median modes) or
@@ -68,13 +69,17 @@ def make_rowsharded_step(props: DiPsProperties, h: int, w: int, mesh: Mesh,
     (the 8K-class deployment this module's docstring motivates).
 
     ``backend``: "xla" = the portable row-slab body; "pallas" = the fused
-    slab kernels (median: halo-extended stacked kernel, raw: the maskless
-    integer kernel per slab; slabs must be 8-row aligned).
+    slab kernels (median: the stacked kernel on owned-coordinate slabs
+    with neighbour-band halo inputs, raw: the maskless integer kernel per
+    slab; slabs must be 8-row aligned).  ``slab_impl`` (pallas median
+    only): "bands" (default) / "extended" — see grid2d.make_grid_ring_step.
     """
     raw_mode = props.output in (OutputMode.ABSDIFF, OutputMode.THRESHOLD,
                                 OutputMode.STATS_ONLY)
     if raw_mode:
         return _make_rowsharded_raw_step(props, h, w, mesh, axis, backend)
+    if slab_impl not in ("bands", "extended"):
+        raise ValueError(f"unknown slab_impl {slab_impl!r}")
     if backend == "pallas":
         from ..ops.reference import pad_geometry
         from .grid2d import slab_rows_ok
@@ -85,8 +90,10 @@ def make_rowsharded_step(props: DiPsProperties, h: int, w: int, mesh: Mesh,
                 f"height {hp} / {mesh.shape[axis]} shards")
 
         def per_shard(raw, baseline, flags, heatmap, valid):
-            from .grid2d import _pallas_slab_body
-            out, stats, nb, nh = _pallas_slab_body(
+            from .grid2d import _pallas_slab_body, _pallas_slab_body_bands
+            body = (_pallas_slab_body_bands if slab_impl == "bands"
+                    else _pallas_slab_body)
+            out, stats, nb, nh = body(
                 props, h, w, raw[None], baseline[None], flags[None],
                 heatmap[None], valid[None], axis)
             return out[0], stats[0], nb[0], nh[0]
@@ -207,7 +214,8 @@ def _make_rowsharded_raw_step(props, h, w, mesh, axis, backend):
 
 
 def make_rowsharded_ring_step(props: DiPsProperties, h: int, w: int,
-                              mesh: Mesh, axis: str = "rows"):
+                              mesh: Mesh, axis: str = "rows",
+                              slab_impl: str = "bands"):
     """Ring-carry twin of :func:`make_rowsharded_step` (Pallas body only):
     the filtered temporal ring, PER_FRAME previous plane, baseline and
     heatmap are carried device state sharded over ``axis``; the input is
@@ -226,16 +234,21 @@ def make_rowsharded_ring_step(props: DiPsProperties, h: int, w: int,
     if props.output in (OutputMode.ABSDIFF, OutputMode.THRESHOLD,
                         OutputMode.STATS_ONLY):
         return _make_rowsharded_raw_ring_step(props, h, w, mesh, axis)
-    from .grid2d import _pallas_slab_body_ring, slab_rows_ok
+    from .grid2d import (_pallas_slab_body_ring,
+                         _pallas_slab_body_ring_bands, slab_rows_ok)
+    if slab_impl not in ("bands", "extended"):
+        raise ValueError(f"unknown slab_impl {slab_impl!r}")
     hp = reference.pad_geometry(h, w)[0]
     if not slab_rows_ok(hp, mesh.shape[axis]):
         raise ValueError(
             f"pallas row sharding needs 8-row-aligned slabs: padded "
             f"height {hp} / {mesh.shape[axis]} shards")
+    ring_body = (_pallas_slab_body_ring_bands if slab_impl == "bands"
+                 else _pallas_slab_body_ring)
 
     def per_shard(raw, ring, prev, baseline, flags, heatmap, valid,
                   offset, seed):
-        out, stats, nr, npv, nb, nh = _pallas_slab_body_ring(
+        out, stats, nr, npv, nb, nh = ring_body(
             props, h, w, raw[None], ring[None], prev[None], baseline[None],
             flags[None], heatmap[None], valid[None], offset[None],
             seed[None], axis)

@@ -68,6 +68,25 @@ def test_slab_bit_identical_to_full_kernel(window, method):
         np.testing.assert_array_equal(np.asarray(nh[si]), np.asarray(eh))
 
 
+def test_slab_extended_impl_matches_bands():
+    """The legacy halo-extended tail construction stays available and
+    bit-matches the band-mode default."""
+    props = DiPsProperties(window_size=5, temporal_size=2,
+                           method=DiPsMethod.PER_FRAME,
+                           filter=DiPsFilter.UNFILTERED)
+    h, w, s, b = 32, 40, 2, 4
+    raw, flags, valid, hp, wp = _inputs(props, h, w, s, b)
+    mesh = grid_mesh(2, 4)
+    res = {}
+    for impl in ("bands", "extended"):
+        step = make_grid_step(props, h, w, mesh, backend="pallas",
+                              slab_impl=impl)
+        res[impl] = step(raw, jnp.zeros((s, hp, wp), jnp.float32), flags,
+                         jnp.zeros((s, hp, wp), jnp.float32), valid)
+    for a, e in zip(res["bands"], res["extended"]):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(e))
+
+
 def test_slab_matches_xla_grid_cropped():
     """pallas grid == xla grid on the true geometry + stats + gmean."""
     props = DiPsProperties(window_size=3, temporal_size=2,

@@ -104,6 +104,44 @@ def test_grid_ring_bit_identical_to_full_kernel(window, method):
         seeds = jnp.zeros((s,), jnp.int32)
 
 
+@pytest.mark.parametrize("method", [DiPsMethod.OVERALL,
+                                    DiPsMethod.PER_FRAME])
+def test_grid_ring_extended_impl_matches_bands(method):
+    """The legacy halo-extended slab construction stays available and
+    bit-matches the band-mode default (both are exact reconstructions of
+    the full-height kernel, so they must agree on everything)."""
+    props = DiPsProperties(window_size=5, temporal_size=2, method=method,
+                           filter=DiPsFilter.UNFILTERED)
+    h, w, s, b = 32, 40, 2, 4
+    raws, hp, wp = _batches(props, h, w, s, b)
+    mesh = grid_mesh(2, 4)
+    flags = np.zeros((s, b), bool)
+    flags[:, 0] = True
+    valid = jnp.asarray(np.ones((s, b), bool))
+    res = {}
+    for impl in ("bands", "extended"):
+        step = make_grid_ring_step(props, h, w, mesh, slab_impl=impl)
+        ring, prev, bl, hm = _zero_state(props, s, hp, wp)
+        offs = jnp.zeros((s,), jnp.int32)
+        seeds = jnp.ones((s,), jnp.int32)
+        outs = []
+        for bi, raw in enumerate(raws):
+            fl = jnp.asarray(flags if bi == 0 else np.zeros((s, b), bool))
+            out, stats, ring, prev, bl, hm, _ = step(
+                raw, ring, prev, bl, fl, hm, valid, offs, seeds)
+            outs.append(np.asarray(out))
+            offs = (offs + b) % props.temporal_size
+            seeds = jnp.zeros((s,), jnp.int32)
+        res[impl] = (outs, np.asarray(ring), np.asarray(prev),
+                     np.asarray(bl), np.asarray(hm))
+    for a, e in zip(res["bands"], res["extended"]):
+        if isinstance(a, list):
+            for x, y in zip(a, e):
+                np.testing.assert_array_equal(x, y)
+        else:
+            np.testing.assert_array_equal(a, e)
+
+
 def test_grid_ring_roi_stats():
     """roi row bounds fold into the slab mask windows on the ring path."""
     props = DiPsProperties(window_size=3, temporal_size=2,
