@@ -878,7 +878,13 @@ def run_dips_on_files(input_paths: Sequence[str], output_dir: str,
     if refreshers is not None:
         out.append([list(r.refreshes) for r in refreshers])
     if fleet_flicker is not None:
-        out.append(fleet_flicker.amplitudes())
+        # a run that decoded zero frames (all inputs empty) has no flicker
+        # state at all — return zero maps at the input geometry rather
+        # than raising from amplitudes()
+        out.append(fleet_flicker.amplitudes()
+                   if any(fleet_flicker.frames_seen)
+                   else np.zeros((s, readers[0].height, readers[0].width),
+                                 np.float32))
     return out[0] if len(out) == 1 else tuple(out)
 
 

@@ -224,6 +224,88 @@ def _run_slab(verbose: bool, results=None) -> int:
         return 1
 
 
+def _run_slab_bands(verbose: bool, results=None) -> int:
+    """Band-mode slab construction on silicon (round 4 second pass,
+    parallel/grid2d.py ``slab_impl="bands"``): the ring kernel's stacked
+    sections read their boundary stencil taps from thin 8-row
+    neighbour-band inputs instead of zeros.  Emulates a 2-shard row split
+    of one stream on one chip: two stacked OWNED-coordinate sections with
+    the band arrays built exactly as the ppermute exchange would deliver
+    them must be bit-identical to the full-height ring kernel across two
+    carried batches (window 5 reads 2 band rows; PER_FRAME carries
+    prev)."""
+    import jax.numpy as jnp
+    from .ops import pallas_fused
+    from .ops.reference import pad_geometry
+
+    t0 = time.time()
+    try:
+        t, b, h, w = 2, 4, 32, 140
+        hp, wp = pad_geometry(h, w)
+        hs = hp // 2  # 16-row owned sections (8-aligned)
+        props = DiPsProperties(window_size=5, temporal_size=t,
+                               method=DiPsMethod.PER_FRAME,
+                               filter=DiPsFilter.UNFILTERED)
+        r = np.random.default_rng(5)
+        flags = np.zeros((b,), bool)
+        valid = np.ones((1, b), bool)
+        zband = np.zeros((b, 3, 8, wp), np.uint8)
+        ring = jnp.zeros((t, hp, wp), jnp.float32)     # stacked == full:
+        prev = jnp.zeros((hp, wp), jnp.float32)        # contiguous halves
+        base = jnp.zeros((hp, wp), jnp.float32)
+        heat = jnp.zeros((hp, wp), jnp.float32)
+        er, ep, eb, eh = ring, prev, base, heat
+        offs, seeds = np.zeros(2, np.int32), np.ones(2, np.int32)
+        for bi in range(2):
+            raw = r.integers(0, 256, (b, 3, hp, wp), np.uint8)
+            raw[..., h:, :] = 0
+            raw[..., w:] = 0
+            # the bands ppermute would deliver: zeros at the global edges,
+            # the neighbour section's boundary rows interior
+            btop = np.concatenate([zband, raw[..., hs - 8:hs, :]], axis=2)
+            bbot = np.concatenate([raw[..., hs:hs + 8, :], zband], axis=2)
+            fl = np.zeros((2, b), bool)
+            out, stats, ring, prev, base, heat = (
+                pallas_fused._batch_step_ring_impl(
+                    props, h, w, 2, jnp.asarray(raw), ring, prev, base,
+                    jnp.asarray(fl), heat, jnp.asarray(np.ones((2, b),
+                                                               bool)),
+                    jnp.asarray(offs), jnp.asarray(seeds),
+                    row_bounds=jnp.asarray([0, hs], np.int32),
+                    bands=(jnp.asarray(btop), jnp.asarray(bbot))))
+            eo, es, er, ep, eb, eh = pallas_fused.batch_step_ring(
+                props, h, w, jnp.asarray(raw), er, ep, eb,
+                jnp.asarray(flags), eh, jnp.asarray(valid[0]),
+                jnp.int32(offs[0]), jnp.int32(seeds[0]))
+            assert (np.asarray(out) == np.asarray(eo)).all(), \
+                f"batch {bi}: band-slab out != full-height ring kernel"
+            got = np.asarray(stats)
+            exp = np.asarray(es)
+            np.testing.assert_allclose(got[0, :, :2] + got[1, :, :2],
+                                       exp[:, :2], atol=1e-5)
+            np.testing.assert_allclose(
+                np.maximum(got[0, :, 2], got[1, :, 2]), exp[:, 2],
+                atol=1e-6)
+            np.testing.assert_allclose(got[0, :, 3] + got[1, :, 3],
+                                       exp[:, 3], atol=0)
+            for nm, a, e in (("ring", ring, er), ("prev", prev, ep),
+                             ("baseline", base, eb), ("heatmap", heat, eh)):
+                assert (np.asarray(a) == np.asarray(e)).all(), \
+                    f"batch {bi}: band-slab {nm} state diverged"
+            offs = (offs + b) % t
+            seeds = np.zeros(2, np.int32)
+        if verbose:
+            print(f"  PASS {'slab-bands ring kernel (2-section)':<40s} "
+                  f"({time.time() - t0:.1f}s)")
+        _record(results, "slab-bands ring kernel (2-section)", True, t0)
+        return 0
+    except Exception as e:
+        if verbose:
+            print(f"  FAIL {'slab-bands ring kernel (2-section)':<40s} {e}")
+        _record(results, "slab-bands ring kernel (2-section)", False, t0, e)
+        return 1
+
+
 def _run_hwc(frames, verbose: bool, results=None) -> int:
     """Device-side input layout on silicon: an ``hwc_bgr`` engine (raw
     bytes up, transpose+pad+BGR swap on device) must be BIT-EXACT vs the
@@ -434,6 +516,7 @@ def run(backend: str = "pallas", quick: bool = False,
     if backend == "pallas" and not quick:
         failures += _run_stacked(verbose, results)
         failures += _run_slab(verbose, results)
+        failures += _run_slab_bands(verbose, results)
         failures += _run_hwc(frames, verbose, results)
         failures += _run_downscale(frames, verbose, results)
     if verbose:

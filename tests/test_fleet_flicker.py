@@ -144,6 +144,35 @@ def test_run_dips_on_files_flicker(tmp_path):
         assert 4 + 4 * k <= py < 7 + 4 * k, (k, py, px)
 
 
+def test_run_dips_on_files_flicker_zero_frames(tmp_path, monkeypatch):
+    """A flicker-armed batch run whose inputs decode ZERO frames returns
+    zero amplitude maps at the input geometry instead of raising."""
+    from dips_tpu import app
+    from dips_tpu.io import gstreamer
+    from dips_tpu.properties import DiPsProperties, OutputMode
+
+    class _Empty:
+        height, width, fps = 16, 24, 20.0
+
+        def __init__(self, path):
+            self.path = path
+
+        def read(self):
+            return None
+
+        def close(self):
+            pass
+
+    monkeypatch.setattr(gstreamer, "open_video",
+                        lambda p, backend="auto": _Empty(p))
+    counts, maps = app.run_dips_on_files(
+        ["a.avi", "b.avi"], str(tmp_path / "out"),
+        properties=DiPsProperties(output=OutputMode.STATS_ONLY),
+        batch=4, flicker=dict(freq_hz=4.0))
+    assert list(counts) == [0, 0]
+    assert maps.shape == (2, 16, 24) and not maps.any()
+
+
 def test_cli_inputs_flicker(tmp_path, capsys):
     from dips_tpu.cli import main as cli_main
     fps = 20.0
