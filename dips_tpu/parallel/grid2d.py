@@ -287,9 +287,11 @@ def make_grid_ring_step(props: DiPsProperties, h: int, w: int, mesh: Mesh,
     ``slab_impl``: "bands" (default) feeds the stencil's slab-boundary
     taps from two thin 8-row neighbour-band kernel inputs — raw, carried
     state and outputs stay in OWNED coordinates, eliminating the
-    extended construction's ~1 GB/batch of copy traffic (measured +49%
+    extended construction's ~1 GB/batch of copy traffic (measured +42%
     at 1080p (1x1), BASELINE.md); "extended" keeps the round-3/4
-    halo-extended construction (same bit-exact results)."""
+    halo-extended construction (same bit-exact results — see
+    docs/DESIGN.md "Slab bands" for why bands wins even on degenerate
+    owned-height ladders)."""
     if props.output in (OutputMode.ABSDIFF, OutputMode.THRESHOLD,
                         OutputMode.STATS_ONLY):
         raise ValueError("2-D grid applies to the median pipeline modes")
