@@ -142,6 +142,54 @@ def test_grid_ring_extended_impl_matches_bands(method):
             np.testing.assert_array_equal(a, e)
 
 
+@pytest.mark.parametrize("seed", range(4))
+def test_grid_band_fuzz_vs_single_device(seed):
+    """Seeded fuzz of the band-mode 2-D grid engine: random median-mode
+    properties (window/temporal/method/filter/chroma/emit_maps/roi/
+    approx) over a (2 streams x 4 rows) mesh must reproduce per-stream
+    single-device engines exactly, both protocols."""
+    from dips_tpu.models import DiPsEngine
+    from dips_tpu.parallel.multistream import MultiStreamEngine
+    from dips_tpu.properties import ChromaFilter, OutputMode
+    from tests.conftest import make_clip
+
+    r = np.random.default_rng(4200 + seed)
+    h = 32                       # 4 row shards x 8-aligned slabs
+    w = int(r.integers(20, 90))
+    quirk = bool(r.integers(0, 3) == 0)
+    props = DiPsProperties(
+        method=r.choice([DiPsMethod.OVERALL, DiPsMethod.PER_FRAME]),
+        output=r.choice([OutputMode.COLORIZE, OutputMode.GRAYSCALE]),
+        filter=r.choice([DiPsFilter.SIGMOID, DiPsFilter.INVERSE_SIGMOID,
+                         DiPsFilter.UNFILTERED]),
+        chroma=r.choice(list(ChromaFilter)),
+        window_size=int(r.integers(1, 8)),
+        temporal_size=int(r.integers(1, 5)),
+        emit_maps=bool(r.integers(0, 3) != 0),
+        quirk_compat=quirk,
+        approx_median=(not quirk) and bool(r.integers(0, 3) == 0),
+        roi=((4, 2, 30, 18) if r.random() < 0.3 else None))
+    batch = int(r.integers(2, 5))
+    n = 2 * batch
+    clips = [make_clip(n=n, h=h, w=w, seed=100 + 8 * seed + k)
+             for k in range(2)]
+    ms = MultiStreamEngine(props, h, w, n_streams=2, batch=batch,
+                           mesh=grid_mesh(2, 4), backend="pallas",
+                           ring_carry=bool(r.integers(0, 2)))
+    outs, stats = [], []
+    for i in range(0, n, batch):
+        o, st, _ = ms.process_batch([list(c[i:i + batch]) for c in clips])
+        outs.append(o)
+        stats.append(st)
+    out = np.concatenate(outs, axis=1)
+    stat = np.concatenate(stats, axis=1)
+    for k, c in enumerate(clips):
+        eng = DiPsEngine(props, h, w, batch=batch, backend="pallas")
+        exp_out, exp_stats = eng.process_frames(list(c))
+        np.testing.assert_array_equal(out[k], exp_out)
+        np.testing.assert_allclose(stat[k], exp_stats, atol=1e-5)
+
+
 def test_grid_ring_roi_stats():
     """roi row bounds fold into the slab mask windows on the ring path."""
     props = DiPsProperties(window_size=3, temporal_size=2,
