@@ -83,7 +83,8 @@ def _frames_per_step(t: int, b: int) -> int:
 
 
 def _pick_block_rows(hp: int, wp: int, window: int, t: int, c: int,
-                     fpb: int, approx: bool = False) -> int:
+                     fpb: int, approx: bool = False,
+                     slab_bands: bool = False) -> int:
     """Largest row-block (multiple of 8, divides Hp) that fits VMEM.
 
     Accounts for everything resident per grid step: the w*w live f32 tap
@@ -108,6 +109,8 @@ def _pick_block_rows(hp: int, wp: int, window: int, t: int, c: int,
                           + 4 * 2 * 2        # base/heat inputs, dbl-buffered
                           + 4 * 2 * 2)       # base/heat outputs, dbl-buffered
     halo = 2 * 2 * 8 * 3 * fpb * wp          # two 8-row u8 halo blocks, 2x
+    if slab_bands:
+        halo *= 2    # plus two bh-independent 8-row neighbour-band blocks
     max_rows = max((_VMEM_BUDGET - halo) // bytes_per_row, 8)
     best = 8
     for d in range(1, hp // 8 + 1):
@@ -496,7 +499,8 @@ def _batch_step_impl(props: DiPsProperties, h: int, w: int, s: int,
     fpb = _frames_per_step(t, b)
     assert t % fpb == 0 and b % fpb == 0, (t, b, fpb)
     bh = _pick_block_rows(hp, wp, props.window_size, t, c, fpb,
-                          approx=props.approx_median)
+                          approx=props.approx_median,
+                          slab_bands=bands is not None)
     n_hb_per = hp // bh
     n_hb = s * n_hb_per
     n8_per = hp // 8
