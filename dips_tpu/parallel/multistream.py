@@ -219,7 +219,8 @@ class MultiStreamEngine:
                  ring_carry: Optional[bool] = None,
                  packed_wire: bool = False,
                  input_layout: str = "planar",
-                 downscale: int = 1):
+                 downscale: int = 1,
+                 slab_impl: str = "bands"):
         self.props = props
         if packed_wire and (props.output != OutputMode.THRESHOLD
                             or props.out_channels == 0):
@@ -285,10 +286,12 @@ class MultiStreamEngine:
                     "and a median pipeline mode")
             if ring_carry:
                 self._step = make_grid_ring_step(props, height, width,
-                                                 self.mesh)
+                                                 self.mesh,
+                                                 slab_impl=slab_impl)
             else:
                 self._step = make_grid_step(props, height, width, self.mesh,
-                                            backend=resolved)
+                                            backend=resolved,
+                                            slab_impl=slab_impl)
         else:
             n_shard = self.mesh.devices.size
             resolved = backend

@@ -276,6 +276,31 @@ def test_engine_2d_ring_checkpoint_roundtrip(tmp_path):
     np.testing.assert_array_equal(s1, s2)
 
 
+def test_engine_slab_impl_passthrough():
+    """MultiStreamEngine(slab_impl=...) reaches the grid step builders:
+    both impls produce identical results through the engine surface."""
+    from dips_tpu.parallel.multistream import MultiStreamEngine
+    from tests.conftest import make_clip
+    props = DiPsProperties(window_size=3, temporal_size=2,
+                           filter=DiPsFilter.UNFILTERED)
+    h, w = 32, 40
+    clips = [make_clip(n=4, h=h, w=w, seed=s) for s in range(2)]
+    res = {}
+    for impl in ("bands", "extended"):
+        eng = MultiStreamEngine(props, h, w, n_streams=2, batch=4,
+                                mesh=grid_mesh(2, 4), backend="pallas",
+                                ring_carry=True, slab_impl=impl)
+        o, st, _ = eng.process_batch([list(c) for c in clips])
+        res[impl] = (o, st)
+    np.testing.assert_array_equal(res["bands"][0], res["extended"][0])
+    np.testing.assert_allclose(res["bands"][1], res["extended"][1],
+                               atol=1e-6)
+    with pytest.raises(ValueError, match="slab_impl"):
+        MultiStreamEngine(props, h, w, n_streams=2, batch=4,
+                          mesh=grid_mesh(2, 4), backend="pallas",
+                          ring_carry=True, slab_impl="nope")
+
+
 def test_grid_ring_guards():
     """xla backend / raw modes cannot take the 2-D ring path."""
     from dips_tpu.parallel.multistream import MultiStreamEngine
