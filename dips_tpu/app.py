@@ -679,7 +679,8 @@ def run_dips_on_files(input_paths: Sequence[str], output_dir: str,
                       collect_stats: bool = False,
                       downscale: int = 1,
                       auto_refresh: Optional[dict] = None,
-                      flicker: Optional[dict] = None):
+                      flicker: Optional[dict] = None,
+                      slab_impl: str = "bands"):
     """Batched multi-stream differencing over many videos (BASELINE
     configs[3]): decode S files in lockstep, run the sharded multi-stream
     step over the device mesh, write one diff video per input.
@@ -707,6 +708,9 @@ def run_dips_on_files(input_paths: Sequence[str], output_dir: str,
     so a wholesale scene change on one input re-pins only ITS baseline
     (OVERALL method only).  Appends a per-stream list of fired frame
     indices to the return.
+
+    ``slab_impl``: slab construction for 2-D (stream x rows) meshes —
+    "bands" (default) / "extended", see parallel/grid2d.py.
 
     ``flicker``: optional dict(freq_hz=..., tau_frames=None) — per-stream
     flicker maps via ONE FleetFlickerAnalyzer (all streams' demodulator
@@ -750,7 +754,7 @@ def run_dips_on_files(input_paths: Sequence[str], output_dir: str,
         eng = MultiStreamEngine(props, h, w, n_streams=s + pad_streams,
                                 batch=batch, mesh=mesh, backend=backend,
                                 input_layout=input_layout,
-                                downscale=downscale)
+                                downscale=downscale, slab_impl=slab_impl)
         # outputs/stats/events land at the analysis geometry
         h, w = eng.height, eng.width
 

@@ -40,6 +40,13 @@ def build_parser() -> argparse.ArgumentParser:
                    help="multiple input videos: batched multi-stream mode, "
                         "sharded over the device mesh (requires --output-dir)")
     p.add_argument("--output-dir", help="output directory for --inputs mode")
+    p.add_argument("--slab-impl", choices=("bands", "extended"),
+                   default="bands",
+                   help="slab construction for --mesh row sharding: "
+                        "'bands' (owned-coordinate slabs, neighbour-band "
+                        "halo kernel inputs — the measured default) or "
+                        "'extended' (legacy halo-extended slabs); both "
+                        "bit-identical, see docs/DESIGN.md 'Slab bands'")
     p.add_argument("--mesh", metavar="SxR",
                    help="2-D device mesh for --inputs mode: S stream shards "
                         "x R row slabs (e.g. 2x4); default is a 1-D stream "
@@ -469,7 +476,8 @@ def main(argv: Optional[List[str]] = None) -> int:
                                        collect_stats=want_stats,
                                        downscale=args.downscale,
                                        auto_refresh=auto_refresh,
-                                       flicker=flicker_cfg)
+                                       flicker=flicker_cfg,
+                                       slab_impl=args.slab_impl)
         except (DiPsError, NotImplementedError, ValueError) as e:
             # ValueError: engine/mesh configuration (row slab < halo,
             # pallas on a 2-D mesh, ...) — a user error, not a crash

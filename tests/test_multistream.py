@@ -352,6 +352,30 @@ def test_mesh_cli_2d_grid(tmp_path, capsys):
             assert len(list(r)) == 6
 
 
+def test_mesh_cli_slab_impl(tmp_path, capsys):
+    """--slab-impl extended reaches the grid step builders through the
+    CLI batch surface and produces the same videos as the bands default."""
+    from dips_tpu.cli import main as cli_main
+    from dips_tpu.io import VideoReader, moving_square_clip, write_clip
+    paths = []
+    for i in range(2):
+        p = str(tmp_path / f"v{i}.avi")
+        write_clip(moving_square_clip(n=4, height=32, width=48, seed=i), p)
+        paths.append(p)
+    frames = {}
+    for impl in ("bands", "extended"):
+        outdir = str(tmp_path / f"out_{impl}")
+        rc = cli_main(["--inputs", *paths, "--output-dir", outdir,
+                       "--mesh", "2x4", "--temporal=2", "--batch=4",
+                       "--filter=none", "--slab-impl", impl])
+        assert rc == 0
+        with VideoReader(str(tmp_path / f"out_{impl}" / "v0.dips.avi")) as r:
+            frames[impl] = list(r)
+    assert len(frames["bands"]) == 4
+    for a, e in zip(frames["bands"], frames["extended"]):
+        np.testing.assert_array_equal(a, e)
+
+
 def test_mesh_cli_bad_spec(tmp_path, capsys):
     from dips_tpu.cli import main as cli_main
     rc = cli_main(["--inputs", "x.avi", "--output-dir", str(tmp_path),
