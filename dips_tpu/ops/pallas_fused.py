@@ -701,7 +701,8 @@ _RAW_FPB_OVERRIDE: "int | None" = None                     # frames/step
 
 
 def _ring_geometry(hp: int, wp: int, window: int, t: int, b: int,
-                   approx: bool = False, s: int = 1) -> Tuple[int, int]:
+                   approx: bool = False, s: int = 1,
+                   slab_bands: bool = False) -> Tuple[int, int]:
     """(fpb, bh) for the median ring kernel.  ``s`` > 1 (stacked-stream
     mode) consults the stacked-shape autotune key first
     (``tuning.stacked_ring_cap``, ``python -m dips_tpu.autotune
@@ -722,7 +723,15 @@ def _ring_geometry(hp: int, wp: int, window: int, t: int, b: int,
     bytes regardless of bh, and at wp >= ~4000 that alone made fpb=8
     overflow scoped VMEM by 48 KB at the minimum block height (4K w3
     fpb=8 bh=8 OOMs at a reported 16.05 MB; fpb=4 runs for w3/w5/w7).
-    """
+
+    ``slab_bands`` (row-sharded band-mode slabs, parallel/grid2d.py): the
+    two extra double-buffered 8-row neighbour-band input blocks are
+    bh-independent like the halo blocks and cost another 96*fpb*wp bytes;
+    a mesh-probed cap at this owned height (``python -m dips_tpu.autotune
+    --mesh SxR``, measured WITH bands) is consulted first and needs no
+    debit, otherwise the single-stream cap is debited by the band bytes
+    (the tail path's _pick_block_rows does the same) so cap-edge slab
+    geometries can't overflow scoped VMEM at runtime."""
     if _RING_GEOMETRY_OVERRIDE is not None:  # autotune probe (see above)
         return _RING_GEOMETRY_OVERRIDE
     # the separable approximate median keeps ~w3-level live planes (two
@@ -731,26 +740,41 @@ def _ring_geometry(hp: int, wp: int, window: int, t: int, b: int,
     # 1408*40 ok (20.9k), 2048*24 ok (9.3k, +30% over the exact-w7 cap);
     # PER_FRAME fits too: pf approx-w7 896*48 ok (52.5k), 2048*24 (9.9k)
     win_key = 3 if approx else window
-    # a measured per-device-kind cap (python -m dips_tpu.autotune)
-    # overrides the baked-in v5e pin; stacked shapes prefer their own
-    # measured key when one exists.  On the PINNED kind the baked cap is
-    # itself a silicon lower bound, so the larger of the two wins.
-    measured = ((tuning.stacked_ring_cap(win_key) if s > 1 else None)
-                or tuning.ring_product_cap(win_key))
-    baked = _RING_BH_PRODUCT_CAPS[win_key]
-    if measured is None:
-        cap = baked
-    elif tuning._device_kind() == _PINNED_DEVICE_KIND:
-        cap = max(measured, baked)
-    else:
-        cap = measured
-    if t > 4:  # ring in+working blocks are 12*t bytes/row-col at t=4 pins
-        cap = cap * (48 + 12 * 4) // (48 + 12 * t)
     fpb = min(b, 8)
     if wp >= 3000:
         fpb = min(fpb, 4)
     while b % fpb:
         fpb -= 1
+    band_debit = slab_bands and window > 1
+    slab_cap = tuning.slab_ring_cap(win_key, hp) if band_debit else None
+    if slab_cap is not None:
+        # mesh-probed cap at this owned height, measured WITH the band
+        # blocks resident: the debit is already inside the measurement
+        cap = slab_cap
+        band_debit = False
+    else:
+        # a measured per-device-kind cap (python -m dips_tpu.autotune)
+        # overrides the baked-in v5e pin; stacked shapes prefer their own
+        # measured key when one exists.  On the PINNED kind the baked cap
+        # is itself a silicon lower bound, so the larger of the two wins.
+        measured = ((tuning.stacked_ring_cap(win_key) if s > 1 else None)
+                    or tuning.ring_product_cap(win_key))
+        baked = _RING_BH_PRODUCT_CAPS[win_key]
+        if measured is None:
+            cap = baked
+        elif tuning._device_kind() == _PINNED_DEVICE_KIND:
+            cap = max(measured, baked)
+        else:
+            cap = measured
+    if t > 4:  # ring in+working blocks are 12*t bytes/row-col at t=4 pins
+        cap = cap * (48 + 12 * 4) // (48 + 12 * t)
+    if band_debit:
+        # two dbl-buffered 8-row 3-channel u8 band blocks = 96*fpb*wp
+        # bytes, converted to product-cap units at the cap's effective
+        # bytes-per-unit coefficient (96 at the t=4 pin, 48+12t after the
+        # temporal derate above)
+        unit = 48 + 12 * t if t > 4 else 96
+        cap = max(cap - (96 * fpb * wp) // unit, 0)
     max_rows = max(cap // wp, 8)
     bhs = [8 * d for d in range(1, hp // 8 + 1)
            if hp % (8 * d) == 0 and 8 * d <= max_rows]
@@ -896,7 +920,8 @@ def _batch_step_ring_impl(props: DiPsProperties, h: int, w: int, s: int,
     c = props.out_channels
     overall = props.method == DiPsMethod.OVERALL
     fpb, bh = _ring_geometry(hp, wp, props.window_size, t, b,
-                             approx=props.approx_median, s=s)
+                             approx=props.approx_median, s=s,
+                             slab_bands=bands is not None)
     n_hb_per = hp // bh
     n_hb = s * n_hb_per
     n8_per = hp // 8

@@ -21,7 +21,8 @@ Cache location: ``$DIPS_TPU_AUTOTUNE_CACHE`` or
         "raw_target_bytes": 512000,
         "stacked_ring_caps": {"3": 56320},        # --stacked S probes
         "stacked_raw_target_bytes": 512000,       # (coalesced shapes)
-        "meta": {...provenance...}}}
+        "slab_ring_caps": {"3": {"272": 56320}},  # --mesh SxR probes
+        "meta": {...provenance...}}}              # (band-mode owned slabs)
 
 This module is import-cycle free (no jax/pallas imports at module level):
 ``pallas_fused`` reads through it at trace time.
@@ -150,6 +151,29 @@ def stacked_ring_cap(window: int,
         return None
 
 
+def slab_ring_cap(window: int, owned_hp: int,
+                  kind: Optional[str] = None) -> Optional[int]:
+    """Measured wp*bh product cap for the BAND-MODE slab ring kernel at
+    this window and this owned (padded-height / row-shards) slab height —
+    ``python -m dips_tpu.autotune --mesh SxR`` probes it with the two
+    neighbour-band input blocks resident, so the band VMEM debit is
+    inside the measurement.  None = fall back to the single-stream cap
+    with the analytic band debit (``pallas_fused._ring_geometry``)."""
+    caps = device_entry(kind).get("slab_ring_caps", {})
+    if not isinstance(caps, dict):
+        return None
+    per_h = caps.get(str(window))
+    if not isinstance(per_h, dict):
+        return None
+    v = per_h.get(str(owned_hp))
+    try:
+        return int(v) if v else None
+    except (TypeError, ValueError):
+        log.warning("ignoring malformed slab ring cap %r for window %d "
+                    "owned_hp %d", v, window, owned_hp)
+        return None
+
+
 def stacked_raw_target_bytes(kind: Optional[str] = None) -> Optional[int]:
     """Measured input-block sweet spot for the STACKED raw kernel, or
     None (fall back to the single-stream target/pin)."""
@@ -165,17 +189,19 @@ def save(kind: str, ring_caps: Optional[dict] = None,
          raw_target: Optional[int] = None,
          stacked_ring_caps: Optional[dict] = None,
          stacked_raw_target: Optional[int] = None,
+         slab_ring_caps: Optional[dict] = None,
          meta: Optional[dict] = None) -> str:
     """Merge measurements for ``kind`` into the cache file; returns the
     path written.  Partial updates keep the other family's entries.
 
-    Ring caps (plain and stacked) merge by MAX: a cap is "largest wp*bh
-    plane observed to compile", and any passing compile is a valid lower
-    bound of the true VMEM edge — so probing several geometries (whose
-    divisor ladders are coarse in different places) accumulates the
-    least-conservative safe cap.  The raw targets are timed optima (not
-    monotone-safe): the last run wins, so run autotune at the geometry
-    you deploy."""
+    Ring caps (plain, stacked and slab) merge by MAX: a cap is "largest
+    wp*bh plane observed to compile", and any passing compile is a valid
+    lower bound of the true VMEM edge — so probing several geometries
+    (whose divisor ladders are coarse in different places) accumulates
+    the least-conservative safe cap.  ``slab_ring_caps`` is nested
+    {window: {owned_hp: cap}} (the --mesh probes).  The raw targets are
+    timed optima (not monotone-safe): the last run wins, so run autotune
+    at the geometry you deploy."""
     path = cache_path()
     invalidate()        # re-read the FILE: another process (a concurrent
     data = _load().copy()  # autotune run) may have written since we loaded
@@ -194,6 +220,20 @@ def save(kind: str, ring_caps: Optional[dict] = None,
                 prev = 0
             merged[str(k)] = max(int(v), prev)
         entry[key] = merged
+    if slab_ring_caps:
+        prior = entry.get("slab_ring_caps", {})
+        merged = dict(prior) if isinstance(prior, dict) else {}
+        for win, per_h in slab_ring_caps.items():
+            pw = merged.get(str(win), {})
+            pw = dict(pw) if isinstance(pw, dict) else {}
+            for hp_k, v in per_h.items():
+                try:
+                    prev = int(pw.get(str(hp_k), 0))
+                except (TypeError, ValueError):
+                    prev = 0
+                pw[str(hp_k)] = max(int(v), prev)
+            merged[str(win)] = pw
+        entry["slab_ring_caps"] = merged
     if raw_target:
         entry["raw_target_bytes"] = int(raw_target)
     if stacked_raw_target:

@@ -74,12 +74,14 @@ def make_rowsharded_step(props: DiPsProperties, h: int, w: int, mesh: Mesh,
     slab; slabs must be 8-row aligned).  ``slab_impl`` (pallas median
     only): "bands" (default) / "extended" — see grid2d.make_grid_ring_step.
     """
+    if slab_impl not in ("bands", "extended"):
+        # validated for EVERY output mode (raw modes ignore the setting —
+        # no stencil, no slabs to band — but a typo must still fail loudly)
+        raise ValueError(f"unknown slab_impl {slab_impl!r}")
     raw_mode = props.output in (OutputMode.ABSDIFF, OutputMode.THRESHOLD,
                                 OutputMode.STATS_ONLY)
     if raw_mode:
         return _make_rowsharded_raw_step(props, h, w, mesh, axis, backend)
-    if slab_impl not in ("bands", "extended"):
-        raise ValueError(f"unknown slab_impl {slab_impl!r}")
     if backend == "pallas":
         from ..ops.reference import pad_geometry
         from .grid2d import slab_rows_ok

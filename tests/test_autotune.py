@@ -82,6 +82,66 @@ def test_stacked_geometry_prefers_stacked_keys(cache, monkeypatch):
     assert pallas_fused._raw_block_rows(960, 2048, 8, 3) == 32
 
 
+def test_store_slab_keys(cache):
+    """--mesh probes persist nested {window: {owned_hp: cap}} keys with
+    the same max-merge discipline."""
+    tuning.save("TPU vX", slab_ring_caps={3: {272: 40_000}})
+    assert tuning.slab_ring_cap(3, 272, kind="TPU vX") == 40_000
+    assert tuning.slab_ring_cap(3, 544, kind="TPU vX") is None
+    assert tuning.slab_ring_cap(5, 272, kind="TPU vX") is None
+    tuning.save("TPU vX", slab_ring_caps={3: {272: 30_000, 544: 50_000},
+                                          5: {272: 20_000}})
+    assert tuning.slab_ring_cap(3, 272, kind="TPU vX") == 40_000  # max-merge
+    assert tuning.slab_ring_cap(3, 544, kind="TPU vX") == 50_000
+    assert tuning.slab_ring_cap(5, 272, kind="TPU vX") == 20_000
+
+
+def test_ring_geometry_band_debit(cache, monkeypatch):
+    """slab_bands must debit the two bh-independent double-buffered 8-row
+    band input blocks (96*fpb*wp bytes) from the ring kernel's product
+    cap, mirroring _pick_block_rows on the tail path (advisor r4 medium:
+    omitting it risks scoped-VMEM overflow at cap-edge slab geometries)."""
+    from dips_tpu.ops import pallas_fused
+    # 1080p-class: baked w3 cap 56320, wp=2048 -> plain pick bh=24;
+    # band debit 96*8*2048 bytes / 96 B-per-unit = 16384 units -> 39936
+    # -> max 19 rows -> next divisor of 1080 down the ladder is 8
+    assert pallas_fused._ring_geometry(1080, 2048, 3, 4, 64) == (8, 24)
+    assert pallas_fused._ring_geometry(1080, 2048, 3, 4, 64,
+                                       slab_bands=True) == (8, 8)
+    # window 1 has no stencil, hence no bands: no debit
+    assert pallas_fused._ring_geometry(1080, 2048, 1, 4, 64,
+                                       slab_bands=True) == (8, 24)
+    # t > 4: the band bytes convert at the derated 48+12t coefficient
+    fpb, bh = pallas_fused._ring_geometry(1080, 2048, 3, 8, 64,
+                                          slab_bands=True)
+    cap8 = 56320 * 96 // 144 - (96 * 8 * 2048) // 144
+    assert bh == max([8 * d for d in range(1, 136)
+                      if 1080 % (8 * d) == 0 and 8 * d <= cap8 // 2048],
+                     default=8)
+
+
+def test_ring_geometry_prefers_measured_slab_cap(cache, monkeypatch):
+    """A --mesh-probed cap at this owned height (measured WITH bands) is
+    consulted first and needs no analytic debit."""
+    from dips_tpu.ops import pallas_fused
+    monkeypatch.setattr(tuning, "_device_kind", lambda: "TPU vSLAB")
+    # owned height 272 (1080p-class / 4 shards): 272 = 8*34 -> bh ladder
+    # {8, 16, 136, 272}.  The analytic path (no slab key) picks 16:
+    # baked 56320/2048 = 27 rows minus the 8-row band debit -> 19.
+    assert pallas_fused._ring_geometry(272, 2048, 3, 4, 64,
+                                       slab_bands=True)[1] == 16
+    # a measured slab cap at this owned height is authoritative (no
+    # debit: the bands were resident during the probe)
+    tuning.save("TPU vSLAB", slab_ring_caps={3: {272: 2048 * 136}})
+    assert pallas_fused._ring_geometry(272, 2048, 3, 4, 64,
+                                       slab_bands=True)[1] == 136
+    # ...but only at ITS owned height and only in band mode
+    assert pallas_fused._ring_geometry(544, 2048, 3, 4, 64,
+                                       slab_bands=True)[1] <= \
+        pallas_fused._ring_geometry(544, 2048, 3, 4, 64)[1]
+    assert pallas_fused._ring_geometry(272, 2048, 3, 4, 64)[1] == 16
+
+
 def test_pinned_kind_caps_floor_at_baked_pins(cache, monkeypatch):
     """On the device kind the baked caps were measured on, a SMALLER
     autotuned cap (a coarse-ladder lower bound, e.g. 1080p's 24->40 jump

@@ -128,3 +128,12 @@ def test_raw_rowsharded_alignment_guard():
         make_rowsharded_step(
             DiPsProperties(output=OutputMode.ABSDIFF, temporal_size=2),
             24, 40, _mesh(), backend="pallas")
+
+
+def test_raw_rowsharded_slab_impl_validated_eagerly():
+    """Advisor r4: raw modes ignore slab_impl (no stencil) but a typo'd
+    value must still fail loudly, matching grid2d's eager validation."""
+    with pytest.raises(ValueError, match="slab_impl"):
+        make_rowsharded_step(
+            DiPsProperties(output=OutputMode.ABSDIFF, temporal_size=2),
+            64, 40, _mesh(), slab_impl="nope")
