@@ -7,9 +7,12 @@ may already hold the real TPU) — then compiles + executes every multi-chip
 path on tiny shapes:
 
   1. data parallelism over streams (shard_map + psum over ICI),
-     on both the XLA twin and the fused Pallas kernel (interpret on CPU);
+     on both the XLA twin and the fused Pallas kernel (interpret on CPU),
+     plus the multi-host engine's global-array plumbing in BOTH step
+     protocols (XLA tail and the production pallas ring-carry);
   2. spatial row sharding of one stream with ppermute halo exchange;
-  3. the composite 2-D (stream x rows) grid.
+  3. the composite 2-D (stream x rows) grid (median modes, tail + ring);
+  4. raw (absdiff) fleet modes on the rows mesh and the 2-D grid.
 
 ``__graft_entry__.dryrun_multichip`` invokes this module in a fresh
 subprocess so the platform forcing can never race a pre-initialised backend
@@ -69,17 +72,25 @@ def run(n_devices: int) -> None:
     # 1b. the multi-host engine (pod scale-out path): in a single process
     # it degenerates to every stream being local, but the global-array
     # plumbing (make_array_from_single_device_arrays in, addressable-shard
-    # gather out) is exactly what runs per host on a pod
+    # gather out) is exactly what runs per host on a pod.  BOTH protocols:
+    # the portable XLA tail step AND the production pallas ring-carry step
+    # (the default on every single-host TPU deployment) must compile and
+    # run through the global-array plumbing — two batches so the carried
+    # ring state crosses a step boundary inside global arrays
     from dips_tpu.parallel import MultiHostStreamEngine
-    mh = MultiHostStreamEngine(props, h, w, n_streams=s, batch=2,
-                               mesh=mesh, backend="xla")
-    assert mh.local_stream_ids == list(range(s))
-    feed = mh.local_frames_template()
-    for si in mh.local_stream_ids:
-        feed[si] = feeds[si]
-    mout, mstats, mgmean = mh.process_batch(feed)
-    assert mout.shape == (s, 2, h, w, 3), mout.shape
-    assert np.isfinite(mstats).all() and np.isfinite(mgmean)
+    for mh_backend, mh_ring in (("xla", None), ("pallas", True)):
+        mh = MultiHostStreamEngine(props, h, w, n_streams=s, batch=2,
+                                   mesh=mesh, backend=mh_backend,
+                                   ring_carry=mh_ring)
+        assert mh.local_stream_ids == list(range(s))
+        assert mh.ring_carry is (mh_ring or False)
+        feed = mh.local_frames_template()
+        for si in mh.local_stream_ids:
+            feed[si] = feeds[si]
+        for _ in range(2):
+            mout, mstats, mgmean = mh.process_batch(feed)
+            assert mout.shape == (s, 2, h, w, 3), mout.shape
+            assert np.isfinite(mstats).all() and np.isfinite(mgmean)
 
     # 2. spatial row sharding with ICI halo exchange (ppermute)
     rows_mesh = jax.sharding.Mesh(np.asarray(jax.devices()[:n_devices]),
@@ -156,6 +167,31 @@ def run(n_devices: int) -> None:
         jnp.zeros((hp, wp), jnp.float32), jnp.ones((b,), bool),
         jnp.int32(1))
     assert aout2.shape[0] == b and np.isfinite(np.asarray(astats2)).all()
+
+    # 4b. raw modes on the 2-D (stream x rows) grid — the fleet-on-a-pod
+    # shape (many huge no-map cameras): tail bodies on both backends, then
+    # ring-carry through the full engine surface (two batches)
+    graw_r = jnp.asarray(
+        rng.integers(0, 256, (s_ax, t + b, 3, ghp, gwp), np.uint8))
+    for gbackend in ("xla", "pallas"):
+        grstep = make_grid_step(rawp, gh, 24, gmesh, backend=gbackend)
+        gro, grs, _, _, grg = grstep(
+            graw_r, jnp.zeros((s_ax, 3, ghp, gwp), jnp.uint8),
+            jnp.asarray([[True, False]] * s_ax),
+            jnp.zeros((s_ax, ghp, gwp), jnp.float32),
+            jnp.ones((s_ax, b), bool))
+        assert gro.shape[:2] == (s_ax, b)
+        assert np.isfinite(np.asarray(grs)).all() and np.isfinite(grg)
+    rgeng = MultiStreamEngine(rawp, gh, 24, n_streams=s_ax, batch=b,
+                              mesh=gmesh, backend="pallas",
+                              ring_carry=True)
+    assert rgeng.ring_carry
+    rgfeeds = [[rng.integers(0, 256, (gh, 24, 3), np.uint8)
+                for _ in range(b)] for _ in range(s_ax)]
+    for _ in range(2):
+        rgo, rgs, rgg = rgeng.process_batch(rgfeeds)
+        assert rgo.shape == (s_ax, b, gh, 24, 3)
+        assert np.isfinite(rgs).all() and np.isfinite(rgg)
 
 
 def main(argv=None) -> int:

@@ -270,6 +270,170 @@ def _pallas_slab_body_ring(props, h, w, raw, ring, prev, baseline, flags,
     return out, _combine_slab_stats(stats, axis), nr, npv, nb, nh
 
 
+def _pallas_raw_grid_body(props, h, w, raw, baseline, flags, heatmap,
+                          valid, axis):
+    """Stacked raw (absdiff/threshold/stats-only) shard body, tail
+    protocol.  Raw modes have NO stencil (the diff is pixel-local,
+    /root/reference/dips/src/gpu/shaders/dips_shader.wgsl:213-236 is pure
+    elementwise), so there is no halo, no bands, no extended construction:
+    slabs live in owned coordinates and the only ICI traffic is the
+    statistic reductions — row-sharding a raw fleet is a pure
+    HBM-bandwidth play (see parallel/rowsharded.py).
+
+    raw (S_l, T+B, 3, Hs, Wp) u8, baseline (S_l, 3, Hs, Wp) u8,
+    heatmap (S_l, Hs, Wp) f32, flags/valid (S_l, B) ->
+    (out (S_l, B, C, Hs, Wp) u8, stats (S_l, B, 4) full-frame, new
+    baseline, new heatmap)."""
+    from ..ops import pallas_fused
+    from .rowsharded import _raw_slab_bounds
+
+    s_l, tb = raw.shape[0], raw.shape[1]
+    hs, wp = raw.shape[-2], raw.shape[-1]
+    raw_st = raw.transpose(1, 2, 0, 3, 4).reshape(tb, 3, s_l * hs, wp)
+    bl_st = baseline.transpose(1, 0, 2, 3).reshape(3, s_l * hs, wp)
+    hm_st = heatmap.reshape(s_l * hs, wp)
+    bounds = (None if props.roi is None
+              else _raw_slab_bounds(props, h, w, hs, axis))
+    out, stats, nb, nh = pallas_fused._absdiff_step_impl(
+        props, h, w, s_l, raw_st, bl_st, flags, hm_st, valid,
+        row_bounds=bounds)
+    b, c = out.shape[0], out.shape[1]
+    out = out.reshape(b, c, s_l, hs, wp).transpose(2, 0, 1, 3, 4)
+    nb = nb.reshape(3, s_l, hs, wp).transpose(1, 0, 2, 3)
+    return (out, _combine_slab_stats(stats, axis), nb,
+            nh.reshape(s_l, hs, wp))
+
+
+def _pallas_raw_grid_body_ring(props, h, w, raw, prev, baseline, flags,
+                               heatmap, valid, seeds, axis):
+    """Ring-protocol twin of :func:`_pallas_raw_grid_body`: PER_FRAME's
+    previous raw frame and the baseline are carried device state in owned
+    slab coordinates; the input is ONLY the B new frames (no tail
+    upload — raw modes' ring protocol has no ring array at all).
+
+    raw (S_l, B, 3, Hs, Wp) u8; prev/baseline (S_l, 3, Hs, Wp) u8;
+    flags/valid (S_l, B); heatmap (S_l, Hs, Wp) f32; seeds (S_l,) ->
+    (out, stats (S_l, B, 4) full-frame, new prev, new baseline, new
+    heatmap)."""
+    from ..ops import pallas_fused
+    from .rowsharded import _raw_slab_bounds
+
+    s_l, b = raw.shape[0], raw.shape[1]
+    hs, wp = raw.shape[-2], raw.shape[-1]
+    raw_st = raw.transpose(1, 2, 0, 3, 4).reshape(b, 3, s_l * hs, wp)
+    pv_st = prev.transpose(1, 0, 2, 3).reshape(3, s_l * hs, wp)
+    bl_st = baseline.transpose(1, 0, 2, 3).reshape(3, s_l * hs, wp)
+    hm_st = heatmap.reshape(s_l * hs, wp)
+    bounds = (None if props.roi is None
+              else _raw_slab_bounds(props, h, w, hs, axis))
+    out, stats, npv, nb, nh = pallas_fused._absdiff_step_impl(
+        props, h, w, s_l, raw_st, bl_st, flags, hm_st, valid,
+        prev=pv_st, seeds=seeds, ring=True, row_bounds=bounds)
+    c = out.shape[1]
+    out = out.reshape(b, c, s_l, hs, wp).transpose(2, 0, 1, 3, 4)
+    npv = npv.reshape(3, s_l, hs, wp).transpose(1, 0, 2, 3)
+    nb = nb.reshape(3, s_l, hs, wp).transpose(1, 0, 2, 3)
+    return (out, _combine_slab_stats(stats, axis), npv, nb,
+            nh.reshape(s_l, hs, wp))
+
+
+def _grid_gmean(stats, valid):
+    """Valid-slot-masked global mean |diff| over BOTH mesh axes.  Stats
+    are full-frame values replicated on every rows shard (the bodies
+    reduce over "rows" internally), so the extra "rows" psum cancels
+    between total and count."""
+    vw = valid.astype(jnp.float32)
+    total = lax.psum(lax.psum(jnp.sum(stats[..., 1] * vw), "rows"),
+                     "stream")
+    count = lax.psum(lax.psum(jnp.sum(vw), "rows"), "stream")
+    return total / jnp.maximum(count, 1.0)
+
+
+def _check_slab_alignment(h: int, w: int, mesh: Mesh) -> None:
+    from ..ops.reference import pad_geometry
+    hp = pad_geometry(h, w)[0]
+    rows_ax = mesh.shape["rows"]
+    if not slab_rows_ok(hp, rows_ax):
+        raise ValueError(
+            f"pallas 2-D grid needs 8-row-aligned slabs: padded height "
+            f"{hp} / {rows_ax} row shards = {hp / rows_ax} rows")
+
+
+def _make_grid_raw_step(props: DiPsProperties, h: int, w: int, mesh: Mesh,
+                        backend: str):
+    """Raw-mode (absdiff/threshold/stats-only) body of
+    :func:`make_grid_step`: same signature, u8 (S, 3, Hp, Wp) baseline.
+    This is the headline fleet-on-a-pod shape (many huge cameras in a
+    no-map events fleet, BASELINE.md) when stream count alone cannot use
+    all chips: S stream shards x R row slabs, no halo at all."""
+    if backend == "pallas":
+        _check_slab_alignment(h, w, mesh)
+
+        def per_shard(raw, baseline, flags, heatmap, valid):
+            out, stats, nb, nh = _pallas_raw_grid_body(
+                props, h, w, raw, baseline, flags, heatmap, valid, "rows")
+            return out, stats, nb, nh, _grid_gmean(stats, valid)
+    else:
+        from .rowsharded import _raw_row_body
+
+        def per_shard(raw, baseline, flags, heatmap, valid):
+            def one_stream(r, bl, fl, hm, vd):
+                return _raw_row_body(props, h, w, r, bl, fl, hm, vd,
+                                     "rows")
+            out, stats, nb, nh = jax.vmap(one_stream)(
+                raw, baseline, flags, heatmap, valid)
+            return out, stats, nb, nh, _grid_gmean(stats, valid)
+
+    sharded = jax.shard_map(
+        per_shard, mesh=mesh,
+        in_specs=(P("stream", None, None, "rows", None),   # raw
+                  P("stream", None, "rows", None),         # baseline u8
+                  P("stream"),                             # flags
+                  P("stream", "rows", None),               # heatmap
+                  P("stream")),                            # valid
+        out_specs=(P("stream", None, None, "rows", None),  # out
+                   P("stream", None, None),                # stats (row-dup)
+                   P("stream", None, "rows", None),        # baseline
+                   P("stream", "rows", None),              # heatmap
+                   P()),                                   # global scalar
+        check_vma=False)
+    return jax.jit(sharded, donate_argnums=(1, 3))
+
+
+def _make_grid_raw_ring_step(props: DiPsProperties, h: int, w: int,
+                             mesh: Mesh):
+    """Raw-mode ring body of :func:`make_grid_ring_step`:
+    multistream.make_sharded_ring_step's raw signature with the row axis
+    additionally sharded — raw (S, B, 3, Hp, Wp), prev/baseline u8
+    (S, 3, Hp, Wp), flags/valid (S, B), heatmap (S, Hp, Wp), seeds (S,)
+    -> (out, stats, new prev, new baseline, new heatmap, gmean)."""
+    _check_slab_alignment(h, w, mesh)
+
+    def per_shard(raw, prev, baseline, flags, heatmap, valid, seeds):
+        out, stats, npv, nb, nh = _pallas_raw_grid_body_ring(
+            props, h, w, raw, prev, baseline, flags, heatmap, valid,
+            seeds, "rows")
+        return out, stats, npv, nb, nh, _grid_gmean(stats, valid)
+
+    sharded = jax.shard_map(
+        per_shard, mesh=mesh,
+        in_specs=(P("stream", None, None, "rows", None),   # raw
+                  P("stream", None, "rows", None),         # prev u8
+                  P("stream", None, "rows", None),         # baseline u8
+                  P("stream"),                             # flags
+                  P("stream", "rows", None),               # heatmap
+                  P("stream"),                             # valid
+                  P("stream")),                            # seeds
+        out_specs=(P("stream", None, None, "rows", None),  # out
+                   P("stream", None, None),                # stats (row-dup)
+                   P("stream", None, "rows", None),        # prev
+                   P("stream", None, "rows", None),        # baseline
+                   P("stream", "rows", None),              # heatmap
+                   P()),                                   # global scalar
+        check_vma=False)
+    return jax.jit(sharded, donate_argnums=(1, 2, 4))
+
+
 def make_grid_ring_step(props: DiPsProperties, h: int, w: int, mesh: Mesh,
                         slab_impl: str = "bands"):
     """Ring-carry twin of :func:`make_grid_step` (Pallas body only).
@@ -284,6 +448,11 @@ def make_grid_ring_step(props: DiPsProperties, h: int, w: int, mesh: Mesh,
     ICI per batch).  No tail re-upload, no tail re-filtering: the 1-D
     ring protocol's T/(T+B) win now applies to the 2-D grid.
 
+    RAW modes route to :func:`_make_grid_raw_ring_step` (the 1-D raw
+    ring signature — prev/baseline u8 (S, 3, Hp, Wp) carried state,
+    seeds, no ring array — with the row axis additionally sharded; no
+    halo, ``slab_impl`` is irrelevant).
+
     ``slab_impl``: "bands" (default) feeds the stencil's slab-boundary
     taps from two thin 8-row neighbour-band kernel inputs — raw, carried
     state and outputs stay in OWNED coordinates, eliminating the
@@ -292,18 +461,13 @@ def make_grid_ring_step(props: DiPsProperties, h: int, w: int, mesh: Mesh,
     halo-extended construction (same bit-exact results — see
     docs/DESIGN.md "Slab bands" for why bands wins even on degenerate
     owned-height ladders)."""
-    if props.output in (OutputMode.ABSDIFF, OutputMode.THRESHOLD,
-                        OutputMode.STATS_ONLY):
-        raise ValueError("2-D grid applies to the median pipeline modes")
     if slab_impl not in ("bands", "extended"):
         raise ValueError(f"unknown slab_impl {slab_impl!r}")
-    from ..ops.reference import pad_geometry
-    hp = pad_geometry(h, w)[0]
-    rows_ax = mesh.shape["rows"]
-    if not slab_rows_ok(hp, rows_ax):
-        raise ValueError(
-            f"pallas 2-D grid needs 8-row-aligned slabs: padded height "
-            f"{hp} / {rows_ax} row shards = {hp / rows_ax} rows")
+    if props.output in (OutputMode.ABSDIFF, OutputMode.THRESHOLD,
+                        OutputMode.STATS_ONLY):
+        # raw modes: no stencil, no ring array — their own body/signature
+        return _make_grid_raw_ring_step(props, h, w, mesh)
+    _check_slab_alignment(h, w, mesh)
     ring_body = (_pallas_slab_body_ring_bands if slab_impl == "bands"
                  else _pallas_slab_body_ring)
 
@@ -355,6 +519,12 @@ def make_grid_step(props: DiPsProperties, h: int, w: int, mesh: Mesh,
     stats (S, B, NUM_STATS), new baseline, new heatmap, global scalar).
     S must divide by the stream axis, Hp by the rows axis.
 
+    RAW modes (absdiff/threshold/stats-only) carry a u8 (S, 3, Hp, Wp)
+    baseline and need no halo at all (no stencil): each device diffs its
+    slab of its streams independently and only the statistic reductions
+    ride ICI (:func:`_make_grid_raw_step`) — the fleet-on-a-pod shape
+    for many huge no-map cameras.
+
     ``backend``: "xla" = the portable vmap'd row-slab body; "pallas" = the
     fused stacked kernel on row slabs (TPU; slabs must be 8-row aligned —
     ``slab_rows_ok``).  ``slab_impl`` (pallas only): "bands" (default) =
@@ -362,19 +532,14 @@ def make_grid_step(props: DiPsProperties, h: int, w: int, mesh: Mesh,
     "extended" = the legacy halo-extended construction (see
     :func:`make_grid_ring_step`).
     """
-    if props.output in (OutputMode.ABSDIFF, OutputMode.THRESHOLD,
-                        OutputMode.STATS_ONLY):
-        raise ValueError("2-D grid applies to the median pipeline modes")
     if slab_impl not in ("bands", "extended"):
         raise ValueError(f"unknown slab_impl {slab_impl!r}")
+    if props.output in (OutputMode.ABSDIFF, OutputMode.THRESHOLD,
+                        OutputMode.STATS_ONLY):
+        # raw modes: no stencil, no halo — their own body (u8 baseline)
+        return _make_grid_raw_step(props, h, w, mesh, backend)
     if backend == "pallas":
-        from ..ops.reference import pad_geometry
-        hp = pad_geometry(h, w)[0]
-        rows_ax = mesh.shape["rows"]
-        if not slab_rows_ok(hp, rows_ax):
-            raise ValueError(
-                f"pallas 2-D grid needs 8-row-aligned slabs: padded height "
-                f"{hp} / {rows_ax} row shards = {hp / rows_ax} rows")
+        _check_slab_alignment(h, w, mesh)
     tail_body = (_pallas_slab_body_bands if slab_impl == "bands"
                  else _pallas_slab_body)
 

@@ -222,6 +222,10 @@ class MultiStreamEngine:
                  downscale: int = 1,
                  slab_impl: str = "bands"):
         self.props = props
+        if slab_impl not in ("bands", "extended"):
+            # validated on EVERY mesh shape (a 1-D stream mesh ignores the
+            # setting, but a typo'd fleet launch must still fail loudly)
+            raise ValueError(f"unknown slab_impl {slab_impl!r}")
         if packed_wire and (props.output != OutputMode.THRESHOLD
                             or props.out_channels == 0):
             raise ValueError("packed_wire requires THRESHOLD output with "
@@ -267,23 +271,15 @@ class MultiStreamEngine:
                 raise ValueError(
                     f"rows axis {rows_ax} must divide the padded height "
                     f"{self.hp}")
-            raw_mode = props.output in _RAW_MODES
             resolved = backend
             if resolved == "auto":
                 resolved = ("pallas" if jax.default_backend() == "tpu"
-                            and not raw_mode
                             and slab_rows_ok(self.hp, rows_ax) else "xla")
-            if resolved == "pallas" and raw_mode:
-                raise ValueError(
-                    "backend='pallas' on a 2-D mesh applies to the median "
-                    "pipeline modes (raw modes have no stencil: use a 1-D "
-                    "stream mesh)")
             if ring_carry is None:
                 ring_carry = resolved == "pallas"
-            if ring_carry and (resolved != "pallas" or raw_mode):
+            if ring_carry and resolved != "pallas":
                 raise ValueError(
-                    "ring_carry on a 2-D mesh requires the pallas backend "
-                    "and a median pipeline mode")
+                    "ring_carry on a 2-D mesh requires the pallas backend")
             if ring_carry:
                 self._step = make_grid_ring_step(props, height, width,
                                                  self.mesh,

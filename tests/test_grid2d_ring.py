@@ -302,16 +302,18 @@ def test_engine_slab_impl_passthrough():
 
 
 def test_grid_ring_guards():
-    """xla backend / raw modes cannot take the 2-D ring path."""
+    """xla backend cannot take the 2-D ring path; raw modes route to
+    their own ring body (tests/test_grid2d_raw.py) and must respect the
+    slab alignment guard."""
     from dips_tpu.parallel.multistream import MultiStreamEngine
     props = DiPsProperties(window_size=3, temporal_size=2)
     with pytest.raises(ValueError, match="ring_carry"):
         MultiStreamEngine(props, 32, 40, n_streams=2, batch=2,
                           mesh=grid_mesh(2, 4), backend="xla",
                           ring_carry=True)
-    with pytest.raises(ValueError, match="median"):
+    with pytest.raises(ValueError, match="8-row-aligned"):
         make_grid_ring_step(
-            DiPsProperties(output=OutputMode.ABSDIFF), 32, 40,
+            DiPsProperties(output=OutputMode.ABSDIFF), 24, 40,
             grid_mesh(2, 4))
 
 

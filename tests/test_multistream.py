@@ -648,3 +648,47 @@ def test_load_cancels_pending_snapshot(tmp_path):
     # identical to the uninterrupted engine: the snapshot did NOT fire
     np.testing.assert_array_equal(out2, out1)
     np.testing.assert_allclose(st2, st1, atol=1e-6)
+
+
+def test_slab_impl_validated_on_1d_mesh():
+    """Advisor r4: a 1-D stream mesh ignores slab_impl, but a typo'd
+    fleet launch must fail loudly instead of silently proceeding."""
+    props = DiPsProperties(window_size=3, temporal_size=2)
+    with pytest.raises(ValueError, match="slab_impl"):
+        MultiStreamEngine(props, 12, 40, n_streams=8, batch=2,
+                          slab_impl="nope")
+
+
+def test_mesh_cli_2d_grid_raw_modes(tmp_path, capsys):
+    """--mesh SxR accepts raw modes (VERDICT r4 item 1): an absdiff fleet
+    runs on the 2-D grid and writes per-stream diff videos identical to
+    the 1-D mesh run; a stats_only fleet needs no output dir at all."""
+    import json
+    from dips_tpu.cli import main as cli_main
+    from dips_tpu.io import VideoReader, moving_square_clip, write_clip
+    paths = []
+    for i in range(2):
+        p = str(tmp_path / f"v{i}.avi")
+        write_clip(moving_square_clip(n=4, height=32, width=48, seed=i), p)
+        paths.append(p)
+    frames = {}
+    for name, mesh_args in (("2d", ["--mesh", "2x4"]), ("1d", [])):
+        outdir = str(tmp_path / f"out_{name}")
+        rc = cli_main(["--inputs", *paths, "--output-dir", outdir,
+                       "--output-mode=absdiff", "--temporal=2",
+                       "--batch=4", *mesh_args])
+        assert rc == 0
+        with VideoReader(str(tmp_path / f"out_{name}" / "v0.dips.avi")) as r:
+            frames[name] = list(r)
+    assert len(frames["2d"]) == 4
+    for a, e in zip(frames["2d"], frames["1d"]):
+        np.testing.assert_array_equal(a, e)
+    # the no-map events fleet: stats_only + --mesh, JSON out, no videos
+    sj = str(tmp_path / "stats.json")
+    rc = cli_main(["--inputs", *paths, "--output-mode=stats_only",
+                   "--mesh", "2x4", "--temporal=2", "--batch=4",
+                   "--stats-json", sj])
+    assert rc == 0
+    with open(sj) as f:
+        doc = json.load(f)
+    assert len(doc) == 2 and all(len(v) == 4 for v in doc.values())
