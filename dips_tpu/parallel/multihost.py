@@ -149,6 +149,13 @@ class MultiHostStreamEngine(MultiStreamEngine):
     * checkpoints its LOCAL shard (``state_dict``/``save`` are per-host,
       one file per process — restore each on its own host).
 
+    Both step protocols run through the global-array plumbing: the
+    portable XLA tail step and the production fused pallas ring-carry
+    step (``backend="pallas"``, the single-host default — carried
+    ring/prev/baseline/heatmap state lives in global arrays and the
+    engine's lockstep rebuild keeps every process inside the
+    collectives); the driver dry-run exercises both (_dryrun.py step 1b).
+
     Not available in this mode (all would need eager ops on global
     arrays or break SPMD lockstep): ``input_layout="hwc"``,
     ``packed_wire``, and the per-stream device-state surgeries
@@ -166,7 +173,24 @@ class MultiHostStreamEngine(MultiStreamEngine):
         if mesh is None:
             mesh = stream_mesh()  # jax.devices() is global under jax.distributed
         if "rows" in mesh.axis_names:
-            raise ValueError("MultiHostStreamEngine needs a 1-D stream mesh")
+            # Reasoned restriction, not a stub (cf. _no_multihost below):
+            # on a 2-D (stream x rows) mesh one FRAME's rows span devices
+            # on different hosts, so the host that decodes a frame would
+            # have to scatter row slabs to remote processes before the
+            # step — a DCN transfer per frame that the "each process
+            # feeds only its local streams" contract (and
+            # make_array_from_single_device_arrays, which only accepts
+            # addressable shards) cannot express.  Pods scale by WHOLE
+            # streams: use a 1-D stream mesh here, and row-shard big
+            # frames within a single host's devices (MultiStreamEngine
+            # on a grid mesh, parallel/grid2d.py).
+            raise ValueError(
+                "MultiHostStreamEngine needs a 1-D stream mesh: a row-"
+                "sharded frame would span hosts, and the feeding host "
+                "cannot contribute non-addressable (remote) row slabs "
+                "to the global array.  Shard streams across hosts here; "
+                "row-shard within one host via MultiStreamEngine on a "
+                "grid mesh.")
         n_dev = int(mesh.devices.size)
         if n_streams % n_dev:
             raise ValueError(

@@ -3,7 +3,12 @@ cluster (4 virtual devices each -> 8 global).  Launched by
 tests/test_multihost.py; results land in an npz the parent compares
 against a single-process 8-device run.
 
-Usage: python tests/_mh_worker.py RANK NPROCS PORT OUTDIR [--checkpoint]
+Usage: python tests/_mh_worker.py RANK NPROCS PORT OUTDIR
+       [--checkpoint] [--ring]
+
+``--ring`` runs the PRODUCTION step protocol — the fused pallas
+ring-carry kernel (interpret mode on this CPU cluster) — through the
+multi-host global-array plumbing, instead of the portable XLA tail step.
 """
 
 import os
@@ -39,6 +44,8 @@ def main() -> int:
     rank, nprocs, port = int(sys.argv[1]), int(sys.argv[2]), int(sys.argv[3])
     outdir = sys.argv[4]
     do_checkpoint = "--checkpoint" in sys.argv
+    ring = "--ring" in sys.argv
+    backend = "pallas" if ring else "xla"
 
     os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
     import jax
@@ -58,7 +65,8 @@ def main() -> int:
     props = DiPsProperties(window_size=3, temporal_size=2,
                            filter=DiPsFilter.UNFILTERED)
     eng = MultiHostStreamEngine(props, H, W, S_GLOBAL, batch=BATCH,
-                                backend="xla")
+                                backend=backend, ring_carry=ring)
+    assert eng.ring_carry is ring
     n_mine = FRAMES_PER_RANK[rank]
     clips = {si: make_clip(n=n_mine, h=H, w=W, seed=100 + si)
              for si in eng.local_stream_ids}
@@ -80,7 +88,7 @@ def main() -> int:
             path = os.path.join(outdir, f"ckpt_{rank}.npz")
             eng.save(path)
             eng = MultiHostStreamEngine(props, H, W, S_GLOBAL, batch=BATCH,
-                                        backend="xla")
+                                        backend=backend, ring_carry=ring)
             eng.load(path)
 
     np.savez(os.path.join(outdir, f"rank{rank}.npz"),

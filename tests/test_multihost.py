@@ -37,15 +37,18 @@ def _rank_of(si: int) -> int:
     return 0 if si < S_GLOBAL // 2 else 1
 
 
-def _expected():
+def _expected(ring=False):
     """Single-process reference: all 8 streams on the test process's
     8-device mesh, same clips, same per-round feeds (streams of a rank
-    with a zero round pass empty lists, exactly like the cluster)."""
+    with a zero round pass empty lists, exactly like the cluster).
+    ``ring``: the pallas ring-carry protocol — the cluster must be
+    bit-identical to the SAME kernel running single-process."""
     from dips_tpu.parallel import MultiStreamEngine
     props = DiPsProperties(window_size=3, temporal_size=2,
                            filter=DiPsFilter.UNFILTERED)
     eng = MultiStreamEngine(props, H, W, n_streams=S_GLOBAL, batch=BATCH,
-                            backend="xla")
+                            backend="pallas" if ring else "xla",
+                            ring_carry=ring)
     clips = [make_clip(n=FRAMES_PER_RANK[_rank_of(si)], h=H, w=W,
                        seed=100 + si) for si in range(S_GLOBAL)]
     cursors = [0] * S_GLOBAL
@@ -82,10 +85,11 @@ def _run_cluster(tmp_path, extra=()):
     return logs
 
 
-@pytest.mark.parametrize("extra", [(), ("--checkpoint",)],
-                         ids=["fresh", "checkpoint-roundtrip"])
+@pytest.mark.parametrize("extra", [(), ("--checkpoint",), ("--ring",)],
+                         ids=["fresh", "checkpoint-roundtrip",
+                              "pallas-ring-carry"])
 def test_two_process_cluster_matches_single_process(tmp_path, extra):
-    exp_outs, exp_stats, exp_gmeans = _expected()
+    exp_outs, exp_stats, exp_gmeans = _expected(ring="--ring" in extra)
 
     _run_cluster(tmp_path, extra)
 
