@@ -16,7 +16,12 @@ pins without code changes:
   (``_RAW_TARGET_BLOCK_BYTES``) — the kernel is DMA-bound, so every
   candidate block height is *timed* (device-resident ``lax.fori_loop``,
   min-of-3 two-point fit, the bench.py methodology) and the fastest block's
-  byte size becomes the target.
+  byte size becomes the target;
+* **band-mode slab ring kernel** (``--mesh SxR``): the same OOM-edge walk
+  at the OWNED slab height a row-sharded deployment runs, with the
+  neighbour-band input blocks resident — persisted per-(device-kind,
+  window, owned-height) and consumed automatically by the sharded
+  engines.
 
 Results persist per device kind via :mod:`dips_tpu.ops.tuning`; the
 geometry pickers consult that store before the baked-in pins, so running
@@ -277,6 +282,77 @@ def _stacked_ring_measure_factory(window: int, h: int, w: int, t: int,
     return measure, hp, wp
 
 
+def _slab_ring_measure_factory(window: int, h: int, w: int, t: int,
+                               b: int, rows_ax: int, approx: bool = False):
+    """measure(fpb, bh) -> seconds/step for the BAND-MODE slab ring
+    kernel at the owned height a ``rows_ax``-way row-sharded deployment
+    runs (hs = padded_height / rows_ax), with the two 8-row neighbour-
+    band input blocks RESIDENT — so a cap measured here already includes
+    the band VMEM debit and is consumed verbatim by
+    ``pallas_fused._ring_geometry(slab_bands=True)``.  One shard's body
+    is probed on one chip (zero bands; the ppermute exchange is pure
+    ICI traffic, irrelevant to the Mosaic VMEM edge)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from jax import lax
+    from .ops import pallas_fused
+
+    props = DiPsProperties(window_size=window, temporal_size=t,
+                           method=DiPsMethod.OVERALL,
+                           output=OutputMode.COLORIZE, approx_median=approx)
+    if props.window_size <= 1:
+        raise ValueError("band-mode slabs need a stencil window (> 1)")
+    hp, wp = pad_geometry(h, w)
+    if hp % (8 * rows_ax):
+        raise ValueError(
+            f"padded height {hp} / {rows_ax} row shards is not 8-row "
+            f"aligned — pick a rows axis dividing {hp // 8} tiles")
+    hs = hp // rows_ax
+    raw = jnp.zeros((b, 3, hs, wp), jnp.uint8)  # zeros: compressible
+    bands = (jnp.zeros((b, 3, 8, wp), jnp.uint8),
+             jnp.zeros((b, 3, 8, wp), jnp.uint8))
+    flags = np.zeros((1, b), bool)  # closed over: HOST arrays (see
+    flags[0, 0] = True              # _ring_measure_factory)
+    valid = np.ones((1, b), bool)
+    off = np.zeros((1,), np.int32)
+    seed = np.zeros((1,), np.int32)
+    bounds = np.asarray([0, hs], np.int32)
+    state0 = (jnp.zeros((t, hs, wp), jnp.float32),
+              jnp.zeros((hs, wp), jnp.float32),
+              jnp.zeros((hs, wp), jnp.float32),
+              jnp.zeros((hs, wp), jnp.float32))
+
+    def measure(fpb: int, bh: int) -> float:
+        @jax.jit  # fresh closure per probe
+        def loop(n, raw, st):
+            def body(_, carry):
+                (rg, pv, bl, hm), acc = carry
+                out, stats, rg, pv, bl, hm = (
+                    pallas_fused._batch_step_ring_impl(
+                        props, h, w, 1, raw, rg, pv, bl, flags, hm, valid,
+                        off, seed, row_bounds=bounds, bands=bands))
+                return (rg, pv, bl, hm), acc + stats.sum() + out.ravel()[
+                    0].astype(jnp.float32)
+            return lax.fori_loop(0, n, body, (st, jnp.float32(0)))
+
+        old = pallas_fused._RING_GEOMETRY_OVERRIDE
+        pallas_fused._RING_GEOMETRY_OVERRIDE = (fpb, bh)
+        try:
+            try:
+                float(loop(2, raw, state0)[1])
+            except Exception as e:
+                if _looks_oom(e):
+                    raise ProbeOOM(f"bh={bh}: {str(e)[:160]}") from None
+                raise
+            return _two_point_fit(
+                lambda n: float(loop(n, raw, state0)[1]), (4, 12))
+        finally:
+            pallas_fused._RING_GEOMETRY_OVERRIDE = old
+
+    return measure, hs, wp
+
+
 def _stacked_raw_measure_factory(h: int, w: int, t: int, b: int, s: int):
     """measure(bh) -> seconds/step for the STACKED raw absdiff ring
     kernel at a forced block height."""
@@ -427,6 +503,21 @@ def probe_stacked_raw_target(s: int, h: int = 1080, w: int = 1920,
             _stacked_raw_measure_factory(h2, w2, t2, b2, s))
 
 
+def probe_slab_ring_caps(rows_ax: int, windows=(3, 5, 7), h: int = 1080,
+                         w: int = 1920, t: int = 4, b: int = 64) -> dict:
+    """Band-mode slab twin of :func:`probe_ring_caps` for a
+    ``rows_ax``-way row-sharded deployment (``--mesh SxR``): probes the
+    ring kernel at the OWNED slab height with the neighbour-band blocks
+    resident, so the persisted cap is consumed verbatim by the sharded
+    engines (no analytic band debit, no operator hand-runs at Hp/R).
+    Window 1 is skipped — no stencil, no bands, no slab geometry."""
+    windows = tuple(win for win in windows if win > 1)
+    return probe_ring_caps(
+        windows, h, w, t, b,
+        measure_factory=lambda win, h2, w2, t2, b2:
+            _slab_ring_measure_factory(win, h2, w2, t2, b2, rows_ax))
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(
         prog="dips-autotune",
@@ -449,6 +540,17 @@ def main(argv=None) -> int:
                          "entry (<= the row-block divisor ladder, "
                          "typically 3-6 compiles) + <= 6 timed raw "
                          "probes; see OPERATIONS.md")
+    ap.add_argument("--mesh", metavar="SxR", default=None,
+                    help="ALSO probe the band-mode slab ring kernel at the "
+                         "owned height an SxR (stream x rows) grid runs "
+                         "(padded height / R, neighbour-band blocks "
+                         "resident) and persist per-(device-kind, "
+                         "owned-height) slab caps the sharded engines "
+                         "consume automatically — replaces the manual "
+                         "'re-run autotune at Hp/R' runbook step.  The "
+                         "stream axis S only validates the spec; the "
+                         "probe is per-shard.  One OOM-edge walk per "
+                         "--windows entry (window 1 skipped: no stencil)")
     ap.add_argument("--dry-run", action="store_true",
                     help="measure and report, but do not write the cache")
     from .utils.compilecache import (add_compile_cache_flag,
@@ -509,6 +611,29 @@ def main(argv=None) -> int:
                       f"{stacked_raw['fps'] * s:.0f} fps aggregate)",
                       file=sys.stderr)
 
+    slab_caps = {}
+    if args.mesh:
+        try:
+            _s_ax, r_ax = (int(v) for v in args.mesh.lower().split("x"))
+        except ValueError:
+            print(f"bad --mesh {args.mesh!r} (want SxR, e.g. 2x4)",
+                  file=sys.stderr)
+            return 2
+        hp = pad_geometry(args.height, args.width)[0]
+        if r_ax < 1 or hp % (8 * max(r_ax, 1)):
+            print(f"--mesh rows axis {r_ax} does not 8-row-align the "
+                  f"padded height {hp} (pick a divisor of {hp // 8} "
+                  f"tiles)", file=sys.stderr)
+            return 2
+        hs = hp // r_ax
+        res = probe_slab_ring_caps(r_ax, tuple(args.windows), args.height,
+                                   args.width, args.temporal, args.batch)
+        for win, r in res.items():
+            print(f"  slab[{args.mesh}] ring w{win}: cap {r['cap']} "
+                  f"(owned {hs} rows, bh={r['bh']}, {r['fps']:.0f} "
+                  f"fps/shard)", file=sys.stderr)
+            slab_caps.setdefault(win, {})[hs] = r["cap"]
+
     if args.dry_run:
         print("dry run: cache not written", file=sys.stderr)
         return 0
@@ -518,9 +643,11 @@ def main(argv=None) -> int:
         stacked_ring_caps=stacked_caps or None,
         stacked_raw_target=(stacked_raw["target_bytes"]
                             if stacked_raw else None),
+        slab_ring_caps=slab_caps or None,
         meta={"geometry": f"{args.width}x{args.height}",
               "temporal": args.temporal, "batch": args.batch,
               **({"stacked": int(args.stacked)} if args.stacked else {}),
+              **({"mesh": args.mesh} if args.mesh else {}),
               "tool": "dips_tpu.autotune"})
     print(f"saved: {path}")
     return 0

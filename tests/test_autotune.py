@@ -360,3 +360,42 @@ def test_autotune_cli_refuses_gpu(capsys, monkeypatch):
     monkeypatch.setattr(jax, "default_backend", lambda: "gpu")
     assert autotune.main([]) == 1
     assert "needs a TPU" in capsys.readouterr().err
+
+
+def test_probe_slab_ring_caps_with_fake_measure(monkeypatch):
+    """probe_slab_ring_caps delegates with the rows axis, skips the
+    stencil-free window 1, and reports owned-height caps."""
+    seen = {}
+
+    def fake_factory(win, h, w, t, b, rows_ax, approx=False):
+        seen["rows"] = rows_ax
+
+        def measure(fpb, bh):
+            if bh > 16:
+                raise ProbeOOM(f"bh={bh}")
+            return 0.001 * bh
+        return measure, 48, 2048  # owned hs, wp
+
+    monkeypatch.setattr(autotune, "_slab_ring_measure_factory",
+                        fake_factory)
+    res = autotune.probe_slab_ring_caps(4, windows=(1, 3), h=192, w=1920,
+                                        b=64)
+    assert 1 not in res  # no stencil -> no bands -> no slab geometry
+    assert res[3]["cap"] == 16 * 2048 and seen["rows"] == 4
+
+
+def test_slab_ring_measure_factory_compiles(monkeypatch):
+    """The slab probe's kernel composition (band inputs + row bounds at
+    the owned height) actually compiles and runs (interpret on CPU)."""
+    monkeypatch.setattr(autotune, "_two_point_fit",
+                        lambda run, iters, repeats=3: 0.01)
+    measure, hs, wp = autotune._slab_ring_measure_factory(
+        3, 16, 24, t=2, b=4, rows_ax=2)
+    assert hs == 8
+    assert measure(2, 8) == 0.01  # compile+warmup ran inside
+    with pytest.raises(ValueError, match="8-row"):
+        autotune._slab_ring_measure_factory(3, 16, 24, t=2, b=4,
+                                            rows_ax=3)
+    with pytest.raises(ValueError, match="stencil"):
+        autotune._slab_ring_measure_factory(1, 16, 24, t=2, b=4,
+                                            rows_ax=2)
