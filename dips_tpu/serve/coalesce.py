@@ -32,12 +32,23 @@ class StreamCoalescer:
     def __init__(self, props: DiPsProperties, height: int, width: int,
                  n_streams: int, batch: int = 1, backend: str = "auto",
                  window_ms: float = 2.0, n_devices: int = 1,
+                 mesh_shape: Optional[Tuple[int, int]] = None,
                  input_layout: str = "planar", downscale: int = 1):
         from ..parallel import MultiStreamEngine, stream_mesh
-        # slots shard over the first n_devices chips (ICI-order mesh);
-        # the default 1-device mesh serves a whole camera fleet from one
-        # chip, a pod slice scales the same daemon out
-        mesh = stream_mesh(max(1, int(n_devices)))
+        if mesh_shape is not None:
+            # (S, R) 2-D grid: each device owns a horizontal slab of a
+            # subset of slots — the BIG-FRAME serving shape (an 8K camera
+            # whose per-chip line rate is the bottleneck gets R-way row
+            # sharding; the padded height must 8-row-align by R for the
+            # pallas body).  Overrides n_devices.
+            from ..parallel.grid2d import grid_mesh
+            s_ax, r_ax = (int(v) for v in mesh_shape)
+            mesh = grid_mesh(s_ax, r_ax)
+        else:
+            # slots shard over the first n_devices chips (ICI-order mesh);
+            # the default 1-device mesh serves a whole camera fleet from
+            # one chip, a pod slice scales the same daemon out
+            mesh = stream_mesh(max(1, int(n_devices)))
         self.engine = MultiStreamEngine(props, height, width,
                                         n_streams=n_streams, batch=batch,
                                         mesh=mesh, backend=backend,

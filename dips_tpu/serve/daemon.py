@@ -37,6 +37,14 @@ def main(argv=None) -> int:
     ap.add_argument("--coalesce-devices", type=int, default=1, metavar="D",
                     help="shard the coalesced stream slots over the first "
                          "D chips of the mesh (N must divide by D)")
+    ap.add_argument("--coalesce-mesh", metavar="SxR", default=None,
+                    help="shard the coalesced slots over a 2-D grid (S "
+                         "stream shards x R row slabs) instead of the 1-D "
+                         "--coalesce-devices mesh — the BIG-FRAME serving "
+                         "shape: a single huge stream (8K camera) gets "
+                         "R-way row sharding when per-chip line rate is "
+                         "the bottleneck.  N must divide by S and the "
+                         "padded frame height must 8-row-align by R")
     ap.add_argument("--input-layout", choices=("planar", "hwc"),
                     default="planar",
                     help="'hwc': upload raw frames and planarize ON DEVICE "
@@ -125,6 +133,21 @@ def main(argv=None) -> int:
         print(f"error: {e}", file=sys.stderr)
         return 2
     try:
+        coalesce_mesh = None
+        if args.coalesce_mesh:
+            try:
+                coalesce_mesh = tuple(
+                    int(v) for v in args.coalesce_mesh.lower().split("x"))
+                if len(coalesce_mesh) != 2:
+                    raise ValueError(args.coalesce_mesh)
+            except ValueError:
+                print(f"bad --coalesce-mesh {args.coalesce_mesh!r} "
+                      f"(want SxR, e.g. 1x4)", file=sys.stderr)
+                return 2
+            if args.coalesce_devices != 1:
+                print("--coalesce-mesh replaces --coalesce-devices "
+                      "(pick one)", file=sys.stderr)
+                return 2
         server = DiPsServer(props, args.height, args.width, port=args.port,
                             host=args.host, batch=args.batch,
                             backend=args.backend,
@@ -133,6 +156,7 @@ def main(argv=None) -> int:
                             coalesce=args.coalesce,
                             coalesce_window_ms=args.coalesce_window_ms,
                             coalesce_devices=args.coalesce_devices,
+                            coalesce_mesh=coalesce_mesh,
                             input_layout=args.input_layout,
                             metrics_port=args.metrics_port,
                             autosave_dir=args.autosave,

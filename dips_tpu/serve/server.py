@@ -40,6 +40,7 @@ class DiPsServer(SessionMixin, AnalyticsMixin):
                  backend: str = "auto", max_sessions: int = 1,
                  packed_wire: bool = False, coalesce: int = 0,
                  coalesce_window_ms: float = 2.0, coalesce_devices: int = 1,
+                 coalesce_mesh=None,
                  input_layout: str = "planar",
                  metrics_port: Optional[int] = None,
                  autosave_dir: Optional[str] = None,
@@ -148,6 +149,8 @@ class DiPsServer(SessionMixin, AnalyticsMixin):
             self._coalesce_cfg = dict(
                 n_streams=coalesce, batch=batch, backend=backend,
                 window_ms=coalesce_window_ms, n_devices=coalesce_devices,
+                mesh_shape=(tuple(int(v) for v in coalesce_mesh)
+                            if coalesce_mesh is not None else None),
                 input_layout=input_layout, downscale=self.downscale)
             if not self.flexible:
                 self._coalescer = StreamCoalescer(props, height, width,
