@@ -306,6 +306,197 @@ def _run_slab_bands(verbose: bool, results=None) -> int:
         return 1
 
 
+def _run_raw_slab(verbose: bool, results=None) -> int:
+    """Raw-kernel slab composition on silicon (the 2-D grid / rowsharded
+    raw bodies, parallel/grid2d._pallas_raw_grid_body): a 2-shard row
+    split of one stream — slab-local roi ``row_bounds`` through the
+    scalar-prefetch window — must reproduce the full-height raw kernel:
+    maps byte-exact, stats combining by sum/sum/max/sum.  Covers BOTH
+    protocols: the tail body (OVERALL) and the ring body (PER_FRAME,
+    carried prev/baseline slab state across two batches)."""
+    import jax.numpy as jnp
+    from .ops import pallas_fused
+    from .ops.reference import pad_geometry
+
+    t0 = time.time()
+    try:
+        t, b, h, w = 2, 4, 64, 140
+        hp, wp = pad_geometry(h, w)
+        hs = hp // 2
+        props = DiPsProperties(output=OutputMode.ABSDIFF, temporal_size=t,
+                               roi=(10, 4, 50, 36))
+        y0, x0, y1, x1 = props.roi_bounds(h, w)
+        r = np.random.default_rng(7)
+        raw = r.integers(0, 256, (t + b, 3, hp, wp), np.uint8)
+        raw[..., h:, :] = 0
+        raw[..., w:] = 0
+        flags = np.zeros((b,), bool)
+        flags[0] = True
+        valid = np.ones((1, b), bool)
+
+        def bounds(k):
+            row0 = k * hs
+            return jnp.asarray([np.clip(y0 - row0, 0, hs),
+                                np.clip(y1 - row0, 0, hs)], np.int32)
+
+        # tail protocol (OVERALL): one call per emulated shard
+        outs, statss, nhs = [], [], []
+        for k in range(2):
+            o, st, _, nh = pallas_fused._absdiff_step_impl(
+                props, h, w, 1, jnp.asarray(raw[:, :, k * hs:(k + 1) * hs]),
+                jnp.zeros((3, hs, wp), jnp.uint8), jnp.asarray(flags[None]),
+                jnp.zeros((hs, wp), jnp.float32), jnp.asarray(valid),
+                row_bounds=bounds(k))
+            outs.append(np.asarray(o))
+            statss.append(np.asarray(st[0]))
+            nhs.append(np.asarray(nh))
+        eo, es, _, eh = pallas_fused.absdiff_step(
+            props, h, w, jnp.asarray(raw), jnp.zeros((3, hp, wp), jnp.uint8),
+            jnp.asarray(flags), jnp.zeros((hp, wp), jnp.float32),
+            jnp.asarray(valid[0]))
+        got_out = np.concatenate(outs, axis=-2)
+        assert (got_out == np.asarray(eo)).all(), "raw slab out != full"
+        exp = np.asarray(es)
+        np.testing.assert_allclose(statss[0][:, :2] + statss[1][:, :2],
+                                   exp[:, :2], atol=1e-5)
+        np.testing.assert_allclose(
+            np.maximum(statss[0][:, 2], statss[1][:, 2]), exp[:, 2], atol=0)
+        np.testing.assert_allclose(statss[0][:, 3] + statss[1][:, 3],
+                                   exp[:, 3], atol=0)
+        assert (np.concatenate(nhs, axis=-2) == np.asarray(eh)).all(), \
+            "raw slab heatmap diverged"
+
+        # ring protocol (PER_FRAME): carried prev/baseline slab state
+        props_r = DiPsProperties(output=OutputMode.ABSDIFF, temporal_size=t,
+                                 method=DiPsMethod.PER_FRAME,
+                                 roi=(10, 4, 50, 36))
+        pv = [jnp.zeros((3, hs, wp), jnp.uint8) for _ in range(2)]
+        bl = [jnp.zeros((3, hs, wp), jnp.uint8) for _ in range(2)]
+        hm = [jnp.zeros((hs, wp), jnp.float32) for _ in range(2)]
+        epv = jnp.zeros((3, hp, wp), jnp.uint8)
+        ebl = jnp.zeros((3, hp, wp), jnp.uint8)
+        ehm = jnp.zeros((hp, wp), jnp.float32)
+        seed = np.ones((1,), np.int32)
+        fl0 = np.zeros((b,), bool)
+        for bi in range(2):
+            rb = r.integers(0, 256, (b, 3, hp, wp), np.uint8)
+            rb[..., h:, :] = 0
+            rb[..., w:] = 0
+            slab_out = []
+            for k in range(2):
+                o, st, pv[k], bl[k], hm[k] = pallas_fused._absdiff_step_impl(
+                    props_r, h, w, 1,
+                    jnp.asarray(rb[:, :, k * hs:(k + 1) * hs]),
+                    bl[k], jnp.asarray(fl0[None]), hm[k],
+                    jnp.asarray(valid), prev=pv[k],
+                    seeds=jnp.asarray(seed), ring=True,
+                    row_bounds=bounds(k))
+                slab_out.append(np.asarray(o))
+            eo, es, epv, ebl, ehm = pallas_fused.absdiff_step_ring(
+                props_r, h, w, jnp.asarray(rb), epv, ebl,
+                jnp.asarray(fl0), ehm, jnp.asarray(valid[0]),
+                jnp.int32(seed[0]))
+            assert (np.concatenate(slab_out, axis=-2)
+                    == np.asarray(eo)).all(), f"ring batch {bi} out"
+            assert (np.concatenate([np.asarray(p) for p in pv], axis=-2)
+                    == np.asarray(epv)).all(), f"ring batch {bi} prev"
+            assert (np.concatenate([np.asarray(x) for x in hm], axis=-2)
+                    == np.asarray(ehm)).all(), f"ring batch {bi} heatmap"
+            seed = np.zeros((1,), np.int32)
+        if verbose:
+            print(f"  PASS {'raw slab row-bounds (tail+ring)':<40s} "
+                  f"({time.time() - t0:.1f}s)")
+        _record(results, "raw slab row-bounds (tail+ring)", True, t0)
+        return 0
+    except Exception as e:
+        if verbose:
+            print(f"  FAIL {'raw slab row-bounds (tail+ring)':<40s} {e}")
+        _record(results, "raw slab row-bounds (tail+ring)", False, t0, e)
+        return 1
+
+
+def _run_band_no_maps(verbose: bool, results=None) -> int:
+    """Composition gate: band-mode slabs x emit_maps=False (the two
+    round-4 surfaces together — a row-sharded no-map fleet).  The
+    2-section band-mode ring kernel with zero output channels must
+    reproduce the full-height no-maps ring kernel's statistics and every
+    piece of carried state across two batches."""
+    import jax.numpy as jnp
+    from .ops import pallas_fused
+    from .ops.reference import pad_geometry
+
+    t0 = time.time()
+    try:
+        t, b, h, w = 2, 4, 32, 140
+        hp, wp = pad_geometry(h, w)
+        hs = hp // 2
+        props = DiPsProperties(window_size=3, temporal_size=t,
+                               filter=DiPsFilter.UNFILTERED,
+                               emit_maps=False)
+        assert props.out_channels == 0
+        r = np.random.default_rng(9)
+        valid = np.ones((1, b), bool)
+        zband = np.zeros((b, 3, 8, wp), np.uint8)
+        ring = jnp.zeros((t, hp, wp), jnp.float32)
+        prev = jnp.zeros((hp, wp), jnp.float32)
+        base = jnp.zeros((hp, wp), jnp.float32)
+        heat = jnp.zeros((hp, wp), jnp.float32)
+        # expected-path state must NOT alias the slab path's: in OVERALL
+        # the impl returns its prev input unchanged, and batch_step_ring
+        # DONATES its state args — an aliased buffer would be deleted
+        # under the slab path's feet
+        er = jnp.zeros((t, hp, wp), jnp.float32)
+        ep = jnp.zeros((hp, wp), jnp.float32)
+        eb = jnp.zeros((hp, wp), jnp.float32)
+        eh = jnp.zeros((hp, wp), jnp.float32)
+        offs, seeds = np.zeros(2, np.int32), np.ones(2, np.int32)
+        for bi in range(2):
+            raw = r.integers(0, 256, (b, 3, hp, wp), np.uint8)
+            raw[..., h:, :] = 0
+            raw[..., w:] = 0
+            btop = np.concatenate([zband, raw[..., hs - 8:hs, :]], axis=2)
+            bbot = np.concatenate([raw[..., hs:hs + 8, :], zband], axis=2)
+            fl = np.zeros((2, b), bool)
+            fl[:, 0] = bi == 0
+            out, stats, ring, prev, base, heat = (
+                pallas_fused._batch_step_ring_impl(
+                    props, h, w, 2, jnp.asarray(raw), ring, prev, base,
+                    jnp.asarray(fl), heat,
+                    jnp.asarray(np.ones((2, b), bool)),
+                    jnp.asarray(offs), jnp.asarray(seeds),
+                    row_bounds=jnp.asarray([0, hs], np.int32),
+                    bands=(jnp.asarray(btop), jnp.asarray(bbot))))
+            assert out.shape[1] == 0, "no-maps run emitted map channels"
+            eo, es, er, ep, eb, eh = pallas_fused.batch_step_ring(
+                props, h, w, jnp.asarray(raw), er, ep, eb,
+                jnp.asarray(fl[0]), eh, jnp.asarray(valid[0]),
+                jnp.int32(offs[0]), jnp.int32(seeds[0]))
+            got, exp = np.asarray(stats), np.asarray(es)
+            np.testing.assert_allclose(got[0, :, :2] + got[1, :, :2],
+                                       exp[:, :2], atol=1e-5)
+            np.testing.assert_allclose(
+                np.maximum(got[0, :, 2], got[1, :, 2]), exp[:, 2],
+                atol=1e-6)
+            np.testing.assert_allclose(got[0, :, 3] + got[1, :, 3],
+                                       exp[:, 3], atol=0)
+            for nm, a, e in (("ring", ring, er), ("prev", prev, ep),
+                             ("baseline", base, eb), ("heatmap", heat, eh)):
+                assert (np.asarray(a) == np.asarray(e)).all(), \
+                    f"batch {bi}: band+no-maps {nm} state diverged"
+            offs = (offs + b) % t
+            seeds = np.zeros(2, np.int32)
+        if verbose:
+            print(f"  PASS {'band slabs x emit_maps=False':<40s} "
+                  f"({time.time() - t0:.1f}s)")
+        _record(results, "band slabs x emit_maps=False", True, t0)
+        return 0
+    except Exception as e:
+        if verbose:
+            print(f"  FAIL {'band slabs x emit_maps=False':<40s} {e}")
+        _record(results, "band slabs x emit_maps=False", False, t0, e)
+        return 1
+
+
 def _run_hwc(frames, verbose: bool, results=None) -> int:
     """Device-side input layout on silicon: an ``hwc_bgr`` engine (raw
     bytes up, transpose+pad+BGR swap on device) must be BIT-EXACT vs the
@@ -517,6 +708,8 @@ def run(backend: str = "pallas", quick: bool = False,
         failures += _run_stacked(verbose, results)
         failures += _run_slab(verbose, results)
         failures += _run_slab_bands(verbose, results)
+        failures += _run_raw_slab(verbose, results)
+        failures += _run_band_no_maps(verbose, results)
         failures += _run_hwc(frames, verbose, results)
         failures += _run_downscale(frames, verbose, results)
     if verbose:
@@ -552,6 +745,18 @@ def main(argv=None) -> int:
 
     results = [] if args.json else None
     t0 = time.time()
+    # Warm the relay's D2H fetch path ONCE, explicitly attributed (the
+    # bench.py split, round 4): the FIRST device->host fetch in a process
+    # pays a one-time per-process relay channel bring-up (measured 193.8 s
+    # for a pre-compile zeros fetch that had run NO kernel) — without this
+    # it lands inside whichever CASE runs first and makes its per-case
+    # seconds incomparable to its siblings (VALIDATE_r04 case 1: 229 s).
+    import jax.numpy as _jnp
+    tw = time.time()
+    np.asarray(_jnp.zeros((8, 128), _jnp.float32))
+    relay_warmup_s = round(time.time() - tw, 1)
+    print(f"relay D2H warmup: {relay_warmup_s}s (one-time per-process "
+          f"fetch-path setup, environmental — not any case's cost)")
     if args.soak is not None:
         rc = soak(args.soak, results=results)
     else:
@@ -567,6 +772,7 @@ def main(argv=None) -> int:
             "devices": [str(d) for d in jax.devices()],
             "jax_version": jax.__version__,
             "quick": bool(args.quick),
+            "relay_warmup_s": relay_warmup_s,
             "ok": rc == 0,
             "cases": results,
             "passed": sum(1 for r in results if r["ok"]),
