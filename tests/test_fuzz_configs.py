@@ -153,3 +153,65 @@ def test_tiny_geometry_one_row():
         d = np.abs(got_out.astype(int) - exp_out.astype(int))
         assert d.max() <= 1, backend
         np.testing.assert_allclose(got_stats, exp_stats, atol=1e-5)
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_fuzzed_grid_matrix(seed):
+    """One joint fuzz over the orthogonal config axes on the 2-D grid
+    engines — emit_maps x slab_impl x quirk_compat x approx_median x
+    method x window x output (incl. the raw fleet modes) x protocol —
+    so composition regressions can't hide between dedicated test files
+    (VERDICT r4 item 7).  Every draw must reproduce per-stream
+    single-device engines exactly."""
+    import jax
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the 8-device test mesh")
+    from dips_tpu.parallel.grid2d import grid_mesh
+    from dips_tpu.parallel.multistream import MultiStreamEngine
+
+    r = np.random.default_rng(7100 + seed)
+    h = 32                        # 4 row shards x 8-aligned slabs
+    w = int(r.integers(20, 60))
+    output = r.choice([OutputMode.COLORIZE, OutputMode.GRAYSCALE,
+                       OutputMode.ABSDIFF, OutputMode.THRESHOLD,
+                       OutputMode.STATS_ONLY])
+    raw = output in (OutputMode.ABSDIFF, OutputMode.THRESHOLD,
+                     OutputMode.STATS_ONLY)
+    quirk = bool(r.integers(0, 3) == 0)
+    props = DiPsProperties(
+        method=r.choice([DiPsMethod.OVERALL, DiPsMethod.PER_FRAME]),
+        output=output,
+        filter=r.choice([DiPsFilter.SIGMOID, DiPsFilter.UNFILTERED]),
+        chroma=r.choice(list(ChromaFilter)),
+        window_size=int(r.integers(1, 8)),
+        temporal_size=int(r.integers(1, 4)),
+        emit_maps=bool(r.integers(0, 3) != 0),
+        quirk_compat=quirk,
+        approx_median=(not quirk) and bool(r.integers(0, 3) == 0),
+        change_threshold=int(r.integers(1, 60)),
+        refresh_markers=(int(r.integers(1, 6)),),
+        roi=((4, 2, 30, 18) if r.random() < 0.3 else None))
+    batch = int(r.integers(2, 5))
+    n = 2 * batch
+    clips = [make_clip(n=n, h=h, w=w, seed=7200 + 8 * seed + k)
+             for k in range(2)]
+    ms = MultiStreamEngine(
+        props, h, w, n_streams=2, batch=batch, mesh=grid_mesh(2, 4),
+        backend="pallas", ring_carry=bool(r.integers(0, 2)),
+        slab_impl=str(r.choice(["bands", "extended"])))
+    outs, stats = [], []
+    for i in range(0, n, batch):
+        o, st, g = ms.process_batch([list(c[i:i + batch]) for c in clips])
+        assert np.isfinite(g), props
+        outs.append(o)
+        stats.append(st)
+    out = np.concatenate(outs, axis=1)
+    stat = np.concatenate(stats, axis=1)
+    for k, c in enumerate(clips):
+        eng = DiPsEngine(props, h, w, batch=batch, backend="pallas")
+        exp_out, exp_stats = eng.process_frames(list(c))
+        np.testing.assert_array_equal(out[k], exp_out, err_msg=str(props))
+        np.testing.assert_allclose(stat[k], exp_stats, atol=1e-5,
+                                   err_msg=str(props))
+        np.testing.assert_allclose(ms.heatmaps()[k], eng.heatmap(),
+                                   atol=1e-4, err_msg=str(props))
