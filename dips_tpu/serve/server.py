@@ -319,6 +319,12 @@ class DiPsServer(SessionMixin, AnalyticsMixin):
         c["max_sessions"] = self.max_sessions
         c["uptime_s"] = round(time.monotonic() - self._started, 3)
         c["coalesced"] = self._coalesce_cfg is not None
+        if (self._coalesce_cfg is not None
+                and self._coalesce_cfg.get("mesh_shape")):
+            # row-sharded big-frame serving (--coalesce-mesh): operators
+            # can confirm the grid from metrics alone
+            c["coalesce_mesh"] = "x".join(
+                str(v) for v in self._coalesce_cfg["mesh_shape"])
         c["flexible"] = self.flexible
         if self.flexible and self._coalesce_cfg is None:
             with self._pool_lock:

@@ -2204,6 +2204,7 @@ def test_coalesced_mesh_row_sharded_sessions():
         def run(i):
             cli = DiPsClient(srv.port)
             assert cli.hello()["config"]["coalesced"] is True
+            assert cli.metrics()["coalesce_mesh"] == "2x4"
             outs, stats = [], []
             for f in clips[i]:
                 o, s = cli.process(f)
