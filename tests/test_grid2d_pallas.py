@@ -191,13 +191,17 @@ def test_slab_alignment_guard():
         make_grid_step(props, 24, 40, grid_mesh(2, 4), backend="pallas")
 
 
-def test_grid_raw_mode_pallas_rejected():
-    """Raw (stencil-free) modes stay off the 2-D pallas path with a clear
-    error through the engine."""
+def test_grid_raw_mode_pallas_accepted():
+    """Round 5: raw (stencil-free) modes RUN on the 2-D pallas path
+    (tests/test_grid2d_raw.py pins the numerics); misaligned slabs are
+    still rejected with a clear error through the engine."""
     from dips_tpu.parallel.multistream import MultiStreamEngine
-    props = DiPsProperties(output=OutputMode.ABSDIFF)
-    with pytest.raises(ValueError, match="median"):
-        MultiStreamEngine(props, 32, 40, n_streams=2, batch=2,
+    props = DiPsProperties(output=OutputMode.ABSDIFF, temporal_size=2)
+    eng = MultiStreamEngine(props, 32, 40, n_streams=2, batch=2,
+                            mesh=grid_mesh(2, 4), backend="pallas")
+    assert eng.backend == "pallas" and eng.ring_carry
+    with pytest.raises(ValueError, match="8-row-aligned"):
+        MultiStreamEngine(props, 24, 40, n_streams=2, batch=2,
                           mesh=grid_mesh(2, 4), backend="pallas")
 
 
