@@ -614,13 +614,17 @@ def main(argv=None) -> int:
     slab_caps = {}
     if args.mesh:
         try:
-            _s_ax, r_ax = (int(v) for v in args.mesh.lower().split("x"))
+            s_ax, r_ax = (int(v) for v in args.mesh.lower().split("x"))
         except ValueError:
             print(f"bad --mesh {args.mesh!r} (want SxR, e.g. 2x4)",
                   file=sys.stderr)
             return 2
+        if s_ax < 1 or r_ax < 1:
+            print(f"--mesh axes must be >= 1, got {args.mesh!r}",
+                  file=sys.stderr)
+            return 2
         hp = pad_geometry(args.height, args.width)[0]
-        if r_ax < 1 or hp % (8 * max(r_ax, 1)):
+        if hp % (8 * r_ax):
             print(f"--mesh rows axis {r_ax} does not 8-row-align the "
                   f"padded height {hp} (pick a divisor of {hp // 8} "
                   f"tiles)", file=sys.stderr)

@@ -727,11 +727,15 @@ def _ring_geometry(hp: int, wp: int, window: int, t: int, b: int,
     ``slab_bands`` (row-sharded band-mode slabs, parallel/grid2d.py): the
     two extra double-buffered 8-row neighbour-band input blocks are
     bh-independent like the halo blocks and cost another 96*fpb*wp bytes;
+    the cap is debited by the band bytes (the tail path's
+    _pick_block_rows does the same) so cap-edge slab geometries can't
+    overflow scoped VMEM at runtime.  For single-section shards (s == 1)
     a mesh-probed cap at this owned height (``python -m dips_tpu.autotune
-    --mesh SxR``, measured WITH bands) is consulted first and needs no
-    debit, otherwise the single-stream cap is debited by the band bytes
-    (the tail path's _pick_block_rows does the same) so cap-edge slab
-    geometries can't overflow scoped VMEM at runtime."""
+    --mesh SxR``, measured WITH the bands resident) replaces the
+    analytic debit — floored at the debited pin on the pinned device
+    kind, like every other measured cap; stacked slab shards (s > 1)
+    keep the conservative debit, since the probe runs one section and
+    Mosaic scheduling across s x n_hb blocks can move the edge."""
     if _RING_GEOMETRY_OVERRIDE is not None:  # autotune probe (see above)
         return _RING_GEOMETRY_OVERRIDE
     # the separable approximate median keeps ~w3-level live planes (two
@@ -745,36 +749,44 @@ def _ring_geometry(hp: int, wp: int, window: int, t: int, b: int,
         fpb = min(fpb, 4)
     while b % fpb:
         fpb -= 1
-    band_debit = slab_bands and window > 1
-    slab_cap = tuning.slab_ring_cap(win_key, hp) if band_debit else None
-    if slab_cap is not None:
-        # mesh-probed cap at this owned height, measured WITH the band
-        # blocks resident: the debit is already inside the measurement
-        cap = slab_cap
-        band_debit = False
+    # analytic path: a measured per-device-kind cap (python -m
+    # dips_tpu.autotune) overrides the baked-in v5e pin; stacked shapes
+    # prefer their own measured key when one exists.  On the PINNED kind
+    # the baked cap is itself a silicon lower bound, so the larger wins.
+    measured = ((tuning.stacked_ring_cap(win_key) if s > 1 else None)
+                or tuning.ring_product_cap(win_key))
+    baked = _RING_BH_PRODUCT_CAPS[win_key]
+    if measured is None:
+        cap = baked
+    elif tuning._device_kind() == _PINNED_DEVICE_KIND:
+        cap = max(measured, baked)
     else:
-        # a measured per-device-kind cap (python -m dips_tpu.autotune)
-        # overrides the baked-in v5e pin; stacked shapes prefer their own
-        # measured key when one exists.  On the PINNED kind the baked cap
-        # is itself a silicon lower bound, so the larger of the two wins.
-        measured = ((tuning.stacked_ring_cap(win_key) if s > 1 else None)
-                    or tuning.ring_product_cap(win_key))
-        baked = _RING_BH_PRODUCT_CAPS[win_key]
-        if measured is None:
-            cap = baked
-        elif tuning._device_kind() == _PINNED_DEVICE_KIND:
-            cap = max(measured, baked)
-        else:
-            cap = measured
+        cap = measured
     if t > 4:  # ring in+working blocks are 12*t bytes/row-col at t=4 pins
         cap = cap * (48 + 12 * 4) // (48 + 12 * t)
-    if band_debit:
+    if slab_bands and window > 1:
         # two dbl-buffered 8-row 3-channel u8 band blocks = 96*fpb*wp
         # bytes, converted to product-cap units at the cap's effective
-        # bytes-per-unit coefficient (96 at the t=4 pin, 48+12t after the
-        # temporal derate above)
+        # bytes-per-unit coefficient (96 at the t=4 pin, 48+12t after
+        # the temporal derate above)
         unit = 48 + 12 * t if t > 4 else 96
         cap = max(cap - (96 * fpb * wp) // unit, 0)
+        # a mesh-probed cap at this owned height (measured WITH the band
+        # blocks resident — no debit needed) replaces the analytic
+        # estimate, but ONLY for single-section shards: the probe runs
+        # s=1, and Mosaic scheduling across s x n_hb blocks can move the
+        # edge (the reason stacked_ring_cap exists) — stacked slab
+        # shapes keep the conservative debit until probed.  On the
+        # pinned kind the analytic debit is itself derived from a
+        # silicon lower bound, so a coarse-ladder slab measurement
+        # cannot shrink the pick below it (mirrors the max() above).
+        slab_cap = tuning.slab_ring_cap(win_key, hp) if s == 1 else None
+        if slab_cap is not None:
+            if t > 4:
+                slab_cap = slab_cap * (48 + 12 * 4) // (48 + 12 * t)
+            cap = (max(slab_cap, cap)
+                   if tuning._device_kind() == _PINNED_DEVICE_KIND
+                   else slab_cap)
     max_rows = max(cap // wp, 8)
     bhs = [8 * d for d in range(1, hp // 8 + 1)
            if hp % (8 * d) == 0 and 8 * d <= max_rows]

@@ -54,6 +54,11 @@ def _section_height(hs: int) -> int:
 def grid_mesh(n_streams_axis: int, n_rows_axis: int,
               devices=None) -> Mesh:
     """A (stream, rows) 2-D mesh over the first S*R devices."""
+    if n_streams_axis < 1 or n_rows_axis < 1:
+        # numpy reshape(-1, R) would silently reinterpret a negative axis
+        # into a valid-looking (but wrong-topology) mesh
+        raise ValueError(
+            f"mesh axes must be >= 1, got {n_streams_axis}x{n_rows_axis}")
     if devices is None:
         devices = jax.devices()
     need = n_streams_axis * n_rows_axis
@@ -270,6 +275,51 @@ def _pallas_slab_body_ring(props, h, w, raw, ring, prev, baseline, flags,
     return out, _combine_slab_stats(stats, axis), nr, npv, nb, nh
 
 
+def stacked_raw_call(props, h, w, raw, baseline, flags, heatmap, valid,
+                     prev=None, seeds=None, ring=False, row_bounds=None):
+    """Stack per-stream/per-section arrays (leading axis S_l) along the
+    row axis of ONE raw kernel instance and unstack the results — the
+    ONE body behind every sharded raw path: the 1-D stream shards
+    (multistream.make_sharded_step/_ring_step) pass no ``row_bounds``,
+    the 2-D grid bodies below pass slab-local roi bounds.  Tail
+    protocol: raw (S_l, T+B, 3, Hs, Wp) -> (out, stats, new baseline,
+    new heatmap); ``ring``: raw covers only the B new frames, prev/seeds
+    are carried state -> (out, stats, new prev, new baseline, new
+    heatmap).  Returned stats (S_l, B, 4) are per-section partials, NOT
+    reduced over any mesh axis."""
+    from ..ops import pallas_fused
+
+    s_l, nf = raw.shape[0], raw.shape[1]
+    hs, wp = raw.shape[-2], raw.shape[-1]
+    raw_st = raw.transpose(1, 2, 0, 3, 4).reshape(nf, 3, s_l * hs, wp)
+    bl_st = baseline.transpose(1, 0, 2, 3).reshape(3, s_l * hs, wp)
+    hm_st = heatmap.reshape(s_l * hs, wp)
+    if ring:
+        pv_st = prev.transpose(1, 0, 2, 3).reshape(3, s_l * hs, wp)
+        out, stats, npv, nb, nh = pallas_fused._absdiff_step_impl(
+            props, h, w, s_l, raw_st, bl_st, flags, hm_st, valid,
+            prev=pv_st, seeds=seeds, ring=True, row_bounds=row_bounds)
+    else:
+        npv = None
+        out, stats, nb, nh = pallas_fused._absdiff_step_impl(
+            props, h, w, s_l, raw_st, bl_st, flags, hm_st, valid,
+            row_bounds=row_bounds)
+    b, c = out.shape[0], out.shape[1]
+    out = out.reshape(b, c, s_l, hs, wp).transpose(2, 0, 1, 3, 4)
+    nb = nb.reshape(3, s_l, hs, wp).transpose(1, 0, 2, 3)
+    nh = nh.reshape(s_l, hs, wp)
+    if ring:
+        npv = npv.reshape(3, s_l, hs, wp).transpose(1, 0, 2, 3)
+        return out, stats, npv, nb, nh
+    return out, stats, nb, nh
+
+
+def _raw_grid_bounds(props, h, w, hs, axis):
+    from .rowsharded import _raw_slab_bounds
+    return (None if props.roi is None
+            else _raw_slab_bounds(props, h, w, hs, axis))
+
+
 def _pallas_raw_grid_body(props, h, w, raw, baseline, flags, heatmap,
                           valid, axis):
     """Stacked raw (absdiff/threshold/stats-only) shard body, tail
@@ -284,24 +334,10 @@ def _pallas_raw_grid_body(props, h, w, raw, baseline, flags, heatmap,
     heatmap (S_l, Hs, Wp) f32, flags/valid (S_l, B) ->
     (out (S_l, B, C, Hs, Wp) u8, stats (S_l, B, 4) full-frame, new
     baseline, new heatmap)."""
-    from ..ops import pallas_fused
-    from .rowsharded import _raw_slab_bounds
-
-    s_l, tb = raw.shape[0], raw.shape[1]
-    hs, wp = raw.shape[-2], raw.shape[-1]
-    raw_st = raw.transpose(1, 2, 0, 3, 4).reshape(tb, 3, s_l * hs, wp)
-    bl_st = baseline.transpose(1, 0, 2, 3).reshape(3, s_l * hs, wp)
-    hm_st = heatmap.reshape(s_l * hs, wp)
-    bounds = (None if props.roi is None
-              else _raw_slab_bounds(props, h, w, hs, axis))
-    out, stats, nb, nh = pallas_fused._absdiff_step_impl(
-        props, h, w, s_l, raw_st, bl_st, flags, hm_st, valid,
-        row_bounds=bounds)
-    b, c = out.shape[0], out.shape[1]
-    out = out.reshape(b, c, s_l, hs, wp).transpose(2, 0, 1, 3, 4)
-    nb = nb.reshape(3, s_l, hs, wp).transpose(1, 0, 2, 3)
-    return (out, _combine_slab_stats(stats, axis), nb,
-            nh.reshape(s_l, hs, wp))
+    out, stats, nb, nh = stacked_raw_call(
+        props, h, w, raw, baseline, flags, heatmap, valid,
+        row_bounds=_raw_grid_bounds(props, h, w, raw.shape[-2], axis))
+    return out, _combine_slab_stats(stats, axis), nb, nh
 
 
 def _pallas_raw_grid_body_ring(props, h, w, raw, prev, baseline, flags,
@@ -315,26 +351,11 @@ def _pallas_raw_grid_body_ring(props, h, w, raw, prev, baseline, flags,
     flags/valid (S_l, B); heatmap (S_l, Hs, Wp) f32; seeds (S_l,) ->
     (out, stats (S_l, B, 4) full-frame, new prev, new baseline, new
     heatmap)."""
-    from ..ops import pallas_fused
-    from .rowsharded import _raw_slab_bounds
-
-    s_l, b = raw.shape[0], raw.shape[1]
-    hs, wp = raw.shape[-2], raw.shape[-1]
-    raw_st = raw.transpose(1, 2, 0, 3, 4).reshape(b, 3, s_l * hs, wp)
-    pv_st = prev.transpose(1, 0, 2, 3).reshape(3, s_l * hs, wp)
-    bl_st = baseline.transpose(1, 0, 2, 3).reshape(3, s_l * hs, wp)
-    hm_st = heatmap.reshape(s_l * hs, wp)
-    bounds = (None if props.roi is None
-              else _raw_slab_bounds(props, h, w, hs, axis))
-    out, stats, npv, nb, nh = pallas_fused._absdiff_step_impl(
-        props, h, w, s_l, raw_st, bl_st, flags, hm_st, valid,
-        prev=pv_st, seeds=seeds, ring=True, row_bounds=bounds)
-    c = out.shape[1]
-    out = out.reshape(b, c, s_l, hs, wp).transpose(2, 0, 1, 3, 4)
-    npv = npv.reshape(3, s_l, hs, wp).transpose(1, 0, 2, 3)
-    nb = nb.reshape(3, s_l, hs, wp).transpose(1, 0, 2, 3)
-    return (out, _combine_slab_stats(stats, axis), npv, nb,
-            nh.reshape(s_l, hs, wp))
+    out, stats, npv, nb, nh = stacked_raw_call(
+        props, h, w, raw, baseline, flags, heatmap, valid, prev=prev,
+        seeds=seeds, ring=True,
+        row_bounds=_raw_grid_bounds(props, h, w, raw.shape[-2], axis))
+    return out, _combine_slab_stats(stats, axis), npv, nb, nh
 
 
 def _grid_gmean(stats, valid):
@@ -476,12 +497,7 @@ def make_grid_ring_step(props: DiPsProperties, h: int, w: int, mesh: Mesh,
         out, stats, nr, npv, nb, nh = ring_body(
             props, h, w, raw, ring, prev, baseline, flags, heatmap, valid,
             offsets, seeds, "rows")
-        vw = valid.astype(jnp.float32)
-        total = lax.psum(lax.psum(jnp.sum(stats[..., 1] * vw), "rows"),
-                         "stream")
-        count = lax.psum(lax.psum(jnp.sum(vw), "rows"), "stream")
-        return (out, stats, nr, npv, nb, nh,
-                total / jnp.maximum(count, 1.0))
+        return out, stats, nr, npv, nb, nh, _grid_gmean(stats, valid)
 
     sharded = jax.shard_map(
         per_shard, mesh=mesh,
@@ -555,13 +571,7 @@ def make_grid_step(props: DiPsProperties, h: int, w: int, mesh: Mesh,
                 return _row_body(props, h, w, r, bl, fl, hm, vd, "rows")
             out, stats, new_b, new_h = jax.vmap(one_stream)(
                 raw, baseline, flags, heatmap, valid)
-        # valid-slot-masked global mean (stats are already row-reduced inside
-        # the body, so the extra "rows" psum cancels between total and count)
-        vw = valid.astype(jnp.float32)
-        total = lax.psum(lax.psum(jnp.sum(stats[..., 1] * vw), "rows"),
-                         "stream")
-        count = lax.psum(lax.psum(jnp.sum(vw), "rows"), "stream")
-        return out, stats, new_b, new_h, total / jnp.maximum(count, 1.0)
+        return out, stats, new_b, new_h, _grid_gmean(stats, valid)
 
     sharded = jax.shard_map(
         per_shard, mesh=mesh,

@@ -68,28 +68,26 @@ def make_sharded_step(props: DiPsProperties, h: int, w: int, mesh: Mesh,
         # per stream — measured ~2x multi-stream throughput on chip
         # (BASELINE.md).  Layout conversions are device-side transposes.
         from ..ops import pallas_fused
-        step = (pallas_fused._absdiff_step_impl if raw_mode
-                else pallas_fused._batch_step_impl)
+        from .grid2d import stacked_raw_call
 
         def per_shard(raw, baseline, flags, heatmap, valid):
+            if raw_mode:
+                # shared stack/call/unstack body (grid2d.stacked_raw_call
+                # — the 2-D grid raw bodies use the same one)
+                out, stats, nb, nh = stacked_raw_call(
+                    props, h, w, raw, baseline, flags, heatmap, valid)
+                return out, stats, nb, nh, _gmean_impl(stats, valid)
             s_l, tb = raw.shape[0], raw.shape[1]
             hp, wp = raw.shape[-2], raw.shape[-1]
             raw_st = raw.transpose(1, 2, 0, 3, 4).reshape(
                 tb, 3, s_l * hp, wp)
-            if raw_mode:
-                bl_st = baseline.transpose(1, 0, 2, 3).reshape(
-                    3, s_l * hp, wp)
-            else:
-                bl_st = baseline.reshape(s_l * hp, wp)
+            bl_st = baseline.reshape(s_l * hp, wp)
             hm_st = heatmap.reshape(s_l * hp, wp)
-            out, stats, nb, nh = step(props, h, w, s_l, raw_st, bl_st,
-                                      flags, hm_st, valid)
+            out, stats, nb, nh = pallas_fused._batch_step_impl(
+                props, h, w, s_l, raw_st, bl_st, flags, hm_st, valid)
             b, c = out.shape[0], out.shape[1]
             out = out.reshape(b, c, s_l, hp, wp).transpose(2, 0, 1, 3, 4)
-            if raw_mode:
-                nb = nb.reshape(3, s_l, hp, wp).transpose(1, 0, 2, 3)
-            else:
-                nb = nb.reshape(s_l, hp, wp)
+            nb = nb.reshape(s_l, hp, wp)
             nh = nh.reshape(s_l, hp, wp)
             return out, stats, nb, nh, _gmean_impl(stats, valid)
     else:
@@ -141,23 +139,13 @@ def make_sharded_ring_step(props: DiPsProperties, h: int, w: int,
     raw_mode = props.output in _RAW_MODES
 
     if raw_mode:
-        from ..ops import pallas_fused
+        from .grid2d import stacked_raw_call
 
         def per_shard(raw, prev, baseline, flags, heatmap, valid, seeds):
-            s_l, b = raw.shape[0], raw.shape[1]
-            hp, wp = raw.shape[-2], raw.shape[-1]
-            raw_st = raw.transpose(1, 2, 0, 3, 4).reshape(b, 3, s_l * hp, wp)
-            pv_st = prev.transpose(1, 0, 2, 3).reshape(3, s_l * hp, wp)
-            bl_st = baseline.transpose(1, 0, 2, 3).reshape(3, s_l * hp, wp)
-            hm_st = heatmap.reshape(s_l * hp, wp)
-            out, stats, npv, nb, nh = pallas_fused._absdiff_step_impl(
-                props, h, w, s_l, raw_st, bl_st, flags, hm_st, valid,
-                prev=pv_st, seeds=seeds, ring=True)
-            c = out.shape[1]
-            out = out.reshape(b, c, s_l, hp, wp).transpose(2, 0, 1, 3, 4)
-            npv = npv.reshape(3, s_l, hp, wp).transpose(1, 0, 2, 3)
-            nb = nb.reshape(3, s_l, hp, wp).transpose(1, 0, 2, 3)
-            nh = nh.reshape(s_l, hp, wp)
+            # shared stack/call/unstack body (grid2d.stacked_raw_call)
+            out, stats, npv, nb, nh = stacked_raw_call(
+                props, h, w, raw, baseline, flags, heatmap, valid,
+                prev=prev, seeds=seeds, ring=True)
             return out, stats, npv, nb, nh, _gmean_impl(stats, valid)
 
         sharded = jax.shard_map(

@@ -138,15 +138,23 @@ def main(argv=None) -> int:
             try:
                 coalesce_mesh = tuple(
                     int(v) for v in args.coalesce_mesh.lower().split("x"))
-                if len(coalesce_mesh) != 2:
+                if len(coalesce_mesh) != 2 or min(coalesce_mesh) < 1:
                     raise ValueError(args.coalesce_mesh)
             except ValueError:
                 print(f"bad --coalesce-mesh {args.coalesce_mesh!r} "
-                      f"(want SxR, e.g. 1x4)", file=sys.stderr)
+                      f"(want SxR with S,R >= 1, e.g. 1x4)",
+                      file=sys.stderr)
                 return 2
             if args.coalesce_devices != 1:
                 print("--coalesce-mesh replaces --coalesce-devices "
                       "(pick one)", file=sys.stderr)
+                return 2
+            if args.coalesce <= 0:
+                # without a coalescer there is nothing to shard — silently
+                # serving per-session on one chip would contradict the
+                # fail-at-startup promise
+                print("--coalesce-mesh requires --coalesce N (the mesh "
+                      "shards coalesced session slots)", file=sys.stderr)
                 return 2
         server = DiPsServer(props, args.height, args.width, port=args.port,
                             host=args.host, batch=args.batch,

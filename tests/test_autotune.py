@@ -399,3 +399,37 @@ def test_slab_ring_measure_factory_compiles(monkeypatch):
     with pytest.raises(ValueError, match="stencil"):
         autotune._slab_ring_measure_factory(1, 16, 24, t=2, b=4,
                                             rows_ax=2)
+
+
+def test_slab_cap_scope(cache, monkeypatch):
+    """Code-review r5: the s=1-probed slab cap is floored at the debited
+    pin on the pinned device kind (coarse-ladder measurements cannot
+    shrink the pick) and is NOT consumed by stacked slab shards (s > 1),
+    whose Mosaic scheduling the probe did not cover."""
+    from dips_tpu.ops import pallas_fused
+    pin = pallas_fused._PINNED_DEVICE_KIND
+    monkeypatch.setattr(tuning, "_device_kind", lambda: pin)
+    # analytic debited path at owned 272 / wp 2048 picks 16
+    assert pallas_fused._ring_geometry(272, 2048, 3, 4, 64,
+                                       slab_bands=True)[1] == 16
+    # a coarse slab cap BELOW the debited pin: floor holds
+    tuning.save(pin, slab_ring_caps={3: {272: 2048 * 8}})
+    assert pallas_fused._ring_geometry(272, 2048, 3, 4, 64,
+                                       slab_bands=True)[1] == 16
+    # a larger measured slab cap wins...
+    tuning.save(pin, slab_ring_caps={3: {272: 2048 * 136}})
+    assert pallas_fused._ring_geometry(272, 2048, 3, 4, 64,
+                                       slab_bands=True)[1] == 136
+    # ...but only for single-section shards: s > 1 keeps the debit
+    assert pallas_fused._ring_geometry(272, 2048, 3, 4, 64, s=2,
+                                       slab_bands=True)[1] == 16
+
+
+def test_grid_mesh_rejects_nonpositive_axes():
+    """Code-review r5: numpy reshape(-1, R) would silently reinterpret a
+    negative axis into a wrong-topology mesh."""
+    import pytest as _pytest
+    from dips_tpu.parallel.grid2d import grid_mesh
+    for s_ax, r_ax in ((-1, 4), (0, 4), (2, 0), (2, -2)):
+        with _pytest.raises(ValueError, match=">= 1"):
+            grid_mesh(s_ax, r_ax)

@@ -2239,3 +2239,12 @@ def test_daemon_coalesce_mesh_flag_validation(capsys):
                      "--coalesce-devices", "2",
                      "--height", "32", "--width", "40"])
     assert rc == 2
+    # without --coalesce there are no slots to shard: fail at startup
+    # instead of silently serving per-session on one chip
+    rc = serve_main(["--coalesce-mesh", "1x4",
+                     "--height", "32", "--width", "40"])
+    assert rc == 2
+    # non-positive axes are a parse error
+    rc = serve_main(["--coalesce", "2", "--coalesce-mesh", "0x4",
+                     "--height", "32", "--width", "40"])
+    assert rc == 2
