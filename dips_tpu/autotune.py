@@ -283,7 +283,8 @@ def _stacked_ring_measure_factory(window: int, h: int, w: int, t: int,
 
 
 def _slab_ring_measure_factory(window: int, h: int, w: int, t: int,
-                               b: int, rows_ax: int, approx: bool = False):
+                               b: int, rows_ax: int, approx: bool = False,
+                               s: int = 1):
     """measure(fpb, bh) -> seconds/step for the BAND-MODE slab ring
     kernel at the owned height a ``rows_ax``-way row-sharded deployment
     runs (hs = padded_height / rows_ax), with the two 8-row neighbour-
@@ -291,7 +292,9 @@ def _slab_ring_measure_factory(window: int, h: int, w: int, t: int,
     the band VMEM debit and is consumed verbatim by
     ``pallas_fused._ring_geometry(slab_bands=True)``.  One shard's body
     is probed on one chip (zero bands; the ppermute exchange is pure
-    ICI traffic, irrelevant to the Mosaic VMEM edge)."""
+    ICI traffic, irrelevant to the Mosaic VMEM edge).  ``s`` > 1 probes
+    the STACKED slab shape (s streams' owned slabs folded along one
+    kernel's row axis — the multi-stream-per-shard grid deployment)."""
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -309,19 +312,19 @@ def _slab_ring_measure_factory(window: int, h: int, w: int, t: int,
             f"padded height {hp} / {rows_ax} row shards is not 8-row "
             f"aligned — pick a rows axis dividing {hp // 8} tiles")
     hs = hp // rows_ax
-    raw = jnp.zeros((b, 3, hs, wp), jnp.uint8)  # zeros: compressible
-    bands = (jnp.zeros((b, 3, 8, wp), jnp.uint8),
-             jnp.zeros((b, 3, 8, wp), jnp.uint8))
-    flags = np.zeros((1, b), bool)  # closed over: HOST arrays (see
-    flags[0, 0] = True              # _ring_measure_factory)
-    valid = np.ones((1, b), bool)
-    off = np.zeros((1,), np.int32)
-    seed = np.zeros((1,), np.int32)
+    raw = jnp.zeros((b, 3, s * hs, wp), jnp.uint8)  # zeros: compressible
+    bands = (jnp.zeros((b, 3, s * 8, wp), jnp.uint8),
+             jnp.zeros((b, 3, s * 8, wp), jnp.uint8))
+    flags = np.zeros((s, b), bool)  # closed over: HOST arrays (see
+    flags[:, 0] = True              # _ring_measure_factory)
+    valid = np.ones((s, b), bool)
+    off = np.zeros((s,), np.int32)
+    seed = np.zeros((s,), np.int32)
     bounds = np.asarray([0, hs], np.int32)
-    state0 = (jnp.zeros((t, hs, wp), jnp.float32),
-              jnp.zeros((hs, wp), jnp.float32),
-              jnp.zeros((hs, wp), jnp.float32),
-              jnp.zeros((hs, wp), jnp.float32))
+    state0 = (jnp.zeros((t, s * hs, wp), jnp.float32),
+              jnp.zeros((s * hs, wp), jnp.float32),
+              jnp.zeros((s * hs, wp), jnp.float32),
+              jnp.zeros((s * hs, wp), jnp.float32))
 
     def measure(fpb: int, bh: int) -> float:
         @jax.jit  # fresh closure per probe
@@ -330,7 +333,7 @@ def _slab_ring_measure_factory(window: int, h: int, w: int, t: int,
                 (rg, pv, bl, hm), acc = carry
                 out, stats, rg, pv, bl, hm = (
                     pallas_fused._batch_step_ring_impl(
-                        props, h, w, 1, raw, rg, pv, bl, flags, hm, valid,
+                        props, h, w, s, raw, rg, pv, bl, flags, hm, valid,
                         off, seed, row_bounds=bounds, bands=bands))
                 return (rg, pv, bl, hm), acc + stats.sum() + out.ravel()[
                     0].astype(jnp.float32)
@@ -504,18 +507,21 @@ def probe_stacked_raw_target(s: int, h: int = 1080, w: int = 1920,
 
 
 def probe_slab_ring_caps(rows_ax: int, windows=(3, 5, 7), h: int = 1080,
-                         w: int = 1920, t: int = 4, b: int = 64) -> dict:
+                         w: int = 1920, t: int = 4, b: int = 64,
+                         s: int = 1) -> dict:
     """Band-mode slab twin of :func:`probe_ring_caps` for a
     ``rows_ax``-way row-sharded deployment (``--mesh SxR``): probes the
     ring kernel at the OWNED slab height with the neighbour-band blocks
     resident, so the persisted cap is consumed verbatim by the sharded
     engines (no analytic band debit, no operator hand-runs at Hp/R).
-    Window 1 is skipped — no stencil, no bands, no slab geometry."""
+    ``s`` > 1 probes the STACKED slab shape (``--mesh SxR --stacked
+    S_l`` — shards holding several streams' slabs).  Window 1 is
+    skipped — no stencil, no bands, no slab geometry."""
     windows = tuple(win for win in windows if win > 1)
     return probe_ring_caps(
         windows, h, w, t, b,
         measure_factory=lambda win, h2, w2, t2, b2:
-            _slab_ring_measure_factory(win, h2, w2, t2, b2, rows_ax))
+            _slab_ring_measure_factory(win, h2, w2, t2, b2, rows_ax, s=s))
 
 
 def main(argv=None) -> int:
@@ -550,7 +556,10 @@ def main(argv=None) -> int:
                          "'re-run autotune at Hp/R' runbook step.  The "
                          "stream axis S only validates the spec; the "
                          "probe is per-shard.  One OOM-edge walk per "
-                         "--windows entry (window 1 skipped: no stencil)")
+                         "--windows entry (window 1 skipped: no stencil). "
+                         "Composes with --stacked S_l: ALSO probes the "
+                         "stacked slab shape (shards holding S_l "
+                         "streams' slabs) under its own cache key")
     ap.add_argument("--dry-run", action="store_true",
                     help="measure and report, but do not write the cache")
     from .utils.compilecache import (add_compile_cache_flag,
@@ -612,6 +621,7 @@ def main(argv=None) -> int:
                       file=sys.stderr)
 
     slab_caps = {}
+    stacked_slab_caps = {}
     if args.mesh:
         try:
             s_ax, r_ax = (int(v) for v in args.mesh.lower().split("x"))
@@ -637,6 +647,20 @@ def main(argv=None) -> int:
                   f"(owned {hs} rows, bh={r['bh']}, {r['fps']:.0f} "
                   f"fps/shard)", file=sys.stderr)
             slab_caps.setdefault(win, {})[hs] = r["cap"]
+        if args.stacked:
+            # --mesh + --stacked compose: probe the stacked slab shape
+            # (shards holding --stacked streams' owned slabs), persisted
+            # under its own key for s>1 grid shards
+            s_l = max(2, int(args.stacked))
+            res = probe_slab_ring_caps(r_ax, tuple(args.windows),
+                                       args.height, args.width,
+                                       args.temporal, args.batch, s=s_l)
+            for win, r in res.items():
+                print(f"  stacked[{s_l}]-slab[{args.mesh}] ring w{win}: "
+                      f"cap {r['cap']} (owned {hs} rows, bh={r['bh']}, "
+                      f"{r['fps'] * s_l:.0f} fps/shard aggregate)",
+                      file=sys.stderr)
+                stacked_slab_caps.setdefault(win, {})[hs] = r["cap"]
 
     if args.dry_run:
         print("dry run: cache not written", file=sys.stderr)
@@ -648,6 +672,7 @@ def main(argv=None) -> int:
         stacked_raw_target=(stacked_raw["target_bytes"]
                             if stacked_raw else None),
         slab_ring_caps=slab_caps or None,
+        stacked_slab_ring_caps=stacked_slab_caps or None,
         meta={"geometry": f"{args.width}x{args.height}",
               "temporal": args.temporal, "batch": args.batch,
               **({"stacked": int(args.stacked)} if args.stacked else {}),

@@ -773,14 +773,17 @@ def _ring_geometry(hp: int, wp: int, window: int, t: int, b: int,
         cap = max(cap - (96 * fpb * wp) // unit, 0)
         # a mesh-probed cap at this owned height (measured WITH the band
         # blocks resident — no debit needed) replaces the analytic
-        # estimate, but ONLY for single-section shards: the probe runs
-        # s=1, and Mosaic scheduling across s x n_hb blocks can move the
-        # edge (the reason stacked_ring_cap exists) — stacked slab
-        # shapes keep the conservative debit until probed.  On the
-        # pinned kind the analytic debit is itself derived from a
-        # silicon lower bound, so a coarse-ladder slab measurement
-        # cannot shrink the pick below it (mirrors the max() above).
-        slab_cap = tuning.slab_ring_cap(win_key, hp) if s == 1 else None
+        # estimate.  The probe shape must match the shard shape: s == 1
+        # consults the single-section key, stacked shards consult the
+        # stacked-slab key (``--mesh SxR --stacked S_l`` — Mosaic
+        # scheduling across s x n_hb blocks can move the edge, the
+        # reason stacked_ring_cap exists); an unprobed shape keeps the
+        # conservative debit.  On the pinned kind the analytic debit is
+        # itself derived from a silicon lower bound, so a coarse-ladder
+        # slab measurement cannot shrink the pick below it (mirrors the
+        # max() above).
+        slab_cap = (tuning.slab_ring_cap(win_key, hp) if s == 1
+                    else tuning.stacked_slab_ring_cap(win_key, hp))
         if slab_cap is not None:
             if t > 4:
                 slab_cap = slab_cap * (48 + 12 * 4) // (48 + 12 * t)

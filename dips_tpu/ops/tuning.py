@@ -174,6 +174,29 @@ def slab_ring_cap(window: int, owned_hp: int,
         return None
 
 
+def stacked_slab_ring_cap(window: int, owned_hp: int,
+                          kind: Optional[str] = None) -> Optional[int]:
+    """Measured cap for the STACKED band-mode slab ring kernel (several
+    streams' owned slabs folded along one kernel's row axis — the
+    multi-stream-per-shard grid shape, ``dips-autotune --mesh SxR
+    --stacked S_l``).  None = fall back to the analytic band debit;
+    separate from :func:`slab_ring_cap` because Mosaic scheduling across
+    s x n_hb row blocks can move the VMEM edge."""
+    caps = device_entry(kind).get("stacked_slab_ring_caps", {})
+    if not isinstance(caps, dict):
+        return None
+    per_h = caps.get(str(window))
+    if not isinstance(per_h, dict):
+        return None
+    v = per_h.get(str(owned_hp))
+    try:
+        return int(v) if v else None
+    except (TypeError, ValueError):
+        log.warning("ignoring malformed stacked slab ring cap %r for "
+                    "window %d owned_hp %d", v, window, owned_hp)
+        return None
+
+
 def stacked_raw_target_bytes(kind: Optional[str] = None) -> Optional[int]:
     """Measured input-block sweet spot for the STACKED raw kernel, or
     None (fall back to the single-stream target/pin)."""
@@ -190,6 +213,7 @@ def save(kind: str, ring_caps: Optional[dict] = None,
          stacked_ring_caps: Optional[dict] = None,
          stacked_raw_target: Optional[int] = None,
          slab_ring_caps: Optional[dict] = None,
+         stacked_slab_ring_caps: Optional[dict] = None,
          meta: Optional[dict] = None) -> str:
     """Merge measurements for ``kind`` into the cache file; returns the
     path written.  Partial updates keep the other family's entries.
@@ -220,10 +244,13 @@ def save(kind: str, ring_caps: Optional[dict] = None,
                 prev = 0
             merged[str(k)] = max(int(v), prev)
         entry[key] = merged
-    if slab_ring_caps:
-        prior = entry.get("slab_ring_caps", {})
+    for key, caps2 in (("slab_ring_caps", slab_ring_caps),
+                       ("stacked_slab_ring_caps", stacked_slab_ring_caps)):
+        if not caps2:
+            continue
+        prior = entry.get(key, {})
         merged = dict(prior) if isinstance(prior, dict) else {}
-        for win, per_h in slab_ring_caps.items():
+        for win, per_h in caps2.items():
             pw = merged.get(str(win), {})
             pw = dict(pw) if isinstance(pw, dict) else {}
             for hp_k, v in per_h.items():
@@ -233,7 +260,7 @@ def save(kind: str, ring_caps: Optional[dict] = None,
                     prev = 0
                 pw[str(hp_k)] = max(int(v), prev)
             merged[str(win)] = pw
-        entry["slab_ring_caps"] = merged
+        entry[key] = merged
     if raw_target:
         entry["raw_target_bytes"] = int(raw_target)
     if stacked_raw_target:

@@ -367,7 +367,7 @@ def test_probe_slab_ring_caps_with_fake_measure(monkeypatch):
     stencil-free window 1, and reports owned-height caps."""
     seen = {}
 
-    def fake_factory(win, h, w, t, b, rows_ax, approx=False):
+    def fake_factory(win, h, w, t, b, rows_ax, approx=False, s=1):
         seen["rows"] = rows_ax
 
         def measure(fpb, bh):
@@ -433,3 +433,52 @@ def test_grid_mesh_rejects_nonpositive_axes():
     for s_ax, r_ax in ((-1, 4), (0, 4), (2, 0), (2, -2)):
         with _pytest.raises(ValueError, match=">= 1"):
             grid_mesh(s_ax, r_ax)
+
+
+def test_stacked_slab_cap_keys_and_picker(cache, monkeypatch):
+    """--mesh --stacked probes persist stacked_slab_ring_caps; stacked
+    slab shards (s > 1) consult them, single-section shards don't."""
+    from dips_tpu.ops import pallas_fused
+    monkeypatch.setattr(tuning, "_device_kind", lambda: "TPU vSS")
+    tuning.save("TPU vSS", stacked_slab_ring_caps={3: {272: 2048 * 136}})
+    assert tuning.stacked_slab_ring_cap(3, 272, kind="TPU vSS") == 2048 * 136
+    assert tuning.stacked_slab_ring_cap(3, 544, kind="TPU vSS") is None
+    # s > 1 band shard: the stacked-slab measurement is authoritative
+    assert pallas_fused._ring_geometry(272, 2048, 3, 4, 64, s=2,
+                                       slab_bands=True)[1] == 136
+    # s == 1 keeps the single-section path (no s=1 key saved -> debit)
+    assert pallas_fused._ring_geometry(272, 2048, 3, 4, 64,
+                                       slab_bands=True)[1] == 16
+    # max-merge
+    tuning.save("TPU vSS", stacked_slab_ring_caps={3: {272: 2048 * 16}})
+    assert tuning.stacked_slab_ring_cap(3, 272, kind="TPU vSS") == 2048 * 136
+
+
+def test_probe_slab_ring_caps_stacked_s_reaches_factory(monkeypatch):
+    seen = {}
+
+    def fake_factory(win, h, w, t, b, rows_ax, approx=False, s=1):
+        seen["rows"], seen["s"] = rows_ax, s
+
+        def measure(fpb, bh):
+            if bh > 16:
+                raise ProbeOOM(f"bh={bh}")
+            return 0.001 * bh
+        return measure, 48, 2048
+
+    monkeypatch.setattr(autotune, "_slab_ring_measure_factory",
+                        fake_factory)
+    res = autotune.probe_slab_ring_caps(4, windows=(3,), h=192, w=1920,
+                                        b=64, s=3)
+    assert res[3]["cap"] == 16 * 2048 and seen == {"rows": 4, "s": 3}
+
+
+def test_stacked_slab_measure_factory_compiles(monkeypatch):
+    """The stacked slab probe's kernel composition (2 sections x bands x
+    row bounds) compiles and runs (interpret on CPU)."""
+    monkeypatch.setattr(autotune, "_two_point_fit",
+                        lambda run, iters, repeats=3: 0.01)
+    measure, hs, wp = autotune._slab_ring_measure_factory(
+        3, 16, 24, t=2, b=4, rows_ax=2, s=2)
+    assert hs == 8
+    assert measure(2, 8) == 0.01
