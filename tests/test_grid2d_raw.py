@@ -234,3 +234,21 @@ def test_grid_raw_alignment_guard():
         make_grid_ring_step(
             DiPsProperties(output=OutputMode.ABSDIFF, temporal_size=2),
             24, 40, grid_mesh(2, 4))
+
+
+def test_engine_2d_raw_hwc_layout():
+    """input_layout='hwc' (device-side transpose+pad before the grid
+    step) composes with raw modes on the 2-D mesh — bit-identical to the
+    host-planarize path."""
+    props = DiPsProperties(output=OutputMode.ABSDIFF, temporal_size=2)
+    h, w, batch = 32, 40, 4
+    clips = [make_clip(n=4, h=h, w=w, seed=90 + k) for k in range(2)]
+    res = {}
+    for layout in ("planar", "hwc"):
+        eng = MultiStreamEngine(props, h, w, n_streams=2, batch=batch,
+                                mesh=grid_mesh(2, 4), backend="pallas",
+                                ring_carry=True, input_layout=layout)
+        o, st, _ = eng.process_batch([list(c) for c in clips])
+        res[layout] = (o, st)
+    np.testing.assert_array_equal(res["hwc"][0], res["planar"][0])
+    np.testing.assert_allclose(res["hwc"][1], res["planar"][1], atol=0)
