@@ -252,3 +252,24 @@ def test_engine_2d_raw_hwc_layout():
         res[layout] = (o, st)
     np.testing.assert_array_equal(res["hwc"][0], res["planar"][0])
     np.testing.assert_allclose(res["hwc"][1], res["planar"][1], atol=0)
+
+
+def test_engine_2d_raw_downscale():
+    """On-device downscale composes with raw modes on the 2-D mesh: a
+    downscale=2 grid engine fed full-res frames matches a plain grid
+    engine fed host-pooled frames bit-exactly."""
+    from dips_tpu.ops import reference
+    props = DiPsProperties(output=OutputMode.ABSDIFF, temporal_size=2)
+    h, w, k, batch = 64, 80, 2, 4
+    clips = [make_clip(n=4, h=h, w=w, seed=95 + i) for i in range(2)]
+    ek = MultiStreamEngine(props, h, w, n_streams=2, batch=batch,
+                           mesh=grid_mesh(2, 4), backend="pallas",
+                           ring_carry=True, downscale=k)
+    e1 = MultiStreamEngine(props, h // k, w // k, n_streams=2, batch=batch,
+                           mesh=grid_mesh(2, 4), backend="pallas",
+                           ring_carry=True)
+    ok_, sk, _ = ek.process_batch([list(c) for c in clips])
+    o1, s1, _ = e1.process_batch(
+        [[reference.pool_frame_host(f, k) for f in c] for c in clips])
+    np.testing.assert_array_equal(ok_, o1)
+    np.testing.assert_allclose(sk, s1, atol=1e-6)
