@@ -92,6 +92,21 @@ def run(n_devices: int) -> None:
             assert mout.shape == (s, 2, h, w, 3), mout.shape
             assert np.isfinite(mstats).all() and np.isfinite(mgmean)
 
+    # 1c. multi-host raw fleet (the pod events-fleet shape): the raw ring
+    # protocol's carried u8 prev/baseline state through global arrays
+    from dips_tpu.properties import OutputMode as _OM
+    rawp_mh = DiPsProperties(output=_OM.STATS_ONLY, temporal_size=2)
+    mhr = MultiHostStreamEngine(rawp_mh, h, w, n_streams=s, batch=2,
+                                mesh=mesh, backend="pallas",
+                                ring_carry=True)
+    feed = mhr.local_frames_template()
+    for si in mhr.local_stream_ids:
+        feed[si] = feeds[si]
+    for _ in range(2):
+        mout, mstats, mgmean = mhr.process_batch(feed)
+        assert mout.shape == (s, 2, h, w, 0), mout.shape
+        assert np.isfinite(mstats).all() and np.isfinite(mgmean)
+
     # 2. spatial row sharding with ICI halo exchange (ppermute)
     rows_mesh = jax.sharding.Mesh(np.asarray(jax.devices()[:n_devices]),
                                   ("rows",))

@@ -9,14 +9,20 @@ over both axes — all collectives ride ICI.
 This is the deployment shape for "many huge streams": e.g. 16 chips as a
 (4 streams x 4 slabs) grid.
 
-Two shard bodies: the portable XLA body (``_row_body``, any backend) and
-the fused Pallas stacked-slab body (``backend="pallas"``): each shard
-halo-exchanges an 8-row band of the raw input over ICI, folds its local
-streams' EXTENDED slabs along the row axis of ONE stacked kernel instance
-(ops/pallas_fused.py stacked mode with a dynamic mask row window), then
-slices the owned rows back out.  Everything after the spatial median is
-row-local, so the extension rows compute discarded garbage and the owned
-rows are bit-identical to the full-height kernel.
+MEDIAN modes run two shard bodies: the portable XLA body (``_row_body``,
+any backend) and the fused Pallas stacked-slab body
+(``backend="pallas"``): each shard halo-exchanges an 8-row band of the
+raw input over ICI, folds its local streams' slabs along the row axis of
+ONE stacked kernel instance (ops/pallas_fused.py stacked mode with a
+dynamic mask row window) — by default in OWNED coordinates with thin
+neighbour-band kernel inputs (``slab_impl="bands"``), or via the legacy
+halo-EXTENDED construction.  Everything after the spatial median is
+row-local, so owned rows are bit-identical to the full-height kernel.
+
+RAW modes (absdiff/threshold/stats-only) have no stencil at all: no
+halo, no bands — each device diffs its slab of its streams independently
+(``stacked_raw_call``) and only the statistic reductions ride ICI.  This
+is the no-map events fleet on a pod.
 """
 
 from __future__ import annotations
