@@ -4,7 +4,7 @@ tests/test_multihost.py; results land in an npz the parent compares
 against a single-process 8-device run.
 
 Usage: python tests/_mh_worker.py RANK NPROCS PORT OUTDIR
-       [--checkpoint] [--ring]
+       [--checkpoint] [--ring] [--raw]
 
 ``--ring`` runs the PRODUCTION step protocol — the fused pallas
 ring-carry kernel (interpret mode on this CPU cluster) — through the
@@ -45,6 +45,7 @@ def main() -> int:
     outdir = sys.argv[4]
     do_checkpoint = "--checkpoint" in sys.argv
     ring = "--ring" in sys.argv
+    raw = "--raw" in sys.argv
     backend = "pallas" if ring else "xla"
 
     os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
@@ -62,8 +63,13 @@ def main() -> int:
     again = init_multihost(f"127.0.0.1:{port}", nprocs, rank)
     assert again == info
 
-    props = DiPsProperties(window_size=3, temporal_size=2,
-                           filter=DiPsFilter.UNFILTERED)
+    if raw:
+        # the pod events fleet: raw integer diff, u8 carried global state
+        from dips_tpu.properties import OutputMode
+        props = DiPsProperties(output=OutputMode.ABSDIFF, temporal_size=2)
+    else:
+        props = DiPsProperties(window_size=3, temporal_size=2,
+                               filter=DiPsFilter.UNFILTERED)
     eng = MultiHostStreamEngine(props, H, W, S_GLOBAL, batch=BATCH,
                                 backend=backend, ring_carry=ring)
     assert eng.ring_carry is ring

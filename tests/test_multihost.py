@@ -37,15 +37,20 @@ def _rank_of(si: int) -> int:
     return 0 if si < S_GLOBAL // 2 else 1
 
 
-def _expected(ring=False):
+def _expected(ring=False, raw=False):
     """Single-process reference: all 8 streams on the test process's
     8-device mesh, same clips, same per-round feeds (streams of a rank
     with a zero round pass empty lists, exactly like the cluster).
     ``ring``: the pallas ring-carry protocol — the cluster must be
-    bit-identical to the SAME kernel running single-process."""
+    bit-identical to the SAME kernel running single-process.  ``raw``:
+    the ABSDIFF events-fleet shape (u8 carried global state)."""
     from dips_tpu.parallel import MultiStreamEngine
-    props = DiPsProperties(window_size=3, temporal_size=2,
-                           filter=DiPsFilter.UNFILTERED)
+    if raw:
+        from dips_tpu.properties import OutputMode
+        props = DiPsProperties(output=OutputMode.ABSDIFF, temporal_size=2)
+    else:
+        props = DiPsProperties(window_size=3, temporal_size=2,
+                               filter=DiPsFilter.UNFILTERED)
     eng = MultiStreamEngine(props, H, W, n_streams=S_GLOBAL, batch=BATCH,
                             backend="pallas" if ring else "xla",
                             ring_carry=ring)
@@ -85,11 +90,13 @@ def _run_cluster(tmp_path, extra=()):
     return logs
 
 
-@pytest.mark.parametrize("extra", [(), ("--checkpoint",), ("--ring",)],
+@pytest.mark.parametrize("extra", [(), ("--checkpoint",), ("--ring",),
+                                   ("--ring", "--raw")],
                          ids=["fresh", "checkpoint-roundtrip",
-                              "pallas-ring-carry"])
+                              "pallas-ring-carry", "raw-ring-fleet"])
 def test_two_process_cluster_matches_single_process(tmp_path, extra):
-    exp_outs, exp_stats, exp_gmeans = _expected(ring="--ring" in extra)
+    exp_outs, exp_stats, exp_gmeans = _expected(ring="--ring" in extra,
+                                                raw="--raw" in extra)
 
     _run_cluster(tmp_path, extra)
 
