@@ -2248,3 +2248,24 @@ def test_daemon_coalesce_mesh_flag_validation(capsys):
     rc = serve_main(["--coalesce", "2", "--coalesce-mesh", "0x4",
                      "--height", "32", "--width", "40"])
     assert rc == 2
+
+
+def test_flexible_daemon_coalesce_mesh():
+    """A geometry-FLEXIBLE daemon with --coalesce-mesh builds each
+    geometry's coalescer on the 2-D grid: a session sized from its first
+    frame gets row-sharded slots and still matches a dedicated engine."""
+    props = DiPsProperties(window_size=3, temporal_size=2,
+                           filter=DiPsFilter.UNFILTERED)
+    srv = DiPsServer(props, port=0, batch=2, coalesce=2,
+                     coalesce_mesh=(2, 4))
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        clip = make_clip(n=4, h=32, w=40, seed=33)
+        cli = DiPsClient(srv.port)
+        outs = [cli.process(f)[0] for f in clip]
+        cli.close()
+        eng = DiPsEngine(props, 32, 40, batch=1)
+        exp, _ = eng.process_frames(list(clip))
+        np.testing.assert_array_equal(np.stack(outs), exp)
+    finally:
+        srv.shutdown()
