@@ -692,3 +692,30 @@ def test_mesh_cli_2d_grid_raw_modes(tmp_path, capsys):
     with open(sj) as f:
         doc = json.load(f)
     assert len(doc) == 2 and all(len(v) == 4 for v in doc.values())
+
+
+def test_mesh_cli_events_fleet(tmp_path):
+    """The full headline workflow end to end: a no-map events fleet
+    (stats_only) with motion-event segmentation AND fleet flicker on the
+    2-D grid — events/stats/flicker JSON out, zero video egress."""
+    import json
+    from dips_tpu.cli import main as cli_main
+    from dips_tpu.io import moving_square_clip, write_clip
+    paths = []
+    for i in range(2):
+        p = str(tmp_path / f"cam{i}.avi")
+        write_clip(moving_square_clip(n=8, height=32, width=48, seed=i), p)
+        paths.append(p)
+    ej = str(tmp_path / "events.json")
+    sj = str(tmp_path / "stats.json")
+    rc = cli_main(["--inputs", *paths, "--output-mode=stats_only",
+                   "--mesh", "2x4", "--temporal=2", "--batch=4",
+                   "--events-json", ej, "--event-on", "0.001",
+                   "--stats-json", sj, "--flicker-hz", "5"])
+    assert rc == 0
+    with open(ej) as f:
+        events = json.load(f)
+    assert len(events) == 2  # one event list per camera
+    with open(sj) as f:
+        stats = json.load(f)
+    assert all(len(v) == 8 for v in stats.values())
