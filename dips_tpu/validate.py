@@ -366,6 +366,36 @@ def _run_raw_slab(verbose: bool, results=None) -> int:
         assert (np.concatenate(nhs, axis=-2) == np.asarray(eh)).all(), \
             "raw slab heatmap diverged"
 
+        # the 2-D grid body's exact composition: TWO STREAMS' slabs
+        # stacked along one kernel's row axis WITH the dyn-bounds window
+        # (grid2d._pallas_raw_grid_body runs stacked sections sharing one
+        # shard's bounds).  Full-height sections make the slab window
+        # equal the roi rows, so each section must equal the plain roi
+        # kernel byte-for-byte.
+        raw2 = r.integers(0, 256, (t + b, 3, hp, wp), np.uint8)
+        raw2[..., h:, :] = 0
+        raw2[..., w:] = 0
+        stacked = np.concatenate([raw, raw2], axis=2)
+        fl2 = np.tile(flags[None], (2, 1))
+        vd2 = np.ones((2, b), bool)
+        o_s, st_s, _, nh_s = pallas_fused._absdiff_step_impl(
+            props, h, w, 2, jnp.asarray(stacked),
+            jnp.zeros((3, 2 * hp, wp), jnp.uint8), jnp.asarray(fl2),
+            jnp.zeros((2 * hp, wp), jnp.float32), jnp.asarray(vd2),
+            row_bounds=jnp.asarray([y0, y1], np.int32))
+        for si, rw in enumerate((raw, raw2)):
+            eo, es, _, eh = pallas_fused.absdiff_step(
+                props, h, w, jnp.asarray(rw),
+                jnp.zeros((3, hp, wp), jnp.uint8), jnp.asarray(flags),
+                jnp.zeros((hp, wp), jnp.float32), jnp.asarray(valid[0]))
+            sect = slice(si * hp, (si + 1) * hp)
+            assert (np.asarray(o_s)[:, :, sect] == np.asarray(eo)).all(), \
+                f"stacked+bounds stream {si} out"
+            np.testing.assert_allclose(np.asarray(st_s[si]),
+                                       np.asarray(es), atol=1e-5)
+            assert (np.asarray(nh_s)[sect] == np.asarray(eh)).all(), \
+                f"stacked+bounds stream {si} heatmap"
+
         # ring protocol (PER_FRAME): carried prev/baseline slab state
         props_r = DiPsProperties(output=OutputMode.ABSDIFF, temporal_size=t,
                                  method=DiPsMethod.PER_FRAME,
@@ -404,14 +434,14 @@ def _run_raw_slab(verbose: bool, results=None) -> int:
                     == np.asarray(ehm)).all(), f"ring batch {bi} heatmap"
             seed = np.zeros((1,), np.int32)
         if verbose:
-            print(f"  PASS {'raw slab row-bounds (tail+ring)':<40s} "
+            print(f"  PASS {'raw slab row-bounds (tail+stacked+ring)':<40s} "
                   f"({time.time() - t0:.1f}s)")
-        _record(results, "raw slab row-bounds (tail+ring)", True, t0)
+        _record(results, "raw slab row-bounds (tail+stacked+ring)", True, t0)
         return 0
     except Exception as e:
         if verbose:
-            print(f"  FAIL {'raw slab row-bounds (tail+ring)':<40s} {e}")
-        _record(results, "raw slab row-bounds (tail+ring)", False, t0, e)
+            print(f"  FAIL {'raw slab row-bounds (tail+stacked+ring)':<40s} {e}")
+        _record(results, "raw slab row-bounds (tail+stacked+ring)", False, t0, e)
         return 1
 
 
