@@ -273,3 +273,29 @@ def test_engine_2d_raw_downscale():
         [[reference.pool_frame_host(f, k) for f in c] for c in clips])
     np.testing.assert_array_equal(ok_, o1)
     np.testing.assert_allclose(sk, s1, atol=1e-6)
+
+
+def test_engine_2d_raw_failure_isolation():
+    """Per-stream failure isolation holds on the 2-D raw fleet: a bad
+    frame kills only its stream, the sibling's results are unaffected,
+    and reset_stream rejoins the failed camera fresh."""
+    props = DiPsProperties(output=OutputMode.ABSDIFF, temporal_size=2)
+    h, w, batch = 32, 40, 4
+    clips = [make_clip(n=4, h=h, w=w, seed=97 + k) for k in range(2)]
+    eng = MultiStreamEngine(props, h, w, n_streams=2, batch=batch,
+                            mesh=grid_mesh(2, 4), backend="pallas",
+                            ring_carry=True)
+    bad = [np.zeros((3, 3, 3), np.uint8)]  # wrong geometry -> StreamError
+    out, stats, _ = eng.process_batch([bad, list(clips[1])])
+    assert 0 in eng.failed and 1 not in eng.failed
+    ref = DiPsEngine(props, h, w, batch=batch, backend="pallas")
+    exp_out, exp_stats = ref.process_frames(list(clips[1]))
+    np.testing.assert_array_equal(out[1], exp_out)
+    np.testing.assert_allclose(stats[1], exp_stats, atol=1e-5)
+    # the failed camera rejoins fresh and produces correct results
+    eng.reset_stream(0)
+    out2, stats2, _ = eng.process_batch([list(clips[0]), []])
+    ref0 = DiPsEngine(props, h, w, batch=batch, backend="pallas")
+    exp0, exps0 = ref0.process_frames(list(clips[0]))
+    np.testing.assert_array_equal(out2[0], exp0)
+    np.testing.assert_allclose(stats2[0], exps0, atol=1e-5)
