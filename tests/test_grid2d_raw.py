@@ -299,3 +299,26 @@ def test_engine_2d_raw_failure_isolation():
     exp0, exps0 = ref0.process_frames(list(clips[0]))
     np.testing.assert_array_equal(out2[0], exp0)
     np.testing.assert_allclose(stats2[0], exps0, atol=1e-5)
+
+
+def test_engine_2d_raw_checkpoint_roundtrip(tmp_path):
+    """Raw grid engines rebuild carried u8 prev/baseline slab state from
+    checkpoint tails (mirrors the median grid checkpoint test)."""
+    props = DiPsProperties(output=OutputMode.ABSDIFF, temporal_size=2,
+                           method=DiPsMethod.PER_FRAME)
+    h, w = 32, 40
+    clips = [make_clip(n=8, h=h, w=w, seed=110 + k) for k in range(2)]
+    eng = MultiStreamEngine(props, h, w, n_streams=2, batch=4,
+                            mesh=grid_mesh(2, 4), backend="pallas",
+                            ring_carry=True)
+    eng.process_batch([list(c[:4]) for c in clips])
+    p = str(tmp_path / "grid_raw.npz")
+    eng.save(p)
+    eng2 = MultiStreamEngine(props, h, w, n_streams=2, batch=4,
+                             mesh=grid_mesh(2, 4), backend="pallas",
+                             ring_carry=True)
+    eng2.load(p)
+    o1, s1, _ = eng.process_batch([list(c[4:]) for c in clips])
+    o2, s2, _ = eng2.process_batch([list(c[4:]) for c in clips])
+    np.testing.assert_array_equal(o1, o2)
+    np.testing.assert_array_equal(s1, s2)
